@@ -1,0 +1,112 @@
+"""SimHash fingerprinting + banded near-duplicate join.
+
+Reference surface: `/root/reference/deva/utils/simhash.py:78-245`
+(64-bit simhash built from token hashes with per-bit voting) and
+`simhash.py:247-341` (SimhashIndex: split the fingerprint into k+1 chunks —
+two fingerprints within Hamming distance k must share at least one chunk —
+then verify candidates by exact Hamming distance).
+
+Our fingerprint is 48-bit (12 MD5 hex chars) so it always fits a signed
+BIGINT in every engine. The word hash is the first 12 hex chars of
+``md5(word)`` big-endian — chosen because the DuckDB oracle can recompute
+the identical value with pure SQL arithmetic (no engine-specific hash).
+
+The fingerprint itself is a vectorized Arrow pandas UDF (hashlib + integer
+ops over a batch) — the one place Python earns its keep here; the banding
+join and Hamming verify are built-in column ops (``bit_count(a ^ b)``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+BITS = 48
+NUM_CHUNKS = 4  # k+1 chunks for Hamming k=3
+CHUNK_BITS = BITS // NUM_CHUNKS  # 12
+
+
+def _simhash_one(text: str) -> int:
+    """48-bit simhash: per-bit vote over whitespace tokens, weight = term
+    frequency (each occurrence votes)."""
+    if text is None:
+        return 0
+    votes = [0] * BITS
+    for w in text.strip().split():
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
+        for b in range(BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(BITS):
+        if votes[b] > 0:
+            fp |= 1 << b
+    return fp
+
+
+# DataType object (not DDL string) so the UDF can be defined without an
+# active SparkSession at import time.
+@pandas_udf(LongType())
+def simhash48(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash_one)
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash48(F.col(text_col)).alias("fp")
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Simhash near-dup pairs (id_a, id_b, hamming <= max_hamming).
+
+    Banding (`simhash.py:247-341` semantics): split the 48-bit fingerprint
+    into ``max_hamming + 1`` chunks; any pair within the Hamming budget
+    shares >= 1 chunk, so the self-join key is (chunk_index, chunk_value) —
+    shuffle carries (small int, small int, doc_id), never the text. Exact
+    ``bit_count(xor)`` verifies candidates.
+    """
+    fps = fingerprints(docs, id_col, text_col)
+    chunks = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("fp"), i * CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(NUM_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "fp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("fp_a"), F.col("fp_b")).alias("hd"))
+        .distinct()
+        .filter(F.col("hd") <= max_hamming)
+    )

@@ -1,0 +1,123 @@
+"""Text analysis: tokenization, language-ID, quality scoring, fingerprinting.
+
+Reference surface: jieba keyword extraction (`/root/reference/deva/search.py:179-207`),
+``extract(...)`` regex family (`pipe.py:1428-1485`), string pipes
+(`pipe.py:783-849`). Extended with the training-data-pipeline operators the
+reference lacks: language identification, document quality scoring, token
+counting, and content fingerprinting — all pure built-in column
+expressions (whole-stage codegen, no Python in the hot path).
+
+Design for oracle parity: ratio thresholds compare with integer
+cross-multiplication (``cnt * 100 >= total * pct``) so no float boundary
+can disagree between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny high-frequency English stopword list used by the n-gram/stopword
+#: language heuristic and the quality score. Kept deliberately small and
+#: hard-coded so the DuckDB oracle can embed the identical list.
+EN_STOPWORDS: tuple[str, ...] = (
+    "the",
+    "a",
+    "of",
+    "and",
+    "to",
+    "in",
+    "is",
+    "that",
+    "it",
+    "on",
+)
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (regex split, JVM-side)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Token count: number of whitespace-separated tokens."""
+    return F.size(words(text))
+
+
+def stopword_count(text: Column) -> Column:
+    """Number of tokens that are (lowercased) English stopwords."""
+    return F.size(F.filter(words(F.lower(text)), lambda w: w.isin(*EN_STOPWORDS)))
+
+
+def digit_char_count(text: Column) -> Column:
+    """Number of digit characters (regexp_extract_all keeps this JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
+
+
+def lang_id(text: Column, pct_threshold: int = 15) -> Column:
+    """Stopword-ratio language heuristic: 'en' when >= pct_threshold % of
+    tokens are common English stopwords, else 'other'.
+
+    The real n-gram language models are external libraries; this in-engine
+    heuristic is the Spark-side plumbing (exact, deterministic, and cheap —
+    one pass over the token array per row).
+    """
+    total = token_count(text)
+    hits = stopword_count(text)
+    return F.when(hits * 100 >= total * pct_threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Document quality score in [0, 100]: rewards a sane length band,
+    stopword presence, and penalizes digit-heavy content.
+
+    Components (integer-exact, then one float division at the end):
+      length_ok   : 30 if 50 <= n_chars <= 5000
+      stop_ok     : 40 if stopword tokens >= 10% of tokens
+      digit_pen   : 30 * (1 - digit_chars/n_chars) — mostly-digit docs score low
+    """
+    n_chars = F.length(text)
+    total = token_count(text)
+    stops = stopword_count(text)
+    digits = digit_char_count(text)
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 5000), F.lit(30)).otherwise(F.lit(0))
+    stop_ok = F.when(stops * 10 >= total, F.lit(40)).otherwise(F.lit(0))
+    digit_pen = F.when(
+        n_chars > 0, F.lit(30.0) * (F.lit(1.0) - digits.cast("double") / n_chars.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + digit_pen, 2)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for content hashing: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: MD5 of the normalized text. At 100 TB this is
+    the dedup shuffle key — 32 bytes instead of the document body."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (1-based element_at so the
+    DuckDB oracle's 1-based list indexing matches exactly).
+
+    Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down* (would
+    yield bogus indices), so docs with fewer than ``n`` tokens get an empty
+    shingle array explicitly.
+    """
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )

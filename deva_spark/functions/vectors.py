@@ -1,0 +1,163 @@
+"""Embedding similarity search: cosine top-k (brute force + LSH-bucketed).
+
+North-star operators for a training-data pipeline (BASELINE.json): the
+reference has no vector search; this is the Spark-native design.
+
+Determinism for oracle parity: the dot product is a left-to-right fold over
+index order (``aggregate(zip_with(...))``) — the same sequential order a
+scalar loop uses — so Spark and DuckDB produce bit-identical doubles, and
+ranking on the rounded score with an id tie-break is stable across engines.
+
+Scale notes: brute force is a broadcast nested-loop of Q query vectors
+against N candidates — linear in N, embarrassingly parallel, the correct
+baseline when Q is small. The LSH variant buckets vectors by random
+hyperplane signs so candidate generation touches only same-bucket pairs —
+the 100 TB path (recall < 1 by design, like any ANN).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries is broadcast (small Q); every candidate partition scores its
+    rows against all queries, then a per-query top-k window. Output:
+    (qid, vec_id, cos, rnk) with cos rounded to 4dp before ranking so the
+    ordering is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    c = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
+def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bits of dot products with fixed random
+    hyperplanes, packed into a bigint."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (LCG — library-free, reproducible)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        p = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            p.append((state / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(p)
+    return planes
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: only candidates in the query's hyperplane
+    bucket are scored. Same output shape as brute_force_topk; recall is
+    approximate (ANN) — the scale path, verified against brute force in
+    tests by recall measurement, not equality."""
+    planes = deterministic_planes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("ce"),
+        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
+def centroids(vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector (IVF coarse quantizer building block):
+    element-wise average via posexplode + group — shuffle carries
+    (label, dim_index, partial sums) thanks to map-side combine."""
+    exploded = vectors.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("i", "v")
+    )
+    return (
+        exploded.groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["m"]).alias("centroid"))
+    )

@@ -1,0 +1,92 @@
+"""Aggregations: group-agg, frequencies, percentiles, rollup, exact money sums.
+
+Reference surface: ``frequencies`` (`/root/reference/deva/core/core.py:841-846`),
+pipe ``aggregate``/``add``/``average``/``count`` (`pipe.py:969-1007`,
+`526-592`), naja group-agg (`deva/naja/tables/ui.py:349`), percentile noise
+floor (`deva/naja/market_hotspot/processing/noise_filter.py:249,354`).
+
+Scale notes: every groupBy here is a hash aggregate with map-side partial
+combine — the shuffle carries one row per (partition, group), not per input
+row. Percentiles offer both exact (small-cardinality keys) and
+``percentile_approx`` (sketch-mergeable, the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Money columns are 2-decimal doubles. Summing 10^8-magnitude doubles across
+# an arbitrary partition order drifts in the low bits, which can flip a
+# 2-decimal rounding at the .005 boundary. Casting each term to DECIMAL
+# first makes the sum exact and order-independent — the distributed-safe way
+# to aggregate money.
+MONEY = "decimal(30,6)"
+
+
+def money_sum(expr: Column) -> Column:
+    """Order-independent exact sum of a currency expression."""
+    return F.sum(expr.cast(MONEY))
+
+
+def round_money(expr: Column, scale: int = 2) -> Column:
+    """Round an exact decimal aggregate and hand back a double."""
+    return F.round(expr, scale).cast("double")
+
+
+def group_agg(
+    keys: Sequence[str], aggs: dict[str, Column]
+) -> Callable[[DataFrame], DataFrame]:
+    """naja group-agg analog: ``groupBy(keys).agg(...)`` with aliased outputs."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+    return _t
+
+
+def frequencies(*keys: str) -> Callable[[DataFrame], DataFrame]:
+    """``frequencies`` analog (`core/core.py:841-846`): count per distinct
+    value. In streaming mode this is the same plan in update output mode."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+
+    return _t
+
+
+def rollup_count(*keys: str) -> Callable[[DataFrame], DataFrame]:
+    """Grouping-sets rollup (capability gap in the reference; free in Spark)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.rollup(*keys).agg(F.count(F.lit(1)).alias("c"))
+
+    return _t
+
+
+def percentile_exact(key: str, value: str, p: float) -> Callable[[DataFrame], DataFrame]:
+    """Exact continuous percentile per key (noise-filter analog,
+    `noise_filter.py:249`). Exact percentile buffers each group's values —
+    fine for low-cardinality keys; use :func:`percentile_sketch` when group
+    row counts are unbounded."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.percentile(F.col(value), F.lit(p)).alias("p")
+        )
+
+    return _t
+
+
+def percentile_sketch(key: str, value: str, p: float, accuracy: int = 10000) -> Callable[[DataFrame], DataFrame]:
+    """Approximate percentile via the mergeable KLL-style sketch — constant
+    memory per group regardless of group size; the 100 TB path."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.percentile_approx(F.col(value), F.lit(p), F.lit(accuracy)).alias("p")
+        )
+
+    return _t

@@ -1,0 +1,112 @@
+"""Joins and stream-alignment combinators.
+
+The reference has no relational join in its engine — joins appear as stream
+combinators (``zip`` `/root/reference/deva/core/compute/ops.py:178-288`,
+``combine_latest`` `ops.py:290-354`, ``zip_latest`` `ops.py:617-679`) and as
+pandas merges in the app layer (`deva/naja/strategy/entry.py:682-698`).
+Here they all become DataFrame joins / window functions.
+
+Scale notes: dimension enrichment broadcasts the small side (no shuffle of
+the fact table); fact-fact joins are shuffle hash / sort-merge on the join
+key with AQE skew splitting. ``zip`` (positional) and as-of alignment key
+on explicit ``(ts, event_id)`` because a distributed engine has no ambient
+arrival order (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich(
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Dimension-enrich join (naja merge analog, `entry.py:682-698`).
+
+    ``broadcast_dim=True`` ships the dim table to every executor — the fact
+    side never shuffles. Only disable for dims too big to broadcast.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        right = F.broadcast(dim) if broadcast_dim else dim
+        return df.join(right, on=on, how=how)
+
+    return _t
+
+
+def semi_join(other: DataFrame, on: str | list[str] | Column) -> Callable[[DataFrame], DataFrame]:
+    """EXISTS — left semi join: probe side emits each row at most once and
+    the build side carries only the key columns."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.join(other, on=on, how="left_semi")
+
+    return _t
+
+
+def anti_join(other: DataFrame, on: str | list[str] | Column) -> Callable[[DataFrame], DataFrame]:
+    """NOT EXISTS — left anti join."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.join(other, on=on, how="left_anti")
+
+    return _t
+
+
+def positional_zip(
+    left: DataFrame,
+    right: DataFrame,
+    order: Sequence[str],
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """``zip`` analog (`ops.py:178-288`): pair the i-th element of each input.
+
+    Positional pairing needs a global sequence number per side —
+    ``row_number`` over an un-partitioned window is a single-reducer
+    bottleneck, so at scale prefer zipping *within* a partition key. For the
+    bounded/ordered case it is exactly the reference semantics: inner join
+    on sequence id (unmatched tails drop, matching the bounded-buffer
+    behavior).
+    """
+    w = Window.orderBy(*order)
+    l = left.select(
+        *[F.col(c).alias(a) for c, a in left_cols.items()],
+        F.row_number().over(w).alias("rn"),
+    )
+    r = right.select(
+        *[F.col(c).alias(a) for c, a in right_cols.items()],
+        F.row_number().over(w).alias("rn"),
+    )
+    return l.join(r, "rn", "inner")
+
+
+def asof_latest(
+    value_when: Column,
+    partition: str,
+    order: Sequence[str],
+    out: str,
+) -> Callable[[DataFrame], DataFrame]:
+    """``combine_latest``/``zip_latest`` analog (`ops.py:290-354`, `617-679`).
+
+    As-of alignment: for every row, the most recent non-null value of
+    ``value_when`` (an expression that is NULL on non-trigger rows) within
+    the partition, in event-time order. One window shuffle on the partition
+    key; no join.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(partition)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.last(value_when, ignorenulls=True).over(w))
+
+    return _t

@@ -1,0 +1,107 @@
+"""SparkSession bootstrap and table registry.
+
+The reference keeps a global singleton namespace of named streams/tables
+(`/root/reference/deva/core/namespace.py:56-118`); our analog is the Spark
+catalog: every parquet table is registered as a temp view so both the
+DataFrame API and `spark.sql` can reach it by name.
+
+Scale notes (100 TB design): AQE is enabled so skewed joins and
+post-shuffle partition counts are re-planned at runtime; shuffle partition
+count here is sized for local[32] test runs — on a real cluster it is a
+cluster-level setting (or left to AQE's coalescing). Arrow is enabled for
+every pandas interchange so UDF stages are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor that keeps
+# the TPC-H-ish ratios (region/nation are constant-size; supplier/part grow
+# slowly). customer/orders/lineitem/events are fact-scale: never broadcast.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def get_spark(app_name: str = "deva-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession with scale-aware defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local test runs; a cluster deployment overrides this (or
+        # relies on AQE coalescing from a higher initial count).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # Arrow for all pandas interchange — vectorized UDF transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in parquet are instants; keep session TZ fixed so
+        # date_trunc/window results are deterministic across machines.
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp,
+        # so read as long and convert (lossless: the generator emits µs-grain
+        # values — verified no sub-µs component exists).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir`` as a DataFrame.
+
+    Columnar parquet scans give Catalyst pushdown + pruning for free: any
+    filter/projection we express declaratively reaches the scan
+    (``PushedFilters`` / ``ReadSchema`` in .explain).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = read_table(spark, sf_dir, name)
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table, normalizing ns-timestamp columns to
+    TimestampType (µs). With ``nanosAsLong`` the ns column arrives as a
+    bigint of nanos-since-epoch; ``timestamp_micros(ns div 1000)`` restores
+    the timestamp exactly (generator emits µs-grain values)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (namespace/NS analog,
+    `/root/reference/deva/core/namespace.py:148-180`)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
