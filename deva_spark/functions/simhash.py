@@ -56,7 +56,10 @@ def simhash48(texts: pd.Series) -> pd.Series:
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
+    # Repartition so the CPU-bound fingerprint UDF uses every core — a
+    # single parquet file otherwise yields too few input splits.
+    spark = docs.sparkSession
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc_id"), simhash48(F.col(text_col)).alias("fp")
     )
 
@@ -79,7 +82,10 @@ def near_duplicates(
     shuffle carries (small int, small int, doc_id), never the text. Exact
     ``bit_count(xor)`` verifies candidates.
     """
-    fps = fingerprints(docs, id_col, text_col)
+    # Persisted: the pandas-UDF fingerprint pass feeds the chunk explosion
+    # and both join sides; compute it once.
+    fps = fingerprints(docs, id_col, text_col).persist()
+    fps.count()  # eager: referenced by the chunk explosion + both join sides
     chunks = fps.select(
         "doc_id",
         "fp",

@@ -14,8 +14,11 @@ can disagree between engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 #: Tiny high-frequency English stopword list used by the n-gram/stopword
 #: language heuristic and the quality score. Kept deliberately small and
@@ -121,3 +124,26 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, shingles).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _distinct_shingles_py(text: str, n: int = 3) -> list[str]:
+    """Python twin of ``array_distinct(word_shingles(text))`` (str.split()
+    == trim + whitespace-run split, matching the ``\\s+`` regex)."""
+    if text is None:
+        return []
+    ws = text.split()
+    if len(ws) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(ws) - n + 1):
+        seen[" ".join(ws[i : i + n])] = None
+    return list(seen)
+
+
+# Arrow-batched shingle generation. The column-expression version re-inlines
+# the `split(trim(text))` subexpression into every element_at (projection
+# collapse), turning one split per doc into ~3×|shingles| regex splits —
+# observed 9.7 s vs <1 s for 5k docs. Use this in hot paths.
+@pandas_udf(ArrayType(StringType()))
+def distinct_word_shingles_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_distinct_shingles_py)

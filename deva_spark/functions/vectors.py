@@ -54,17 +54,27 @@ def brute_force_topk(
     (qid, vec_id, cos, rnk) with cos rounded to 4dp before ranking so the
     ordering is reproducible across engines.
     """
+    # Norms are precomputed per vector (not per pair): the pairwise stage
+    # then does ONE fold per pair instead of three.
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ce"))
+    c = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("ce"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window
@@ -123,18 +133,24 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
+        norm(F.col(vec_col)).alias("qn"),
         hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("ce"),
+        norm(F.col(vec_col)).alias("cn"),
         hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos")
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window
