@@ -121,30 +121,70 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: only candidates in the query's hyperplane
-    bucket are scored. Same output shape as brute_force_topk; recall is
-    approximate (ANN) — the scale path, verified against brute force in
-    tests by recall measurement, not equality."""
-    planes = deterministic_planes(dim, n_planes)
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each; a
+    candidate is scored if it shares a bucket with the query in ANY table
+    (collision prob per table for angle θ: (1-θ/π)^n_planes — multiple
+    tables trade compute for recall, the standard ANN knob). Candidates are
+    deduped before the (expensive) exact scoring. Output shape matches
+    brute_force_topk; recall measured against it in tests, not equality.
+    """
+    all_planes = deterministic_planes(dim, n_planes * n_tables)
+    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
         norm(F.col(vec_col)).alias("qn"),
-        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("ce"),
         norm(F.col(vec_col)).alias("cn"),
-        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_signs(F.col("qe"), tables[t]).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("qid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cb = c.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_signs(F.col("ce"), tables[t]).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "b"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "vec_id")
         .select(
             "qid",
             "vec_id",

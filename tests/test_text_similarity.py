@@ -1,0 +1,125 @@
+"""Text-analysis and similarity operators over the synthetic corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.functions import minhash as mh
+from deva_spark.functions import simhash as sh
+from deva_spark.functions import text as T
+from deva_spark.functions import vectors as V
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_token_count_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, "  a  b\tc "), (2, "one"), (3, "x y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n for r in df.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_lang_id_stopword_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq www rrr")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.l for r in df.select("doc_id", T.lang_id(F.col("text")).alias("l")).collect()}
+    assert out == {1: "en", 2: "other"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b\tC"), (2, " a b c "), (3, "different")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_shingles_column_vs_python(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+    out = {r.doc_id: list(r.sh) for r in df.select("doc_id", T.word_shingles(F.col("text")).alias("sh")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, not a descending sequence
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated words about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in sh.fingerprints(df).collect()}
+    assert fps[1] == sh._simhash_one("the quick brown fox jumps over the lazy dog")
+    d12 = bin(fps[1] ^ fps[2]).count("1")
+    d13 = bin(fps[1] ^ fps[3]).count("1")
+    assert d12 < d13  # near-dup closer than unrelated
+
+
+def test_minhash_finds_known_neardups(spark, docs):
+    pairs = mh.near_duplicates(docs).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0.5 <= r.est_sim <= 1.0
+
+
+def test_minhash_udf_matches_column_expression(spark):
+    # The Arrow UDF and the JVM column expression must produce identical
+    # signatures (they are interchangeable implementations of one operator).
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    via_udf = {r.doc_id: list(r.sig) for r in mh.signatures(df).collect()}
+    via_col = {
+        r.doc_id: list(r.sig)
+        for r in df.select("doc_id", mh.minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert via_udf == via_col
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    # doc1 shingles: {abc,bcd,cde}; doc2: {abc,bcd,cdx}; common=2, union=4
+    out = mh.ngram_jaccard_pairs(df, pct_threshold=30).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 0.5)]
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = V.brute_force_topk(emb, qs, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert -1.0001 <= r.cos <= 1.0001
+        assert r.vec_id != r.qid
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.vec_id) for r in V.brute_force_topk(emb, qs, k=5).collect()}
+    approx = {(r.qid, r.vec_id) for r in V.lsh_bucketed_topk(emb, qs, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # ANN is approximate by design; with 4 hyperplanes on clustered data
+    # recall should still be substantial.
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_centroids_shape(spark, emb):
+    out = V.centroids(emb).collect()
+    labels = {r.label for r in out}
+    assert len(out) == len(labels)
+    assert all(len(r.centroid) == 64 for r in out)

@@ -1,0 +1,99 @@
+"""Window/stateful micro-fixtures from the reference doctests:
+sliding_window triples (`ops.py:941-952`), partition(3) (`ops.py:890-896`),
+accumulate running sums (`ops.py:764-773`), unique(maxsize=1) consecutive
+dedup (`ops.py:427-434`), slice (`ops.py:826-872`), sessionization.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from deva_spark.operators import dedup, windows
+
+
+def seq_df(spark, values):
+    """Sequence with explicit (ts, event_id) total order and one user."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, v) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_running_fold_accumulate(spark):
+    # accumulate(add) over 0..4 -> 0,1,3,6,10
+    df = seq_df(spark, [0.0, 1.0, 2.0, 3.0, 4.0])
+    out = df.transform(
+        windows.running_fold(F.sum("value"), out="rs", partition="user_id")
+    )
+    assert [r.rs for r in out.orderBy("event_id").collect()] == [0, 1, 3, 6, 10]
+
+
+def test_sliding_count_window(spark):
+    # sliding_window(3) with partial warmup over 0..4
+    df = seq_df(spark, [0.0, 1.0, 2.0, 3.0, 4.0])
+    out = df.transform(
+        windows.sliding_count_window(
+            F.collect_list("value"), out="w", n=3, partition="user_id"
+        )
+    )
+    got = [r.w for r in out.orderBy("event_id").collect()]
+    assert got == [[0.0], [0.0, 1.0], [0.0, 1.0, 2.0], [1.0, 2.0, 3.0], [2.0, 3.0, 4.0]]
+
+
+def test_partition_chunks_drop_tail(spark):
+    # partition(3): 0..9 -> (0,1,2),(3,4,5),(6,7,8); tail 9 dropped
+    df = seq_df(spark, [float(i) for i in range(10)])
+    out = df.transform(windows.chunk(3, order=["ts", "event_id"], drop_tail=True))
+    groups = (
+        out.groupBy("g").agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .orderBy("g")
+        .collect()
+    )
+    assert [r.vs for r in groups] == [[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]]
+
+
+def test_positional_slice(spark):
+    # slice(2, 6, 2) over ids 0..9 -> 1-based rows 2,4 -> event_ids 1,3
+    df = seq_df(spark, [float(i) for i in range(10)])
+    out = df.transform(windows.positional_slice(2, 6, 2, order=["event_id"]))
+    assert sorted(r.event_id for r in out.collect()) == [1, 3]
+
+
+def test_consecutive_dedup_unique_maxsize1(spark):
+    # unique(maxsize=1): 1,1,2,2,2,1,3 -> 1,2,1,3
+    df = seq_df(spark, [1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 3.0])
+    out = df.transform(windows.consecutive_change_filter("value", "user_id"))
+    assert [r.value for r in out.orderBy("event_id").collect()] == [1.0, 2.0, 1.0, 3.0]
+
+
+def test_first_seen_dedup(spark):
+    df = seq_df(spark, [5.0, 5.0, 7.0, 5.0, 7.0])
+    out = df.transform(dedup.first_seen(["value"], ["ts", "event_id"]))
+    assert sorted(r.event_id for r in out.collect()) == [0, 2]
+
+
+def test_sessionize_gap(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, 1.0),
+        (1, base + dt.timedelta(minutes=10), 1, 1.0),
+        (2, base + dt.timedelta(minutes=50), 1, 1.0),  # 40min gap -> new session
+        (3, base + dt.timedelta(minutes=55), 1, 1.0),
+        (4, base, 2, 1.0),  # other user: own session numbering
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = df.transform(windows.sessionize(30)).orderBy("event_id").collect()
+    assert [(r.user_id, r.sess) for r in out] == [(1, 1), (1, 1), (1, 2), (1, 2), (2, 1)]
+
+
+def test_exact_text_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, " a b "), (3, "c"), (4, "a b")], "doc_id long, text string"
+    )
+    out = df.transform(dedup.exact_text_groups()).collect()
+    assert [(r.keep, r.dups) for r in out] == [(1, 3)]
