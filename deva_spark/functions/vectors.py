@@ -17,10 +17,12 @@ the 100 TB path (recall < 1 by design, like any ANN).
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -135,8 +137,19 @@ def lsh_bucketed_topk(
     deduped before the (expensive) exact scoring. Output shape matches
     brute_force_topk; recall measured against it in tests, not equality.
     """
-    all_planes = deterministic_planes(dim, n_planes * n_tables)
-    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))  # (T*P, dim)
+    weights = (1 << np.arange(n_planes))  # bit packing within a table
+
+    # One numpy matmul per Arrow batch instead of T*P*dim literal-laden
+    # column expressions (whole-stage codegen chokes on ~2k embedded
+    # literals: observed 8.9 s of mostly planning/compile time).
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (rows, dim) float
+        signs = (m @ planes_mat.T) >= 0  # (rows, T*P) bool
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        ids = (signs * weights).sum(axis=2)  # (rows, T)
+        return pd.Series(list(ids))
 
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -148,34 +161,8 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("ce"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    qb = q.select(
-        "qid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        hyperplane_signs(F.col("qe"), tables[t]).alias("b"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("qid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    cb = c.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        hyperplane_signs(F.col("ce"), tables[t]).alias("b"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    qb = q.select("qid", F.posexplode(bucket_ids(F.col("qe"))).alias("t", "b"))
+    cb = c.select("vec_id", F.posexplode(bucket_ids(F.col("ce"))).alias("t", "b"))
     cand = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .filter(F.col("vec_id") != F.col("qid"))

@@ -1,0 +1,107 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Reference surface: the ad-hoc per-key instance state the engine carries —
+``accumulate.state`` (`/root/reference/deva/core/compute/ops.py:803-806`),
+Welford mean/M2 anomaly state (`deva/naja/radar/engine.py:264-298`), ADWIN
+drift detectors (`radar/engine.py:241-263`), signal-driven ``collect``
+flush (`ops.py:568-615`).
+
+Spark mapping: grouped-map ``applyInPandasWithState`` with GroupState —
+per-key state lives in the checkpointed state store (RocksDB at scale), so
+a 1000-executor run shards keys across executors and survives restarts,
+unlike the reference's in-process dicts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WELFORD_STATE_SCHEMA = "n long, mean double, m2 double"
+ZSCORE_OUT_SCHEMA = (
+    "user_id long, event_id long, value double, z double"
+)
+
+
+def _welford_zscore_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Online Welford accumulator per key; emits rows whose |z| >= 3 once
+    the key has >= 30 observations — the radar engine's exact contract
+    (`radar/engine.py:264-298`), with state in the Spark state store."""
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            x = float(row["value"])
+            # flag BEFORE updating, against the state built from history
+            if n >= 30:
+                var = m2 / (n - 1) if n > 1 else 0.0
+                sd = var**0.5
+                if sd > 0:
+                    z = (x - mean) / sd
+                    if abs(z) >= 3.0:
+                        out_rows.append(
+                            (int(key[0]), int(row["event_id"]), x, float(z))
+                        )
+            n += 1
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+    state.update((n, mean, m2))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "event_id", "value", "z"]
+        )
+
+
+def streaming_zscore_anomalies(stream_df: DataFrame) -> DataFrame:
+    """Per-user online z-score anomaly stream (Welford state per key)."""
+    return (
+        stream_df.groupBy("user_id")
+        .applyInPandasWithState(
+            _welford_zscore_fn,
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            stateStructType=WELFORD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "total double"
+RUNNING_OUT_SCHEMA = "user_id long, event_id long, rs double"
+
+
+def _running_sum_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """``accumulate``/``scan`` streaming twin: carried fold state per key,
+    one output row per event with the running total."""
+    (total,) = state.get if state.exists else (0.0,)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            total += float(row["value"])
+            rows.append((int(key[0]), int(row["event_id"]), round(total, 2)))
+    state.update((total,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "rs"])
+
+
+def streaming_running_sum(stream_df: DataFrame) -> DataFrame:
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _running_sum_fn,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,159 @@
+"""Streaming sources, windowed twins, and memory-sink runners.
+
+Reference surface: ``from_textfile``/``filenames`` polling sources
+(`/root/reference/deva/core/sources.py:198-338`), ``DBStream.replay``
+(`core/store.py:306-320`), ``timed_window`` (`core/compute/ops.py:975-1026`),
+``rate_limit``/``buffer`` backpressure (`ops.py:106-176`), ``latest``
+(`ops.py:681-736`), ``unique`` streaming dedup (`ops.py:402-486`).
+
+Spark mapping: file-stream source with ``maxFilesPerTrigger`` (replay with
+pacing = backpressure knob), event-time watermarks for late data (an
+upgrade — the reference is wall-clock only), windowed aggregations,
+``dropDuplicates`` state-store dedup, and ``foreachBatch`` for
+per-trigger lossy-latest semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deva_spark.operators.aggregates import MONEY
+from deva_spark.session import read_table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, chunks: int = 4, out_dir: str | None = None
+) -> str:
+    """Replay staging (``DBStream.replay`` analog): split the events table
+    into ``chunks`` parquet files in (ts, event_id) order so the file-stream
+    source discovers them as successive micro-batches."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="deva_stream_")
+    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    n = ev.count()
+    per = max(1, (n + chunks - 1) // chunks)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = ev.toPandas()
+    for i in range(chunks):
+        part = pdf.iloc[i * per : (i + 1) * per]
+        if len(part):
+            # µs timestamps: pandas defaults to ns, which Spark's file-stream
+            # schema (`timestamp`) refuses; zero-padded names keep discovery
+            # order == event-time order
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(out_dir, f"chunk_{i:04d}.parquet"),
+                coerce_timestamps="us",
+            )
+    return out_dir
+
+
+def events_file_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over staged chunks. ``files_per_trigger`` is the
+    backpressure knob (``rate_limit``/``buffer`` analog): it bounds how much
+    data each micro-batch admits."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the result table. AvailableNow processes the backlog in
+    rate-limited micro-batches then stops — the batch-equivalence harness."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(stream_df: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q18 (``timed_window`` upgraded to event time):
+    tumbling window counts/sums with a watermark bounding state."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2).cast("double").alias("sv"),
+        )
+        .select(F.col("w.start").alias("w"), "event_type", "cnt", "sv")
+    )
+
+
+def sliding_counts(
+    stream_df: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window (``sliding_window`` time-based analog)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w"), "event_type", "cnt")
+    )
+
+
+def session_counts(stream_df: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows with an inactivity gap (``collect``+flush analog,
+    batch twin = operators.windows.sessionize)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", F.col("w.start").alias("start"), "cnt")
+    )
+
+
+def streaming_first_seen(stream_df: DataFrame, keys: list[str]) -> DataFrame:
+    """``unique(key=...)`` streaming twin: state-store dedup. With a
+    watermark this becomes ``dropDuplicatesWithinWatermark`` (bounded
+    state); unbounded variant keeps all keys (persistname analog)."""
+    return stream_df.dropDuplicates(keys)
+
+
+def latest_per_key(batch_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-trigger lossy-latest (``latest`` analog, `ops.py:681-736`):
+    keep only the newest event per key within the batch — used from
+    foreachBatch, where each micro-batch is a bounded DataFrame."""
+    return batch_df.groupBy(*keys).agg(
+        F.max_by(F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")).alias(
+            "last"
+        )
+    ).select(*keys, F.col("last.ts").alias("ts"), F.col("last.event_id").alias("event_id"), F.col("last.value").alias("value"))
+
+
+def foreach_batch_collect(stream_df: DataFrame, transform, results: list) -> None:
+    """Run a stream with a foreachBatch sink applying ``transform`` per
+    micro-batch and appending collected rows to ``results`` (sink analog of
+    ``Stream.sink``, `core/core.py:1179-1258`)."""
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        results.append((epoch_id, transform(bdf).collect()))
+
+    q = stream_df.writeStream.foreachBatch(_sink).trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -1,0 +1,113 @@
+"""t1 smoke: streaming twins must equal their batch counterparts on the
+same rows (FIXTURES.md §2 contract — equivalence check, not DuckDB hash).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.operators import windows
+from deva_spark.operators.aggregates import MONEY
+from deva_spark.session import read_table
+from deva_spark.streaming import stateful, twin
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir):
+    d = twin.stage_event_chunks(spark, sf_dir, chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_covers_all_rows(spark, staged, batch_events):
+    s = twin.events_file_stream(spark, staged)
+    got = twin.run_available_now(
+        s.groupBy().agg(F.count(F.lit(1)).alias("n")), "t_allrows"
+    ).collect()[0]["n"]
+    assert got == batch_events.count()
+
+
+def test_tumbling_window_equivalence(spark, staged, batch_events):
+    s = twin.events_file_stream(spark, staged)
+    stream_res = twin.run_available_now(twin.tumbling_counts(s), "t_tumble")
+    batch_res = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2).cast("double").alias("sv"),
+        )
+        .select(F.col("w.start").alias("w"), "event_type", "cnt", "sv")
+    )
+    cols = ["w", "event_type", "cnt", "sv"]
+    assert canon(stream_res, cols) == canon(batch_res, cols)
+
+
+def test_session_window_equivalence(spark, staged, batch_events):
+    s = twin.events_file_stream(spark, staged)
+    stream_res = twin.run_available_now(twin.session_counts(s), "t_sess")
+    # batch twin: lag-based sessionization -> same (user, session-size) bags
+    batch_sessions = (
+        batch_events.transform(windows.sessionize(30))
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = sorted((r.user_id, r.cnt) for r in stream_res.collect())
+    b = sorted((r.user_id, r.cnt) for r in batch_sessions.collect())
+    assert a == b
+
+
+def test_streaming_dedup_first_seen(spark, staged, batch_events):
+    s = twin.events_file_stream(spark, staged)
+    stream_res = twin.run_available_now(
+        twin.streaming_first_seen(s, ["user_id", "event_type"]),
+        "t_dedup",
+        output_mode="append",
+    )
+    # state-store dedup emits exactly one row per key; the first-seen batch
+    # twin picks the same keys (values may differ only if ties — none here)
+    assert stream_res.count() == batch_events.select("user_id", "event_type").distinct().count()
+
+
+def test_foreach_batch_latest_lossy(spark, staged):
+    s = twin.events_file_stream(spark, staged)
+    batches: list = []
+    twin.foreach_batch_collect(
+        s, lambda bdf: twin.latest_per_key(bdf, ["user_id"]), batches
+    )
+    assert len(batches) >= 2  # multiple micro-batches (files_per_trigger=1)
+    for _, rows in batches:
+        users = [r.user_id for r in rows]
+        assert len(users) == len(set(users))  # lossy: one row per key per trigger
+
+
+def test_stateful_running_sum_equivalence(spark, staged, batch_events):
+    s = twin.events_file_stream(spark, staged)
+    stream_res = twin.run_available_now(
+        stateful.streaming_running_sum(s), "t_runsum", output_mode="append"
+    )
+    batch_res = batch_events.transform(
+        windows.running_fold(F.sum("value"), out="rs", partition="user_id")
+    ).select("user_id", "event_id", F.round("rs", 2).alias("rs"))
+    a = sorted((r.user_id, r.event_id, r.rs) for r in stream_res.collect())
+    b = sorted((r.user_id, r.event_id, r.rs) for r in batch_res.collect())
+    assert a == b
+
+
+def test_stateful_zscore_matches_online_semantics(spark, staged):
+    s = twin.events_file_stream(spark, staged)
+    out = twin.run_available_now(
+        stateful.streaming_zscore_anomalies(s), "t_zscore", output_mode="append"
+    )
+    # online semantics: flags only after 30 prior observations, |z|>=3
+    for r in out.collect():
+        assert abs(r.z) >= 3.0
