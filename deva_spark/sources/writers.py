@@ -1,0 +1,119 @@
+"""Sink writers (SURVEY.md §2.9).
+
+Reference surface → Spark mapping:
+  ``sink``/``>>`` dispatch (`/root/reference/deva/core/core.py:1179-1258`,
+  `1013-1058`) → ``foreachBatch`` / writer API by target type
+  ``to_textfile`` (`core.py:1261-1323`) → text writer
+  ``DBStream``/``NB`` persistence (`core/store.py:43-360`) → partitioned
+  parquet tables with append/overwrite ("upsert" = partition overwrite —
+  MERGE needs Delta, which is not bundled here; the partition-grain
+  overwrite is the same idempotent-replay contract)
+  ``to_kafka`` (`endpoints.py:67-158`) → kafka writer (gated)
+  ``Dtalk``/``mail``/HTTP side-effect sinks (`endpoints.py:214-469`) →
+  ``foreach_http_sink`` idempotency-key pattern (stubbed transport)
+
+Scale notes: every table write partitions by event date so time-slice
+reads prune partitions (the DBStream bisect-index equivalent,
+`store.py:239-251`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: str | None = None,
+) -> None:
+    """DBStream-append analog: durable columnar table, optionally
+    partitioned (use an event-date column so replay/time-slice reads prune)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def append_events(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Timestamp-append write mode (`store.py:253-260`): rows land in
+    date partitions derived from event time."""
+    write_table(
+        df.withColumn("event_date", F.to_date(ts_col)), path, "append", "event_date"
+    )
+
+
+def upsert_by_partition(df: DataFrame, path: str, partition_col: str) -> None:
+    """Keyed-upsert analog (`store.py:262-268`) at partition grain:
+    dynamic partition overwrite replaces exactly the partitions present in
+    ``df`` — idempotent replay without read-modify-write."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def time_slice(spark, path: str, start: str, end: str, ts_col: str = "ts") -> DataFrame:
+    """DBStream time-range read (`store.py:278-304`): the date-partition
+    filter prunes at the source; the ts filter refines inside partitions."""
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("event_date") >= F.to_date(F.lit(start))) & (F.col("event_date") <= F.to_date(F.lit(end))))
+        .filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
+    )
+
+
+def write_text(df: DataFrame, path: str, mode: str = "append") -> None:
+    """``to_textfile`` analog: single string column per row."""
+    df.write.mode(mode).text(path)
+
+
+def console_sink(stream_df: DataFrame, mode: str = "append"):
+    """``stdout``/``print`` analog for streams."""
+    return stream_df.writeStream.format("console").outputMode(mode).start()
+
+
+def memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
+    """``recent()`` cache analog: queryable in-memory table of results."""
+    return (
+        stream_df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    )
+
+
+def parquet_stream_sink(stream_df: DataFrame, path: str, checkpoint: str | None = None):
+    """Durable streaming persistence (DBStream streaming twin): exactly-once
+    via checkpoint + atomic file commits."""
+    checkpoint = checkpoint or os.path.join(path, "_checkpoint")
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def foreach_http_sink(
+    stream_df: DataFrame,
+    send: Callable[[str, str], None],
+    payload_col: str = "payload",
+    key_col: str = "idempotency_key",
+):
+    """Side-effect sink pattern (Dtalk/mail/HTTP analog, `endpoints.py:
+    214-469`): at-least-once delivery + an idempotency key per row, so a
+    replayed micro-batch cannot double-send. ``send(key, payload)`` is the
+    transport (webhook/SMTP client) — injected, because this container has
+    no network egress; tests inject a recorder.
+    """
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        for row in bdf.select(key_col, payload_col).collect():
+            send(row[key_col], row[payload_col])
+
+    return stream_df.writeStream.foreachBatch(_sink).start()
