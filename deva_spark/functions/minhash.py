@@ -66,10 +66,13 @@ def _signature_py(text: str, num_hashes: int = NUM_HASHES) -> list[str] | None:
     ws = text.split()
     if len(ws) < 3:
         return None
-    shingles = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    # encode each shingle once (not once per seed) and concat byte prefixes
+    # — this inner loop runs |shingles| × num_hashes times per document
+    sb = [" ".join(ws[i : i + 3]).encode() for i in range(len(ws) - 2)]
+    md5 = hashlib.md5
     return [
-        min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
-        for j in range(num_hashes)
+        min(md5(p + s).hexdigest() for s in sb)
+        for p in (f"{j}:".encode() for j in range(num_hashes))
     ]
 
 

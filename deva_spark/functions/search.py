@@ -1,0 +1,117 @@
+"""Full-text index + search (IndexStream analog).
+
+Reference surface: `/root/reference/deva/search.py:18-256` — a Whoosh
+index stream with a jieba Chinese analyzer, fixed schema (content TEXT,
+id ID unique), and TF-IDF keyword extraction (`search.py:179-207`).
+
+Spark mapping: the index IS a DataFrame — an inverted posting table
+(term, doc_id, tf) plus a doc-frequency table. Search = a semi-join of
+query terms against postings with TF-IDF scoring; AND semantics require
+matching every query term. At scale the posting table is written
+bucketed by term so term lookups avoid a shuffle.
+
+Tokenization is whitespace-based here; a CJK analyzer (jieba) would slot
+in as a pandas-UDF tokenizer with a per-worker lazily-initialized model
+(SURVEY.md §7.3) — not bundled in this container.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: one row per (term, doc_id) with term frequency."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_freq(index: DataFrame) -> DataFrame:
+    return index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def search(
+    index: DataFrame,
+    n_docs: int | DataFrame,
+    query: str,
+    top_k: int = 10,
+    require_all: bool = True,
+) -> DataFrame:
+    """TF-IDF ranked search. ``require_all=True`` = AND semantics (the
+    Whoosh default the reference uses); False = OR.
+
+    ``n_docs`` may be the corpus DataFrame: its count then stays inside the
+    plan (broadcast scalar) instead of a driver ``.count()`` round-trip —
+    one job instead of two.
+
+    Returns (doc_id, score) ordered by score desc, doc_id — deterministic
+    tie-break, rounded score.
+    """
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    q = index.sparkSession.createDataFrame([(t,) for t in set(terms)], "term string")
+    dfreq = doc_freq(index)
+    if isinstance(n_docs, DataFrame):
+        nd = n_docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        base = index.crossJoin(F.broadcast(nd))
+        n_expr = F.col("_n") + F.lit(1.0)
+    else:
+        base = index
+        n_expr = F.lit(float(n_docs + 1))
+    scored = (
+        base.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "w",
+            (F.lit(1.0) + F.log(F.col("tf")))
+            * F.log(n_expr / (F.col("df") + F.lit(1.0))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    if require_all:
+        scored = scored.filter(F.col("n_matched") == len(set(terms)))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+
+
+def keywords_tfidf(
+    docs: DataFrame, top_n: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``extract('tags')`` / jieba-TFIDF analog (`search.py:179-207`):
+    top-n TF-IDF terms per document. One index pass + a rank window."""
+    from pyspark.sql import Window
+
+    index = build_index(docs, id_col, text_col)
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    dfreq = doc_freq(index)
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term"))
+    return (
+        index.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "w",
+            (F.lit(1.0) + F.log(F.col("tf")))
+            * F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("doc_id", "term", F.round("w", 6).alias("w"), "rnk")
+    )

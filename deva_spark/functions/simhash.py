@@ -31,21 +31,39 @@ NUM_CHUNKS = 4  # k+1 chunks for Hamming k=3
 CHUNK_BITS = BITS // NUM_CHUNKS  # 12
 
 
+import numpy as np
+
+_BIT_WEIGHTS = 1 << np.arange(BITS, dtype=np.int64)
+
+# word → ±1 vote vector, memoized: natural-language corpora reuse tokens
+# heavily, so the md5+bit-expansion cost is paid once per distinct word per
+# worker, not once per occurrence.
+_word_votes: dict[str, "np.ndarray"] = {}
+
+
+def _votes_for(word: str) -> "np.ndarray":
+    v = _word_votes.get(word)
+    if v is None:
+        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:12], 16)
+        bits = (h >> np.arange(BITS, dtype=np.int64)) & 1
+        v = (bits * 2 - 1).astype(np.int32)
+        if len(_word_votes) < 1_000_000:  # bounded memo per worker
+            _word_votes[word] = v
+    return v
+
+
 def _simhash_one(text: str) -> int:
     """48-bit simhash: per-bit vote over whitespace tokens, weight = term
     frequency (each occurrence votes)."""
     if text is None:
         return 0
-    votes = [0] * BITS
-    for w in text.strip().split():
-        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
-        for b in range(BITS):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    fp = 0
-    for b in range(BITS):
-        if votes[b] > 0:
-            fp |= 1 << b
-    return fp
+    words = text.strip().split()
+    if not words:
+        return 0
+    total = np.zeros(BITS, dtype=np.int64)
+    for w in words:
+        total += _votes_for(w)
+    return int(_BIT_WEIGHTS[total > 0].sum())
 
 
 # DataType object (not DDL string) so the UDF can be defined without an

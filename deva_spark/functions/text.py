@@ -147,3 +147,36 @@ def _distinct_shingles_py(text: str, n: int = 3) -> list[str]:
 @pandas_udf(ArrayType(StringType()))
 def distinct_word_shingles_udf(texts: pd.Series) -> pd.Series:
     return texts.map(_distinct_shingles_py)
+
+
+# ---------------------------------------------------------------------------
+# extract(...) family (`/root/reference/deva/pipe.py:1428-1485`): named regex
+# extraction as pure column expressions (regexp_extract_all stays JVM-side).
+# The reference's 'tags' mode (jieba TF-IDF keywords) lives in
+# functions/search.py as tf-idf terms; 'table' (pd.read_html) is out of
+# engine scope.
+# ---------------------------------------------------------------------------
+
+EXTRACT_PATTERNS: dict[str, str] = {
+    "numbers": r"[0-9]+(?:\.[0-9]+)?",
+    "url": r"https?://[^\s<>\"]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"1[3-9][0-9]{9}",  # CN mobile, as the reference targets
+    "chinese": r"[一-鿿]+",
+    "hashtag": r"#\w+",
+}
+
+
+def extract_all(text: Column, kind: str) -> Column:
+    """``extract('numbers'|'url'|'email'|'phone'|'chinese')`` analog:
+    array of every match."""
+    if kind not in EXTRACT_PATTERNS:
+        raise KeyError(f"unknown extract kind {kind!r}; have {sorted(EXTRACT_PATTERNS)}")
+    return F.regexp_extract_all(text, F.lit(EXTRACT_PATTERNS[kind]), F.lit(0))
+
+
+def truncate(text: Column, n: int, suffix: str = "...") -> Column:
+    """pipe ``truncate`` analog (`pipe.py:1519-1522`)."""
+    return F.when(
+        F.length(text) <= n, text
+    ).otherwise(F.concat(F.substring(text, 1, n), F.lit(suffix)))

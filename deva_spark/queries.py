@@ -929,6 +929,83 @@ def x11(spark, sf):
     )
 
 
+@query(
+    "x12_tfidf_keywords",
+    r"""WITH idx AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents) t
+          WHERE LENGTH(term) > 0 GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM idx GROUP BY term
+        ), nd AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, ROUND(w, 6) AS w, rnk FROM (
+          SELECT idx.doc_id, idx.term,
+                 (1.0 + ln(idx.tf)) * ln((nd.n + 1.0) / (dfq.df + 1.0)) AS w,
+                 ROW_NUMBER() OVER (PARTITION BY idx.doc_id
+                                    ORDER BY (1.0 + ln(idx.tf)) * ln((nd.n + 1.0) / (dfq.df + 1.0)) DESC,
+                                             idx.term) AS rnk
+          FROM idx JOIN dfq USING (term) CROSS JOIN nd) t
+        WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+)
+def x12(spark, sf):
+    # jieba-TFIDF keyword extraction analog (search.py:179-207).
+    from deva_spark.functions.search import keywords_tfidf
+
+    docs = _t(spark, sf, "documents")
+    return keywords_tfidf(docs, top_n=5).select(
+        "doc_id", "term", F.round("w", 6).alias("w"), "rnk"
+    )
+
+
+@query(
+    "x13_fulltext_search",
+    r"""WITH idx AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents) t
+          WHERE LENGTH(term) > 0 GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM idx GROUP BY term
+        ), nd AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT idx.doc_id,
+                 ROUND(SUM((1.0 + ln(idx.tf)) * ln((nd.n + 1.0) / (dfq.df + 1.0))), 6) AS score,
+                 COUNT(*) AS n_matched
+          FROM idx JOIN dfq USING (term) CROSS JOIN nd
+          WHERE idx.term IN ('spark', 'table')
+          GROUP BY idx.doc_id)
+        SELECT doc_id, score FROM scored WHERE n_matched = 2
+        ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def x13(spark, sf):
+    # IndexStream search analog (search.py:18-256): AND-semantics TF-IDF.
+    from deva_spark.functions.search import build_index, search
+
+    docs = _t(spark, sf, "documents")
+    idx = build_index(docs)
+    return search(idx, docs, "spark table", top_k=10, require_all=True)
+
+
+@query(
+    "x14_case_route",
+    """SELECT route, COUNT(*) AS c FROM (
+         SELECT CASE WHEN value >= 50 THEN 'high'
+                     WHEN value >= 10 THEN 'medium'
+                     ELSE 'other' END AS route
+         FROM events) t GROUP BY route ORDER BY route""",
+)
+def x14(spark, sf):
+    # route/priority dispatch analog (core.py:1064-1102) as CASE routing.
+    from deva_spark.operators.routing import case_route
+
+    ev = case_route(
+        _t(spark, sf, "events"),
+        {"high": F.col("value") >= 50, "medium": F.col("value") >= 10},
+    )
+    return ev.groupBy("route").agg(F.count(F.lit(1)).alias("c"))
+
+
 # ---------------------------------------------------------------------------
 # Entry flagship
 # ---------------------------------------------------------------------------

@@ -50,7 +50,10 @@ def get_spark(app_name: str = "deva-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Sized for local test runs; a cluster deployment overrides this (or
         # relies on AQE coalescing from a higher initial count).
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("DEVA_SHUFFLE_PARTITIONS", str(max(cpus, 8))),
+        )
         # Arrow for all pandas interchange — vectorized UDF transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Timestamps in parquet are instants; keep session TZ fixed so
@@ -63,6 +66,11 @@ def get_spark(app_name: str = "deva-spark", cpus: int | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # ad-hoc experiment overrides: "k1=v1;k2=v2"
+    for kv in os.environ.get("DEVA_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 

@@ -1,0 +1,142 @@
+"""Coverage operators: extract family, routing/error capture, full-text
+search, reshape, HTTP fetch stage, drift stream."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.functions import http, search
+from deva_spark.functions import text as T
+from deva_spark.operators import reshape, routing
+
+
+def test_extract_family(spark):
+    df = spark.createDataFrame(
+        [(1, "call 13812345678 or mail a@b.com, see https://x.io/p?q=1 price 3.50")],
+        "id int, text string",
+    )
+    row = df.select(
+        T.extract_all(F.col("text"), "numbers").alias("nums"),
+        T.extract_all(F.col("text"), "url").alias("urls"),
+        T.extract_all(F.col("text"), "email").alias("emails"),
+        T.extract_all(F.col("text"), "phone").alias("phones"),
+    ).collect()[0]
+    assert "3.50" in row.nums
+    assert row.urls == ["https://x.io/p?q=1"]
+    assert row.emails == ["a@b.com"]
+    assert row.phones == ["13812345678"]
+    with pytest.raises(KeyError):
+        T.extract_all(F.col("text"), "nope")
+
+
+def test_truncate(spark):
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "ab")], "id int, t string")
+    out = {r.id: r.s for r in df.select("id", T.truncate(F.col("t"), 4).alias("s")).collect()}
+    assert out == {1: "abcd...", 2: "ab"}
+
+
+def test_route_and_case_route(spark):
+    df = spark.range(10).select(F.col("id").alias("x"))
+    parts = routing.route(df, {"small": F.col("x") < 3, "big": F.col("x") >= 7})
+    assert parts["small"].count() == 3 and parts["big"].count() == 3
+    tagged = routing.case_route(df, {"small": F.col("x") < 3, "big": F.col("x") >= 7})
+    counts = {r.route: r.c for r in tagged.groupBy("route").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"small": 3, "big": 3, "other": 4}
+
+
+def test_pub_sub(spark):
+    df = spark.range(4).select(F.col("id").alias("x"))
+    pub = routing.publish(df, "alerts")
+    assert routing.subscribe(pub, "alerts").count() == 4
+    assert routing.subscribe(pub, "other").count() == 0
+
+
+def test_try_stage_error_side_output(spark):
+    df = spark.createDataFrame([(1, "2"), (2, "x"), (3, "4")], "id int, v string")
+
+    def risky(v):
+        return int(v) * 10
+
+    out = df.transform(routing.try_stage(risky, "v"))
+    good, bad = routing.split_errors(out)
+    assert sorted(r.result for r in good.collect()) == ["20", "40"]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and bad_rows[0].id == 2
+    assert "ValueError" in bad_rows[0].error
+
+
+def test_fulltext_search(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine fast query"),
+            (2, "slow table scan query"),
+            (3, "spark spark spark streaming"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = search.build_index(docs)
+    hits = search.search(idx, 3, "spark query", require_all=True).collect()
+    assert [r.doc_id for r in hits] == [1]  # only doc 1 has both terms
+    hits_or = search.search(idx, 3, "spark query", require_all=False).collect()
+    assert {r.doc_id for r in hits_or} == {1, 2, 3}
+
+
+def test_keywords_tfidf(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta common"), (2, "gamma common"), (3, "delta common")],
+        "doc_id long, text string",
+    )
+    kw = search.keywords_tfidf(docs, top_n=1).collect()
+    top = {r.doc_id: r.term for r in kw}
+    assert top[1] == "alpha"  # high tf, low df beats 'common'
+    assert top[2] == "gamma"
+
+
+def test_reshape_zip_flatten_pairs(spark):
+    df = spark.createDataFrame([([1, 2], ["a", "b"], [[1, 2], [3]])], "xs array<int>, ys array<string>, nested array<array<int>>")
+    z = df.transform(reshape.zip_arrays("xs", "ys")).collect()[0].zipped
+    assert [(e.xs, e.ys) for e in z] == [(1, "a"), (2, "b")]
+    flat = df.transform(reshape.deep_flatten("nested")).collect()[0].flat
+    assert list(flat) == [1, 2, 3]
+    pairs = reshape.ordered_pairs(spark.createDataFrame([(1,), (2,), (3,)], "k int"), "k")
+    assert pairs.count() == 6
+
+
+def test_http_fetch_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "https://ok.example/a"), (2, "notaurl")], "id int, url string"
+    )
+    out = {r.id: (r.body, r.fetch_error) for r in http.fetch_stage(df).collect()}
+    assert out[1][0].startswith("<html>stub:") and out[1][1] is None
+    assert out[2][0] is None and "ValueError" in out[2][1]
+
+
+def test_streaming_drift_detects_mean_shift(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from deva_spark.streaming import twin
+    from deva_spark.streaming.drift import streaming_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        # user 1: mean shifts 1.0 -> 50.0 at i=60; user 2: stable
+        v = 1.0 if i < 60 else 50.0
+        rows.append((i, base + dt.timedelta(seconds=i), 1, "m", v, "{}"))
+        rows.append((1000 + i, base + dt.timedelta(seconds=i), 2, "m", 5.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "stream"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / "c0.parquet"), coerce_timestamps="us")
+    s = twin.events_file_stream(spark, str(d))
+    out = twin.run_available_now(streaming_drift(s), "t_drift", output_mode="append").collect()
+    drift_users = {r.user_id for r in out}
+    assert 1 in drift_users  # shift detected
+    assert 2 not in drift_users  # stable user: no false alarm
+    r1 = [r for r in out if r.user_id == 1][0]
+    assert r1.new_mean > r1.old_mean
