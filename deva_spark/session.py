@@ -93,6 +93,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, applied defensively so the
+    engine also works on a caller-provided SparkSession (e.g. the verify
+    driver's) that was built without :func:`get_spark`:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read at all;
+    - UTC session timezone: date_trunc/window results must render the
+      stored instants as the naive wall-times the oracle sees.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table, normalizing ns-timestamp columns to
     TimestampType (µs). With ``nanosAsLong`` the ns column arrives as a
@@ -100,6 +114,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the timestamp exactly (generator emits µs-grain values)."""
     from pyspark.sql import functions as F
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
