@@ -1,0 +1,91 @@
+"""Physical-plan audits: the plan IS the product at 100 TB.
+
+Each test pins the plan property that keeps an operator scalable —
+broadcasts where a dim is small, pushdown reaching the scan, no shuffle
+where none is needed — so a regression in plan shape fails CI even while
+results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def plan_of(name):
+        df = Q.SPARK_QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_dim_joins_broadcast(plans):
+    # nation/region are constant-size dims: both hops must broadcast — the
+    # customer fact table must never shuffle for this star join.
+    p = plans("q12_multiway_join")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_enrich_left_join_broadcasts(plans):
+    p = plans("q09_left_join_coalesce")
+    assert "BroadcastHashJoin" in p
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # both predicates of q02 must appear as parquet PushedFilters
+    p = plans("q02_filter")
+    assert "PushedFilters" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "l_discount" in pushed and "l_returnflag" in pushed
+
+
+def test_projection_prunes_scan(plans):
+    # q01 projects 3 of 11 lineitem columns; the scan schema must shrink
+    p = plans("q01_scan_project")
+    sched = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in sched and "l_shipdate" not in sched
+
+
+def test_topk_no_global_sort(plans):
+    p = plans("q21_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_join_operators(plans):
+    assert "LeftSemi" in plans("q10_semi_join")
+    assert "LeftAnti" in plans("q11_anti_join")
+
+
+def test_group_agg_has_partial_aggregation(plans):
+    # map-side combine: two HashAggregate nodes (partial + final)
+    p = plans("q03_group_agg")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_zscore_stats_join_broadcasts(plans):
+    # the per-key moments table is tiny: must broadcast back onto events
+    p = plans("q33_zscore_anomaly")
+    assert "BroadcastHashJoin" in p
+
+
+def test_windows_single_shuffle_per_key(spark, sf_dir):
+    # running fold: exactly one exchange (hash partition by user_id)
+    df = Q.SPARK_QUERIES["q15_running_fold"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE finalizes the physical plan only at execution; run the query and
+    # then check the final plan fuses the agg chain into codegen stages.
+    df = Q.SPARK_QUERIES["q03_group_agg"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    # "*(n)" node prefixes mark whole-stage-codegen spans; AQE should also
+    # have coalesced the small shuffle
+    assert "*(1)" in p and "*(2)" in p
+    assert "AQEShuffleRead coalesced" in p
