@@ -147,6 +147,25 @@ def latest_per_key(batch_df: DataFrame, keys: list[str]) -> DataFrame:
     ).select(*keys, F.col("last.ts").alias("ts"), F.col("last.event_id").alias("event_id"), F.col("last.value").alias("value"))
 
 
+def when_then(
+    stream_df: DataFrame,
+    cond,
+    action,
+) -> None:
+    """``when(cond).then(callback)`` trigger analog
+    (`/root/reference/deva/core/when.py:316-366`): per micro-batch, rows
+    matching ``cond`` invoke ``action(rows)`` on the driver — the
+    condition itself filters distributed; only matches move."""
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        hits = bdf.filter(cond).collect()
+        if hits:
+            action(hits)
+
+    q = stream_df.writeStream.foreachBatch(_sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def foreach_batch_collect(stream_df: DataFrame, transform, results: list) -> None:
     """Run a stream with a foreachBatch sink applying ``transform`` per
     micro-batch and appending collected rows to ``results`` (sink analog of
