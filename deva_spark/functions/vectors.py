@@ -190,6 +190,100 @@ def lsh_bucketed_topk(
     )
 
 
+def _nearest_cell_udf(centers: "np.ndarray"):
+    """pandas UDF: per vector, cell indices ordered by cosine to centers."""
+    mat = centers
+
+    @pandas_udf(ArrayType(LongType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ mat.T
+        order = np.argsort(-sims, axis=1)
+        return pd.Series(list(order.astype(np.int64)))
+
+    return nearest_cells
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_cells`` Voronoi cells around k-means-lite centroids; a query
+    scores only the ``n_probe`` nearest cells' members.
+
+    The coarse quantizer is k-means-lite: deterministic data seeds (first
+    ``n_cells`` vectors by id) refined by one distributed Lloyd step —
+    both passes are full-table aggregations, only the n_cells×dim center
+    matrix ever reaches the driver. At 100 TB the cell assignment is the
+    table's physical partitioning — each query touches n_probe/n_cells of
+    the data.
+    """
+    seed_rows = (
+        vectors.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    seeds = np.stack([np.array(r[0], dtype=np.float64) for r in seed_rows])
+    seeds = seeds / np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+
+    # one Lloyd iteration: mean of members per seed-cell (distributed agg)
+    assign0 = _nearest_cell_udf(seeds)
+    members = vectors.select(
+        assign0(F.col(vec_col))[0].alias("cell"), F.posexplode(vec_col).alias("i", "v")
+    )
+    center_rows = (
+        members.groupBy("cell", "i").agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select("cell", F.transform("s", lambda x: x["m"]).alias("c"))
+        .collect()
+    )
+    centers = seeds.copy()
+    for r in center_rows:
+        centers[r["cell"]] = np.array(r["c"], dtype=np.float64)
+    centers = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    nearest = _nearest_cell_udf(centers)
+    c = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("ce"),
+        norm(F.col(vec_col)).alias("cn"),
+        nearest(F.col(vec_col))[0].alias("cell"),  # member: its own cell
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(F.slice(nearest(F.col(vec_col)), 1, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
 def centroids(vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector (IVF coarse quantizer building block):
     element-wise average via posexplode + group — shuffle carries

@@ -70,6 +70,29 @@ def time_slice(spark, path: str, start: str, end: str, ts_col: str = "ts") -> Da
     )
 
 
+def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
+    """Keyed upsert (``DBStream.upsert``/``bulk_update`` analog,
+    `store.py:262-276`): new rows win per key, existing non-matching rows
+    survive. Without Delta's MERGE this is read → anti-join → union →
+    atomic swap-overwrite; at scale, pair with date partitioning so only
+    touched partitions rewrite (see :func:`upsert_by_partition`)."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first write
+        df.write.mode("overwrite").parquet(path)
+        return
+    merged = existing.join(df.select(key).distinct(), key, "left_anti").unionByName(df)
+    # stage to a sibling dir, then swap — can't overwrite files mid-read,
+    # and staging keeps the rewrite fully distributed (no driver collect)
+    import shutil
+    import uuid
+
+    tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "append") -> None:
     """``to_textfile`` analog: single string column per row."""
     df.write.mode(mode).text(path)

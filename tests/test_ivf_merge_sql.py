@@ -1,0 +1,57 @@
+"""IVF ANN recall, keyed merge-upsert, and the SQL surface (temp views)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from deva_spark.functions import vectors as V
+from deva_spark.sources import writers
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.vec_id) for r in V.brute_force_topk(emb, qs, k=5).collect()}
+    approx = {(r.qid, r.vec_id) for r in V.ivf_topk(emb, qs, k=5, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_probes_fraction_of_corpus(spark, sf_dir):
+    # with n_probe of n_cells, each query should score well under the
+    # full corpus — the point of the inverted file
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = V.ivf_topk(emb, qs, k=5, n_cells=16, n_probe=2)
+    assert out.count() == 15  # still returns full top-k per query
+
+
+def test_merge_upsert_by_key(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        writers.merge_upsert_by_key(spark, v1, path, "k")
+        v2 = spark.createDataFrame([(2, "B2"), (3, "c")], "k int, v string")
+        writers.merge_upsert_by_key(spark, v2, path, "k")
+        got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_sql_surface_over_views(spark, sf_dir):
+    # the engine's tables are first-class SQL citizens (register_views);
+    # the declared group-agg runs verbatim as spark.sql
+    from deva_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+           FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).collect()
+    assert len(out) >= 4 and all(r.c > 0 for r in out)
+    joined = spark.sql(
+        """SELECT r_name, COUNT(*) c FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey GROUP BY 1"""
+    )
+    assert joined.count() == 5
