@@ -147,6 +147,15 @@ def latest_per_key(batch_df: DataFrame, keys: list[str]) -> DataFrame:
     ).select(*keys, F.col("last.ts").alias("ts"), F.col("last.event_id").alias("event_id"), F.col("last.value").alias("value"))
 
 
+def delay(stream_df: DataFrame, interval: str, ts_col: str = "ts") -> DataFrame:
+    """``delay`` analog (`ops.py:1028-1081`): shift event time forward by a
+    fixed interval — pure ts arithmetic, no buffering needed in the
+    micro-batch model."""
+    return stream_df.withColumn(
+        ts_col, F.col(ts_col) + F.expr(f"INTERVAL {interval}")
+    )
+
+
 def when_then(
     stream_df: DataFrame,
     cond,

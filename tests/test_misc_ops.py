@@ -1,0 +1,111 @@
+"""Remaining operator smoke/properties: sliding time window stream, delay,
+sample, positional zip, as-of alignment."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from deva_spark.operators import joins, sampling
+from deva_spark.session import read_table
+from deva_spark.streaming import twin
+
+BASE = dt.datetime(2024, 1, 1)
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def test_sliding_time_window_stream_equivalence(spark, sf_dir):
+    staged = twin.stage_event_chunks(spark, sf_dir, chunks=3)
+    import shutil
+
+    try:
+        s = twin.events_file_stream(spark, staged)
+        stream_res = twin.run_available_now(twin.sliding_counts(s), "t_slide")
+        batch = (
+            read_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("w"), "event_type", "cnt")
+        )
+        a = sorted(tuple(r) for r in stream_res.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert a == b
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_delay_shifts_event_time(spark):
+    df = spark.createDataFrame([(1, BASE)], "event_id long, ts timestamp")
+    out = twin.delay(df, "90 seconds").collect()[0]
+    assert out.ts == BASE + dt.timedelta(seconds=90)
+
+
+def test_bernoulli_sample_bounds(spark):
+    df = spark.range(10_000)
+    n = df.transform(sampling.bernoulli_sample(0.1, seed=7)).count()
+    assert 700 < n < 1300  # ~Binomial(10k, .1)
+    # deterministic under a fixed seed
+    n2 = df.transform(sampling.bernoulli_sample(0.1, seed=7)).count()
+    assert n == n2
+
+
+@given(
+    n_a=st.integers(min_value=0, max_value=8),
+    n_b=st.integers(min_value=0, max_value=8),
+)
+@SLOW
+def test_positional_zip_pairs_ith_with_ith(spark, n_a, n_b):
+    mk = lambda n, off: [  # noqa: E731
+        (off + i, BASE + dt.timedelta(seconds=i)) for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(n_a, 0) or [(None, None)], "event_id long, ts timestamp").filter(
+        F.col("event_id").isNotNull()
+    )
+    b = spark.createDataFrame(mk(n_b, 100) or [(None, None)], "event_id long, ts timestamp").filter(
+        F.col("event_id").isNotNull()
+    )
+    out = joins.positional_zip(
+        a, b, order=["ts", "event_id"], left_cols={"event_id": "ia"}, right_cols={"event_id": "ib"}
+    ).collect()
+    assert sorted((r.ia, r.ib) for r in out) == [
+        (i, 100 + i) for i in range(min(n_a, n_b))
+    ]
+
+
+@given(
+    seq=st.lists(
+        st.sampled_from(["click", "purchase"]), min_size=0, max_size=20
+    )
+)
+@SLOW
+def test_asof_latest_carries_last_purchase(spark, seq):
+    rows = [
+        (i, BASE + dt.timedelta(seconds=i), 1, t, float(i)) for i, t in enumerate(seq)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r.event_id: r.last_v
+        for r in df.transform(
+            joins.asof_latest(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                partition="user_id",
+                order=["ts", "event_id"],
+                out="last_v",
+            )
+        ).collect()
+    }
+    last = None
+    for i, t in enumerate(seq):
+        if t == "purchase":
+            last = float(i)
+        assert out[i] == last
