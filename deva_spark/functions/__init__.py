@@ -7,4 +7,13 @@ stack (`/root/reference/deva/utils/simhash.py`, `search.py`) is pure-Python
 per-row; ours is columnar.
 """
 
-from deva_spark.functions import minhash, simhash, text, vectors  # noqa: F401
+from deva_spark.functions import (  # noqa: F401
+    http,
+    llm,
+    minhash,
+    multimodal,
+    search,
+    simhash,
+    text,
+    vectors,
+)

@@ -11,6 +11,8 @@ from deva_spark.operators import (  # noqa: F401
     core,
     dedup,
     joins,
+    reshape,
+    routing,
     sampling,
     windows,
 )

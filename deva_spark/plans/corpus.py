@@ -1,0 +1,89 @@
+"""End-to-end training-corpus curation pipeline.
+
+The north-star composition (BASELINE.json): everything a pretraining data
+pipeline runs between "raw documents" and "training-ready corpus",
+expressed as one lazy DataFrame flow plus one LSH pass:
+
+    quality/language gate → exact dedup → near-dup removal (MinHash LSH)
+    → token accounting → (optional) LLM annotation
+
+Each stage is the operator already tested in isolation; this module wires
+them with the keep/drop bookkeeping a real pipeline needs (what was
+dropped, why, and how many tokens survive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deva_spark.functions import minhash as mh
+from deva_spark.functions import text as T
+
+
+@dataclass
+class CurationReport:
+    input_docs: int
+    after_quality: int
+    after_exact_dedup: int
+    after_near_dedup: int
+    surviving_tokens: int
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 40.0,
+    lang: str | None = "en",
+    near_dup_min_matches: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_report: bool = True,
+) -> tuple[DataFrame, CurationReport | None]:
+    """Return (curated corpus, stage-by-stage report).
+
+    Keep-policy: lowest doc_id survives within any duplicate group (exact
+    or near) — deterministic regardless of partitioning.
+
+    ``with_report=False`` skips the per-stage counts — each is its own
+    Spark job; a pipeline that only needs the curated output should stay
+    one lazy plan.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        T.quality_score(F.col(text_col)).alias("q"),
+        T.lang_id(F.col(text_col)).alias("lang_pred"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+        T.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    n_input = base.count() if with_report else 0
+
+    gated = base.filter(F.col("q") >= min_quality)
+    if lang is not None:
+        gated = gated.filter(F.col("lang_pred") == lang)
+    n_quality = gated.count() if with_report else 0
+
+    # exact dedup: first (lowest id) per content fingerprint — the shuffle
+    # key is the 16-byte digest, never the text
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    n_exact = exact.count() if with_report else 0
+
+    # near-dup: LSH pairs → drop the higher id of each pair (greedy,
+    # deterministic; pairs are already id_a < id_b)
+    pairs = mh.near_duplicates(exact, min_matches=near_dup_min_matches)
+    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact.join(drop_ids, "doc_id", "left_anti")
+    out = curated.select("doc_id", "text", "q", "lang_pred", "n_tokens")
+    if not with_report:
+        return out, None
+    n_near = curated.count()
+    tokens = curated.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    report = CurationReport(n_input, n_quality, n_exact, n_near, int(tokens))
+    return out, report

@@ -1006,6 +1006,72 @@ def x14(spark, sf):
     return ev.groupBy("route").agg(F.count(F.lit(1)).alias("c"))
 
 
+@query(
+    "x15_corpus_curation",
+    rf"""WITH base AS (
+          SELECT doc_id, text,
+                 ROUND((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 30 ELSE 0 END)
+                     + (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                                  w -> w IN {_STOPS_SQL})) * 10
+                             >= len(regexp_split_to_array(trim(text), '\s+')) THEN 40 ELSE 0 END)
+                     + (CASE WHEN LENGTH(text) > 0
+                             THEN 30.0 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                                / CAST(LENGTH(text) AS DOUBLE))
+                             ELSE 0.0 END), 2) AS q,
+                 CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                           w -> w IN {_STOPS_SQL})) * 100
+                          >= len(regexp_split_to_array(trim(text), '\s+')) * 15
+                      THEN 'en' ELSE 'other' END AS lang_pred,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents
+        ), gated AS (
+          SELECT * FROM base WHERE q >= 40 AND lang_pred = 'en'
+        ), exact AS (
+          SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+                         FROM gated) t WHERE rn = 1
+        ), words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM exact
+        ), sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12),
+                     j -> list_min(list_transform(shingles,
+                              s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b,
+                 md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+          FROM sig, range(0, 4) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2 USING (b, bkey)
+          WHERE a.doc_id < b2.doc_id
+        ), drops AS (
+          SELECT DISTINCT id_b AS doc_id FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+          WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 6
+        )
+        SELECT e.doc_id, e.n_tokens FROM exact e
+        LEFT JOIN drops d ON e.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL ORDER BY e.doc_id""",
+)
+def x15(spark, sf):
+    # The full north-star curation funnel (plans/corpus.py): quality/lang
+    # gate -> exact dedup -> MinHash-LSH near-dup removal -> token counts.
+    from deva_spark.plans.corpus import curate
+
+    curated, _ = curate(
+        _t(spark, sf, "documents"), min_quality=40.0, lang="en", with_report=False
+    )
+    return curated.select("doc_id", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Entry flagship
 # ---------------------------------------------------------------------------
