@@ -109,3 +109,29 @@ def test_asof_latest_carries_last_purchase(spark, seq):
         if t == "purchase":
             last = float(i)
         assert out[i] == last
+
+
+def test_take_while_skip_while(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 9, 2, 1])], "event_id long, value double"
+    )
+    from deva_spark.operators import sampling
+
+    taken = df.transform(sampling.take_while(F.col("value") < 5, ["event_id"]))
+    assert sorted(r.event_id for r in taken.collect()) == [0, 1, 2]
+    skipped = df.transform(sampling.skip_while(F.col("value") < 5, ["event_id"]))
+    assert sorted(r.event_id for r in skipped.collect()) == [3, 4, 5]
+
+
+def test_hyperplane_signs_column_matches_udf_buckets(spark):
+    # the JVM column variant and the numpy bucket UDF implement the same
+    # sign function; check the column version on a literal
+    from deva_spark.functions.vectors import deterministic_planes, hyperplane_signs
+
+    planes = deterministic_planes(4, 3)
+    df = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "v array<double>")
+    got = df.select(hyperplane_signs(F.col("v"), planes).alias("b")).collect()[0].b
+    expected = sum(
+        (1 << i) for i, p in enumerate(planes) if p[0] >= 0
+    )
+    assert got == expected
