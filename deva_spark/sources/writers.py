@@ -98,6 +98,19 @@ def write_text(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).text(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8, sort_by: str | None = None
+) -> None:
+    """Bucketed managed table: pay the shuffle ONCE at write time; every
+    later equi-join/aggregation on ``key`` between tables bucketed the same
+    way needs no exchange (the co-located join strategy from SCALE.md).
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
 def console_sink(stream_df: DataFrame, mode: str = "append"):
     """``stdout``/``print`` analog for streams."""
     return stream_df.writeStream.format("console").outputMode(mode).start()
