@@ -105,6 +105,16 @@ def write_bucketed(
     later equi-join/aggregation on ``key`` between tables bucketed the same
     way needs no exchange (the co-located join strategy from SCALE.md).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets managed tables between sessions but their
+    # warehouse directories survive — clear any orphaned location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(sort_by)
