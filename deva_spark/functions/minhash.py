@@ -174,6 +174,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     pct_threshold: int = 30,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted shingle index:
     explode distinct shingles, join docs sharing one, count common shingles,
@@ -183,6 +184,13 @@ def ngram_jaccard_pairs(
     Scale: the join key is a shingle string shared by few docs (stopword-only
     shingles are the skew risk — AQE skew-join splits those buckets); the
     pair aggregation shuffles (id_a, id_b) pairs only.
+
+    ``df_cap``: prefix-filtering for corpus scale — shingles appearing in
+    more than ``df_cap`` documents are dropped from the CANDIDATE join
+    (they generate the quadratic blowup while carrying almost no
+    similarity signal), then every surviving candidate pair is re-scored
+    EXACTLY against the full shingle sets. Precision stays exact; recall
+    misses only pairs whose overlap is entirely high-df shingles.
     """
     # Persisted: the exploded shingle index feeds the self-join twice plus
     # the per-doc size aggregate. The join key is the 64-bit xxhash of the
@@ -210,12 +218,33 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if df_cap is None:
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        # candidates from the low-df index only…
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc")).filter(
+            F.col("dfc") <= df_cap
+        )
+        a_r = a.join(rare.select("sh"), "sh")
+        b_r = b.join(rare.select("sh"), "sh")
+        cands = (
+            a_r.join(b_r, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # …then EXACT re-scoring of each candidate over the full sets
+        common = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (

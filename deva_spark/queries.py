@@ -1072,6 +1072,81 @@ def x15(spark, sf):
     return curated.select("doc_id", "n_tokens")
 
 
+@query(
+    "x16_part_brand_stats",
+    """SELECT p_brand, COUNT(*) AS c, ROUND(AVG(p_retailprice), 2) AS avg_price,
+              MAX(p_size) AS max_size
+       FROM part GROUP BY 1 ORDER BY 1""",
+)
+def x16(spark, sf):
+    return _t(spark, sf, "part").transform(
+        agg.group_agg(
+            ["p_brand"],
+            {
+                "c": F.count(F.lit(1)),
+                "avg_price": F.round(F.avg("p_retailprice"), 2),
+                "max_size": F.max("p_size"),
+            },
+        )
+    )
+
+
+@query(
+    "x17_supplier_by_nation",
+    """SELECT n_name, COUNT(*) AS c,
+              CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY 1 ORDER BY 1""",
+)
+def x17(spark, sf):
+    return (
+        _t(spark, sf, "supplier")
+        .transform(
+            joins.enrich(
+                _t(spark, sf, "nation"), on=F.expr("s_nationkey = n_nationkey"), how="inner"
+            )
+        )
+        .transform(
+            agg.group_agg(
+                ["n_name"],
+                {
+                    "c": F.count(F.lit(1)),
+                    "bal": round_money(money_sum(F.col("s_acctbal"))),
+                },
+            )
+        )
+    )
+
+
+@query(
+    "x18_lineitem_part_join",
+    """SELECT p_brand, COUNT(*) AS c,
+              CAST(SUM(l_quantity) AS BIGINT) AS sq
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1 ORDER BY 1""",
+)
+def x18(spark, sf):
+    # fact-to-dim: part broadcast, lineitem never shuffles before the
+    # (tiny) brand aggregation.
+    return (
+        _t(spark, sf, "lineitem")
+        .transform(
+            joins.enrich(
+                _t(spark, sf, "part"), on=F.expr("l_partkey = p_partkey"), how="inner"
+            )
+        )
+        .transform(
+            agg.group_agg(
+                ["p_brand"],
+                {
+                    "c": F.count(F.lit(1)),
+                    "sq": F.sum("l_quantity").cast("bigint"),
+                },
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry flagship
 # ---------------------------------------------------------------------------

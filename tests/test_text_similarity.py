@@ -123,3 +123,21 @@ def test_centroids_shape(spark, emb):
     labels = {r.label for r in out}
     assert len(out) == len(labels)
     assert all(len(r.centroid) == 64 for r in out)
+
+
+def test_ngram_jaccard_df_cap_matches_exact_on_rare_overlap(spark, docs):
+    # on this corpus every near-dup pair shares rare shingles, so prefix
+    # filtering with a generous cap must reproduce the exact result
+    exact = {(r.id_a, r.id_b): r.jaccard for r in mh.ngram_jaccard_pairs(docs).collect()}
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in mh.ngram_jaccard_pairs(docs, df_cap=50).collect()
+    }
+    assert capped == exact
+    # a tiny cap may lose recall but never precision (scores still exact)
+    tiny = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in mh.ngram_jaccard_pairs(docs, df_cap=3).collect()
+    }
+    for pair, jac in tiny.items():
+        assert exact.get(pair) == jac
