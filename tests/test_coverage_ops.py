@@ -140,3 +140,17 @@ def test_streaming_drift_detects_mean_shift(spark, tmp_path):
     assert 2 not in drift_users  # stable user: no false alarm
     r1 = [r for r in out if r.user_id == 1][0]
     assert r1.new_mean > r1.old_mean
+
+
+def test_cjk_tokenization_bigram_fallback(spark):
+    from deva_spark.functions.cjk import tokenize_cjk
+
+    df = spark.createDataFrame(
+        [(1, "spark 数据处理 engine"), (2, "纯中文文本"), (3, "only latin words"), (4, "一")],
+        "id int, text string",
+    )
+    out = {r.id: list(r.t) for r in df.select("id", tokenize_cjk(F.col("text")).alias("t")).collect()}
+    assert out[1] == ["spark", "数据", "据处", "处理", "engine"]
+    assert out[2] == ["纯中", "中文", "文文", "文本"]
+    assert out[3] == ["only", "latin", "words"]
+    assert out[4] == ["一"]
