@@ -22,14 +22,22 @@ from pyspark.sql import functions as F
 
 
 def build_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", cjk: bool = False
 ) -> DataFrame:
-    """Inverted index: one row per (term, doc_id) with term frequency."""
+    """Inverted index: one row per (term, doc_id) with term frequency.
+
+    ``cjk=True`` switches to the CJK-aware tokenizer (jieba when present,
+    char bigrams otherwise — functions/cjk.py); default is the whitespace
+    analyzer whose behavior the SQL oracle mirrors exactly.
+    """
+    if cjk:
+        from deva_spark.functions.cjk import tokenize_cjk
+
+        terms = F.explode(tokenize_cjk(F.lower(F.col(text_col))))
+    else:
+        terms = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
-        )
+        docs.select(F.col(id_col).alias("doc_id"), terms.alias("term"))
         .filter(F.length("term") > 0)
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))

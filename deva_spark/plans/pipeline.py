@@ -99,6 +99,37 @@ def _dedup(keys: list[str], order: list[str]) -> Transform:
     return first_seen(keys, order)
 
 
+@register_op("explode")
+def _explode(col: str, alias: str) -> Transform:
+    return lambda df: df.withColumn(alias, F.explode(_expr(col)))
+
+
+@register_op("window_agg")
+def _window_agg(expr: str, out: str, partition: list[str], order: list[str]) -> Transform:
+    """Running/analytic window step: expr evaluated over
+    (partition, order, unbounded-preceding..current)."""
+    from pyspark.sql import Window
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, _expr(expr).over(w))
+
+    return _t
+
+
+@register_op("tumbling_window")
+def _tumbling(ts_col: str, duration: str, keys: list[str], aggs: dict[str, str]) -> Transform:
+    from deva_spark.operators.windows import tumbling_time_window
+
+    return tumbling_time_window(
+        ts_col, duration, keys, {n: _expr(e) for n, e in aggs.items()}
+    )
+
+
 @register_op("priority_route")
 def _priority_route(score_expr: str, bands: dict[str, float]) -> Transform:
     """SignalStream priority routing analog (`naja/signal/stream.py:19-239`):

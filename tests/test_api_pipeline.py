@@ -176,3 +176,33 @@ def test_frame_sampling(spark):
     ]
     out = mm.frame_sample(mm.media_table(spark, rows), every_n=10).collect()
     assert [(r.media_id, r.frame_index) for r in out] == [(7, 0), (7, 10), (7, 20)]
+
+
+def test_pipeline_window_and_explode_ops(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("p_docs")
+    spec = PipelineSpec(
+        name="doc_words",
+        source="p_docs",
+        steps=[
+            {"op": "filter", "expr": "doc_id < 5"},
+            {"op": "with_column", "name": "words", "expr": "split(trim(text), ' ')"},
+            {"op": "explode", "col": "words", "alias": "w"},
+            {"op": "group_agg", "keys": ["doc_id"], "aggs": {"n_words": "count(*)"}},
+            {"op": "window_agg", "expr": "sum(n_words)", "out": "cum",
+             "partition": [], "order": ["doc_id"]},
+        ],
+    )
+    out = run_pipeline(spark, spec).orderBy("doc_id").collect()
+    assert len(out) == 5
+    assert out[-1].cum == sum(r.n_words for r in out)
+
+
+def test_cjk_index_search(spark):
+    from deva_spark.functions import search
+
+    docs = spark.createDataFrame(
+        [(1, "spark 数据处理 引擎"), (2, "latin only engine")], "doc_id long, text string"
+    )
+    idx = search.build_index(docs, cjk=True)
+    terms = {r.term for r in idx.collect()}
+    assert "数据" in terms and "spark" in terms
