@@ -1,0 +1,52 @@
+"""HTTP spool bridge and subprocess source."""
+
+import json
+import urllib.request
+
+from deva_spark.sources.bridge import SpoolHTTPServer, from_command
+from deva_spark.streaming.twin import run_available_now
+
+
+def post(port: int, payload: dict, tag: str = "") -> None:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/ingest",
+        data=json.dumps(payload).encode(),
+        headers={"tag": tag} if tag else {},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+
+
+def test_http_spool_to_stream(spark, tmp_path):
+    srv = SpoolHTTPServer(str(tmp_path / "spool")).start()
+    try:
+        for i in range(5):
+            post(srv.port, {"k": i, "v": f"m{i}"})
+        out = run_available_now(
+            srv.stream(spark, "k long, v string"), "t_http", output_mode="append"
+        )
+        rows = sorted((r.k, r.v) for r in out.collect())
+        assert rows == [(i, f"m{i}") for i in range(5)]
+    finally:
+        srv.stop()
+
+
+def test_http_spool_tag_routing(spark, tmp_path):
+    srv = SpoolHTTPServer(str(tmp_path / "spool2")).start()
+    try:
+        post(srv.port, {"k": 1}, tag="a")
+        post(srv.port, {"k": 2}, tag="b")
+        out_a = run_available_now(
+            srv.stream(spark, "k long", tag="a"), "t_http_a", output_mode="append"
+        )
+        assert [r.k for r in out_a.collect()] == [1]
+    finally:
+        srv.stop()
+
+
+def test_from_command(spark):
+    df = from_command(spark, ["printf", "a\nbb\nccc\n"])
+    rows = sorted(r.line for r in df.collect())
+    assert rows == ["a", "bb", "ccc"]
+    assert all(r.exit_code == 0 for r in df.collect())
