@@ -50,3 +50,12 @@ def test_from_command(spark):
     rows = sorted(r.line for r in df.collect())
     assert rows == ["a", "bb", "ccc"]
     assert all(r.exit_code == 0 for r in df.collect())
+
+
+def test_kafka_source_gated_error(spark):
+    import pytest
+
+    from deva_spark.sources.readers import kafka_stream
+
+    with pytest.raises(Exception, match="kafka|Kafka|DATA_SOURCE"):
+        kafka_stream(spark, "localhost:9092", "topic")
