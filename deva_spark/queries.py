@@ -121,20 +121,27 @@ def q03(spark, sf):
 @query(
     "q04_avg_min_max",
     """SELECT o_orderpriority,
-              ROUND(AVG(o_totalprice), 2) AS avg_price,
+              CAST((2 * SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*)) AS DOUBLE) / 100.0 AS avg_price,
               ROUND(MIN(o_totalprice), 2) AS min_price,
               ROUND(MAX(o_totalprice), 2) AS max_price
        FROM orders GROUP BY 1 ORDER BY 1""",
 )
 def q04(spark, sf):
-    return _t(spark, sf, "orders").transform(
-        agg.group_agg(
-            ["o_orderpriority"],
-            {
-                "avg_price": F.round(F.avg("o_totalprice"), 2),
-                "min_price": F.round(F.min("o_totalprice"), 2),
-                "max_price": F.round(F.max("o_totalprice"), 2),
-            },
+    # prices are 2-decimal: averaging in exact integer cents with rational
+    # half-up rounding removes the last sum-order float dependency (same
+    # scheme as q16); min/max are order-independent already.
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("_cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.expr("(2 * sum(_cents) + count(*)) div (2 * count(*))").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
 
@@ -1074,19 +1081,25 @@ def x15(spark, sf):
 
 @query(
     "x16_part_brand_stats",
-    """SELECT p_brand, COUNT(*) AS c, ROUND(AVG(p_retailprice), 2) AS avg_price,
+    """SELECT p_brand, COUNT(*) AS c,
+              CAST((2 * SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*)) AS DOUBLE) / 100.0 AS avg_price,
               MAX(p_size) AS max_size
        FROM part GROUP BY 1 ORDER BY 1""",
 )
 def x16(spark, sf):
-    return _t(spark, sf, "part").transform(
-        agg.group_agg(
-            ["p_brand"],
-            {
-                "c": F.count(F.lit(1)),
-                "avg_price": F.round(F.avg("p_retailprice"), 2),
-                "max_size": F.max("p_size"),
-            },
+    # exact integer-cents average (see q04) — no float sum-order dependency
+    return (
+        _t(spark, sf, "part")
+        .withColumn("_cents", F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            (
+                F.expr("(2 * sum(_cents) + count(*)) div (2 * count(*))").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
         )
     )
 
