@@ -70,6 +70,36 @@ class EventStream:
             return EventStream(self.df.transform(other))
         raise TypeError(f"cannot pipe EventStream into {type(other)!r}")
 
+    # fluent operator methods mirroring the reference's Stream API
+    # (s.map(f).filter(p).sink(...), core/core.py:1326-1554) — each returns
+    # a new lazy EventStream over the extended plan
+    def map(self, *cols) -> "EventStream":
+        """``Stream.map`` analog: projection/derivation via Column exprs."""
+        return EventStream(self.df.select(*cols))
+
+    def filter(self, cond) -> "EventStream":
+        return EventStream(self.df.filter(cond))
+
+    def remove(self, cond) -> "EventStream":
+        """``Stream.remove`` analog: inverted filter."""
+        return EventStream(self.df.filter(~cond))
+
+    def pluck(self, *fields: str) -> "EventStream":
+        return EventStream(self.df.select(*fields))
+
+    def flatten(self, col: str, alias: str) -> "EventStream":
+        from pyspark.sql import functions as F
+
+        return EventStream(self.df.withColumn(alias, F.explode(col)))
+
+    def unique(self, *keys: str) -> "EventStream":
+        """``unique`` analog: representative-row dedup on keys."""
+        return EventStream(self.df.dropDuplicates(list(keys)))
+
+    def sink(self, fn) -> Any:
+        """``Stream.sink`` analog: apply fn to the materialized rows."""
+        return fn(self.df.collect())
+
     # small conveniences mirroring the eager pipe materializers
     def to_list(self) -> list:
         return to_list(self.df)

@@ -206,3 +206,18 @@ def test_cjk_index_search(spark):
     idx = search.build_index(docs, cjk=True)
     terms = {r.term for r in idx.collect()}
     assert "数据" in terms and "spark" in terms
+
+
+def test_event_stream_fluent_api(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [10, 20]), (1, "a", [30]), (2, "b", [40])], "k int, s string, xs array<int>"
+    )
+    es = P(df)
+    assert es.filter(F.col("k") == 1).count() == 2
+    assert es.remove(F.col("k") == 1).count() == 1
+    assert es.pluck("k").df.columns == ["k"]
+    assert es.unique("k", "s").count() == 2
+    flat = es.flatten("xs", "x").map(F.col("x"))
+    assert sorted(r.x for r in flat.df.collect()) == [10, 20, 30, 40]
+    got = es.filter(F.col("k") == 2).sink(lambda rows: [r.s for r in rows])
+    assert got == ["b"]

@@ -133,3 +133,40 @@ def test_sessionize_matches_python(spark, pairs, parts):
     per_user = sorted({(r.user_id, r.sess) for r in out})
     users = sorted({u for u, _ in pairs})
     assert per_user == [(u, 1) for u in users]
+
+
+@given(
+    pairs=events,
+    n=st.integers(min_value=1, max_value=4),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_chunk_matches_python(spark, pairs, n, parts):
+    df = to_df(spark, pairs, parts)
+    out = df.transform(windows.chunk(n, drop_tail=True))
+    got = sorted(
+        (r.g, r.event_id) for r in out.select("g", "event_id").collect()
+    )
+    full_chunks = len(pairs) // n
+    expected = sorted((i // n, i) for i in range(full_chunks * n))
+    assert got == expected
+
+
+@given(
+    pairs=events,
+    start=st.integers(min_value=1, max_value=10),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_slice_matches_python(spark, pairs, start, parts):
+    end, step = start + 8, 3
+    df = to_df(spark, pairs, parts)
+    out = df.transform(
+        windows.positional_slice(start, end, step, order=["event_id"])
+    )
+    got = sorted(r.event_id for r in out.collect())
+    expected = [
+        i for i in range(len(pairs))
+        if start <= i + 1 < end and (i + 1 - start) % step == 0
+    ]
+    assert got == expected
