@@ -1160,6 +1160,48 @@ def x18(spark, sf):
     )
 
 
+@query(
+    "x19_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+              CAST(SUM(l_quantity) AS BIGINT) AS sq
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+)
+def x19(spark, sf):
+    # grouping-sets upgrade beyond rollup (q32): full cube.
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("l_quantity").cast("bigint").alias("sq"),
+        )
+    )
+
+
+@query(
+    "x20_analytic_functions",
+    """SELECT event_id,
+              NTILE(4) OVER w AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+              ROUND(CUME_DIST() OVER w, 6) AS cd
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+       ORDER BY event_id""",
+)
+def x20(spark, sf):
+    # analytic-function family (free in Spark; absent in the reference):
+    # exact integer-ratio statistics, deterministic via the event_id
+    # tie-break.
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry flagship
 # ---------------------------------------------------------------------------
