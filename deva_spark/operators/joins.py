@@ -87,6 +87,84 @@ def positional_zip(
     return l.join(r, "rn", "inner")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """True as-of JOIN between two tables: each left row gets the most
+    recent right row (per key) with ``right_ts <= left_ts``.
+
+    Union-then-window formulation: tag both sides, sort by (key, ts, side)
+    and carry the last right values forward — ONE shuffle on the key, no
+    range self-join blowup (the naive `left.join(right, ts<=) + max` is
+    quadratic per key). This is the scalable as-of shape; the reference's
+    ``combine_latest`` (`ops.py:290-354`) is the single-stream special
+    case.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    # shared union schema: left columns + right value columns, each side
+    # nulling the other's slots
+    lt2 = lt.select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols]
+    )
+    rt2 = rt.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in rt.columns
+            else F.col(c)
+            for c in left.columns
+        ],
+        F.col("_side"),
+        F.col("_ats"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    u = lt2.select(
+        *left.columns, "_side", "_ats", *[f"_rv_{c}" for c in value_cols]
+    ).unionByName(rt2)
+    # right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
+    # an exactly-simultaneous right row is visible to the left row
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop(
+        "_side", "_ats", *[f"_rv_{c}" for c in value_cols]
+    )
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (theta) join: assign each fact row the band whose
+    [lo, hi) interval contains its value. The band table is broadcast
+    (bands are inherently small); the join is a broadcast nested-loop with
+    a range predicate — no shuffle of the fact side."""
+
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "left",
+    )
+
+
 def asof_latest(
     value_when: Column,
     partition: str,

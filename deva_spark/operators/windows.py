@@ -141,6 +141,36 @@ def tumbling_time_window(
     return _t
 
 
+def rolling_time_agg(
+    expr: Column,
+    out: str,
+    seconds: int,
+    partition: str,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """Time-range rolling window: aggregate over the trailing ``seconds``
+    of event time per key (`[t - s, t]`, inclusive both ends — SQL RANGE
+    frame semantics).
+
+    The frame orders by epoch MICROSECONDS as a bigint — an exact integer
+    frame both engines implement identically (ordering by raw timestamps
+    would hit each engine's own interval frame arithmetic). One shuffle on
+    the partition key.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        d2 = df.withColumn("_us", F.unix_micros(F.col(ts_col)))
+        w = (
+            Window.partitionBy(partition)
+            .orderBy("_us")
+            .rangeBetween(-seconds * 1_000_000, 0)
+        )
+        return d2.withColumn(out, expr.over(w)).drop("_us")
+
+    return _t
+
+
 def sessionize(
     gap_minutes: int, partition: str = "user_id", order: Sequence[str] = EVENT_ORDER, ts_col: str = "ts"
 ) -> Callable[[DataFrame], DataFrame]:

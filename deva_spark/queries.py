@@ -1202,6 +1202,50 @@ def x20(spark, sf):
     )
 
 
+@query(
+    "x21_rolling_time_window",
+    """SELECT event_id,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6)))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_1h
+       FROM events ORDER BY event_id""",
+)
+def x21(spark, sf):
+    # trailing-1-hour rolling sum per user (time-range frame over exact
+    # integer microseconds; DECIMAL sum for order-independence).
+    return (
+        _t(spark, sf, "events")
+        .transform(
+            windows.rolling_time_agg(
+                F.sum(F.col("value").cast(agg.MONEY)),
+                out="roll_1h",
+                seconds=3600,
+                partition="user_id",
+            )
+        )
+        .select("event_id", F.round("roll_1h", 2).cast("double").alias("roll_1h"))
+    )
+
+
+@query(
+    "x22_range_band_join",
+    """SELECT e.event_id, b.band FROM events e
+       LEFT JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0), ('high', 50.0, 1e9))
+                 AS b(band, lo, hi)
+         ON e.value >= b.lo AND e.value < b.hi
+       ORDER BY e.event_id""",
+)
+def x22(spark, sf):
+    # range/theta join: value-band assignment via broadcast range join.
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return joins.range_band_join(_t(spark, sf, "events"), bands, "value").select(
+        "event_id", "band"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry flagship
 # ---------------------------------------------------------------------------

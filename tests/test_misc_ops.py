@@ -135,3 +135,32 @@ def test_hyperplane_signs_column_matches_udf_buckets(spark):
         (1 << i) for i, p in enumerate(planes) if p[0] >= 0
     )
     assert got == expected
+
+
+def test_asof_join_two_tables(spark):
+    # quotes (right) as-of joined onto trades (left) per symbol key
+    trades = spark.createDataFrame(
+        [
+            (1, "A", BASE + dt.timedelta(seconds=5)),
+            (2, "A", BASE + dt.timedelta(seconds=15)),
+            (3, "B", BASE + dt.timedelta(seconds=3)),
+            (4, "B", BASE + dt.timedelta(seconds=10)),  # exactly at quote ts
+            (5, "C", BASE),  # no quote ever
+        ],
+        "trade_id long, sym string, t_ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", BASE + dt.timedelta(seconds=1), 10.0),
+            ("A", BASE + dt.timedelta(seconds=12), 11.0),
+            ("B", BASE + dt.timedelta(seconds=10), 99.0),
+        ],
+        "sym string, q_ts timestamp, px double",
+    )
+    out = {
+        r.trade_id: r.px_asof
+        for r in joins.asof_join(
+            trades, quotes, key="sym", left_ts="t_ts", right_ts="q_ts", value_cols=["px"]
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 11.0, 3: None, 4: 99.0, 5: None}
