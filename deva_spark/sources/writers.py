@@ -93,6 +93,27 @@ def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
     os.rename(tmp, path)
 
 
+def evict_older_than(spark, path: str, keep_days: int, as_of: str) -> list[str]:
+    """Retention eviction (DBStream size-capped eviction analog,
+    `store.py:174-197`, by age instead of row count): drop event_date
+    partitions older than ``as_of - keep_days``. Partition-drop is an O(1)
+    metadata/file operation per partition — no data rewrite. Returns the
+    dropped partition names."""
+    import datetime as _dt
+    import shutil
+
+    cutoff = _dt.date.fromisoformat(as_of) - _dt.timedelta(days=keep_days)
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("event_date="):
+            continue
+        d = _dt.date.fromisoformat(entry.split("=", 1)[1])
+        if d < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped
+
+
 def write_text(df: DataFrame, path: str, mode: str = "append") -> None:
     """``to_textfile`` analog: single string column per row."""
     df.write.mode(mode).text(path)

@@ -164,3 +164,42 @@ def test_asof_join_two_tables(spark):
         ).collect()
     }
     assert out == {1: 10.0, 2: 11.0, 3: None, 4: 99.0, 5: None}
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0]
+    rows = [(i, BASE + dt.timedelta(seconds=i), 1, v) for i, v in enumerate(vals)]
+    rows += [(10 + i, BASE + dt.timedelta(seconds=i), 2, v * 2) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+
+    from deva_spark.operators.smoothing import ewma
+
+    out = {r.event_id: r.ewma for r in df.transform(ewma(alpha=0.3)).collect()}
+    exp1 = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
+    for i, e in enumerate(exp1):
+        assert abs(out[i] - e) < 1e-12
+    exp2 = pd.Series([v * 2 for v in vals]).ewm(alpha=0.3, adjust=False).mean().tolist()
+    for i, e in enumerate(exp2):
+        assert abs(out[10 + i] - e) < 1e-12
+
+
+def test_retention_eviction(spark, sf_dir, tmp_path):
+    from deva_spark.session import read_table
+    from deva_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    events = read_table(spark, sf_dir, "events").limit(500)
+    writers.append_events(events, path)
+    import os
+
+    parts_before = sorted(p for p in os.listdir(path) if p.startswith("event_date="))
+    assert len(parts_before) >= 2
+    # retain only partitions at/after the second partition's date
+    as_of = parts_before[1].split("=", 1)[1]
+    dropped = writers.evict_older_than(spark, path, keep_days=0, as_of=as_of)
+    assert dropped == parts_before[:1]
+    remaining = spark.read.parquet(path)
+    assert remaining.count() > 0
+    assert remaining.count() < 500 or len(parts_before) == 2
