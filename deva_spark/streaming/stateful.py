@@ -78,6 +78,44 @@ def streaming_zscore_anomalies(stream_df: DataFrame) -> DataFrame:
     )
 
 
+EWMA_STATE_SCHEMA = "s double, started boolean"
+EWMA_OUT_SCHEMA = "user_id long, event_id long, ewma double"
+
+
+def make_ewma_fn(alpha: float):
+    """``smoothing.ewma`` streaming twin: one float of state per key
+    (s_t = α·x_t + (1-α)·s_{t-1}, adjust=False)."""
+
+    def _ewma_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            s, started = state.get
+        else:
+            s, started = 0.0, False
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                x = float(row["value"])
+                s = x if not started else alpha * x + (1 - alpha) * s
+                started = True
+                rows.append((int(key[0]), int(row["event_id"]), s))
+        state.update((s, started))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "event_id", "ewma"])
+
+    return _ewma_fn
+
+
+def streaming_ewma(stream_df: DataFrame, alpha: float = 0.3) -> DataFrame:
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        make_ewma_fn(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 RUNNING_STATE_SCHEMA = "total double"
 RUNNING_OUT_SCHEMA = "user_id long, event_id long, rs double"
 

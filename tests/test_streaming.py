@@ -111,3 +111,18 @@ def test_stateful_zscore_matches_online_semantics(spark, staged):
     # online semantics: flags only after 30 prior observations, |z|>=3
     for r in out.collect():
         assert abs(r.z) >= 3.0
+
+
+def test_streaming_ewma_matches_batch(spark, staged, batch_events):
+    from deva_spark.operators.smoothing import ewma
+
+    s = twin.events_file_stream(spark, staged)
+    stream_res = twin.run_available_now(
+        stateful.streaming_ewma(s, alpha=0.3), "t_ewma", output_mode="append"
+    )
+    batch_res = batch_events.transform(ewma(alpha=0.3)).select(
+        "user_id", "event_id", "ewma"
+    )
+    a = sorted((r.user_id, r.event_id, round(r.ewma, 9)) for r in stream_res.collect())
+    b = sorted((r.user_id, r.event_id, round(r.ewma, 9)) for r in batch_res.collect())
+    assert a == b
