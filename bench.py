@@ -8,7 +8,7 @@ Env:
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_BASELINE=1    also time DuckDB on the oracle SQL (stderr table)
   BENCH_QUERIES       comma-separated subset to run
-  BENCH_RUNS          suite passes (default 5; BASELINE.md: median of 5,
+  BENCH_RUNS          suite passes (default 7; BASELINE.md: median of 7,
                       one warm-up pass excluded — median shrugs off
                       transient machine load)
   BENCH_CONCURRENCY   parallel query submissions per pass (default 8; set 1
@@ -46,7 +46,7 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     names = [n for n in Q.SPARK_QUERIES if not only or n in set(only.split(","))]
 
-    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    n_runs = int(os.environ.get("BENCH_RUNS", "7"))
     workers = int(os.environ.get("BENCH_CONCURRENCY", "16"))
     spark = get_spark("deva-spark-bench")
     # Warm-up: JVM + parquet footer caches, excluded from timing.

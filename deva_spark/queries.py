@@ -900,10 +900,62 @@ def x08(spark, sf):
     return V.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("x09_ann_lsh_topk")  # ANN: approximate by design — rows-only check.
+def _x09_oracle() -> str:
+    """Generate the DuckDB twin of the multi-table hyperplane LSH: the
+    planes are deterministic (LCG, seed 42), so the oracle embeds them as
+    literal rows and reproduces bucket assignment, candidate generation,
+    and exact rescoring. Sign-of-dot is robust to summation-order float
+    differences (a dot product within 1e-15 of zero never occurs here),
+    so numpy-matmul buckets and SQL list_sum buckets agree."""
+    from deva_spark.functions.vectors import deterministic_planes
+
+    n_planes, n_tables, dim = 4, 8, 64
+    planes = deterministic_planes(dim, n_planes * n_tables)
+    rows = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(v) for v in planes[t * n_planes + p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""WITH planes(t, p, w) AS (VALUES
+{rows}
+        ), vec AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), signs AS (
+          SELECT v.vec_id, pl.t, pl.p,
+                 CASE WHEN list_sum(list_transform(range(1, 65),
+                          i -> v.e[i] * pl.w[i])) >= 0
+                      THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END AS bit
+          FROM vec v CROSS JOIN planes pl
+        ), buckets AS (
+          SELECT vec_id, t, SUM(bit) AS b FROM signs GROUP BY vec_id, t
+        ), qb AS (SELECT vec_id AS qid, t, b FROM buckets WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT qb.qid, cb.vec_id
+          FROM buckets cb JOIN qb USING (t, b)
+          WHERE cb.vec_id <> qb.qid
+        ), scored AS (
+          SELECT c.qid, c.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> q.e[i] * v.e[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))), 4) AS cos
+          FROM cand c
+          JOIN vec q ON q.vec_id = c.qid
+          JOIN vec v ON v.vec_id = c.vec_id
+        ), r AS (
+          SELECT qid, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+          FROM scored)
+        SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+
+@query("x09_ann_lsh_topk", None)  # oracle attached below (generated)
 def x09(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return V.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_SQL["x09_ann_lsh_topk"] = _x09_oracle()
 
 
 @query(
