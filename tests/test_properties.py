@@ -170,3 +170,80 @@ def test_slice_matches_python(spark, pairs, start, parts):
         if start <= i + 1 < end and (i + 1 - start) % step == 0
     ]
     assert got == expected
+
+
+@given(
+    n_trades=st.integers(min_value=0, max_value=12),
+    n_quotes=st.integers(min_value=0, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SLOW
+def test_asof_join_matches_python(spark, n_trades, n_quotes, seed):
+    import random
+
+    from deva_spark.operators.joins import asof_join
+
+    rng = random.Random(seed)
+    trades = [
+        (i, rng.choice(["A", "B"]), BASE + dt.timedelta(seconds=rng.randint(0, 30)))
+        for i in range(n_trades)
+    ]
+    quotes = [
+        (rng.choice(["A", "B"]), BASE + dt.timedelta(seconds=rng.randint(0, 30)), float(i))
+        for i in range(n_quotes)
+    ]
+    if not trades:
+        return
+    tdf = spark.createDataFrame(trades, "trade_id long, sym string, t_ts timestamp")
+    qdf = (
+        spark.createDataFrame(quotes, "sym string, q_ts timestamp, px double")
+        if quotes
+        else spark.createDataFrame([], "sym string, q_ts timestamp, px double")
+    )
+    out = {
+        r.trade_id: r.px_asof
+        for r in asof_join(tdf, qdf, "sym", "t_ts", "q_ts", ["px"]).collect()
+    }
+    for tid, sym, tts in trades:
+        eligible = [
+            (qts, px) for qsym, qts, px in quotes if qsym == sym and qts <= tts
+        ]
+        # most recent quote; ties broken by later px (higher i = later row —
+        # our union orders equal timestamps by side then arbitrarily among
+        # right rows, so only assert when the max ts is unique)
+        if not eligible:
+            assert out[tid] is None
+        else:
+            max_ts = max(q[0] for q in eligible)
+            at_max = [px for qts, px in eligible if qts == max_ts]
+            assert out[tid] in at_max
+
+
+@given(
+    pairs=events,
+    win_s=st.integers(min_value=1, max_value=10),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_rolling_time_agg_matches_python(spark, pairs, win_s, parts):
+    from pyspark.sql import functions as F2
+
+    df = to_df(spark, pairs, parts)
+    out = {
+        r.event_id: r.roll
+        for r in df.transform(
+            windows.rolling_time_agg(
+                F2.count(F2.lit(1)), out="roll", seconds=win_s, partition="user_id"
+            )
+        ).collect()
+    }
+    # python model: rows of same user with ts in [t - win, t] (RANGE frame:
+    # peers at equal ts all included)
+    for i, (u, _) in enumerate(pairs):
+        t_i = i  # ts = BASE + i seconds
+        expected = sum(
+            1
+            for j, (u2, _) in enumerate(pairs)
+            if u2 == u and t_i - win_s <= j <= t_i
+        )
+        assert out[i] == expected
