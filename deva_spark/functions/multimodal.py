@@ -24,7 +24,6 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 #: canonical multimodal schema: opaque payload + typed metadata
 MEDIA_SCHEMA = (
