@@ -5,11 +5,14 @@ Reference surface: near-dup text dedup via simhash banding
 4 key-chunks, Hamming <= k). This module is the MinHash/LSH counterpart a
 training-data pipeline needs; functions/simhash.py covers the simhash one.
 
-Portable-hash design: the per-permutation hash of a shingle is the MD5 hex
-digest of ``"{seed}:{shingle}"`` and the MinHash value is the
-*lexicographic minimum* digest string. MD5 is identical everywhere, and
-string MIN avoids any hex→int conversion differences between engines — so
-the DuckDB oracle reproduces the Spark result exactly.
+Portable-hash design (double hashing): each shingle is MD5-hashed ONCE;
+the two little-endian 64-bit halves of the digest (h1 = bytes[0:8],
+h2 = bytes[8:16] — exactly DuckDB's ``md5_number_upper`` /
+``md5_number_lower``) generate all permutations as
+``(h1 % M + j * (h2 % M)) % M`` with M = 2^61 - 1, and the MinHash value
+is the integer minimum. One digest per shingle instead of NUM_HASHES —
+the standard (h1 + i*h2) construction (Kirsch & Mitzenmacher 2006) — and
+pure integer arithmetic both engines reproduce bit-for-bit.
 
 Scale notes: everything is per-row array algebra (shingle → transform →
 array_min) until the band self-join, which shuffles only
@@ -23,63 +26,89 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType
 
 from deva_spark.functions.text import word_shingles
 
 NUM_HASHES = 12
 BAND_SIZE = 3  # => 4 bands; collision prob for jaccard s: 1-(1-s^3)^4
+M61 = (1 << 61) - 1  # Mersenne prime modulus for the permutation family
 
 
 def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """array<string> MinHash signature (one lexicographic-min MD5 per seed).
+    """array<long> MinHash signature — pure-column-expression twin of the
+    pandas UDF (used for parity testing; the UDF is the production path).
 
-    Built as ONE nested transform over a seeds array (`transform(seq, j ->
-    array_min(transform(shingles, s -> md5(j:s))))`) rather than N sibling
-    transforms: sibling lambdas sharing a variable name can get their bound
-    literals conflated by the analyzer (observed: seed components shuffled),
-    while nested lambdas with distinct variable names are safe — and this
-    shape mirrors the SQL oracle exactly.
+    Little-endian 64-bit halves of md5 are recovered from the hex digest by
+    reversing its byte pairs and `conv`-ing base 16 → 10 (conv is unsigned,
+    so the full 64-bit range survives via an intermediate decimal).
+    Permutations are ``(h1 + j*h2) % M61`` in decimal(38,0) arithmetic.
+    Nested (not sibling) lambdas with distinct variable names — sibling
+    lambdas sharing a name can get bound literals conflated by the analyzer.
     """
     sh = word_shingles(text, 3)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+
+    def _le64(hexcol: Column, start: int) -> Column:
+        rev = F.concat(*[F.substring(hexcol, start + 2 * k, 2) for k in range(7, -1, -1)])
+        return F.conv(rev, 16, 10).cast("decimal(38,0)") % F.lit(M61)
+
+    halves = F.transform(
+        sh, lambda s: F.struct(_le64(F.md5(s), 1).alias("h1"), _le64(F.md5(s), 17).alias("h2"))
+    )
     return F.transform(
         seeds,
         lambda j: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))
+            F.transform(
+                halves,
+                lambda h: ((h["h1"] + j.cast("decimal(38,0)") * h["h2"]) % F.lit(M61)).cast(
+                    "long"
+                ),
+            )
         ),
     )
 
 
-def _signature_py(text: str, num_hashes: int = NUM_HASHES) -> list[str] | None:
-    """Python twin of :func:`minhash_signature` — byte-identical output.
+def _signature_py(text: str, num_hashes: int = NUM_HASHES) -> list[int] | None:
+    """Python twin of :func:`minhash_signature` — bit-identical output.
 
     ``str.split()`` == trim + split-on-whitespace-runs, matching the
     ``\\s+`` regex split of the column expression and the SQL oracle.
+
+    ONE md5 per shingle (the digest's two LE-64 halves seed every
+    permutation); the j-loop is vectorized numpy. Since both operands of
+    the rolling add are < M61 < 2^61, the uint64 sum never wraps.
     """
     if text is None:
         return None
     ws = text.split()
     if len(ws) < 3:
         return None
-    # encode each shingle once (not once per seed) and concat byte prefixes
-    # — this inner loop runs |shingles| × num_hashes times per document
-    sb = [" ".join(ws[i : i + 3]).encode() for i in range(len(ws) - 2)]
     md5 = hashlib.md5
-    return [
-        min(md5(p + s).hexdigest() for s in sb)
-        for p in (f"{j}:".encode() for j in range(num_hashes))
-    ]
+    buf = b"".join(
+        md5((" ".join(ws[i : i + 3])).encode()).digest() for i in range(len(ws) - 2)
+    )
+    halves = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+    m = np.uint64(M61)
+    h1 = halves[:, 0] % m
+    h2 = halves[:, 1] % m
+    sig = [int(h1.min())]
+    acc = h1
+    for _ in range(1, num_hashes):
+        acc = (acc + h2) % m
+        sig.append(int(acc.min()))
+    return sig
 
 
-# Arrow-batched signature computation: one pass over each document (the
-# column-expression version re-evaluates the shingle array once per seed
-# inside the nested lambda — 12× the work; observed 114 s → ~6 s at sf0.1).
-@pandas_udf(ArrayType(StringType()))
+# Arrow-batched signature computation: one digest pass over each document
+# (the column-expression version re-evaluates md5 once per seed inside the
+# nested lambda — num_hashes× the work).
+@pandas_udf(ArrayType(LongType()))
 def minhash_signature_udf(texts: pd.Series) -> pd.Series:
     return texts.map(_signature_py)
 
@@ -112,7 +141,10 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
                         F.md5(
                             F.concat_ws(
                                 "|",
-                                *[F.col("sig")[b * band_size + i] for i in range(band_size)],
+                                *[
+                                    F.col("sig")[b * band_size + i].cast("string")
+                                    for i in range(band_size)
+                                ],
                             )
                         ).alias("bkey"),
                     )

@@ -185,10 +185,13 @@ def sessionize(
 
     def _t(df: DataFrame) -> DataFrame:
         w = keyed_order(partition, order)
-        prev_ts = F.lag(ts_col).over(w)
+        # Exact integer gap test (epoch microseconds) — double-epoch seconds
+        # carry ~0.4 µs rounding at 1e9 magnitude, enough to flip a row that
+        # lands exactly on the gap boundary vs the oracle's INTERVAL compare.
+        us = F.unix_micros(F.col(ts_col))
+        prev_us = F.lag(us).over(w)
         new_s = F.when(
-            prev_ts.isNull()
-            | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_minutes * 60),
+            prev_us.isNull() | (us - prev_us > gap_minutes * 60 * 1_000_000),
             F.lit(1),
         ).otherwise(F.lit(0))
         df2 = df.withColumn("_new_s", new_s)

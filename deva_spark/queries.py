@@ -692,7 +692,7 @@ def q34(spark, sf):
 @query(
     "q35_sessionization",
     """SELECT user_id, sess, COUNT(*) AS cnt FROM (
-         SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) sess
+         SELECT user_id, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) sess
          FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                    > INTERVAL 30 MINUTE
                               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -811,15 +811,22 @@ def x05(spark, sf):
                  list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
           FROM words WHERE len(ws) >= 3
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                     [CAST(md5_number_upper(s) AS HUGEINT) % 2305843009213693951,
+                      CAST(md5_number_lower(s) AS HUGEINT) % 2305843009213693951]) AS hs
+          FROM sh
         ), sig AS (
           SELECT doc_id,
                  list_transform(range(0, 12),
-                     j -> list_min(list_transform(shingles,
-                              s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-          FROM sh
+                     j -> CAST(list_min(list_transform(hs,
+                              h -> (h[1] + j * h[2]) % 2305843009213693951)) AS BIGINT)) AS sig
+          FROM hs
         ), bands AS (
           SELECT doc_id, b,
-                 md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+                 md5(CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+                     || '|' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
           FROM sig, range(0, 4) t(b)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
@@ -1096,15 +1103,22 @@ def x14(spark, sf):
                  list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
           FROM words WHERE len(ws) >= 3
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                     [CAST(md5_number_upper(s) AS HUGEINT) % 2305843009213693951,
+                      CAST(md5_number_lower(s) AS HUGEINT) % 2305843009213693951]) AS hs
+          FROM sh
         ), sig AS (
           SELECT doc_id,
                  list_transform(range(0, 12),
-                     j -> list_min(list_transform(shingles,
-                              s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-          FROM sh
+                     j -> CAST(list_min(list_transform(hs,
+                              h -> (h[1] + j * h[2]) % 2305843009213693951)) AS BIGINT)) AS sig
+          FROM hs
         ), bands AS (
           SELECT doc_id, b,
-                 md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+                 md5(CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+                     || '|' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
           FROM sig, range(0, 4) t(b)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
