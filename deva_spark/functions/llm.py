@@ -80,11 +80,19 @@ def llm_stage_cached(
     4. return hits ∪ fresh.
     """
     spark = df.sparkSession
+
+    def read_cache() -> DataFrame:
+        try:
+            c = spark.read.parquet(cache_path)
+        except Exception:  # noqa: BLE001 — first run: empty cache
+            c = spark.createDataFrame([], "_ph string, _cached string")
+        # the cache is append-only: two racing runs (or a retried batch) can
+        # land duplicate _ph rows, and a dup on the join side would multiply
+        # input rows — dedupe at read time.
+        return c.dropDuplicates(["_ph"])
+
     hashed = df.withColumn("_ph", F.md5(F.col(prompt_col)))
-    try:
-        cache = spark.read.parquet(cache_path)
-    except Exception:  # noqa: BLE001 — first run: empty cache
-        cache = spark.createDataFrame([], "_ph string, _cached string")
+    cache = read_cache()
     joined = hashed.join(F.broadcast(cache), "_ph", "left")
     misses = (
         joined.filter(F.col("_cached").isNull())
@@ -96,6 +104,6 @@ def llm_stage_cached(
         fresh.select("_ph", F.col("_fresh").alias("_cached")).write.mode(
             "append"
         ).parquet(cache_path)
-        cache = spark.read.parquet(cache_path)
+        cache = read_cache()
         joined = hashed.join(F.broadcast(cache), "_ph", "left")
     return joined.withColumn(out_col, F.col("_cached")).drop("_ph", "_cached")

@@ -68,21 +68,20 @@ def positional_zip(
 ) -> DataFrame:
     """``zip`` analog (`ops.py:178-288`): pair the i-th element of each input.
 
-    Positional pairing needs a global sequence number per side —
-    ``row_number`` over an un-partitioned window is a single-reducer
-    bottleneck, so at scale prefer zipping *within* a partition key. For the
-    bounded/ordered case it is exactly the reference semantics: inner join
-    on sequence id (unmatched tails drop, matching the bounded-buffer
+    Each side gets a global sequence number via the two-phase
+    :func:`~deva_spark.operators.windows.global_positions` (quantile
+    range-buckets + partition-local row_number + broadcast offsets — no
+    single-reducer window), then an inner join on the sequence id
+    (unmatched tails drop, matching the reference's bounded-buffer
     behavior).
     """
-    w = Window.orderBy(*order)
-    l = left.select(
-        *[F.col(c).alias(a) for c, a in left_cols.items()],
-        F.row_number().over(w).alias("rn"),
+    from deva_spark.operators.windows import global_positions
+
+    l = global_positions(left, order, out="rn").select(
+        *[F.col(c).alias(a) for c, a in left_cols.items()], "rn"
     )
-    r = right.select(
-        *[F.col(c).alias(a) for c, a in right_cols.items()],
-        F.row_number().over(w).alias("rn"),
+    r = global_positions(right, order, out="rn").select(
+        *[F.col(c).alias(a) for c, a in right_cols.items()], "rn"
     )
     return l.join(r, "rn", "inner")
 

@@ -8,8 +8,10 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from deva_spark.operators.windows import global_positions
 
 
 def head(n: int) -> Callable[[DataFrame], DataFrame]:
@@ -30,47 +32,57 @@ def tail_by(n: int, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
 
 
 def skip(k: int, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
-    """``skip(k)``: drop the first k rows of the total order (global
-    row_number — bounded-input parity op)."""
+    """``skip(k)``: drop the first k rows of the total order (two-phase
+    global numbering — no single-reducer window)."""
 
     def _t(df: DataFrame) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order))
-        return df.withColumn("_rn", rn).filter(F.col("_rn") > k).drop("_rn")
+        return (
+            global_positions(df, order, out="_rn")
+            .filter(F.col("_rn") > k)
+            .drop("_rn")
+        )
 
     return _t
 
 
 def take_while(cond, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
     """pipe ``take_while`` analog (`pipe.py:984-989`): keep rows until the
-    first one (in the total order) that fails the predicate.
+    first one (in the total order) whose predicate is not TRUE.
 
-    Running-flag formulation: a row survives iff every row up to and
-    including it passes — ``min(cond) over (order rows unbounded preceding)``
-    — one global-order window (bounded-input parity op, like slice).
+    Scalable formulation: two-phase global numbering, then a parallel MIN
+    over the failing rows finds the cut position, broadcast back as a
+    1-row join. A NULL predicate counts as a failure (reference truthiness:
+    any non-true value ends the prefix).
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        w = (
-            Window.orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d = global_positions(df, order, out="_rn")
+        fail = ~F.coalesce(cond, F.lit(False))
+        stop = d.filter(fail).agg(F.min("_rn").alias("_stop"))
+        return (
+            d.join(F.broadcast(stop))
+            .filter(F.col("_stop").isNull() | (F.col("_rn") < F.col("_stop")))
+            .drop("_rn", "_stop")
         )
-        flag = F.min(cond.cast("int")).over(w)
-        return df.withColumn("_tw", flag).filter(F.col("_tw") == 1).drop("_tw")
 
     return _t
 
 
 def skip_while(cond, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
     """pipe ``skip_while`` analog (`pipe.py:992-997`): drop the leading run
-    of rows satisfying the predicate, keep everything after."""
+    of rows whose predicate is TRUE, keep everything from the first
+    non-true row on (NULL counts as non-true, same truthiness as
+    :func:`take_while`)."""
 
     def _t(df: DataFrame) -> DataFrame:
-        w = (
-            Window.orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d = global_positions(df, order, out="_rn")
+        fail = ~F.coalesce(cond, F.lit(False))
+        start = d.filter(fail).agg(F.min("_rn").alias("_start"))
+        return (
+            d.join(F.broadcast(start))
+            .filter(F.col("_start").isNotNull() & (F.col("_rn") >= F.col("_start")))
+            .drop("_rn", "_start")
         )
-        flag = F.min(cond.cast("int")).over(w)
-        return df.withColumn("_sw", flag).filter(F.col("_sw") == 0).drop("_sw")
 
     return _t
 

@@ -10,9 +10,11 @@ The reference's per-event arrival order does not exist in a distributed
 engine, so every order-sensitive operator keys on an explicit
 ``(ts, event_id)`` total order (SURVEY.md §7.3). All window functions here
 partition by a key (user_id, …): one shuffle on the key, then per-partition
-sorted evaluation — the scalable shape. Un-partitioned global windows
-(positional slice/partition-chunks) are single-reducer by nature; they are
-provided for parity and flagged for bounded inputs only.
+sorted evaluation — the scalable shape. Global positional operators
+(slice/partition-chunks/zip) avoid the single-reducer global window via
+two-phase numbering: deterministic quantile range-bucketing on the leading
+order column, partition-local ``row_number``, plus broadcast cumulative
+bucket offsets (:func:`global_positions`).
 """
 
 from __future__ import annotations
@@ -29,6 +31,81 @@ EVENT_ORDER: tuple[str, str] = ("ts", "event_id")
 def keyed_order(partition: str | None, order: Sequence[str] = EVENT_ORDER) -> WindowSpec:
     w = Window.partitionBy(partition) if partition else Window.partitionBy()
     return w.orderBy(*order)
+
+
+def global_positions(
+    df: DataFrame,
+    order: Sequence[str] = EVENT_ORDER,
+    out: str = "_rn",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Scale-safe global 1-based row numbering by ``order`` — the two-phase
+    alternative to ``row_number().over(Window.orderBy(...))`` (which moves
+    the whole input through ONE reducer).
+
+    Phase plan:
+      1. deterministic range-bucket on the leading order column using
+         ``approxQuantile`` split points (a function of the VALUE, not of
+         sampling inside an exchange — so every plan branch agrees);
+      2. partition-local ``row_number`` per bucket (parallel);
+      3. per-bucket counts (tiny: one row per bucket) collected to the
+         driver, turned into cumulative offsets, and added back as a
+         literal map lookup — the same shape as RDD ``zipWithIndex``.
+
+    Costs two metadata-sized extra jobs (quantiles + counts), each scanning
+    only the leading order column; no single-partition exchange anywhere.
+    Falls back to bucket 0 (single reducer) only when the leading column
+    has no numeric image (non-orderable-to-double types) — the bounded
+    parity case.
+    """
+    spark = df.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism
+    lead = order[0]
+    dtype = dict(df.dtypes)[lead]
+    col = F.col(lead)
+    if dtype.startswith("timestamp"):
+        num = F.unix_micros(col).cast("double")
+    elif dtype == "date":
+        num = F.datediff(col, F.lit("1970-01-01")).cast("double")
+    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith(
+        "decimal"
+    ):
+        num = col.cast("double")
+    else:
+        num = None
+    if num is not None and buckets > 1:
+        d = df.withColumn("_gb_v", num)
+        qs = [i / buckets for i in range(1, buckets)]
+        splits = sorted(set(d.stat.approxQuantile("_gb_v", qs, 0.001)))
+    else:
+        d = df.withColumn("_gb_v", F.lit(0.0))
+        splits = []
+    if splits:
+        arr = F.array(*[F.lit(float(s)) for s in splits])
+        # rows with equal leading values always share a bucket (assignment
+        # is a pure function of the value); NULLs compare false -> bucket 0,
+        # matching ASC NULLS FIRST ordering.
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, s: acc + F.when(F.col("_gb_v") > s, 1).otherwise(0)
+        )
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("_gb", bucket)
+    counts = {r["_gb"]: r["c"] for r in d.groupBy("_gb").agg(F.count(F.lit(1)).alias("c")).collect()}
+    off, offsets = 0, {}
+    for g in sorted(counts):
+        offsets[g] = off
+        off += counts[g]
+    if len(offsets) > 1:
+        omap = F.create_map(*[F.lit(x) for g in sorted(offsets) for x in (g, offsets[g])])
+        base = F.element_at(omap, F.col("_gb"))
+    else:
+        base = F.lit(0)
+    w = Window.partitionBy("_gb").orderBy(*order)
+    return (
+        d.withColumn(out, (F.row_number().over(w) + base).cast("bigint"))
+        .drop("_gb", "_gb_v")
+    )
 
 
 def running_fold(
@@ -64,13 +141,14 @@ def chunk(
     """``partition(n)`` analog (`ops.py:874-922`): non-overlapping n-row
     chunks in global order, tail dropped to match the reference.
 
-    Global row_number = single-reducer ordering; parity operator for
-    bounded inputs (at scale, chunk within a partition key instead).
+    Numbering via :func:`global_positions` — parallel two-phase global
+    ordering, no single-reducer window.
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order))
-        out = df.withColumn("g", F.floor((rn - F.lit(1)) / F.lit(n)).cast("bigint"))
+        out = global_positions(df, order, out="_rn").withColumn(
+            "g", F.floor((F.col("_rn") - F.lit(1)) / F.lit(n)).cast("bigint")
+        ).drop("_rn")
         if drop_tail:
             counts = out.groupBy("g").agg(F.count(F.lit(1)).alias("_cnt"))
             out = (
@@ -86,11 +164,11 @@ def positional_slice(
     start: int, end: int, step: int, order: Sequence[str] = EVENT_ORDER
 ) -> Callable[[DataFrame], DataFrame]:
     """``slice(start, end, step)`` analog (`ops.py:826-872`): positional
-    selection over the event sequence (1-based row_number, [start, end))."""
+    selection over the event sequence (1-based position, [start, end));
+    two-phase global numbering via :func:`global_positions`."""
 
     def _t(df: DataFrame) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order))
-        out = df.withColumn("_rn", rn).filter(
+        out = global_positions(df, order, out="_rn").filter(
             (F.col("_rn") >= start)
             & (F.col("_rn") < end)
             & (((F.col("_rn") - start) % step) == 0)

@@ -89,8 +89,19 @@ def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
 
     tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # swap order matters: park the live table aside FIRST, then move the
+    # staged one in — a crash between the two renames leaves the data
+    # recoverable under __old (rmtree-then-rename would lose the table).
+    # Renames require tmp on the same filesystem as path (staged as a
+    # sibling, so it is). True atomic MERGE needs a table format (Delta).
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)  # roll back: restore the original table
+        raise
+    shutil.rmtree(old)
 
 
 def evict_older_than(spark, path: str, keep_days: int, as_of: str) -> list[str]:
@@ -171,16 +182,28 @@ def foreach_http_sink(
     send: Callable[[str, str], None],
     payload_col: str = "payload",
     key_col: str = "idempotency_key",
+    available_now: bool = False,
 ):
     """Side-effect sink pattern (Dtalk/mail/HTTP analog, `endpoints.py:
     214-469`): at-least-once delivery + an idempotency key per row, so a
     replayed micro-batch cannot double-send. ``send(key, payload)`` is the
     transport (webhook/SMTP client) — injected, because this container has
     no network egress; tests inject a recorder.
+
+    Sends run ON THE EXECUTORS (``foreachPartition``): the driver never
+    materializes a batch, so sink throughput scales with the cluster
+    instead of serializing through one process. ``send`` must therefore be
+    picklable and executor-safe (no driver-local state).
     """
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
-        for row in bdf.select(key_col, payload_col).collect():
-            send(row[key_col], row[payload_col])
+        def _part(rows) -> None:
+            for row in rows:
+                send(row[key_col], row[payload_col])
 
-    return stream_df.writeStream.foreachBatch(_sink).start()
+        bdf.select(key_col, payload_col).foreachPartition(_part)
+
+    w = stream_df.writeStream.foreachBatch(_sink)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

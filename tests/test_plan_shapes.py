@@ -78,6 +78,16 @@ def test_windows_single_shuffle_per_key(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_positional_ops_no_single_partition_exchange(plans):
+    # chunk / slice / zip use two-phase global numbering: bucketed window
+    # (Exchange hashpartitioning(_gb)) — never an Exchange SinglePartition
+    # funneling the whole input through one reducer.
+    for q in ("q13_positional_zip", "q17_partition_chunks", "q22_slice"):
+        p = plans(q)
+        assert "SinglePartition" not in p, q
+        assert "Exchange hashpartitioning" in p, q
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE finalizes the physical plan only at execution; run the query and
     # then check the final plan fuses the agg chain into codegen stages.
