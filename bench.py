@@ -6,7 +6,11 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Env:
   SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-  BENCH_BASELINE=1    also time DuckDB on the oracle SQL (stderr table)
+  BENCH_BASELINE=0    skip the DuckDB baseline (ON by default: the
+                      baseline runs in the SAME invocation under the same
+                      ambient load, so the acceptance ratio is
+                      load-matched — the JSON line carries
+                      baseline_value + ratio alongside the suite wall)
   BENCH_QUERIES       comma-separated subset to run
   BENCH_RUNS          suite passes (default 7; BASELINE.md: median of 7,
                       one warm-up pass excluded — median shrugs off
@@ -96,7 +100,8 @@ def main() -> None:
     total = median(walls)
     print(f"# suite wall-clock per pass: {walls} (workers={workers})", file=sys.stderr)
 
-    if os.environ.get("BENCH_BASELINE") == "1":
+    baseline_total = None
+    if os.environ.get("BENCH_BASELINE", "1") != "0":
         import duckdb
 
         from deva_spark.session import TABLES
@@ -137,6 +142,7 @@ def main() -> None:
             n: round(median([r[n] for r in base_runs]), 3) for n in base_runs[0]
         }
         btotal = round(median(base_walls), 3)
+        baseline_total = btotal
         print(f"# duckdb wall-clock per pass: {base_walls} (workers={workers})", file=sys.stderr)
         print(
             f"# duckdb baseline total={btotal}s; per-query:"
@@ -149,17 +155,17 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per,
+        "sf": sf,
+    }
+    if baseline_total is not None:
+        out["baseline_value"] = baseline_total
+        out["ratio"] = round(total / baseline_total, 3) if baseline_total else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -101,13 +101,22 @@ def search(
 
 
 def keywords_tfidf(
-    docs: DataFrame, top_n: int = 20, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """``extract('tags')`` / jieba-TFIDF analog (`search.py:179-207`):
-    top-n TF-IDF terms per document. One index pass + a rank window."""
+    top-n TF-IDF terms per document. One index pass + a rank window.
+
+    Pass a prebuilt (persisted) ``index`` to share one materialized
+    posting table across keyword extraction and search — the IndexStream
+    pattern: build once, query many."""
     from pyspark.sql import Window
 
-    index = build_index(docs, id_col, text_col)
+    if index is None:
+        index = build_index(docs, id_col, text_col)
     nd = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     dfreq = doc_freq(index)
     w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term"))

@@ -43,20 +43,20 @@ def global_positions(
     alternative to ``row_number().over(Window.orderBy(...))`` (which moves
     the whole input through ONE reducer).
 
-    Phase plan:
-      1. deterministic range-bucket on the leading order column using
-         ``approxQuantile`` split points (a function of the VALUE, not of
-         sampling inside an exchange — so every plan branch agrees);
-      2. partition-local ``row_number`` per bucket (parallel);
-      3. per-bucket counts (tiny: one row per bucket) collected to the
-         driver, turned into cumulative offsets, and added back as a
-         literal map lookup — the same shape as RDD ``zipWithIndex``.
+    Entirely lazy — ONE job, no driver actions, no sampling:
+      1. bucket each row by an equal-width range over the leading order
+         column (global min/max as a broadcast 1-row aggregate +
+         ``width_bucket``) — assignment is a pure deterministic function
+         of the value, so every plan branch agrees and rows with equal
+         leading values always share a bucket;
+      2. partition-local ``row_number`` per bucket (parallel window);
+      3. cumulative bucket offsets from a metadata-sized counts self-join
+         (B rows × B rows, broadcast), added back per bucket.
 
-    Costs two metadata-sized extra jobs (quantiles + counts), each scanning
-    only the leading order column; no single-partition exchange anywhere.
-    Falls back to bucket 0 (single reducer) only when the leading column
-    has no numeric image (non-orderable-to-double types) — the bounded
-    parity case.
+    Equal-width buckets can skew under pathological value distributions
+    (correctness is unaffected — only balance), and a constant leading
+    column degrades to one bucket, the inherently sequential case. Falls
+    back the same way when the leading column has no numeric image.
     """
     spark = df.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
@@ -74,37 +74,32 @@ def global_positions(
     else:
         num = None
     if num is not None and buckets > 1:
-        d = df.withColumn("_gb_v", num)
-        qs = [i / buckets for i in range(1, buckets)]
-        splits = sorted(set(d.stat.approxQuantile("_gb_v", qs, 0.001)))
-    else:
-        d = df.withColumn("_gb_v", F.lit(0.0))
-        splits = []
-    if splits:
-        arr = F.array(*[F.lit(float(s)) for s in splits])
-        # rows with equal leading values always share a bucket (assignment
-        # is a pure function of the value); NULLs compare false -> bucket 0,
-        # matching ASC NULLS FIRST ordering.
-        bucket = F.aggregate(
-            arr, F.lit(0), lambda acc, s: acc + F.when(F.col("_gb_v") > s, 1).otherwise(0)
+        d0 = df.withColumn("_gb_v", num)
+        bounds = d0.agg(F.min("_gb_v").alias("_lo"), F.max("_gb_v").alias("_hi"))
+        # NULL values -> bucket 0 (sorts with ASC NULLS FIRST); equal
+        # min/max (constant column) -> single bucket
+        bucket = F.when(F.col("_lo") == F.col("_hi"), F.lit(1)).otherwise(
+            F.width_bucket(F.col("_gb_v"), F.col("_lo"), F.col("_hi"), F.lit(buckets))
+        )
+        d = (
+            d0.join(F.broadcast(bounds))
+            .withColumn("_gb", F.coalesce(bucket, F.lit(0)))
+            .drop("_lo", "_hi", "_gb_v")
         )
     else:
-        bucket = F.lit(0)
-    d = d.withColumn("_gb", bucket)
-    counts = {r["_gb"]: r["c"] for r in d.groupBy("_gb").agg(F.count(F.lit(1)).alias("c")).collect()}
-    off, offsets = 0, {}
-    for g in sorted(counts):
-        offsets[g] = off
-        off += counts[g]
-    if len(offsets) > 1:
-        omap = F.create_map(*[F.lit(x) for g in sorted(offsets) for x in (g, offsets[g])])
-        base = F.element_at(omap, F.col("_gb"))
-    else:
-        base = F.lit(0)
+        d = df.withColumn("_gb", F.lit(0))
+    counts = d.groupBy("_gb").agg(F.count(F.lit(1)).alias("_c"))
+    offs = (
+        counts.alias("_ca")
+        .join(counts.alias("_cb"), F.col("_cb._gb") < F.col("_ca._gb"), "left")
+        .groupBy(F.col("_ca._gb").alias("_gb"))
+        .agg(F.coalesce(F.sum(F.col("_cb._c")), F.lit(0)).alias("_off"))
+    )
     w = Window.partitionBy("_gb").orderBy(*order)
     return (
-        d.withColumn(out, (F.row_number().over(w) + base).cast("bigint"))
-        .drop("_gb", "_gb_v")
+        d.join(F.broadcast(offs), "_gb")
+        .withColumn(out, (F.row_number().over(w) + F.col("_off")).cast("bigint"))
+        .drop("_gb", "_off")
     )
 
 

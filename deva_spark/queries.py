@@ -52,6 +52,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+#: shared materialized artifacts, keyed by (session, sf_dir) — the
+#: IndexStream pattern: an index is built once and queried by many
+#: queries (x12 keywords + x13 search share one posting table). At
+#: cluster scale this is a bucketed table write; in-session it's a
+#: persisted DataFrame with an eager barrier (a lazily-cached DF
+#: referenced twice inside one job races its own materialization).
+_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "doc_index")
+    if key not in _SHARED:
+        from deva_spark.functions.search import build_index
+
+        _SHARED[key] = build_index(_t(spark, sf_dir, "documents"))
+    idx = _SHARED[key]
+    # (re-)materialize: a catalog clearCache (bench does this between
+    # passes) silently drops both the blocks and the persistence flag
+    if idx.storageLevel.useMemory is False and idx.storageLevel.useDisk is False:
+        idx.persist()
+        idx.count()  # eager barrier before multi-reference use
+    return idx
+
+
 # ---------------------------------------------------------------------------
 # M1 — relational core
 # ---------------------------------------------------------------------------
@@ -1015,11 +1039,13 @@ def x11(spark, sf):
         WHERE rnk <= 5 ORDER BY doc_id, rnk""",
 )
 def x12(spark, sf):
-    # jieba-TFIDF keyword extraction analog (search.py:179-207).
+    # jieba-TFIDF keyword extraction analog (search.py:179-207); shares the
+    # materialized posting table with x13 (IndexStream: build once, query
+    # many).
     from deva_spark.functions.search import keywords_tfidf
 
     docs = _t(spark, sf, "documents")
-    return keywords_tfidf(docs, top_n=5).select(
+    return keywords_tfidf(docs, top_n=5, index=_doc_index(spark, sf)).select(
         "doc_id", "term", F.round("w", 6).alias("w"), "rnk"
     )
 
@@ -1045,12 +1071,12 @@ def x12(spark, sf):
         ORDER BY score DESC, doc_id LIMIT 10""",
 )
 def x13(spark, sf):
-    # IndexStream search analog (search.py:18-256): AND-semantics TF-IDF.
-    from deva_spark.functions.search import build_index, search
+    # IndexStream search analog (search.py:18-256): AND-semantics TF-IDF
+    # over the shared materialized posting table.
+    from deva_spark.functions.search import search
 
     docs = _t(spark, sf, "documents")
-    idx = build_index(docs)
-    return search(idx, docs, "spark table", top_k=10, require_all=True)
+    return search(_doc_index(spark, sf), docs, "spark table", top_k=10, require_all=True)
 
 
 @query(

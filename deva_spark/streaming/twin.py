@@ -35,26 +35,32 @@ def stage_event_chunks(
 ) -> str:
     """Replay staging (``DBStream.replay`` analog): split the events table
     into ``chunks`` parquet files in (ts, event_id) order so the file-stream
-    source discovers them as successive micro-batches."""
-    out_dir = out_dir or tempfile.mkdtemp(prefix="deva_stream_")
-    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id")
-    n = ev.count()
-    per = max(1, (n + chunks - 1) // chunks)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    source discovers them as successive micro-batches.
 
-    pdf = ev.toPandas()
-    for i in range(chunks):
-        part = pdf.iloc[i * per : (i + 1) * per]
-        if len(part):
-            # µs timestamps: pandas defaults to ns, which Spark's file-stream
-            # schema (`timestamp`) refuses; zero-padded names keep discovery
-            # order == event-time order
-            pq.write_table(
-                pa.Table.from_pandas(part, preserve_index=False),
-                os.path.join(out_dir, f"chunk_{i:04d}.parquet"),
-                coerce_timestamps="us",
-            )
+    Fully distributed: ``repartitionByRange`` buckets by event time (range
+    partition i holds the i-th time slice) and each task writes its own
+    sorted file — the driver never materializes data. The only driver work
+    is metadata: renaming part files to zero-padded chunk names IN RANGE
+    ORDER and bumping mtimes monotonically, so the file-stream source's
+    discovery order (mtime, then path) equals event-time order."""
+    import time
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="deva_stream_")
+    ev = read_table(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(chunks, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    t0 = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
+        os.rename(os.path.join(out_dir, name), dst)
+        os.utime(dst, (t0 + i, t0 + i))
     return out_dir
 
 

@@ -165,9 +165,12 @@ def test_multimodal_meta_and_features(spark):
     feats = mm.decode_features(df, decoder=mm.fake_decode_image).collect()
     assert all(len(r.features) == 16 for r in feats)
 
-    # real decoder is an explicit stub in this container
-    with pytest.raises(Exception, match="NotImplementedError|not installed"):
-        mm.decode_features(df).collect()
+    # default decoder is REAL now (pure-stdlib PNG codec) — it decodes the
+    # png row and refuses the fake-video payload
+    real = mm.decode_features(df.filter("kind = 'image'"), pool=1).collect()
+    assert len(real) == 1 and len(real[0].features) == 1
+    with pytest.raises(Exception, match="not a PNG"):
+        mm.decode_features(df.filter("kind = 'video'")).collect()
 
 
 def test_frame_sampling(spark):

@@ -78,13 +78,17 @@ def test_windows_single_shuffle_per_key(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
-def test_positional_ops_no_single_partition_exchange(plans):
-    # chunk / slice / zip use two-phase global numbering: bucketed window
-    # (Exchange hashpartitioning(_gb)) — never an Exchange SinglePartition
-    # funneling the whole input through one reducer.
+def test_positional_ops_no_single_reducer_window(plans):
+    # chunk / slice / zip use two-phase global numbering: every window in
+    # the plan is PARTITIONED (by the _gb range bucket) — no un-partitioned
+    # window funneling the whole input through one reducer. (A 1-row
+    # SinglePartition exchange remains for the global min/max bounds
+    # aggregate — metadata-sized by construction.)
     for q in ("q13_positional_zip", "q17_partition_chunks", "q22_slice"):
         p = plans(q)
-        assert "SinglePartition" not in p, q
+        wlines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+        assert wlines, q
+        assert all("_gb" in ln for ln in wlines), (q, wlines)
         assert "Exchange hashpartitioning" in p, q
 
 
