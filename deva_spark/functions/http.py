@@ -6,17 +6,22 @@ worker pool (`/root/reference/deva/core/core.py:1655-1851`), ``httpx``
 
 Spark mapping: a ``mapInPandas`` stage — each partition fans its URLs out
 through a bounded thread pool (the ``workers=`` knob), so total
-concurrency = executors × pool size, rate-limited upstream by partition
-sizing (``maxOffsetsPerTrigger`` in streaming).
+concurrency = executors × pool size. The crawler contract lives here too:
+bounded exponential-backoff retries on retryable failures (timeouts,
+connection errors, 5xx), a requests-per-second rate limit per partition
+(multiplied across executors — size partitions accordingly), and an
+optional post-fetch ``render`` hook (the JS-render seam).
 
-This container has no network egress, so the default fetcher is a
-deterministic stub; inject a real one (``Callable[[str], str]`` — e.g.
-``lambda u: requests.get(u).text``). The Spark plumbing — batching,
-bounded fan-out, error capture per row — is real and tested.
+The default fetcher is a stdlib urllib GET for real deployments; this
+container has no egress, so tests inject a deterministic stub. The Spark
+plumbing — batching, bounded fan-out, retry/ratelimit, per-row error
+capture — is real and tested.
 """
 
 from __future__ import annotations
 
+import threading
+import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -34,6 +39,74 @@ def stub_fetcher(url: str) -> str:
     return f"<html>stub:{hashlib.md5(url.encode()).hexdigest()[:8]}</html>"
 
 
+def default_fetcher(url: str, timeout: float = 15.0) -> str:
+    """Stdlib HTTP GET (executor-side default for real deployments)."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": "deva-spark/1.0"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def is_retryable(exc: Exception) -> bool:
+    """Crawler retry policy: connection-level failures and 5xx retry;
+    4xx/parse errors don't (they won't get better)."""
+    import urllib.error
+
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code >= 500
+    return isinstance(exc, (OSError, TimeoutError))
+
+
+class _RateGate:
+    """Per-partition requests-per-second gate: spaces request STARTS at
+    least 1/rate apart across the partition's worker threads."""
+
+    def __init__(self, rate: float | None):
+        self.interval = 1.0 / rate if rate else 0.0
+        self.lock = threading.Lock()
+        self.next_at = 0.0
+
+    def wait(self) -> None:
+        if not self.interval:
+            return
+        with self.lock:
+            now = time.monotonic()
+            at = max(now, self.next_at)
+            self.next_at = at + self.interval
+        delay = at - now
+        if delay > 0:
+            time.sleep(delay)
+
+
+def fetch_with_policy(
+    call: Callable[[str], str],
+    url: str,
+    gate: _RateGate | None = None,
+    max_retries: int = 3,
+    base_delay: float = 0.2,
+    render: Callable[[str, str], str] | None = None,
+    retryable: Callable[[Exception], bool] = is_retryable,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[str | None, str | None]:
+    """One URL under the crawler policy: rate-gate each attempt, retry
+    retryable failures with exponential backoff, run the render hook on
+    success. Returns (body, error) — exactly one is non-None."""
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        if gate is not None:
+            gate.wait()
+        try:
+            body = call(url)
+            return (render(url, body) if render else body), None
+        except Exception as e:  # noqa: BLE001 — per-row capture
+            last = e
+            if not retryable(e) or attempt == max_retries - 1:
+                break
+            sleep(base_delay * (2**attempt))
+    return None, f"{type(last).__name__}: {last}"
+
+
 def fetch_stage(
     df: DataFrame,
     url_col: str = "url",
@@ -41,11 +114,22 @@ def fetch_stage(
     err_col: str = "fetch_error",
     fetcher: Callable[[str], str] | None = None,
     workers: int = 10,
+    max_retries: int = 3,
+    base_delay: float = 0.2,
+    rate_per_partition: float | None = None,
+    render: Callable[[str, str], str] | None = None,
+    retryable: Callable[[Exception], bool] = is_retryable,
 ) -> DataFrame:
     """Append ``out_col`` = fetch(url) per row; failures captured into
     ``err_col`` (side-output pattern) instead of failing the stage —
-    matching the crawler's per-event error tolerance."""
-    call = fetcher or stub_fetcher
+    matching the crawler's per-event error tolerance.
+
+    Each attempt waits for the rate gate; retryable failures back off
+    exponentially up to ``max_retries`` attempts; ``render(url, body)``
+    post-processes successful fetches (the JS-render hook — inject a
+    headless-browser call there). All injected callables must be
+    picklable (module-level functions / functools.partial)."""
+    call = fetcher or default_fetcher
     out_schema = StructType(
         df.schema.fields
         + [StructField(out_col, StringType()), StructField(err_col, StringType())]
@@ -54,11 +138,12 @@ def fetch_stage(
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
+        gate = _RateGate(rate_per_partition)
+
         def one(url: str) -> tuple[str | None, str | None]:
-            try:
-                return call(url), None
-            except Exception as e:  # noqa: BLE001 — per-row error capture
-                return None, f"{type(e).__name__}: {e}"
+            return fetch_with_policy(
+                call, url, gate, max_retries, base_delay, render, retryable
+            )
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for pdf in pdfs:

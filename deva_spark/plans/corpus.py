@@ -46,9 +46,12 @@ def curate(
     Keep-policy: lowest doc_id survives within any duplicate group (exact
     or near) — deterministic regardless of partitioning.
 
-    ``with_report=False`` skips the per-stage counts — each is its own
-    Spark job; a pipeline that only needs the curated output should stay
-    one lazy plan.
+    ``with_report=False`` skips the per-stage counts — a pipeline that
+    only needs the curated output stays ONE lazy plan. ``with_report=True``
+    persists the gate output once and derives every stage count from a
+    single aggregate over it (plus one count upstream of the gate), so the
+    quality/fingerprint expressions and the LSH pass never re-run per
+    counter.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -58,12 +61,10 @@ def curate(
         T.token_count(F.col(text_col)).alias("n_tokens"),
         T.fingerprint(F.col(text_col)).alias("fp"),
     )
-    n_input = base.count() if with_report else 0
 
     gated = base.filter(F.col("q") >= min_quality)
     if lang is not None:
         gated = gated.filter(F.col("lang_pred") == lang)
-    n_quality = gated.count() if with_report else 0
 
     # exact dedup: first (lowest id) per content fingerprint — the shuffle
     # key is the 16-byte digest, never the text
@@ -73,7 +74,10 @@ def curate(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    n_exact = exact.count() if with_report else 0
+    if with_report:
+        # one materialization feeds the LSH pass AND the stage counters
+        exact = exact.persist()
+        n_exact = exact.count()  # eager: exact is multi-referenced below
 
     # near-dup: LSH pairs → drop the higher id of each pair (greedy,
     # deterministic; pairs are already id_a < id_b)
@@ -83,7 +87,13 @@ def curate(
     out = curated.select("doc_id", "text", "q", "lang_pred", "n_tokens")
     if not with_report:
         return out, None
-    n_near = curated.count()
-    tokens = curated.agg(F.sum("n_tokens")).collect()[0][0] or 0
-    report = CurationReport(n_input, n_quality, n_exact, n_near, int(tokens))
+    n_input = base.count()  # pre-gate count: the only upstream re-scan
+    n_quality = gated.count()
+    agg = curated.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    report = CurationReport(
+        int(n_input), int(n_quality), int(n_exact), int(agg["n"]), int(agg["tok"] or 0)
+    )
+    exact.unpersist()
     return out, report

@@ -113,6 +113,13 @@ class EventStream:
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
 
+    def visualize(self, path: str | None = None, physical: bool = False) -> str:
+        """``visualize()`` analog (`graph.py:63-320`): DOT graph of this
+        stream's plan (see :mod:`deva_spark.plans.graph`)."""
+        from deva_spark.plans.graph import visualize
+
+        return visualize(self.df, path=path, physical=physical)
+
 
 def P(df: DataFrame) -> EventStream:  # noqa: N802 — mirrors the reference's P
     """Lift a DataFrame into the pipe DSL (``@P`` analog, `pipe.py:207-241`)."""

@@ -107,7 +107,10 @@ def test_http_fetch_stage(spark):
     df = spark.createDataFrame(
         [(1, "https://ok.example/a"), (2, "notaurl")], "id int, url string"
     )
-    out = {r.id: (r.body, r.fetch_error) for r in http.fetch_stage(df).collect()}
+    out = {
+        r.id: (r.body, r.fetch_error)
+        for r in http.fetch_stage(df, fetcher=http.stub_fetcher).collect()
+    }
     assert out[1][0].startswith("<html>stub:") and out[1][1] is None
     assert out[2][0] is None and "ValueError" in out[2][1]
 

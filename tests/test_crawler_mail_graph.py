@@ -1,0 +1,163 @@
+"""Crawler retry/ratelimit semantics, mail source, plan visualization."""
+
+import time
+from email.mime.multipart import MIMEMultipart
+from email.mime.text import MIMEText
+
+from pyspark.sql import functions as F
+
+from deva_spark.functions import http as H
+from deva_spark.plans.graph import plan_nodes, shuffle_count, to_dot, visualize
+from deva_spark.plans.pipe import P
+from deva_spark.sources.mail import MailSpoolSource, parse_message
+from deva_spark.streaming.twin import run_available_now
+
+def test_fetch_policy_retries_transient_then_succeeds():
+    calls, naps = [], []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise TimeoutError("transient")
+        return f"<html>{url}</html>"
+
+    body, err = H.fetch_with_policy(flaky, "https://x/f", base_delay=0.01, sleep=naps.append)
+    assert (body, err) == ("<html>https://x/f</html>", None)
+    assert len(calls) == 3 and naps == [0.01, 0.02]  # exponential backoff
+
+
+def test_fetch_policy_no_retry_on_4xx():
+    import urllib.error
+
+    calls = []
+
+    def hard(url):
+        calls.append(url)
+        raise urllib.error.HTTPError(url, 404, "nope", None, None)
+
+    body, err = H.fetch_with_policy(hard, "https://x/a", sleep=lambda _d: None)
+    assert body is None and "404" in err
+    assert len(calls) == 1  # 4xx never retries
+
+
+def test_fetch_policy_exhausts_retries():
+    def always(url):
+        raise ConnectionResetError("down")
+
+    body, err = H.fetch_with_policy(always, "u", max_retries=2, sleep=lambda _d: None)
+    assert body is None and "ConnectionResetError" in err
+
+
+def test_fetch_policy_render_hook():
+    body, _ = H.fetch_with_policy(
+        H.stub_fetcher, "https://x/p", render=lambda u, b: b.upper()
+    )
+    assert body.startswith("<HTML>")
+
+
+def test_fetch_stage_end_to_end(spark):
+    # executor path with an importable fetcher: per-row error capture
+    df = spark.createDataFrame(
+        [("https://x.example/ok",), ("notaurl",)], "url string"
+    )
+    out = {r.url: r for r in H.fetch_stage(df, fetcher=H.stub_fetcher).collect()}
+    assert out["https://x.example/ok"].fetch_error is None
+    assert out["https://x.example/ok"].body.startswith("<html>stub:")
+    assert out["notaurl"].body is None and "ValueError" in out["notaurl"].fetch_error
+
+
+def test_rate_gate_spaces_starts():
+    gate = H._RateGate(100.0)  # 10 ms spacing
+    t0 = time.monotonic()
+    for _ in range(5):
+        gate.wait()
+    assert time.monotonic() - t0 >= 0.035  # 4 gaps x 10 ms (first is free)
+    assert H._RateGate(None).interval == 0.0
+
+
+def test_is_retryable_policy():
+    import urllib.error
+
+    assert H.is_retryable(TimeoutError())
+    assert H.is_retryable(ConnectionResetError())
+    assert H.is_retryable(urllib.error.HTTPError("u", 503, "x", None, None))
+    assert not H.is_retryable(urllib.error.HTTPError("u", 404, "x", None, None))
+    assert not H.is_retryable(ValueError("bad url"))
+
+
+# ------------------------------------------------------------------- mail
+
+def _mime(subject: str, body: str, sender="a@example.com", to="b@example.com") -> bytes:
+    m = MIMEMultipart()
+    m["Subject"] = subject
+    m["From"] = sender
+    m["To"] = to
+    m["Date"] = "Thu, 13 Aug 2026 09:00:00 +0000"
+    m.attach(MIMEText(body, "plain", "utf-8"))
+    return m.as_bytes()
+
+
+class FakeImap:
+    def __init__(self, messages):
+        self.messages = dict(messages)
+        self.seen = []
+
+    def unread(self):
+        return [(uid, raw) for uid, raw in self.messages.items() if uid not in self.seen]
+
+    def mark_seen(self, uid):
+        self.seen.append(uid)
+
+
+def test_parse_message_headers_and_body():
+    rec = parse_message("7", _mime("Hél=?utf-8?q?lo?=", "line one\nline two"))
+    assert rec["uid"] == "7" and "l" in rec["subject"]
+    assert rec["sender"] == "a@example.com"
+    assert rec["body"].startswith("line one")
+
+
+def test_mail_spool_source_poll_and_stream(spark, tmp_path):
+    client = FakeImap({"1": _mime("s1", "b1"), "2": _mime("s2", "b2")})
+    src = MailSpoolSource(client, str(tmp_path / "mail"))
+    assert src.poll_once() == 2
+    assert sorted(client.seen) == ["1", "2"]
+    assert src.poll_once() == 0  # seen messages don't re-emit
+    out = run_available_now(src.stream(spark), "t_mail", output_mode="append")
+    rows = {r.uid: (r.subject, r.body) for r in out.collect()}
+    assert rows == {"1": ("s1", "b1"), "2": ("s2", "b2")}
+
+
+# ------------------------------------------------------------------ graph
+
+def test_plan_visualize_dot(spark):
+    a = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    b = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    df = a.join(b, "k").filter(F.col("id") > 10).groupBy("v").count()
+    dot = to_dot(df)
+    assert dot.startswith("digraph plan {")
+    names = {ln.split('label="')[1].split()[0] for ln in dot.splitlines() if 'label="' in ln}
+    assert "Join" in names and "Aggregate" in names
+    nodes = plan_nodes(df)
+    assert dot.count(" -> ") == len(nodes) - 1  # a tree
+    # physical mode marks exchanges; shuffle_count sees the agg shuffle
+    pdot = to_dot(df, physical=True)
+    assert "fillcolor" in pdot
+    assert shuffle_count(df) >= 1
+
+
+def test_eventstream_visualize_writes_dot(spark, tmp_path):
+    p = str(tmp_path / "plan.dot")
+    out = P(spark.range(10)).filter(F.col("id") > 3).visualize(path=p)
+    assert out.startswith("digraph") and open(p).read() == out
+
+
+def test_curate_report_counts(spark, sf_dir):
+    from deva_spark.plans.corpus import curate
+    from deva_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out, rep = curate(docs, min_quality=40.0, lang="en", with_report=True)
+    assert rep.input_docs == docs.count()
+    assert rep.after_quality >= rep.after_exact_dedup >= rep.after_near_dedup
+    assert rep.after_near_dedup == out.count()
+    assert rep.surviving_tokens > 0
