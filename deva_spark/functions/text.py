@@ -180,3 +180,53 @@ def truncate(text: Column, n: int, suffix: str = "...") -> Column:
     return F.when(
         F.length(text) <= n, text
     ).otherwise(F.concat(F.substring(text, 1, n), F.lit(suffix)))
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline token accounting (BASELINE.json north star): a BPE-ish
+# regex piece counter and a polynomial rolling-hash fingerprint — both pure
+# column expressions with exact DuckDB twins.
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenization: letter runs, single digits, single non-space
+#: symbols — the shape GPT-2-family pre-tokenizers use (letters merge,
+#: digits don't), portable across regex engines (no lookarounds).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Array of BPE-ish pieces of the lowercased text."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Piece count under the BPE-ish pre-tokenizer — the second token
+    accounting the brief asks for beside whitespace ``token_count``."""
+    return F.size(bpe_ish_tokens(text))
+
+
+#: modulus of the rolling hash (Mersenne prime, same as MinHash M61)
+ROLLING_HASH_MOD = (1 << 61) - 1
+
+
+def rolling_hash(text: Column, base: int = 257) -> Column:
+    """Polynomial rolling-hash document fingerprint (Rabin–Karp):
+    ``h = fold(h * base + code(char)) mod 2^61-1`` over the alphanumeric
+    characters of the lowercased text.
+
+    Restricted to ``[a-z0-9]`` so ``ascii()`` (one byte = one code point)
+    is engine-portable; the fold is a left-to-right ``aggregate`` in
+    decimal(38,0) (max intermediate ≈ 2^61 * 257 < 10^21, no overflow),
+    mirrored exactly by DuckDB ``list_reduce`` in HUGEINT."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")
+    chars = F.split(norm, "")
+    acc = F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("decimal(38,0)"),
+        # the merge lambda must return the accumulator type exactly —
+        # Spark narrows the % result to decimal(19,0) without the cast
+        lambda h, c: ((h * base + F.ascii(c)) % F.lit(ROLLING_HASH_MOD)).cast(
+            "decimal(38,0)"
+        ),
+    )
+    return acc.cast("bigint")

@@ -138,18 +138,10 @@ def lsh_bucketed_topk(
     brute_force_topk; recall measured against it in tests, not equality.
     """
     planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))  # (T*P, dim)
-    weights = (1 << np.arange(n_planes))  # bit packing within a table
-
     # One numpy matmul per Arrow batch instead of T*P*dim literal-laden
     # column expressions (whole-stage codegen chokes on ~2k embedded
     # literals: observed 8.9 s of mostly planning/compile time).
-    @pandas_udf(ArrayType(LongType()))
-    def bucket_ids(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (rows, dim) float
-        signs = (m @ planes_mat.T) >= 0  # (rows, T*P) bool
-        signs = signs.reshape(len(m), n_tables, n_planes)
-        ids = (signs * weights).sum(axis=2)  # (rows, T)
-        return pd.Series(list(ids))
+    bucket_ids = _bucket_ids_udf(planes_mat, n_tables, n_planes)
 
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -187,6 +179,90 @@ def lsh_bucketed_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
+def _bucket_ids_udf(planes_mat: "np.ndarray", n_tables: int, n_planes: int):
+    """pandas UDF: per vector, one packed sign-bucket id per hash table —
+    one numpy matmul per Arrow batch (see lsh_bucketed_topk)."""
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes_mat.T) >= 0
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        return pd.Series(list((signs * weights).sum(axis=2)))
+
+    return bucket_ids
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) with
+    cosine >= ``threshold`` — the embedding tier of the dedup stack
+    (exact md5 → MinHash/SimHash text tiers → this semantic tier).
+
+    Scale shape: candidates come from a multi-table hyperplane-LSH bucket
+    SELF-join (same machinery as :func:`lsh_bucketed_topk` — the shuffle
+    carries (table, bucket, id) triples, never embeddings), deduped, then
+    exactly rescored with the sequential-fold dot product. Recall < 1 by
+    design (raise ``n_tables`` / lower ``n_planes`` to trade compute for
+    recall); precision is exact. The deterministic planes let the DuckDB
+    oracle reproduce candidate generation bit-for-bit.
+    """
+    planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))
+    bucket_ids = _bucket_ids_udf(planes_mat, n_tables, n_planes)
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+        bucket_ids(F.col(vec_col)).alias("bs"),
+    ).persist()
+    base.count()  # eager: referenced by both candidate sides + rescore
+    buckets = base.select("vid", F.posexplode("bs").alias("t", "b"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["t", "b"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    ea = base.select(F.col("vid").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    eb = base.select(F.col("vid").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+
+    # Vectorized rescore: one numpy einsum per Arrow batch instead of an
+    # interpreted higher-order-function fold per pair (HOFs don't codegen;
+    # observed 3 s -> sub-second on 130k candidates). float32 -> float64
+    # cast before the multiply matches the oracle's CAST(x AS DOUBLE);
+    # numpy's pairwise summation can differ from the sequential fold by
+    # ~1e-15, invisible at 4 dp except for a measure-zero .xxxx5 boundary.
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(pair_cos(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
     )
 
 

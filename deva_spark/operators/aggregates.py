@@ -90,3 +90,53 @@ def percentile_sketch(key: str, value: str, p: float, accuracy: int = 10000) -> 
         )
 
     return _t
+
+
+def histogram_fixed_width(
+    value: str, n_buckets: int = 10
+) -> Callable[[DataFrame], DataFrame]:
+    """Equal-width histogram over the column's global [min, max]: bucket
+    index + count. The bounds ride the plan as a broadcast 1-row aggregate
+    (no driver action); the top bucket is closed (max lands in bucket
+    n-1 via least()). The bucket formula is written identically in the SQL
+    oracle so IEEE double evaluation orders agree exactly."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        v = F.col(value).cast("double")
+        bounds = df.agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi")
+        )
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * n_buckets),
+        )
+        return (
+            df.join(F.broadcast(bounds))
+            .withColumn("bucket", F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(bucket))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _t
+
+
+def pivot_counts(
+    group_expr: Column, group_alias: str, pivot_col: str, values: Sequence[str]
+) -> Callable[[DataFrame], DataFrame]:
+    """Wide counts: one row per group, one column per pivot value (the
+    values are DECLARED, not discovered — at scale an unlisted-values
+    pivot needs a distinct pass first and can explode the schema).
+    Missing combinations count 0, matching SQL conditional aggregation."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        out = (
+            df.groupBy(group_expr.alias(group_alias))
+            .pivot(pivot_col, list(values))
+            .agg(F.count(F.lit(1)))
+        )
+        return out.select(
+            group_alias,
+            *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(v) for v in values],
+        )
+
+    return _t

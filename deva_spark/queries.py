@@ -1343,6 +1343,180 @@ def x22(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def _x23_oracle(threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the LSH-prefiltered cosine near-dup pair join: same
+    deterministic planes, same bucket self-join, same sequential-fold
+    exact rescore (list_sum == left-to-right fold)."""
+    from deva_spark.functions.vectors import deterministic_planes
+
+    planes = deterministic_planes(dim, n_planes * n_tables)
+    rows = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(v) for v in planes[t * n_planes + p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""WITH planes(t, p, w) AS (VALUES
+{rows}
+        ), vec AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), signs AS (
+          SELECT v.vec_id, pl.t, pl.p,
+                 CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                          i -> v.e[i] * pl.w[i])) >= 0
+                      THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END AS bit
+          FROM vec v CROSS JOIN planes pl
+        ), buckets AS (
+          SELECT vec_id, t, SUM(bit) AS b FROM signs GROUP BY vec_id, t
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM buckets a JOIN buckets b2 USING (t, b)
+          WHERE a.vec_id < b2.vec_id
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+                 ROUND(list_sum(list_transform(range(1, {dim + 1}), i -> va.e[i] * vb.e[i]))
+                       / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> va.e[i] * va.e[i])))
+                        * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> vb.e[i] * vb.e[i])))), 4) AS cos
+          FROM cand c
+          JOIN vec va ON va.vec_id = c.id_a
+          JOIN vec vb ON vb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+        ORDER BY id_a, id_b"""
+
+
+@query("x23_cosine_neardup", None)  # oracle attached below (generated)
+def x23(spark, sf):
+    # embedding-cosine near-dup tier of the dedup stack: LSH bucket
+    # self-join candidates + exact sequential-fold rescore.
+    return V.cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+ORACLE_SQL["x23_cosine_neardup"] = _x23_oracle()
+
+
+@query(
+    "x24_asof_join",
+    """SELECT l.event_id, l.user_id, l.value AS click_value,
+              r.value AS last_purchase
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts
+       ORDER BY l.event_id""",
+)
+def x24(spark, sf):
+    # two-table as-of join (combine_latest generalization): each click gets
+    # the most recent purchase value per user; union + last-value window —
+    # one shuffle, no range-join blowup.
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return joins.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("click_value"),
+        F.col("value_asof").alias("last_purchase"),
+    )
+
+
+@query(
+    "x25_session_stats",
+    """WITH s AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) sess
+         FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         THEN 1 ELSE 0 END new_s FROM events) a)
+       SELECT user_id, sess, COUNT(*) AS cnt,
+              MAX(us) - MIN(us) AS dur_us
+       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x25(spark, sf):
+    # session analytics on top of sessionize: size + exact integer-µs span.
+    return (
+        _t(spark, sf, "events")
+        .transform(windows.sessionize(30))
+        .withColumn("_us", F.unix_micros("ts"))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.max("_us") - F.min("_us")).alias("dur_us"),
+        )
+    )
+
+
+@query(
+    "x26_histogram",
+    """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+       SELECT CASE WHEN lo = hi THEN 0
+                   ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT))
+              END AS bucket, COUNT(*) AS cnt
+       FROM events CROSS JOIN b GROUP BY 1 ORDER BY 1""",
+)
+def x26(spark, sf):
+    # fixed-width histogram; bounds ride the plan as a broadcast 1-row agg
+    # and the bucket formula is written identically in both engines.
+    return _t(spark, sf, "events").transform(
+        agg.histogram_fixed_width("value", n_buckets=10)
+    )
+
+
+@query(
+    "x27_pivot_counts",
+    """SELECT CAST(ts AS DATE) AS day,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'error') AS error,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'view') AS view
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+def x27(spark, sf):
+    # wide per-day event-type counts (declared pivot values — no discovery
+    # pass, schema fixed up front).
+    return _t(spark, sf, "events").transform(
+        agg.pivot_counts(
+            F.to_date("ts"), "day", "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+    )
+
+
+@query(
+    "x28_bpe_tokens",
+    r"""SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_pieces
+        FROM documents ORDER BY doc_id""",
+)
+def x28(spark, sf):
+    # BPE-ish pre-tokenizer piece count (letters merge, digits don't).
+    return _t(spark, sf, "documents").select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    )
+
+
+@query(
+    "x29_rolling_hash",
+    """SELECT doc_id,
+              CAST(list_reduce(
+                     list_prepend(CAST(0 AS HUGEINT),
+                       list_transform(regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '.'),
+                                      c -> CAST(ascii(c) AS HUGEINT))),
+                     (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT) AS rhash
+       FROM documents ORDER BY doc_id""",
+)
+def x29(spark, sf):
+    # polynomial rolling-hash fingerprint (Rabin-Karp mod 2^61-1).
+    return _t(spark, sf, "documents").select(
+        "doc_id", T.rolling_hash(F.col("text")).alias("rhash")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
