@@ -49,12 +49,13 @@ def default_fetcher(url: str, timeout: float = 15.0) -> str:
 
 
 def is_retryable(exc: Exception) -> bool:
-    """Crawler retry policy: connection-level failures and 5xx retry;
-    4xx/parse errors don't (they won't get better)."""
+    """Crawler retry policy: connection-level failures, 5xx, and 429
+    (rate-limited — back off and come back) retry; other 4xx/parse errors
+    don't (they won't get better)."""
     import urllib.error
 
     if isinstance(exc, urllib.error.HTTPError):
-        return exc.code >= 500
+        return exc.code >= 500 or exc.code == 429
     return isinstance(exc, (OSError, TimeoutError))
 
 

@@ -36,32 +36,63 @@ def llm_stage(
     out_col: str = "completion",
     client: Callable[[str], str] | None = None,
     max_concurrency: int = 8,
+    max_retries: int = 3,
+    base_delay: float = 0.5,
+    rate_per_partition: float | None = None,
+    err_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = client(prompt) for every row, batched per
     partition via mapInPandas (Arrow transfer, no per-row Python overhead).
 
-    ``max_concurrency`` bounds in-flight calls per partition — the
-    rate-limit knob (``rate_limit`` analog) multiplied across executors.
+    Endpoint contract (shared with the crawler — ``http.fetch_with_policy``):
+    ``max_concurrency`` bounds in-flight calls per partition;
+    ``rate_per_partition`` spaces request starts (requests/sec, multiplied
+    across executors — size partitions to your account limit); retryable
+    failures (timeouts, connection errors, HTTP 5xx/429 if the client
+    raises urllib errors) back off exponentially up to ``max_retries``.
+    With ``err_col`` set, failures are captured per row (side-output);
+    without it the stage raises — annotation pipelines usually want the
+    side-output, scoring gates usually want the failure.
     """
     from pyspark.sql.types import StringType, StructField, StructType
+
+    from deva_spark.functions.http import _RateGate, fetch_with_policy, is_retryable
 
     call = client or deterministic_stub_client
     fields = df.schema.fieldNames()
     # fresh StructType — StructType.add would mutate the DataFrame's cached
     # schema object in place and corrupt downstream analysis
-    out_schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
+    extra = [StructField(out_col, StringType())]
+    if err_col:
+        extra.append(StructField(err_col, StringType()))
+    out_schema = StructType(df.schema.fields + extra)
+    out_cols = fields + [out_col] + ([err_col] if err_col else [])
 
     def run_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
+        gate = _RateGate(rate_per_partition)
+
+        def one(prompt: str) -> tuple[str | None, str | None]:
+            return fetch_with_policy(
+                call, prompt, gate, max_retries, base_delay, None, is_retryable
+            )
+
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in pdfs:
-                prompts = pdf[prompt_col].tolist()
+                results = list(pool.map(one, pdf[prompt_col].tolist()))
                 pdf = pdf.copy()
-                pdf[out_col] = list(pool.map(call, prompts))
+                if err_col:
+                    pdf[out_col] = [r[0] for r in results]
+                    pdf[err_col] = [r[1] for r in results]
+                else:
+                    failed = next((r[1] for r in results if r[1]), None)
+                    if failed:
+                        raise RuntimeError(f"llm call failed after retries: {failed}")
+                    pdf[out_col] = [r[0] for r in results]
                 yield pdf
 
-    return df.mapInPandas(run_partition, schema=out_schema).select(*fields, out_col)
+    return df.mapInPandas(run_partition, schema=out_schema).select(*out_cols)
 
 
 def llm_stage_cached(

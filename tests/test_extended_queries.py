@@ -54,6 +54,20 @@ def test_rolling_hash_known_value(spark):
     assert rows[1].h == 0
 
 
+def test_llm_stage_error_side_output(spark):
+    # http.stub_fetcher doubles as a client that fails on non-URL prompts
+    # (ValueError = non-retryable -> captured once, no retries)
+    from deva_spark.functions import llm
+    from deva_spark.functions.http import stub_fetcher
+
+    df = spark.createDataFrame([("https://p/1",), ("notaurl",)], "prompt string")
+    out = {r.prompt: (r.completion, r.err) for r in llm.llm_stage(
+        df, client=stub_fetcher, err_col="err", base_delay=0.01
+    ).collect()}
+    assert out["https://p/1"][0].startswith("<html>stub:") and out["https://p/1"][1] is None
+    assert out["notaurl"][0] is None and "ValueError" in out["notaurl"][1]
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("Hello, world 42!",)], "text string")
     row = df.select(
