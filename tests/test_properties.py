@@ -247,3 +247,62 @@ def test_rolling_time_agg_matches_python(spark, pairs, win_s, parts):
             if u2 == u and t_i - win_s <= j <= t_i
         )
         assert out[i] == expected
+
+
+# --------------------------------------------------------------- round 2
+
+
+@given(pairs=events, parts=st.integers(min_value=1, max_value=7),
+       buckets=st.integers(min_value=1, max_value=9))
+@SLOW
+def test_global_positions_matches_sequential_numbering(spark, pairs, parts, buckets):
+    # two-phase numbering == enumerate() of the totally-ordered rows, for
+    # any physical partitioning and any bucket count (incl. degenerate 1)
+    df = to_df(spark, pairs, parts)
+    got = {
+        r.event_id: r.rn
+        for r in windows.global_positions(
+            df, ("ts", "event_id"), out="rn", buckets=buckets
+        ).collect()
+    }
+    ordered = sorted(range(len(pairs)), key=lambda i: (i,))  # event_id==i
+    assert got == {eid: pos + 1 for pos, eid in enumerate(ordered)}
+
+
+@given(pairs=events, parts=st.integers(min_value=1, max_value=5))
+@SLOW
+def test_histogram_partitions_total_and_range(spark, pairs, parts):
+    from deva_spark.operators import aggregates as agg
+
+    df = to_df(spark, pairs, parts)
+    rows = df.transform(agg.histogram_fixed_width("value", 4)).collect()
+    if not pairs:
+        assert rows == []
+        return
+    assert sum(r.cnt for r in rows) == len(pairs)
+    assert all(0 <= r.bucket <= 3 for r in rows)
+
+
+@given(texts=st.lists(
+    # latin-1 only: exotic code points (e.g. U+0130) lowercase differently
+    # in Java vs Python, which is not the property under test
+    st.text(alphabet=st.characters(max_codepoint=0xFF), max_size=60),
+    min_size=0, max_size=15,
+))
+@SLOW
+def test_rolling_hash_matches_python_model(spark, texts):
+    from deva_spark.functions import text as T
+
+    M = (1 << 61) - 1
+
+    def model(s):
+        h = 0
+        for ch in s.lower():
+            if ("a" <= ch <= "z") or ("0" <= ch <= "9"):
+                h = (h * 257 + ord(ch)) % M
+        return h
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.h for r in df.select(T.rolling_hash(F.col("text")).alias("h")).collect()]
+    # row order: collect preserves createDataFrame order on a local list
+    assert got == [model(t) for t in texts]
