@@ -189,7 +189,10 @@ def _bucket_ids_udf(planes_mat: "np.ndarray", n_tables: int, n_planes: int):
 
     @pandas_udf(ArrayType(LongType()))
     def bucket_ids(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
+        # float64 before the matmul: the oracle computes sign-of-dot in
+        # DOUBLE, and float32 accumulation error (~1e-6 relative) is wide
+        # enough to flip a near-zero sign that double arithmetic wouldn't
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
         signs = (m @ planes_mat.T) >= 0
         signs = signs.reshape(len(m), n_tables, n_planes)
         return pd.Series(list((signs * weights).sum(axis=2)))

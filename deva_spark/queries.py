@@ -1517,6 +1517,40 @@ def x29(spark, sf):
     )
 
 
+@query(
+    "x30_take_while",
+    """WITH o AS (SELECT event_id, value,
+                         ROW_NUMBER() OVER (ORDER BY ts, event_id) rn FROM events)
+       SELECT event_id FROM o
+       WHERE rn < COALESCE((SELECT MIN(rn) FROM o WHERE NOT (value < 450)),
+                           9223372036854775807)
+       ORDER BY event_id""",
+)
+def x30(spark, sf):
+    # pipe take_while: the event prefix (total order) while value < 450;
+    # two-phase numbering + parallel MIN cut — no single-reducer window.
+    from deva_spark.operators import sampling
+
+    return (
+        _t(spark, sf, "events")
+        .transform(sampling.take_while(F.col("value") < 450, windows.EVENT_ORDER))
+        .select("event_id")
+    )
+
+
+@query(
+    "x31_ordered_pairs",
+    """SELECT a.r_name AS a, b.r_name AS b
+       FROM region a CROSS JOIN region b
+       WHERE a.r_name <> b.r_name ORDER BY 1, 2""",
+)
+def x31(spark, sf):
+    # permutations(2) analog: ordered pairs of distinct keys.
+    from deva_spark.operators import reshape
+
+    return reshape.ordered_pairs(_t(spark, sf, "region"), "r_name")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)

@@ -59,3 +59,45 @@ def test_kafka_source_gated_error(spark):
 
     with pytest.raises(Exception, match="kafka|Kafka|DATA_SOURCE"):
         kafka_stream(spark, "localhost:9092", "topic")
+
+
+def test_socket_stream_localhost(spark):
+    """from_tcp_port analog against a real localhost TCP server."""
+    import socket
+    import threading
+    import time
+
+    from deva_spark.sources.readers import socket_stream
+
+    server = socket.socket()
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(b"alpha\nbeta\ngamma\n")
+        stop.wait(20)  # keep the connection open while the source reads
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_stream(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("t_sock")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("t_sock").count() < 3:
+            time.sleep(0.5)
+        rows = {r.value for r in spark.table("t_sock").collect()}
+        assert {"alpha", "beta", "gamma"} <= rows
+    finally:
+        q.stop()
+        stop.set()
+        server.close()
