@@ -1551,6 +1551,16 @@ def x31(spark, sf):
     return reshape.ordered_pairs(_t(spark, sf, "region"), "r_name")
 
 
+@query("x32_ivf_topk", None)  # rows-only: IVF is approximate by design
+def x32(spark, sf):
+    # IVF ANN scale path (k-means-lite quantizer, n_probe cells): the
+    # driver records the weaker rows-only check — ranking ties under
+    # distributed float aggregation make a value hash unstable, and the
+    # recall-vs-brute-force property is pinned in tests/test_ivf_merge_sql.
+    emb = _t(spark, sf, "embeddings")
+    return V.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
