@@ -1561,6 +1561,59 @@ def x32(spark, sf):
     return V.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+_STAGED: dict[tuple[int, str], str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table once per (session, sf) as ts-ordered chunks —
+    the replayable input the streaming queries drain."""
+    key = (id(spark), sf_dir)
+    if key not in _STAGED:
+        from deva_spark.streaming.twin import stage_event_chunks
+
+        _STAGED[key] = stage_event_chunks(spark, sf_dir, chunks=4)
+    return _STAGED[key]
+
+
+@query(
+    "x33_streaming_tumbling",
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
+              COUNT(*) AS cnt,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sv
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x33(spark, sf):
+    # STREAMING result hash-checked against the BATCH oracle: the staged
+    # event stream drains through Structured Streaming (event-time
+    # tumbling windows + watermark, Trigger.AvailableNow) and must equal
+    # what DuckDB computes over the same rows at rest — q18's streaming
+    # twin promoted to the driver contract.
+    from deva_spark.streaming.twin import events_file_stream, run_available_now, tumbling_counts
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    return run_available_now(tumbling_counts(s), "x33_drain", output_mode="complete")
+
+
+@query(
+    "x34_streaming_sessions",
+    """WITH s AS (
+         SELECT user_id, ts,
+                CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) sess
+         FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         THEN 1 ELSE 0 END new_s FROM events) a)
+       SELECT user_id, MIN(ts) AS start, COUNT(*) AS cnt
+       FROM s GROUP BY user_id, sess ORDER BY 1, 2""",
+)
+def x34(spark, sf):
+    # streaming session_window drain vs the batch lag-based oracle.
+    from deva_spark.streaming.twin import events_file_stream, run_available_now, session_counts
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    return run_available_now(session_counts(s), "x34_drain", output_mode="complete")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
