@@ -104,6 +104,43 @@ def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
     shutil.rmtree(old)
 
 
+def compact_table(spark, path: str, target_mb: int = 128) -> int:
+    """Small-files compaction for streaming-sink outputs: a continuously
+    appending ``parquet_stream_sink`` accumulates one file per micro-batch
+    per partition, and at 100 TB the file count (not the bytes) becomes
+    the scan bottleneck (task-per-file scheduling, metadata pressure).
+
+    Rewrites the table into ``ceil(bytes / target_mb)`` files via a
+    distributed repartition, then the crash-safe rename-aside swap (same
+    protocol as :func:`merge_upsert_by_key`). Returns the new file count.
+    Run it from a maintenance tick (``streaming/scheduler.py``) — the swap
+    is not concurrent-safe with a live writer on plain parquet (a table
+    format provides transactional compaction)."""
+    import math
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dns, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def evict_older_than(spark, path: str, keep_days: int, as_of: str) -> list[str]:
     """Retention eviction (DBStream size-capped eviction analog,
     `store.py:174-197`, by age instead of row count): drop event_date

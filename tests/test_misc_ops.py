@@ -203,3 +203,20 @@ def test_retention_eviction(spark, sf_dir, tmp_path):
     remaining = spark.read.parquet(path)
     assert remaining.count() > 0
     assert remaining.count() < 500 or len(parts_before) == 2
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from deva_spark.sources import writers
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(path)
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 40
+    after = writers.compact_table(spark, path, target_mb=128)
+    assert after < before
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg({"v": "sum"}).collect()[0][0] == 10000 * 9999
