@@ -1614,7 +1614,108 @@ def x34(spark, sf):
     return run_available_now(session_counts(s), "x34_drain", output_mode="complete")
 
 
+@query(
+    "x35_streaming_running_sum",
+    """SELECT user_id, event_id,
+              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 100.0 AS rs
+       FROM events ORDER BY event_id""",
+)
+def x35(spark, sf):
+    # STREAMING stateful running fold (accumulate/scan via
+    # applyInPandasWithState, ops.py:738-824 + 803-806) hash-checked
+    # against the batch prefix-sum oracle: integer-cents state makes the
+    # streamed total independent of micro-batch boundaries.
+    from deva_spark.streaming.stateful import streaming_running_sum_exact
+    from deva_spark.streaming.twin import events_file_stream, run_available_now
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    return run_available_now(
+        streaming_running_sum_exact(s), "x35_drain", output_mode="append"
+    )
+
+
+@query(
+    "x36_streaming_zscore",
+    """WITH o AS (
+         SELECT user_id, event_id, value,
+                COUNT(*) OVER wp AS n,
+                AVG(value) OVER wp AS m,
+                STDDEV_SAMP(value) OVER wp AS sd
+         FROM events
+         WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT user_id, event_id, CAST(ROUND((value - m) / sd, 2) AS DOUBLE) AS z
+       FROM o
+       WHERE n >= 30 AND sd > 0 AND ABS((value - m) / sd) >= 3
+       ORDER BY event_id""",
+)
+def x36(spark, sf):
+    # STREAMING online Welford anomaly detector (radar/engine.py:264-298)
+    # hash-checked against the batch prefix-window oracle: flag-before-update
+    # online semantics == stats over the strictly-preceding rows per key.
+    from deva_spark.streaming.stateful import streaming_zscore_anomalies
+    from deva_spark.streaming.twin import events_file_stream, run_available_now
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    out = run_available_now(
+        streaming_zscore_anomalies(s), "x36_drain", output_mode="append"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("z", 2).cast("double").alias("z")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
     return q03(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
+# CORRECTNESS file records the FIRST 50 registered queries only, so the
+# registry reorders itself to put queries without a green driver row yet
+# (x15+ were registered past the cap in rounds 1-2) ahead of the
+# long-stable q01-x14 core. Local tooling (tools/check_correctness.py,
+# bench.py) still runs every entry, so nothing loses in-repo coverage.
+# ---------------------------------------------------------------------------
+
+_DRIVER_FIRST: tuple[str, ...] = (
+    "x15_corpus_curation",
+    "x16_part_brand_stats",
+    "x17_supplier_by_nation",
+    "x18_lineitem_part_join",
+    "x19_cube",
+    "x20_analytic_functions",
+    "x21_rolling_time_window",
+    "x22_range_band_join",
+    "x23_cosine_neardup",
+    "x24_asof_join",
+    "x25_session_stats",
+    "x26_histogram",
+    "x27_pivot_counts",
+    "x28_bpe_tokens",
+    "x29_rolling_hash",
+    "x30_take_while",
+    "x31_ordered_pairs",
+    "x32_ivf_topk",
+    "x33_streaming_tumbling",
+    "x34_streaming_sessions",
+    "x35_streaming_running_sum",
+    "x36_streaming_zscore",
+)
+
+
+def _rotate_registry() -> None:
+    for d in (SPARK_QUERIES, ORACLE_SQL):
+        head = {k: d[k] for k in _DRIVER_FIRST if k in d}
+        tail = {k: v for k, v in d.items() if k not in head}
+        d.clear()
+        d.update(head)
+        d.update(tail)
+
+
+_rotate_registry()

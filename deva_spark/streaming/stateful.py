@@ -119,6 +119,43 @@ def streaming_ewma(stream_df: DataFrame, alpha: float = 0.3) -> DataFrame:
 RUNNING_STATE_SCHEMA = "total double"
 RUNNING_OUT_SCHEMA = "user_id long, event_id long, rs double"
 
+CENTS_STATE_SCHEMA = "total long"
+
+
+def _running_sum_cents_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Exact-integer running sum: the micro-batch input carries a ``cents``
+    bigint column (value pre-scaled by the caller), the carried state is one
+    int, and the emitted total is ``cents/100`` — bit-identical to the batch
+    DECIMAL running fold regardless of accumulation order."""
+    (total,) = state.get if state.exists else (0,)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            total += int(row["cents"])
+            rows.append((int(key[0]), int(row["event_id"]), total / 100.0))
+    state.update((total,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "rs"])
+
+
+def streaming_running_sum_exact(stream_df: DataFrame) -> DataFrame:
+    """Hash-stable twin of :func:`streaming_running_sum`: accumulates the
+    2-decimal ``value`` in integer cents so the streamed running total is
+    exactly the batch oracle's DECIMAL prefix sum (driver query x35)."""
+    from pyspark.sql import functions as F
+
+    cents = stream_df.withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    return cents.groupBy("user_id").applyInPandasWithState(
+        _running_sum_cents_fn,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def _running_sum_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
     """``accumulate``/``scan`` streaming twin: carried fold state per key,
