@@ -33,61 +33,78 @@ def keyed_order(partition: str | None, order: Sequence[str] = EVENT_ORDER) -> Wi
     return w.orderBy(*order)
 
 
+#: Inputs whose Catalyst size estimate is at or below this many bytes take
+#: the plain single-partition global window inside :func:`global_positions`
+#: — one reducer over <= 128 MiB is cheaper than the two-phase machinery
+#: (bounds agg + counts self-join cost ~2 s of fixed latency at sf0.1).
+#: Override per session with ``spark.deva.positional.smallInputBytes``
+#: (0 disables the cutover, forcing the scale path — plan tests do this).
+SMALL_INPUT_BYTES_CONF = "spark.deva.positional.smallInputBytes"
+SMALL_INPUT_BYTES_DEFAULT = 128 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's pre-execution size estimate for ``df`` (file-source scans
+    report summed file sizes; no job is triggered). None when unavailable."""
+    try:
+        # py4j maps the scala BigInt to a Python int for normal magnitudes;
+        # str() round-trip covers any JavaObject fallback
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — estimate is best-effort
+        return None
+
+
 def global_positions(
     df: DataFrame,
     order: Sequence[str] = EVENT_ORDER,
     out: str = "_rn",
     buckets: int | None = None,
+    bounds: str = "width",
 ) -> DataFrame:
     """Scale-safe global 1-based row numbering by ``order`` — the two-phase
     alternative to ``row_number().over(Window.orderBy(...))`` (which moves
     the whole input through ONE reducer).
 
-    Entirely lazy — ONE job, no driver actions, no sampling:
-      1. bucket each row by an equal-width range over the leading order
-         column (global min/max as a broadcast 1-row aggregate +
-         ``width_bucket``) — assignment is a pure deterministic function
-         of the value, so every plan branch agrees and rows with equal
-         leading values always share a bucket;
+    Adaptive cutover (AQE-style): when Catalyst's size estimate for the
+    input is at or below ``spark.deva.positional.smallInputBytes``
+    (default 128 MiB), a single global window IS the right plan — one
+    partition comfortably holds the data and skips the two-phase fixed
+    cost. Above the threshold (or when no estimate exists), the two-phase
+    path runs; it is entirely lazy — ONE job, no driver actions:
+
+      1. bucket each row by a range over the leading order column —
+         assignment is a pure deterministic function of the value, so
+         every plan branch agrees and rows with equal leading values
+         always share a bucket;
       2. partition-local ``row_number`` per bucket (parallel window);
       3. cumulative bucket offsets from a metadata-sized counts self-join
          (B rows × B rows, broadcast), added back per bucket.
 
-    Equal-width buckets can skew under pathological value distributions
-    (correctness is unaffected — only balance), and a constant leading
-    column degrades to one bucket, the inherently sequential case. Falls
-    back the same way when the leading column has no numeric image.
+    ``bounds`` picks the bucketing scheme:
+
+    * ``"width"`` (default): equal-width over the broadcast global
+      min/max — zero extra jobs, but can skew under pathological value
+      distributions (correctness unaffected — only balance);
+    * ``"sampled"``: boundaries from a seeded deterministic sample's
+      quantiles, collected once on the driver (metadata-sized: B-1
+      doubles) and embedded as literals — balanced buckets even under
+      power-law distributions, at the cost of one small sampling job.
+
+    A constant leading column degrades to one bucket, the inherently
+    sequential case; same fallback when the leading column has no
+    numeric image.
     """
     spark = df.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
-    lead = order[0]
-    dtype = dict(df.dtypes)[lead]
-    col = F.col(lead)
-    if dtype.startswith("timestamp"):
-        num = F.unix_micros(col).cast("double")
-    elif dtype == "date":
-        num = F.datediff(col, F.lit("1970-01-01")).cast("double")
-    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith(
-        "decimal"
-    ):
-        num = col.cast("double")
-    else:
-        num = None
-    if num is not None and buckets > 1:
-        d0 = df.withColumn("_gb_v", num)
-        bounds = d0.agg(F.min("_gb_v").alias("_lo"), F.max("_gb_v").alias("_hi"))
-        # NULL values -> bucket 0 (sorts with ASC NULLS FIRST); equal
-        # min/max (constant column) -> single bucket
-        bucket = F.when(F.col("_lo") == F.col("_hi"), F.lit(1)).otherwise(
-            F.width_bucket(F.col("_gb_v"), F.col("_lo"), F.col("_hi"), F.lit(buckets))
-        )
-        d = (
-            d0.join(F.broadcast(bounds))
-            .withColumn("_gb", F.coalesce(bucket, F.lit(0)))
-            .drop("_lo", "_hi", "_gb_v")
-        )
-    else:
-        d = df.withColumn("_gb", F.lit(0))
+    small_cap = int(
+        spark.conf.get(SMALL_INPUT_BYTES_CONF, str(SMALL_INPUT_BYTES_DEFAULT))
+    )
+    if small_cap > 0:
+        est = _estimated_bytes(df)
+        if est is not None and est <= small_cap:
+            w = Window.orderBy(*order)
+            return df.withColumn(out, F.row_number().over(w).cast("bigint"))
+    d = _range_bucketed(df, order, buckets, bounds)
     counts = d.groupBy("_gb").agg(F.count(F.lit(1)).alias("_c"))
     offs = (
         counts.alias("_ca")
@@ -101,6 +118,70 @@ def global_positions(
         .withColumn(out, (F.row_number().over(w) + F.col("_off")).cast("bigint"))
         .drop("_gb", "_off")
     )
+
+
+def _range_bucketed(
+    df: DataFrame, order: Sequence[str], buckets: int, bounds: str
+) -> DataFrame:
+    """Assign each row a deterministic range bucket ``_gb`` over the leading
+    order column (phase 1 of :func:`global_positions`)."""
+    lead = order[0]
+    dtype = dict(df.dtypes)[lead]
+    col = F.col(lead)
+    if dtype.startswith("timestamp"):
+        num = F.unix_micros(col).cast("double")
+    elif dtype == "date":
+        num = F.datediff(col, F.lit("1970-01-01")).cast("double")
+    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith(
+        "decimal"
+    ):
+        num = col.cast("double")
+    else:
+        num = None
+    if num is not None and buckets > 1 and bounds == "sampled":
+        d0 = df.withColumn("_gb_v", num)
+        # Seeded sample -> quantile boundaries, collected ONCE and embedded
+        # as literals: deterministic by construction (two plan branches
+        # can't re-sample into disagreement, unlike repartitionByRange).
+        fractions = [i / buckets for i in range(1, buckets)]
+        qrow = (
+            d0.sample(fraction=0.1, seed=42)
+            .agg(F.percentile_approx("_gb_v", fractions, 10_000).alias("_qs"))
+            .first()
+        )
+        qs = [float(q) for q in (qrow["_qs"] or []) if q is not None]
+        if qs:
+            lits = F.array(*[F.lit(q) for q in qs])
+            bucket = F.lit(1) + F.aggregate(
+                lits,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("_gb_v") > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+            # NULL leading values -> bucket 0, matching the width path
+            # (they sort ASC NULLS FIRST, below every boundary)
+            d = d0.withColumn(
+                "_gb",
+                F.when(F.col("_gb_v").isNull(), F.lit(0)).otherwise(bucket).cast("int"),
+            ).drop("_gb_v")
+        else:
+            d = d0.drop("_gb_v").withColumn("_gb", F.lit(0))
+    elif num is not None and buckets > 1:
+        d0 = df.withColumn("_gb_v", num)
+        bounds_df = d0.agg(F.min("_gb_v").alias("_lo"), F.max("_gb_v").alias("_hi"))
+        # NULL values -> bucket 0 (sorts with ASC NULLS FIRST); equal
+        # min/max (constant column) -> single bucket
+        bucket = F.when(F.col("_lo") == F.col("_hi"), F.lit(1)).otherwise(
+            F.width_bucket(F.col("_gb_v"), F.col("_lo"), F.col("_hi"), F.lit(buckets))
+        )
+        d = (
+            d0.join(F.broadcast(bounds_df))
+            .withColumn("_gb", F.coalesce(bucket, F.lit(0)))
+            .drop("_lo", "_hi", "_gb_v")
+        )
+    else:
+        d = df.withColumn("_gb", F.lit(0))
+    return d
 
 
 def running_fold(

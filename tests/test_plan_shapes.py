@@ -78,18 +78,35 @@ def test_windows_single_shuffle_per_key(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
-def test_positional_ops_no_single_reducer_window(plans):
-    # chunk / slice / zip use two-phase global numbering: every window in
-    # the plan is PARTITIONED (by the _gb range bucket) — no un-partitioned
-    # window funneling the whole input through one reducer. (A 1-row
-    # SinglePartition exchange remains for the global min/max bounds
-    # aggregate — metadata-sized by construction.)
+def test_positional_ops_no_single_reducer_window(spark, plans):
+    # chunk / slice / zip use two-phase global numbering on the LARGE path
+    # (forced here by zeroing the adaptive small-input cutover): every
+    # window in the plan is PARTITIONED (by the _gb range bucket) — no
+    # un-partitioned window funneling the whole input through one reducer.
+    # (A 1-row SinglePartition exchange remains for the global min/max
+    # bounds aggregate — metadata-sized by construction.)
+    from deva_spark.operators.windows import SMALL_INPUT_BYTES_CONF
+
+    spark.conf.set(SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        for q in ("q13_positional_zip", "q17_partition_chunks", "q22_slice"):
+            p = plans(q)
+            wlines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+            assert wlines, q
+            assert all("_gb" in ln for ln in wlines), (q, wlines)
+            assert "Exchange hashpartitioning" in p, q
+    finally:
+        spark.conf.unset(SMALL_INPUT_BYTES_CONF)
+
+
+def test_positional_ops_small_input_single_window(plans):
+    # AQE-style cutover: at test scale the input is far below the 128 MiB
+    # threshold, so the positional ops take the plain global window — no
+    # bucketing machinery (bounds agg, counts self-join) in the plan.
     for q in ("q13_positional_zip", "q17_partition_chunks", "q22_slice"):
         p = plans(q)
-        wlines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
-        assert wlines, q
-        assert all("_gb" in ln for ln in wlines), (q, wlines)
-        assert "Exchange hashpartitioning" in p, q
+        assert "windowspecdefinition" in p, q
+        assert "_gb" not in p, q
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):

@@ -257,16 +257,54 @@ def test_rolling_time_agg_matches_python(spark, pairs, win_s, parts):
 @SLOW
 def test_global_positions_matches_sequential_numbering(spark, pairs, parts, buckets):
     # two-phase numbering == enumerate() of the totally-ordered rows, for
-    # any physical partitioning and any bucket count (incl. degenerate 1)
+    # any physical partitioning and any bucket count (incl. degenerate 1).
+    # The cutover is zeroed so the SCALE path is what's under test (tiny
+    # hypothesis inputs would otherwise always take the single window).
     df = to_df(spark, pairs, parts)
-    got = {
-        r.event_id: r.rn
-        for r in windows.global_positions(
-            df, ("ts", "event_id"), out="rn", buckets=buckets
-        ).collect()
-    }
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        got = {
+            r.event_id: r.rn
+            for r in windows.global_positions(
+                df, ("ts", "event_id"), out="rn", buckets=buckets
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
     ordered = sorted(range(len(pairs)), key=lambda i: (i,))  # event_id==i
     assert got == {eid: pos + 1 for pos, eid in enumerate(ordered)}
+
+
+def test_global_positions_sampled_bounds_powerlaw(spark):
+    # DEVIATIONS #14 remediation: under a power-law leading column,
+    # equal-width bounds collapse nearly everything into one bucket;
+    # sampled-quantile bounds stay balanced — and both modes produce the
+    # identical numbering.
+    n, buckets = 2000, 8
+    rows = [(i, float(1.02**i)) for i in range(n)]  # ~ 4e17 dynamic range
+    df = spark.createDataFrame(rows, "event_id long, v double").repartition(6)
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        expected = {i: i + 1 for i in range(n)}
+        for mode in ("width", "sampled"):
+            got = {
+                r.event_id: r.rn
+                for r in windows.global_positions(
+                    df, ("v", "event_id"), out="rn", buckets=buckets, bounds=mode
+                ).collect()
+            }
+            assert got == expected, mode
+        # balance: bucket histogram of each mode
+        def bucket_counts(mode):
+            d = windows._range_bucketed(df, ("v", "event_id"), buckets, mode)
+            return {r._gb: r.c for r in d.groupBy("_gb").agg(
+                F.count(F.lit(1)).alias("c")).collect()}
+        width_max = max(bucket_counts("width").values())
+        sampled_max = max(bucket_counts("sampled").values())
+        assert width_max > 0.9 * n            # pathological: one bucket swallows all
+        assert sampled_max < 2.5 * (n / buckets)  # sampled stays balanced
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
 
 
 @given(pairs=events, parts=st.integers(min_value=1, max_value=5))
