@@ -16,6 +16,7 @@ fan-out, cache join — is real and tested.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -28,6 +29,51 @@ def deterministic_stub_client(prompt: str) -> str:
     import hashlib
 
     return f"stub:{hashlib.md5(prompt.encode()).hexdigest()[:8]}"
+
+
+#: Marker embedded in every JSON re-ask prompt; offline stubs key on it to
+#: simulate invalid-then-valid conversations.
+JSON_REASK_MARKER = "Reply with ONLY a JSON object"
+
+
+def _reask_prompt(original: str, keys: list[str], bad: str | None) -> str:
+    head = original if len(original) <= 4000 else original[:4000]
+    shown = (bad or "")[:500]
+    return (
+        f"{head}\n\nYour previous reply was not valid JSON"
+        f" (it was: {shown!r}). {JSON_REASK_MARKER} containing the keys"
+        f" {keys} and nothing else."
+    )
+
+
+def schema_stub_json_client(key_types: dict[str, str], prompt: str) -> str:
+    """Offline JSON stand-in: fabricates a deterministic object matching the
+    requested top-level keys/types. Use via ``functools.partial(...,
+    key_types)`` so executors unpickle a package function, not a closure."""
+    import hashlib
+
+    h = int(hashlib.md5(prompt.encode()).hexdigest()[:8], 16)
+    obj: dict = {}
+    for k, t in key_types.items():
+        if t in ("bigint", "int", "smallint", "tinyint", "long"):
+            obj[k] = h % 100
+        elif t in ("double", "float"):
+            obj[k] = (h % 1000) / 10.0
+        elif t == "boolean":
+            obj[k] = bool(h % 2)
+        else:
+            obj[k] = f"stub:{h:08x}"
+    return json.dumps(obj)
+
+
+def routed_stub_client(routes: dict[str, str], default: str, prompt: str) -> str:
+    """Offline scripted client: first ``routes`` key found as a substring of
+    the prompt picks the canned response, else ``default``. Partial-apply the
+    dict (picklable package function — executor-safe, unlike test closures)."""
+    for key, resp in routes.items():
+        if key in prompt:
+            return resp
+    return default
 
 
 def llm_stage(
@@ -93,6 +139,100 @@ def llm_stage(
                 yield pdf
 
     return df.mapInPandas(run_partition, schema=out_schema).select(*out_cols)
+
+
+def llm_stage_json(
+    df: DataFrame,
+    json_schema,
+    prompt_col: str = "prompt",
+    out_col: str = "parsed",
+    err_col: str = "llm_error",
+    raw_col: str | None = None,
+    client: Callable[[str], str] | None = None,
+    max_json_retries: int = 2,
+    max_concurrency: int = 8,
+    max_retries: int = 3,
+    base_delay: float = 0.5,
+    rate_per_partition: float | None = None,
+) -> DataFrame:
+    """Structured-extraction stage (``async_json_gpt`` parity,
+    `/root/reference/deva/llm/client.py:249-326`): every completion must be
+    a JSON object carrying the target schema's top-level keys; invalid
+    replies are re-asked (original prompt + corrective instruction quoting
+    the bad output) up to ``max_json_retries`` times, then surface in
+    ``err_col`` with ``out_col`` NULL — the error side-output the catch
+    operator pattern gives every other stage.
+
+    Split of labor: the Python side (mapInPandas, bounded concurrency,
+    rate gate, transport retry — same policy as :func:`llm_stage`) only
+    validates well-formedness and key presence, emitting the raw JSON
+    string; the typed conversion to a struct column is ``F.from_json``,
+    JVM-side. ``json_schema`` is a StructType or DDL string
+    (``"a bigint, b string"``); per-field type coercion follows from_json
+    semantics (uncoercible field -> NULL field, row survives).
+    """
+    from functools import partial
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from deva_spark.functions.http import _RateGate, fetch_with_policy, is_retryable
+
+    schema = (
+        json_schema
+        if isinstance(json_schema, StructType)
+        else StructType.fromDDL(json_schema)
+    )
+    keys = [f.name for f in schema.fields]
+    if client is None:
+        client = partial(
+            schema_stub_json_client,
+            {f.name: f.dataType.simpleString() for f in schema.fields},
+        )
+    mid_schema = StructType(
+        df.schema.fields
+        + [StructField("_json", StringType()), StructField(err_col, StringType())]
+    )
+
+    def run_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        gate = _RateGate(rate_per_partition)
+
+        def one(prompt: str) -> tuple[str | None, str | None]:
+            ask = prompt
+            last_err = None
+            for attempt in range(max_json_retries + 1):
+                raw, err = fetch_with_policy(
+                    client, ask, gate, max_retries, base_delay, None, is_retryable
+                )
+                if err is not None:
+                    return None, f"transport: {err}"
+                try:
+                    obj = json.loads(raw)
+                    if not isinstance(obj, dict):
+                        raise ValueError("not a JSON object")
+                    missing = [k for k in keys if k not in obj]
+                    if missing:
+                        raise ValueError(f"missing keys {missing}")
+                    return raw, None
+                except ValueError as e:  # json.JSONDecodeError subclasses it
+                    last_err = f"invalid json after {attempt + 1} attempt(s): {e}"
+                    ask = _reask_prompt(prompt, keys, raw)
+            return None, last_err
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in pdfs:
+                results = list(pool.map(one, pdf[prompt_col].tolist()))
+                pdf = pdf.copy()
+                pdf["_json"] = [r[0] for r in results]
+                pdf[err_col] = [r[1] for r in results]
+                yield pdf
+
+    mid = df.mapInPandas(run_partition, schema=mid_schema)
+    out = mid.withColumn(out_col, F.from_json(F.col("_json"), schema))
+    if raw_col:
+        return out.withColumnRenamed("_json", raw_col)
+    return out.drop("_json")
 
 
 def llm_stage_cached(

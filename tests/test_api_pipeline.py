@@ -109,6 +109,75 @@ def test_llm_stage_stub(spark):
     assert rows == again
 
 
+def test_llm_stage_json_valid_path(spark):
+    df = spark.createDataFrame([(1, "summarize A"), (2, "summarize B")],
+                               "id int, prompt string")
+    out = llm.llm_stage_json(df, "score bigint, label string").collect()
+    by_id = {r.id: r for r in out}
+    assert all(r.llm_error is None for r in out)
+    assert isinstance(by_id[1].parsed.score, int)
+    assert by_id[1].parsed.label.startswith("stub:")
+    # deterministic stub → different prompts, different objects
+    assert by_id[1].parsed != by_id[2].parsed
+
+
+def test_llm_stage_json_invalid_then_valid(spark):
+    from functools import partial
+
+    # first ask returns garbage; the re-ask (marker present) returns valid
+    client = partial(
+        llm.routed_stub_client,
+        {llm.JSON_REASK_MARKER: '{"score": 7, "label": "ok"}'},
+        "NOT JSON AT ALL",
+    )
+    df = spark.createDataFrame([(1, "p")], "id int, prompt string")
+    r = llm.llm_stage_json(
+        df, "score bigint, label string", client=client, raw_col="raw"
+    ).collect()[0]
+    assert r.llm_error is None
+    assert r.parsed.score == 7 and r.parsed.label == "ok"
+    assert r.raw == '{"score": 7, "label": "ok"}'
+
+
+def test_llm_stage_json_exhausted_retries(spark):
+    from functools import partial
+
+    client = partial(llm.routed_stub_client, {}, "still not json")
+    df = spark.createDataFrame([(1, "p")], "id int, prompt string")
+    r = llm.llm_stage_json(
+        df, "score bigint", client=client, max_json_retries=2
+    ).collect()[0]
+    assert r.parsed is None
+    assert "invalid json after 3 attempt(s)" in r.llm_error
+
+
+def test_llm_stage_json_missing_keys_reasked(spark):
+    from functools import partial
+
+    # well-formed JSON but missing a required key counts as invalid
+    client = partial(
+        llm.routed_stub_client,
+        {llm.JSON_REASK_MARKER: '{"a": 1, "b": 2}'},
+        '{"a": 1}',
+    )
+    df = spark.createDataFrame([(1, "p")], "id int, prompt string")
+    r = llm.llm_stage_json(df, "a bigint, b bigint", client=client).collect()[0]
+    assert r.llm_error is None and r.parsed.b == 2
+
+
+def test_llm_stage_json_uncoercible_field_nulls(spark):
+    from functools import partial
+
+    # valid object, but a field that can't coerce -> NULL field, row kept
+    client = partial(
+        llm.routed_stub_client, {}, '{"n": "not-a-number", "s": "x"}'
+    )
+    df = spark.createDataFrame([(1, "p")], "id int, prompt string")
+    r = llm.llm_stage_json(df, "n bigint, s string", client=client).collect()[0]
+    assert r.llm_error is None
+    assert r.parsed.n is None and r.parsed.s == "x"
+
+
 def test_llm_stage_cached_counts_calls(spark):
     # the client runs on executors: count invocations via marker files
     # (same machine in local mode), one uuid-named file per call
