@@ -14,9 +14,10 @@ extension (BASELINE.json north star). Design:
     reconstruction, 8-bit gray/gray+alpha/RGB/RGBA) so the image path runs
     on real bytes with no third-party libs. :func:`decode_image` prefers
     PIL when installed (covers JPEG etc.), falling back to the built-in
-    PNG codec.
-    STILL STUBBED (no codecs installable here): video/audio sample
-    decoding — injectable, default raises NotImplementedError.
+    PNG codec. ALSO REAL: WAV/PCM audio decode (stdlib ``wave``: 8/16/32-bit
+    int PCM → float32 in [-1, 1]) with pooled per-segment RMS features.
+    STILL STUBBED (no codec installable here): video frame decoding —
+    injectable, default raises NotImplementedError.
 """
 
 from __future__ import annotations
@@ -57,11 +58,15 @@ def extract_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         for pdf in pdfs:
             metas = []
             for content, meta in zip(pdf[content_col], pdf["meta"]):
-                dims = png_dimensions(content)
                 m = dict(meta) if meta is not None else {}
+                dims = png_dimensions(content)
+                wav = wav_info(content)
                 if dims:
                     m["width"], m["height"] = dims
                     m["mime"] = "image/png"
+                elif wav:
+                    m["sample_rate"], _nch, m["n_frames"] = wav
+                    m["mime"] = "audio/wav"
                 metas.append(m)
             pdf = pdf.copy()
             pdf["meta"] = metas
@@ -197,9 +202,88 @@ def fake_decode_image(content: bytes) -> np.ndarray:
 
 def raise_not_implemented(content: bytes) -> np.ndarray:
     raise NotImplementedError(
-        "no codec for this media kind in this container (video/audio need "
-        "ffmpeg-class decoders); inject one via the decoder argument"
+        "no codec for this media kind in this container (video needs an "
+        "ffmpeg-class decoder); inject one via the decoder argument"
     )
+
+
+# --------------------------------------------------------------------- audio
+
+
+def wav_info(content: bytes) -> tuple[int, int, int] | None:
+    """REAL header parse: (sample_rate, n_channels, n_frames) from a
+    RIFF/WAVE payload, None if it isn't one."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            return w.getframerate(), w.getnchannels(), w.getnframes()
+    except (wave.Error, EOFError):
+        return None
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL pure-stdlib WAV/PCM decode → float32 (n_frames, n_channels) in
+    [-1, 1]. Supports 8-bit unsigned, 16-bit and 32-bit signed PCM — the
+    common training-data cases (24-bit raises, inject a richer decoder)."""
+    import io
+    import wave
+
+    if content is None or content[:4] != b"RIFF":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(content)) as w:
+        width = w.getsampwidth()
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit, midpoint 128
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit PCM unsupported by stdlib path")
+    return x.reshape(-1, nch)
+
+
+def audio_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = decode_wav,
+    content_col: str = "content",
+    out_col: str = "features",
+    segments: int = 8,
+) -> DataFrame:
+    """Decode audio → per-segment RMS energy envelope, one mapInPandas
+    stage (the audio twin of :func:`decode_features`). Channels are mixed
+    down; the clip is split into ``segments`` equal spans and each yields
+    one RMS value — output array<float> of length ``segments``."""
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            feats = []
+            for content in pdf[content_col]:
+                mono = decoder(content).mean(axis=1)
+                n = len(mono) // segments
+                if n == 0:
+                    feats.append([0.0] * segments)
+                    continue
+                spans = mono[: n * segments].reshape(segments, n)
+                feats.append(
+                    [float(v) for v in np.sqrt((spans**2).mean(axis=1))]
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def decode_features(

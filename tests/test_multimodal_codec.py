@@ -96,3 +96,69 @@ def test_extract_meta_real_png(spark):
                                               "n_frames": None, "sample_rate": None, "mime": None})]
     meta = mm.extract_meta(mm.media_table(spark, rows)).collect()[0].meta
     assert (meta.width, meta.height, meta.mime) == (4, 3, "image/png")
+
+
+# --------------------------------------------------------------------- audio
+
+
+def _wav_bytes(samples: np.ndarray, rate: int = 8000, width: int = 2) -> bytes:
+    """Write REAL WAV bytes with the stdlib encoder (float [-1,1] input)."""
+    import io
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if width == 1:
+        data = (samples * 127.0 + 128.0).clip(0, 255).astype(np.uint8)
+    elif width == 2:
+        data = (samples * 32767.0).clip(-32768, 32767).astype("<i2")
+    else:
+        data = (samples * 2147483647.0).astype("<i4")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(data.tobytes())
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("width", [1, 2, 4])
+def test_wav_roundtrip_bit_depths(width):
+    rng = np.random.default_rng(width)
+    samples = rng.uniform(-0.9, 0.9, size=200).astype(np.float64)
+    decoded = mm.decode_wav(_wav_bytes(samples, width=width))
+    assert decoded.shape == (200, 1)
+    # 8-bit: quantization (±0.5/127) plus the 127-encode/128-decode scale
+    # asymmetry (~x/128) — worst case ~0.011 at |x|=0.9
+    tol = {1: 1 / 64.0, 2: 1 / 16000.0, 4: 1e-6}[width]
+    np.testing.assert_allclose(decoded[:, 0], samples, atol=tol)
+
+
+def test_wav_stereo_shape_and_info():
+    rng = np.random.default_rng(5)
+    samples = rng.uniform(-0.5, 0.5, size=(300, 2))
+    payload = _wav_bytes(samples, rate=16000)
+    assert mm.wav_info(payload) == (16000, 2, 300)
+    assert mm.decode_wav(payload).shape == (300, 2)
+    assert mm.wav_info(b"not audio") is None
+
+
+def test_audio_features_sine_rms(spark):
+    # pooled RMS of a constant-amplitude sine ~= A/sqrt(2) in every segment
+    t = np.arange(8000) / 8000.0
+    sine = 0.8 * np.sin(2 * np.pi * 440 * t)
+    rows = [(1, "audio", _wav_bytes(sine), {"width": None, "height": None,
+                                            "n_frames": None, "sample_rate": None, "mime": None})]
+    out = mm.audio_features(mm.media_table(spark, rows), segments=8).collect()[0]
+    np.testing.assert_allclose(
+        np.array(out.features), 0.8 / np.sqrt(2), rtol=2e-3
+    )
+
+
+def test_extract_meta_real_wav(spark):
+    payload = _wav_bytes(np.zeros(123), rate=22050)
+    rows = [(2, "audio", payload, {"width": None, "height": None,
+                                   "n_frames": None, "sample_rate": None, "mime": None})]
+    meta = mm.extract_meta(mm.media_table(spark, rows)).collect()[0].meta
+    assert (meta.sample_rate, meta.n_frames, meta.mime) == (22050, 123, "audio/wav")
