@@ -114,12 +114,13 @@ def minhash_signature_udf(texts: pd.Series) -> pd.Series:
 
 
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    # Repartition before the UDF: a single-file corpus arrives in a handful
-    # of row-group splits, which would starve the Arrow worker pool; spread
-    # the CPU-bound hashing over every core/executor.
-    spark = docs.sparkSession
+    # Spread the CPU-bound hashing only when the input arrives under-split
+    # (single-file corpus = a handful of row-group splits starving the Arrow
+    # worker pool); a wide scan keeps its partitioning — no text shuffle.
+    from deva_spark.session import ensure_parallelism
+
     return (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             minhash_signature_udf(F.col(text_col)).alias("sig"),
@@ -231,9 +232,10 @@ def ngram_jaccard_pairs(
     # negligible), which is what makes this join survive a corpus-scale run.
     from deva_spark.functions.text import distinct_word_shingles_udf
 
-    spark = docs.sparkSession
+    from deva_spark.session import ensure_parallelism
+
     sh = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(distinct_word_shingles_udf(F.col(text_col))).alias("s"),

@@ -74,10 +74,12 @@ def simhash48(texts: pd.Series) -> pd.Series:
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    # Repartition so the CPU-bound fingerprint UDF uses every core — a
-    # single parquet file otherwise yields too few input splits.
-    spark = docs.sparkSession
-    return docs.repartition(spark.sparkContext.defaultParallelism).select(
+    # Spread the CPU-bound fingerprint UDF over every core only when the
+    # input arrives under-split (single parquet file); an already-wide scan
+    # keeps its partitioning — no shuffle of the corpus text.
+    from deva_spark.session import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), simhash48(F.col(text_col)).alias("fp")
     )
 

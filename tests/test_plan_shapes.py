@@ -109,6 +109,26 @@ def test_positional_ops_small_input_single_window(plans):
         assert "_gb" not in p, q
 
 
+def test_fingerprint_stage_no_redundant_repartition(spark, sf_dir):
+    # ensure_parallelism: under-split input (one parquet file) gains a
+    # repartition; an input already at/above the parallelism floor must
+    # pass through IDENTICALLY — no Exchange inserted before the UDF.
+    from deva_spark.functions import minhash as mh
+    from deva_spark.functions import simhash as sh
+    from deva_spark.session import ensure_parallelism, read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    floor = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(floor)
+    assert ensure_parallelism(wide) is wide  # identity, not a new plan
+    for stage in (mh.signatures, sh.fingerprints):
+        p = stage(wide)._jdf.queryExecution().executedPlan().toString()
+        # exactly the one explicit repartition above, none added by the stage
+        assert p.count("Exchange RoundRobinPartitioning") == 1, stage
+    # narrow input still gets spread to the floor
+    assert ensure_parallelism(docs.coalesce(1)).rdd.getNumPartitions() == floor
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE finalizes the physical plan only at execution; run the query and
     # then check the final plan fuses the agg chain into codegen stages.
