@@ -214,6 +214,60 @@ def parquet_stream_sink(stream_df: DataFrame, path: str, checkpoint: str | None 
     )
 
 
+def write_tcp(
+    df: DataFrame,
+    host: str,
+    port: int,
+    payload_col: str = "payload",
+    delimiter: str = "\n",
+    connect_timeout: float = 5.0,
+) -> None:
+    """``netwrite``/``tcp_write`` analog (`/root/reference/deva/core/pipe.py:662-696`):
+    push every row's payload down a TCP connection, delimiter-framed —
+    the write-side twin of ``readers.socket_stream``.
+
+    Distributed shape: ``foreachPartition`` opens ONE connection per
+    partition on the executor and streams that partition's rows through it
+    — the driver never materializes data, and sink throughput scales with
+    the cluster (each executor talks to the endpoint directly, exactly how
+    the syslog/logserver use case in the reference behaves with N
+    producers)."""
+
+    def _part(rows) -> None:
+        import socket
+
+        with socket.create_connection((host, port), timeout=connect_timeout) as s:
+            for row in rows:
+                payload = row[payload_col]
+                if payload is None:
+                    continue
+                s.sendall(str(payload).encode("utf-8") + delimiter.encode("utf-8"))
+
+    df.select(payload_col).foreachPartition(_part)
+
+
+def foreach_tcp_sink(
+    stream_df: DataFrame,
+    host: str,
+    port: int,
+    payload_col: str = "payload",
+    delimiter: str = "\n",
+    available_now: bool = False,
+):
+    """Streaming twin of :func:`write_tcp` (``netcat`` push side for
+    streams): each micro-batch drains through executor-side TCP
+    connections. At-least-once — a replayed batch re-sends its rows, the
+    delimiter framing keeps the byte stream parseable."""
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        write_tcp(bdf, host, port, payload_col, delimiter)
+
+    w = stream_df.writeStream.foreachBatch(_sink)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def foreach_http_sink(
     stream_df: DataFrame,
     send: Callable[[str, str], None],

@@ -101,3 +101,92 @@ def test_socket_stream_localhost(spark):
         q.stop()
         stop.set()
         server.close()
+
+
+def _line_collector_server():
+    """Multi-connection localhost TCP server collecting newline-framed
+    payloads (one executor connection per partition)."""
+    import socket
+    import threading
+
+    server = socket.socket()
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(16)
+    port = server.getsockname()[1]
+    lines: list[str] = []
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def handle(conn):
+        buf = b""
+        while True:
+            chunk = conn.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        conn.close()
+        with lock:
+            lines.extend(ln for ln in buf.decode().split("\n") if ln)
+
+    def serve():
+        server.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                conn, _ = server.accept()
+            except TimeoutError:
+                continue
+            except OSError:  # server closed during teardown
+                break
+            threading.Thread(target=handle, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=serve, daemon=True).start()
+    return server, port, lines, stop
+
+
+def test_write_tcp_roundtrip(spark):
+    """netwrite/tcp_write analog: batch rows arrive delimiter-framed."""
+    import time
+
+    from deva_spark.sources.writers import write_tcp
+
+    server, port, lines, stop = _line_collector_server()
+    try:
+        df = spark.createDataFrame(
+            [(f"msg-{i}",) for i in range(20)], "payload string"
+        ).repartition(4)
+        write_tcp(df, "127.0.0.1", port)
+        deadline = time.time() + 10
+        while time.time() < deadline and len(lines) < 20:
+            time.sleep(0.2)
+        assert sorted(lines) == sorted(f"msg-{i}" for i in range(20))
+    finally:
+        stop.set()
+        server.close()
+
+
+def test_foreach_tcp_sink_streaming(spark, tmp_path):
+    """Streaming twin: a file stream drains through the TCP sink."""
+    import time
+
+    from deva_spark.sources.writers import foreach_tcp_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("s1\ns2\n")
+    (src / "b.txt").write_text("s3\n")
+    server, port, lines, stop = _line_collector_server()
+    try:
+        stream = (
+            spark.readStream.schema("value string").text(str(src))
+            .withColumnRenamed("value", "payload")
+        )
+        q = foreach_tcp_sink(stream, "127.0.0.1", port, available_now=True)
+        q.awaitTermination(60)
+        deadline = time.time() + 10
+        while time.time() < deadline and len(lines) < 3:
+            time.sleep(0.2)
+        assert sorted(lines) == ["s1", "s2", "s3"]
+    finally:
+        stop.set()
+        server.close()
