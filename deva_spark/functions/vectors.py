@@ -200,6 +200,22 @@ def _bucket_ids_udf(planes_mat: "np.ndarray", n_tables: int, n_planes: int):
     return bucket_ids
 
 
+#: persisted signature DFs produced by :func:`cosine_neardup_pairs`,
+#: released by :func:`release_neardup_cache`
+_NEARDUP_CACHE: list[DataFrame] = []
+
+
+def release_neardup_cache() -> int:
+    """Unpersist every signatures DataFrame :func:`cosine_neardup_pairs`
+    cached; returns how many were released. Safe to call any time after
+    the caller has materialized its result."""
+    n = 0
+    while _NEARDUP_CACHE:
+        _NEARDUP_CACHE.pop().unpersist()
+        n += 1
+    return n
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -220,6 +236,12 @@ def cosine_neardup_pairs(
     design (raise ``n_tables`` / lower ``n_planes`` to trade compute for
     recall); precision is exact. The deterministic planes let the DuckDB
     oracle reproduce candidate generation bit-for-bit.
+
+    Caching contract: the returned plan references an eagerly-persisted
+    signatures DataFrame (it feeds both candidate sides + the rescore).
+    Call :func:`release_neardup_cache` once the result is materialized —
+    repeated invocations in a long-lived session otherwise accumulate
+    cached blocks until eviction pressure (ADVICE r2).
     """
     planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))
     bucket_ids = _bucket_ids_udf(planes_mat, n_tables, n_planes)
@@ -230,6 +252,7 @@ def cosine_neardup_pairs(
         bucket_ids(F.col(vec_col)).alias("bs"),
     ).persist()
     base.count()  # eager: referenced by both candidate sides + rescore
+    _NEARDUP_CACHE.append(base)
     buckets = base.select("vid", F.posexplode("bs").alias("t", "b"))
     cand = (
         buckets.alias("a")
@@ -278,7 +301,9 @@ def _nearest_cell_udf(centers: "np.ndarray"):
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ mat.T
-        order = np.argsort(-sims, axis=1)
+        # stable: exact cosine ties resolve to the LOWER cell id, the same
+        # tie-break the SQL oracle's (sim DESC, cell ASC) ordering uses
+        order = np.argsort(-sims, axis=1, kind="stable")
         return pd.Series(list(order.astype(np.int64)))
 
     return nearest_cells
@@ -317,12 +342,17 @@ def ivf_topk(
     assign0 = _nearest_cell_udf(seeds)
 
     def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort members: the mean's float rounding must not depend on the
+        # nondeterministic arrival order of rows within the group
+        pdf = pdf.sort_values("vid")
         m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
         return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "c": [m.mean(axis=0)]})
 
     center_rows = (
         vectors.select(
-            assign0(F.col(vec_col))[0].alias("cell"), F.col(vec_col).alias("e")
+            F.col(id_col).alias("vid"),
+            assign0(F.col(vec_col))[0].alias("cell"),
+            F.col(vec_col).alias("e"),
         )
         .groupBy("cell")
         .applyInPandas(_cell_mean, "cell long, c array<double>")

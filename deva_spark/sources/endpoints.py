@@ -100,11 +100,30 @@ def default_http_post(url: str, body: str, timeout: float = 10.0) -> int:
         return resp.status
 
 
+#: volatile per-send signing params (sign_webhook_url stamps a fresh
+#: timestamp each call) — excluded from the spool's content address so a
+#: replayed row overwrites instead of duplicating
+_VOLATILE_QUERY_PARAMS = frozenset({"timestamp", "sign"})
+
+
+def _stable_address(url: str, body: str) -> str:
+    parts = urllib.parse.urlsplit(url)
+    kept = [
+        (k, v)
+        for k, v in urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
+        if k not in _VOLATILE_QUERY_PARAMS
+    ]
+    stable = urllib.parse.urlunsplit(
+        parts._replace(query=urllib.parse.urlencode(sorted(kept)))
+    )
+    return hashlib.md5((stable + "\n" + body).encode()).hexdigest()
+
+
 def _spool_send(root: str, url: str, body: str) -> int:
     import os
 
     os.makedirs(root, exist_ok=True)
-    name = hashlib.md5((url + body).encode()).hexdigest()
+    name = _stable_address(url, body)
     tmp = os.path.join(root, f".{name}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"url": url, "body": body}, f)
@@ -115,8 +134,10 @@ def _spool_send(root: str, url: str, body: str) -> int:
 def spool_transport(root: str):
     """Offline transport: each send lands as one JSON file under ``root``
     (content-addressed — an at-least-once replay overwrites, not
-    duplicates). A ``functools.partial`` of a module-level function, so it
-    pickles to executors; the dev/test stand-in for
+    duplicates; the address excludes the volatile ``timestamp``/``sign``
+    query params a signed webhook re-stamps per send, so a replayed signed
+    row still dedups). A ``functools.partial`` of a module-level function,
+    so it pickles to executors; the dev/test stand-in for
     :func:`default_http_post`."""
     import functools
 

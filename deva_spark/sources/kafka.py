@@ -86,10 +86,14 @@ def partition_for_key(key: str | bytes, num_partitions: int) -> int:
 def repartition_for_kafka(records: DataFrame, num_partitions: int, key_col: str = "key") -> DataFrame:
     """Align Spark partitioning with broker partitioning: compute each
     record's target Kafka partition (murmur2 of the key) and repartition on
-    it. Every write task then produces to exactly one broker partition —
-    sequential appends with per-partition ordering preserved, instead of
-    every task fanning out to every partition. The vectorized UDF is one
-    Arrow pass; the murmur2 loop is per-key but keys are short."""
+    it. All records bound for one broker partition then land in ONE Spark
+    task (hash-shuffle on ``_kpart`` keeps equal values together), so each
+    broker partition is written by exactly one producer — per-partition
+    ordering preserved, no task fans out to every partition. Note the map
+    is not one-to-one: Spark hashes ``_kpart`` with murmur3, so several
+    broker partitions may share a task (and some tasks stay empty); the
+    ordering guarantee is unaffected. The vectorized UDF is one Arrow
+    pass; the murmur2 loop is per-key but keys are short."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 

@@ -60,7 +60,9 @@ class CronTrigger:
         hour = _parse_field(parts[1], 0, 23)
         dom = _parse_field(parts[2], 1, 31)
         month = _parse_field(parts[3], 1, 12)
-        dow = {v % 7 for v in _parse_field(parts[4].replace("7", "0"), 0, 7)}
+        # parse 0-7 directly, then fold 7 -> 0 (Sunday); a textual
+        # replace("7","0") would corrupt ranges/steps like "1-7" or "*/7"
+        dow = {v % 7 for v in _parse_field(parts[4], 0, 7)}
         return minute, hour, dom, month, dow, parts
 
     def next_fire(self, after: dt.datetime) -> dt.datetime:

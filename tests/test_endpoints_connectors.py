@@ -104,6 +104,25 @@ def test_webhook_sink_sends_from_executors(spark, tmp_path):
     assert all("&timestamp=" in s["url"] and "&sign=" in s["url"] for s in sent)
 
 
+def test_spool_replay_of_signed_webhook_dedups(tmp_path):
+    # ADVICE r2: sign_webhook_url stamps a fresh timestamp per send, so a
+    # replayed row used to hash to a NEW spool file; the content address
+    # must ignore the volatile timestamp/sign params.
+    root = str(tmp_path / "sent")
+    send = ep.spool_transport(root)
+    body = json.dumps(ep.build_webhook_payload("hello"))
+    send(ep.sign_webhook_url("https://x.invalid/s?access_token=t", "SEC", 1000), body)
+    send(ep.sign_webhook_url("https://x.invalid/s?access_token=t", "SEC", 2000), body)
+    assert len(os.listdir(root)) == 1  # replay overwrote, not duplicated
+    # different BODY is a genuinely different send
+    send(ep.sign_webhook_url("https://x.invalid/s?access_token=t", "SEC", 3000),
+         json.dumps(ep.build_webhook_payload("other")))
+    assert len(os.listdir(root)) == 2
+    # different non-volatile query param (another robot) is different too
+    send(ep.sign_webhook_url("https://x.invalid/s?access_token=OTHER", "SEC", 4000), body)
+    assert len(os.listdir(root)) == 3
+
+
 def test_http_sink_no_driver_collect():
     import inspect
 
@@ -220,6 +239,19 @@ def test_cron_dom_dow_either_semantics():
     assert CronTrigger("0 9 20 * 5").next_fire(t0) == dt.datetime(2026, 8, 14, 9, 0)
     # dow restricted only: next Sunday
     assert CronTrigger("0 9 * * 0").next_fire(t0) == dt.datetime(2026, 8, 16, 9, 0)
+
+
+def test_cron_dow_seven_in_ranges_and_steps():
+    # ADVICE r2: '7' must parse inside ranges/steps, folding to Sunday —
+    # a textual replace("7","0") turned '1-7' into the empty '1-0' (then
+    # "never fires") and '*/7' into a step-0 crash.
+    t0 = dt.datetime(2026, 8, 13, 10, 0)  # Thursday
+    # every day of the week: next minute qualifies
+    assert CronTrigger("0 9 * * 1-7").next_fire(t0) == dt.datetime(2026, 8, 14, 9, 0)
+    # */7 over 0-7 = {0, 7} -> both mean Sunday
+    assert CronTrigger("0 9 * * */7").next_fire(t0) == dt.datetime(2026, 8, 16, 9, 0)
+    # bare 7 == Sunday
+    assert CronTrigger("0 9 * * 7").next_fire(t0) == dt.datetime(2026, 8, 16, 9, 0)
 
 
 def test_scheduler_interval_and_date():

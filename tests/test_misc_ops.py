@@ -123,6 +123,20 @@ def test_take_while_skip_while(spark):
     assert sorted(r.event_id for r in skipped.collect()) == [3, 4, 5]
 
 
+def test_take_while_null_predicate_is_stop_row(spark):
+    # reference truthiness: any non-true predicate (incl. NULL) ends the
+    # prefix — a NULL value row must stop take_while and start skip_while
+    from deva_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0), (3, 9.0)], "event_id long, value double"
+    )
+    taken = df.transform(sampling.take_while(F.col("value") < 5, ["event_id"]))
+    assert sorted(r.event_id for r in taken.collect()) == [0]
+    skipped = df.transform(sampling.skip_while(F.col("value") < 5, ["event_id"]))
+    assert sorted(r.event_id for r in skipped.collect()) == [1, 2, 3]
+
+
 def test_hyperplane_signs_column_matches_udf_buckets(spark):
     # the JVM column variant and the numpy bucket UDF implement the same
     # sign function; check the column version on a literal
