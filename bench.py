@@ -57,7 +57,12 @@ def main() -> None:
     excluded = (
         set()
         if os.environ.get("BENCH_INCLUDE_STREAMING") == "1"
-        else {"x33_streaming_tumbling", "x34_streaming_sessions"}
+        else {
+            "x33_streaming_tumbling",
+            "x34_streaming_sessions",
+            "x35_streaming_running_sum",
+            "x36_streaming_zscore",
+        }
     )
     names = [
         n
@@ -180,6 +185,19 @@ def main() -> None:
     if baseline_total is not None:
         out["baseline_value"] = baseline_total
         out["ratio"] = round(total / baseline_total, 3) if baseline_total else None
+        # auditable per-query comparison (VERDICT r2 #7): spark + duckdb
+        # medians and their ratio, for every query the oracle also runs.
+        # Per-query times overlap under concurrent drain — they are each
+        # engine's own sequential cost, not additive to the suite wall.
+        out["per_query"] = {
+            n: {
+                "spark": per[n],
+                "duckdb": base[n],
+                "ratio": round(per[n] / base[n], 2) if base[n] else None,
+            }
+            for n in per
+            if n in base
+        }
     print(json.dumps(out))
 
 
