@@ -62,6 +62,7 @@ def main() -> None:
             "x34_streaming_sessions",
             "x35_streaming_running_sum",
             "x36_streaming_zscore",
+            "x38_stream_interval_join",
         }
     )
     names = [

@@ -96,3 +96,55 @@ def bernoulli_sample(fraction: float, seed: int = 42) -> Callable[[DataFrame], D
         return df.sample(fraction=fraction, seed=seed)
 
     return _t
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic content hash bucket in [0, buckets): fold of the md5
+    head — reproducible across engines AND runs (unlike seeded Bernoulli,
+    whose draw depends on partition layout). The curation idiom: sampling
+    and splits must be stable under re-partitioning, re-runs, and engine
+    swaps, or every pipeline rerun trains on a different subset."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def stratified_sample(
+    rates: dict[str, int],
+    strata_col: str,
+    id_col: str,
+    default_rate: int = 0,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-stratum deterministic sampling (training-data curation op):
+    keep a row when its :func:`hash_bucket` falls under its stratum's
+    percentage. A pure map — no shuffle, no state; scales to any corpus
+    and pushes the surviving-fraction filter straight into the scan."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        rate = F.lit(default_rate)
+        for value, pct in rates.items():
+            rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+        return df.filter(hash_bucket(F.col(id_col)) < rate)
+
+    return _t
+
+
+def dataset_split(
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out: str = "split",
+) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic train/val/test assignment by content hash: the same
+    row lands in the same split on every engine, run, and partitioning —
+    a join-free, shuffle-free label column."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        b = hash_bucket(F.col(id_col))
+        return df.withColumn(
+            out,
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+
+    return _t

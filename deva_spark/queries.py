@@ -1782,6 +1782,102 @@ def x37(spark, sf):
     )
 
 
+@query(
+    "x38_stream_interval_join",
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+       WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+       ORDER BY 1, 2""",
+)
+def x38(spark, sf):
+    # STREAM-STREAM event-time interval join drained against the batch
+    # self-join oracle: each streamed click pairs with the same user's
+    # purchases in the preceding hour. Watermarks on both sides bound the
+    # join state (the scale property the reference's in-memory
+    # combine-latest cache lacked).
+    from deva_spark.streaming.twin import (
+        events_file_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    staged = _staged_events(spark, sf)
+    clicks = events_file_stream(spark, staged, files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, staged, files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_interval_join(clicks, purchases, key="user_id", band="1 hour")
+    out = run_available_now(
+        joined.select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        ),
+        "x38_drain",
+        output_mode="append",
+    )
+    return out
+
+
+def _md5_bucket_sql(expr: str, buckets: int = 100) -> str:
+    """DuckDB twin of operators.sampling.hash_bucket: fold the md5 head's
+    hex chars into the same 32-bit integer Spark's conv(...) produces."""
+    return (
+        f"list_reduce(list_transform("
+        f"regexp_extract_all(substr(md5({expr}), 1, 8), '.'), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b) % {buckets}"
+    )
+
+
+@query(
+    "x39_stratified_sample",
+    f"""SELECT event_id FROM events
+        WHERE {_md5_bucket_sql("CAST(event_id AS VARCHAR)")} <
+              CASE event_type WHEN 'click' THEN 10
+                              WHEN 'view' THEN 5 ELSE 50 END
+        ORDER BY event_id""",
+)
+def x39(spark, sf):
+    # curation op: deterministic per-stratum downsampling by content-hash
+    # bucket — stable under re-partitioning/re-runs/engine swaps (a seeded
+    # Bernoulli draw is not), pure map, no shuffle.
+    from deva_spark.operators import sampling
+
+    return (
+        _t(spark, sf, "events")
+        .transform(
+            sampling.stratified_sample(
+                {"click": 10, "view": 5}, "event_type", "event_id", default_rate=50
+            )
+        )
+        .select("event_id")
+    )
+
+
+@query(
+    "x40_dataset_split",
+    f"""SELECT doc_id,
+               CASE WHEN {_md5_bucket_sql("CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+                    WHEN {_md5_bucket_sql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""",
+)
+def x40(spark, sf):
+    # curation op: deterministic train/val/test assignment by content hash
+    # — join-free, shuffle-free, reproducible split label per row.
+    from deva_spark.operators import sampling
+
+    return (
+        _t(spark, sf, "documents")
+        .transform(sampling.dataset_split("doc_id", train_pct=80, val_pct=10))
+        .select("doc_id", "split")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -1821,6 +1917,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x35_streaming_running_sum",
     "x36_streaming_zscore",
     "x37_llm_json_extract",
+    "x38_stream_interval_join",
+    "x39_stratified_sample",
+    "x40_dataset_split",
 )
 
 

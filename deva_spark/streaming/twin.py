@@ -135,6 +135,33 @@ def session_counts(stream_df: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join: pair each left row with the
+    right rows of the same key whose timestamp falls in
+    ``[left.ts - band, left.ts]`` — the streaming upgrade of the
+    reference's combine-latest family (`ops.py:178-288`) from
+    latest-value-only to full within-window pairing.
+
+    Both sides are watermarked so the state store can evict rows older
+    than ``watermark`` + ``band``: state stays bounded no matter how long
+    the streams run — exactly the property the reference's in-memory
+    cache lacked. Inner join; append mode."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{ts_col} BETWEEN "
+        f"l.{ts_col} - INTERVAL {band} AND l.{ts_col}"
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_first_seen(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     """``unique(key=...)`` streaming twin: state-store dedup. With a
     watermark this becomes ``dropDuplicatesWithinWatermark`` (bounded

@@ -137,6 +137,53 @@ def test_take_while_null_predicate_is_stop_row(spark):
     assert sorted(r.event_id for r in skipped.collect()) == [1, 2, 3]
 
 
+def test_hash_bucket_stable_under_partitioning(spark):
+    from deva_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r.id: r.b for r in df.repartition(1).select(
+        "id", sampling.hash_bucket(F.col("id")).alias("b")).collect()}
+    b = {r.id: r.b for r in df.repartition(7).select(
+        "id", sampling.hash_bucket(F.col("id")).alias("b")).collect()}
+    assert a == b  # content hash: layout-independent
+    assert all(0 <= v < 100 for v in a.values())
+    # roughly uniform: every decile occupied on 500 ids
+    assert len({v // 10 for v in a.values()}) == 10
+
+
+def test_dataset_split_deterministic_proportions(spark):
+    from deva_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = df.transform(sampling.dataset_split("id")).groupBy("split").count()
+    counts = {r.split: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 1600) < 150
+    assert abs(counts["val"] - 200) < 80
+    # re-run identical (no hidden seed/partition dependence)
+    again = {r.split: r["count"]
+             for r in df.transform(sampling.dataset_split("id"))
+             .groupBy("split").count().collect()}
+    assert again == counts
+
+
+def test_stratified_sample_respects_rates(spark):
+    from deva_spark.operators import sampling
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = df.transform(
+        sampling.stratified_sample({"a": 100, "b": 0}, "s", "id")
+    ).collect()
+    assert {r.s for r in kept} == {"a"}          # rate-0 stratum fully dropped
+    assert len(kept) == 1000                      # rate-100 stratum fully kept
+    some = df.transform(
+        sampling.stratified_sample({"a": 10}, "s", "id", default_rate=50)
+    )
+    by_s = {r.s: r["count"] for r in some.groupBy("s").count().collect()}
+    assert abs(by_s["a"] - 100) < 60 and abs(by_s["b"] - 500) < 120
+
+
 def test_hyperplane_signs_column_matches_udf_buckets(spark):
     # the JVM column variant and the numpy bucket UDF implement the same
     # sign function; check the column version on a literal
