@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 #: Tiny high-frequency English stopword list used by the n-gram/stopword
 #: language heuristic and the quality score. Kept deliberately small and
@@ -230,3 +230,123 @@ def rolling_hash(text: Column, base: int = 257) -> Column:
         ),
     )
     return acc.cast("bigint")
+
+
+#: output schema of the repetition counters (all BIGINT — integer outputs
+#: are exactly hash-stable across engines; a rounded double ratio can land
+#: on a half-ulp boundary and round differently).
+_REPETITION_FIELDS = (
+    "n_words",
+    "n_distinct_words",
+    "n_bigrams",
+    "top_bigram_count",
+    "n_trigrams",
+    "n_distinct_trigrams",
+)
+
+
+@pandas_udf(
+    StructType(
+        [StructField(f, LongType()) for f in _REPETITION_FIELDS]
+    )
+)
+def repetition_signals(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style repetition/diversity counters as a struct of BIGINTs
+    (Rae et al. 2021 §A1.1 quality filters: repeated-n-gram fractions).
+
+    Fields: ``n_words``, ``n_distinct_words`` (diversity),
+    ``n_bigrams``/``top_bigram_count`` (top-2-gram repetition),
+    ``n_trigrams``/``n_distinct_trigrams`` (duplicate-3-gram mass).
+    Ratio thresholds are integer cross-multiplied by the caller.
+
+    Arrow-batched pandas UDF, one linear Counter pass per doc — a pure
+    map with no shuffle. The same semantics as pure column expressions
+    (:func:`repetition_signals_expr`) measured 100x slower because array
+    lambdas (``transform``/``aggregate``) evaluate interpreted outside
+    whole-stage codegen; this is the documented exception where Python
+    beats built-ins. ``re.split(r"\\s+", text.strip())`` is the exact
+    twin of both engines' regex split (empty text -> ``[""]``)."""
+    import re
+    from collections import Counter
+
+    rows = []
+    for t in texts:
+        ws = re.split(r"\s+", (t or "").strip())
+        n = len(ws)
+        bg = [ws[i] + " " + ws[i + 1] for i in range(n - 1)]
+        tg = [ws[i] + " " + ws[i + 1] + " " + ws[i + 2] for i in range(n - 2)]
+        rows.append(
+            (
+                n,
+                len(set(ws)),
+                len(bg),
+                max(Counter(bg).values()) if bg else 0,
+                len(tg),
+                len(set(tg)),
+            )
+        )
+    return pd.DataFrame(rows, columns=list(_REPETITION_FIELDS))
+
+
+def repetition_signals_expr(text: Column) -> Column:
+    """Pure-column-expression variant of :func:`repetition_signals` for
+    Python-less deployments. Semantically identical; slower, because
+    higher-order array functions evaluate interpreted (no codegen) —
+    prefer the pandas UDF in the hot path."""
+    w = words(text)
+    bg = word_shingles(text, n=2)
+    tg = word_shingles(text, n=3)
+    # max-frequency element = longest equal-run of the sorted array: an
+    # O(n log n) sort + O(n) fold. (The obvious
+    # transform(distinct, x -> count_eq(x)) is O(distinct * n) and array
+    # lambdas evaluate interpreted, not codegen — measured 670x slower.)
+    top_bigram = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.struct(
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_words"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        top_bigram.cast("bigint").alias("top_bigram_count"),
+        F.size(tg).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(tg)).cast("bigint").alias("n_distinct_trigrams"),
+    )
+
+
+#: PII patterns, applied in order (email first: its local part could
+#: otherwise be half-eaten by the phone pattern). RE2-compatible (no
+#: backrefs/lookarounds) so Spark (Java regex) and DuckDB (RE2) agree.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained global regex redaction of emails, IPv4s, and dashed phone
+    numbers (the pre-training scrub pass). Stays JVM-side
+    (`regexp_replace` replaces all matches); pattern order is part of the
+    contract — see :data:`PII_PATTERNS`."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

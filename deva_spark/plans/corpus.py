@@ -97,3 +97,41 @@ def curate(
     )
     exact.unpersist()
     return out, report
+
+
+def contamination_counts(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination check: for every corpus doc, count the
+    distinct word ``n``-grams it shares with the benchmark set
+    (the pre-training hygiene step: docs overlapping an eval set leak
+    test answers into training). Returns ``(doc_id, n_shared)`` for docs
+    with at least one shared n-gram.
+
+    Scale shape: both sides explode to (id, xxhash64(shingle)) — the join
+    key is an 8-byte hash, never the n-gram text — and the benchmark side
+    is distinct-projected to one row per shingle. Benchmark sets are
+    tiny relative to the corpus (MBs vs TBs), so AQE broadcasts the
+    benchmark shingle set and the corpus side never shuffles; the count
+    aggregates map-side per doc id. Long n-grams (n=5 default, 13 in
+    production) make stopword-run collisions negligible.
+    """
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n=n))).alias(
+                "_s"
+            ),
+        ).select("_id", F.xxhash64("_s").alias("_sh"))
+
+    bench_sh = shingle_hashes(bench_docs).select("_sh").distinct()
+    return (
+        shingle_hashes(docs)
+        .join(bench_sh, "_sh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

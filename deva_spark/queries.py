@@ -85,6 +85,23 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup pair set (same IndexStream pattern as `_doc_index`):
+    x05 reports the pairs, x41 resolves them into clusters — one LSH-index
+    pass serves both."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "jaccard_pairs")
+    if key not in cache:
+        cache[key] = mh.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), pct_threshold=30
+        )
+    pairs = cache[key]
+    if pairs.storageLevel.useMemory is False and pairs.storageLevel.useDisk is False:
+        pairs.persist()
+        pairs.count()
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # M1 — relational core
 # ---------------------------------------------------------------------------
@@ -832,7 +849,7 @@ def x04(spark, sf):
         ORDER BY id_a, id_b""",
 )
 def x05(spark, sf):
-    return mh.ngram_jaccard_pairs(_t(spark, sf, "documents"), pct_threshold=30)
+    return _jaccard_pairs(spark, sf)
 
 
 @query(
@@ -1878,6 +1895,152 @@ def x40(spark, sf):
     )
 
 
+@query(
+    "x41_dedup_clusters",
+    r"""WITH RECURSIVE words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), ex AS (
+          SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE common * 100 >= (na.n + nb.n - common) * 30
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS is_canonical
+        FROM reach GROUP BY node ORDER BY doc_id""",
+)
+def x41(spark, sf):
+    # dedup funnel last mile: near-dup PAIRS (x05's exact-jaccard edges)
+    # -> connected components (distributed min-label propagation) -> one
+    # canonical survivor per cluster. The oracle resolves the same
+    # components with a recursive reachability CTE.
+    from deva_spark.operators import graphs
+
+    pairs = _jaccard_pairs(spark, sf)
+    return graphs.canonical_assignments(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "x42_repetition_signals",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, ws,
+                 list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1]) AS bg,
+                 list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+          FROM words
+        )
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct_words,
+               len(bg) AS n_bigrams,
+               CASE WHEN len(bg) > 0 THEN
+                 list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x))))
+               ELSE 0 END AS top_bigram_count,
+               len(tg) AS n_trigrams,
+               len(list_distinct(tg)) AS n_distinct_trigrams
+        FROM g ORDER BY doc_id""",
+)
+def x42(spark, sf):
+    # Gopher-style repetition/diversity counters — raw BIGINTs (exactly
+    # hash-stable; ratio thresholds are integer cross-multiplied by the
+    # caller), pure codegen column expressions.
+    sig = T.repetition_signals(F.col("text"))
+    return _t(spark, sf, "documents").select("doc_id", sig.alias("_r")).select(
+        "doc_id", "_r.*"
+    )
+
+
+@query(
+    "x43_pii_redaction",
+    r"""SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 or call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                   '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '<PHONE>', 'g')
+               AS redacted
+        FROM documents ORDER BY doc_id""",
+)
+def x43(spark, sf):
+    # PII scrub pass over deterministically-augmented text (the corpus has
+    # no organic PII, so both engines plant the same email/IP/phone per
+    # doc, then the chained regexp_replace redaction must agree exactly).
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com via 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".7 or call +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id", T.redact_pii(aug).alias("redacted")
+    )
+
+
+@query(
+    "x44_decontamination",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS shingles
+          FROM words WHERE len(ws) >= 5
+        ), ex AS (
+          SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ), bench AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+        )
+        SELECT e.doc_id, COUNT(*) AS n_shared
+        FROM ex e JOIN bench USING (s)
+        WHERE e.doc_id % 97 <> 0
+        GROUP BY 1 ORDER BY 1""",
+)
+def x44(spark, sf):
+    # benchmark decontamination: count distinct 5-grams each corpus doc
+    # shares with the benchmark subset (doc_id % 97 == 0) — hashed-shingle
+    # join, benchmark side broadcast-small.
+    from deva_spark.plans.corpus import contamination_counts
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_counts(corpus, bench, n=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -1920,6 +2083,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x38_stream_interval_join",
     "x39_stratified_sample",
     "x40_dataset_split",
+    "x41_dedup_clusters",
+    "x42_repetition_signals",
+    "x43_pii_redaction",
+    "x44_decontamination",
 )
 
 

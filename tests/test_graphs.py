@@ -1,0 +1,96 @@
+"""Connected components: small (driver union-find) and large (distributed
+label propagation) paths must agree; canonical assignment marks min-id."""
+
+from pyspark.sql import functions as F
+
+from deva_spark.operators import graphs
+
+# two chains, one triangle, one isolated edge:
+#   0-1-2-3   10-11-12   20-21, 21-22, 20-22   30-31
+EDGES = [
+    (0, 1), (1, 2), (2, 3),
+    (10, 11), (11, 12),
+    (20, 21), (21, 22), (20, 22),
+    (30, 31),
+]
+EXPECTED = {
+    0: 0, 1: 0, 2: 0, 3: 0,
+    10: 10, 11: 10, 12: 10,
+    20: 20, 21: 20, 22: 20,
+    30: 30, 31: 30,
+}
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_connected_components_driver_path(spark):
+    out = graphs.connected_components(_edges_df(spark))
+    got = {r.node: r.comp for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_connected_components_distributed_path(spark):
+    # driver_threshold=0 forces the iterative label-propagation path
+    out = graphs.connected_components(_edges_df(spark), driver_threshold=0)
+    got = {r.node: r.comp for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_canonical_assignments_flags_min_id(spark):
+    pairs = spark.createDataFrame(EDGES, "id_a long, id_b long")
+    out = graphs.canonical_assignments(pairs).collect()
+    canon = {r.doc_id for r in out if r.is_canonical}
+    assert canon == {0, 10, 20, 30}
+    assert all(r.cluster_id == EXPECTED[r.doc_id] for r in out)
+
+
+def test_redact_pii_patterns(spark):
+    from deva_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.co.uk end",),
+            ("ip 192.168.0.1 and phone +86-800-1234-567",),
+            ("clean text with no pii at all",),
+        ],
+        "t string",
+    )
+    got = [r.r for r in df.select(redact_pii(F.col("t")).alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> end"
+    assert got[1] == "ip <IP> and phone <PHONE>"
+    assert got[2] == "clean text with no pii at all"
+
+
+def test_repetition_signals_counts(spark):
+    from deva_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame([("a b a b a",), ("x",)], "t string")
+    rows = df.select(repetition_signals(F.col("t")).alias("s")).select("s.*").collect()
+    r = rows[0]
+    # words: a b a b a -> bigrams: [a b, b a, a b, b a] top count 2
+    assert (r.n_words, r.n_distinct_words) == (5, 2)
+    assert (r.n_bigrams, r.top_bigram_count) == (4, 2)
+    assert (r.n_trigrams, r.n_distinct_trigrams) == (3, 2)
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_bigrams, r1.top_bigram_count, r1.n_trigrams) == (1, 0, 0, 0)
+
+
+def test_contamination_counts_shared_ngrams(spark):
+    from deva_spark.plans.corpus import contamination_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now okay then"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over the lazy")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in contamination_counts(docs, bench, n=5).collect()}
+    # doc 1 shares 3 distinct 5-grams with the benchmark text; doc 2 none
+    assert got == {1: 3}
