@@ -412,3 +412,34 @@ def centroids(vectors: DataFrame, label_col: str = "label", vec_col: str = "embe
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
         .select("label", F.transform("s", lambda x: x["m"]).alias("centroid"))
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization (the embedding-store
+    compression step: 4x smaller than float32, 8x than float64):
+    ``scale = max(|v_i|)``, ``q_i = floor(v_i * 127 / scale + 0.5)`` in
+    [-127, 127]. Returns ``struct(scale double, q array<int>)``.
+
+    ``floor(x + 0.5)`` instead of ``round``: Spark rounds HALF_UP and
+    DuckDB half-even, but floor is floor everywhere, so quantized codes
+    are bit-identical across engines (every arithmetic step — cast to
+    double, multiply, divide, floor — is IEEE-deterministic). An
+    all-zero vector quantizes to all-zero codes with scale 0. Pure
+    per-row array expressions: no shuffle, no Python, fully pushes into
+    the scan projection."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(dv, F.abs))
+    q = F.transform(
+        dv,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast("int")
+        ),
+    )
+    return F.struct(scale.cast("double").alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(quant: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``q_i * scale / 127`` as
+    array<double> — the read path of an int8 embedding store."""
+    s = quant["scale"]
+    return F.transform(quant["q"], lambda x: x.cast("double") * s / F.lit(127.0))

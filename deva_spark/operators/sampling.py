@@ -148,3 +148,41 @@ def dataset_split(
         )
 
     return _t
+
+
+def mixture_rebalance(
+    group_col: str,
+    id_col: str,
+) -> Callable[[DataFrame], DataFrame]:
+    """Temperature-style mixture rebalancing (the pretraining "don't let
+    the biggest domain drown the rest" resample, alpha = 0.5): per-group
+    keep-rate ``floor(100 * sqrt(min_count / count))`` percent — the
+    smallest group keeps 100%, larger groups are deterministically
+    downsampled toward (not all the way to) parity. Keeps a row when its
+    :func:`hash_bucket` falls under the group's rate, so the sample is
+    reproducible across runs, partitionings, and engines.
+
+    Scale shape: one partial-aggregated count per group (the only
+    shuffle, and it carries one row per group), a 1-row global MIN, and a
+    broadcast join of the tiny rate table back onto the corpus — the
+    corpus side never shuffles. sqrt is IEEE-correctly-rounded in both
+    Spark and DuckDB, so the integer rate is engine-stable (pow is not —
+    that is why the temperature is fixed at 0.5 here).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        min_cnt = counts.agg(F.min("_cnt").alias("_min"))
+        rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+            group_col,
+            F.floor(
+                F.lit(100.0) * F.sqrt(F.col("_min") / F.col("_cnt"))
+            ).cast("int").alias("_rate"),
+        )
+        return (
+            df.join(F.broadcast(rates), group_col)
+            .filter(hash_bucket(F.col(id_col)) < F.col("_rate"))
+            .drop("_rate")
+        )
+
+    return _t

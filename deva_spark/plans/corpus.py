@@ -135,3 +135,40 @@ def contamination_counts(
         .groupBy(F.col("_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate signal: of a doc's distinct word
+    ``n``-grams, how many occur in at least ``min_docs`` distinct
+    documents corpus-wide (headers, footers, licence blurbs, templated
+    spans — the RefinedWeb-style "repeated across the crawl" filter).
+    Returns ``(doc_id, n_shingles, n_common)``; callers threshold the
+    ratio by integer cross-multiplication (``n_common * D > n_shingles
+    * N`` for N/D), never a float divide.
+
+    Scale shape: ONE explode of the corpus to ``(doc_id,
+    xxhash64(shingle))`` — per-doc distinct, so a doc contributes each
+    n-gram once — then a count-over-window partitioned by the 8-byte
+    hash (one shuffle carrying hash+id, never n-gram text) and a per-doc
+    re-aggregation (second shuffle, two longs per row). A groupBy+join
+    formulation is equivalent but scans and re-shingles the corpus
+    twice; the window does it once. No step is proportional to pair
+    counts (unlike near-dup joins) — linear in corpus token count.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n=n))).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_sh"))
+    per_shingle = exploded.withColumn(
+        "_docs", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    )
+    return per_shingle.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("_docs") >= min_docs, 1)).alias("n_common"),
+    )

@@ -2041,6 +2041,167 @@ def x44(spark, sf):
     return contamination_counts(corpus, bench, n=5)
 
 
+@query(
+    "x45_boilerplate",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS shingles
+          FROM words WHERE len(ws) >= 5
+        ), ex AS (
+          SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ), common AS (
+          SELECT s, 1 AS hit FROM ex GROUP BY s HAVING COUNT(*) >= 3
+        )
+        SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(c.hit) AS n_common
+        FROM ex e LEFT JOIN common c USING (s)
+        GROUP BY 1 ORDER BY 1""",
+)
+def x45(spark, sf):
+    # RefinedWeb-style boilerplate signal: per doc, how many of its
+    # distinct 5-grams recur in >= 3 docs corpus-wide (headers/footers/
+    # templates). Hashed-shingle shuffle — 8-byte keys, never text.
+    from deva_spark.plans.corpus import boilerplate_stats
+
+    return boilerplate_stats(_t(spark, sf, "documents"), n=5, min_docs=3)
+
+
+@query(
+    "x46_sequence_packing",
+    r"""WITH RECURSIVE w AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), t AS (
+          SELECT source, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM w
+        ), rec(source, rn, doc_id, n_tokens, cum, pack) AS (
+          SELECT source, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN r.cum + t.n_tokens > 256 THEN t.n_tokens
+                      ELSE r.cum + t.n_tokens END,
+                 CASE WHEN r.cum + t.n_tokens > 256 THEN r.pack + 1
+                      ELSE r.pack END
+          FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+        )
+        SELECT source, doc_id, n_tokens, pack AS pack_id
+        FROM rec ORDER BY source, doc_id""",
+)
+def x46(spark, sf):
+    # context-window packing: greedy fill of 256-token packs per source
+    # shard — parallel across shards, deterministic within (the oracle
+    # replays the same greedy walk as a recursive CTE).
+    from deva_spark.operators.packing import greedy_pack
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return greedy_pack(docs, "source", "doc_id", "n_tokens", capacity=256)
+
+
+@query(
+    "x47_mixture_rebalance",
+    f"""WITH c AS (
+          SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1
+        ), r AS (
+          SELECT lang,
+                 CAST(floor(100.0 * sqrt((SELECT MIN(cnt) FROM c) / cnt)) AS INT)
+                   AS rate
+          FROM c
+        )
+        SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        WHERE {_md5_bucket_sql("CAST(doc_id AS VARCHAR)")} < rate
+        ORDER BY doc_id""",
+)
+def x47(spark, sf):
+    # temperature (alpha=0.5) mixture rebalancing: big languages are
+    # deterministically downsampled toward parity, smallest keeps 100%.
+    # sqrt (not pow) because both engines round it correctly per IEEE.
+    from deva_spark.operators import sampling
+
+    return (
+        _t(spark, sf, "documents")
+        .transform(sampling.mixture_rebalance("lang", "doc_id"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "x48_int8_quantization",
+    """SELECT vec_id,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                AS scale,
+              CAST(len(embedding) AS BIGINT) AS n_dims,
+              CAST(list_sum(list_transform(embedding, x ->
+                CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                               AS BIGINT) END)) AS BIGINT) AS sum_q,
+              CAST(list_sum(list_transform(embedding, x ->
+                CASE WHEN scale = 0 THEN 0
+                     ELSE abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                              AS BIGINT)) END)) AS BIGINT) AS sum_abs_q
+       FROM embeddings ORDER BY vec_id""",
+)
+def x48(spark, sf):
+    # int8 embedding-store compression: symmetric per-vector quantization
+    # with floor(x+0.5) rounding (HALF_UP vs half-even differs between
+    # engines; floor doesn't). Checked via integer code checksums.
+    q = V.quantize_int8(F.col("embedding"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", q.alias("_q"))
+        .select(
+            "vec_id",
+            F.col("_q.scale").alias("scale"),
+            F.size("_q.q").cast("bigint").alias("n_dims"),
+            F.aggregate("_q.q", zero, lambda a, x: a + x.cast("bigint")).alias(
+                "sum_q"
+            ),
+            F.aggregate(
+                "_q.q", zero, lambda a, x: a + F.abs(x.cast("bigint"))
+            ).alias("sum_abs_q"),
+        )
+    )
+
+
+@query(
+    "x49_streaming_first_seen",
+    """WITH r AS (
+         SELECT user_id, ts, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS rn
+         FROM events
+       )
+       SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+              event_type AS first_event_type
+       FROM r WHERE rn = 1 ORDER BY user_id""",
+)
+def x49(spark, sf):
+    # STREAMING first-seen-per-key drain (unique(key=...) promoted to the
+    # driver contract): event-time min_by aggregation, so the result is
+    # identical no matter how the backlog was micro-batched — unlike raw
+    # dropDuplicates, whose survivor depends on arrival order.
+    from deva_spark.streaming.twin import (
+        events_file_stream,
+        run_available_now,
+        streaming_first_event,
+    )
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    return run_available_now(
+        streaming_first_event(s, "user_id"), "x49_drain", output_mode="complete"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -2087,6 +2248,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x42_repetition_signals",
     "x43_pii_redaction",
     "x44_decontamination",
+    "x45_boilerplate",
+    "x46_sequence_packing",
+    "x47_mixture_rebalance",
+    "x48_int8_quantization",
+    "x49_streaming_first_seen",
 )
 
 

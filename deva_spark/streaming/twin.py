@@ -169,6 +169,29 @@ def streaming_first_seen(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     return stream_df.dropDuplicates(keys)
 
 
+def streaming_first_event(stream_df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Deterministic first-seen per key by EVENT time: streaming min_by
+    over ``(ts, event_id)``. ``dropDuplicates`` keeps whichever same-key
+    row a micro-batch happens to see first — arrival order, which depends
+    on batch boundaries — so its output isn't batch-comparable; this
+    aggregation converges to the event-time-earliest row regardless of
+    how the backlog was chunked. Complete-mode state is one row per key
+    (same footprint as the dedup state store)."""
+    first = F.min_by(
+        F.struct("ts", "event_id", "event_type"), F.struct("ts", "event_id")
+    ).alias("_f")
+    return (
+        stream_df.groupBy(key)
+        .agg(first)
+        .select(
+            key,
+            F.col("_f.ts").alias("first_ts"),
+            F.col("_f.event_id").alias("first_event_id"),
+            F.col("_f.event_type").alias("first_event_type"),
+        )
+    )
+
+
 def latest_per_key(batch_df: DataFrame, keys: list[str]) -> DataFrame:
     """Per-trigger lossy-latest (``latest`` analog, `ops.py:681-736`):
     keep only the newest event per key within the batch — used from
