@@ -23,6 +23,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 #: Deterministic event total order used across the events table.
 EVENT_ORDER: tuple[str, str] = ("ts", "event_id")
@@ -31,6 +32,21 @@ EVENT_ORDER: tuple[str, str] = ("ts", "event_id")
 def keyed_order(partition: str | None, order: Sequence[str] = EVENT_ORDER) -> WindowSpec:
     w = Window.partitionBy(partition) if partition else Window.partitionBy()
     return w.orderBy(*order)
+
+
+def epoch_micros(df: DataFrame, ts_col: str) -> Column:
+    """Epoch microseconds for either timestamp flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); parquet files whose
+    timestamps carry ``isAdjustedToUTC=false`` load as TIMESTAMP_NTZ and
+    need the naive value pinned to UTC first — ``to_utc_timestamp(c,
+    'UTC')`` does that independently of the session timezone, matching
+    DuckDB's ``epoch_us`` on naive timestamps.
+    """
+    col = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+    return F.unix_micros(col)
 
 
 #: Inputs whose Catalyst size estimate is at or below this many bytes take
@@ -129,7 +145,7 @@ def _range_bucketed(
     dtype = dict(df.dtypes)[lead]
     col = F.col(lead)
     if dtype.startswith("timestamp"):
-        num = F.unix_micros(col).cast("double")
+        num = epoch_micros(df, lead).cast("double")
     elif dtype == "date":
         num = F.datediff(col, F.lit("1970-01-01")).cast("double")
     elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith(
@@ -314,7 +330,7 @@ def rolling_time_agg(
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        d2 = df.withColumn("_us", F.unix_micros(F.col(ts_col)))
+        d2 = df.withColumn("_us", epoch_micros(df, ts_col))
         w = (
             Window.partitionBy(partition)
             .orderBy("_us")
@@ -342,7 +358,7 @@ def sessionize(
         # Exact integer gap test (epoch microseconds) — double-epoch seconds
         # carry ~0.4 µs rounding at 1e9 magnitude, enough to flip a row that
         # lands exactly on the gap boundary vs the oracle's INTERVAL compare.
-        us = F.unix_micros(F.col(ts_col))
+        us = epoch_micros(df, ts_col)
         prev_us = F.lag(us).over(w)
         new_s = F.when(
             prev_us.isNull() | (us - prev_us > gap_minutes * 60 * 1_000_000),
