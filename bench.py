@@ -176,21 +176,37 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that window — rounds 3/4 recorded
+    # ``parsed: null`` because the per-query map pushed the line past the
+    # window. So: the stdout line stays COMPACT (short query ids, 2dp),
+    # and the full auditable per-query spark/duckdb/ratio map (VERDICT r2
+    # #7) goes to BENCH_DETAIL.json next to this script instead.
+    def short_id(name: str) -> str:
+        return name.split("_", 1)[0]
+
     out = {
         "metric": "suite_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": per,
+        "queries": {short_id(n): round(per[n], 2) for n in per},
         "sf": sf,
+    }
+    detail: dict[str, object] = {
+        "suite_total_wall": total,
+        "sf": sf,
+        "workers": workers,
+        "runs": n_runs,
+        "queries": per,
     }
     if baseline_total is not None:
         out["baseline_value"] = baseline_total
         out["ratio"] = round(total / baseline_total, 3) if baseline_total else None
-        # auditable per-query comparison (VERDICT r2 #7): spark + duckdb
-        # medians and their ratio, for every query the oracle also runs.
+        detail["baseline_total"] = baseline_total
+        detail["ratio"] = out["ratio"]
         # Per-query times overlap under concurrent drain — they are each
         # engine's own sequential cost, not additive to the suite wall.
-        out["per_query"] = {
+        detail["per_query"] = {
             n: {
                 "spark": per[n],
                 "duckdb": base[n],
@@ -199,7 +215,20 @@ def main() -> None:
             for n in per
             if n in base
         }
-    print(json.dumps(out))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # never let the detail file kill the JSON line
+        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:  # hard guard: the line MUST fit the tail window
+        out["queries"] = {}
+        out["queries_note"] = "see BENCH_DETAIL.json (line length guard)"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -38,14 +38,19 @@ def epoch_micros(df: DataFrame, ts_col: str) -> Column:
     """Epoch microseconds for either timestamp flavor.
 
     ``unix_micros`` only accepts TIMESTAMP (LTZ); parquet files whose
-    timestamps carry ``isAdjustedToUTC=false`` load as TIMESTAMP_NTZ and
-    need the naive value pinned to UTC first — ``to_utc_timestamp(c,
-    'UTC')`` does that independently of the session timezone, matching
-    DuckDB's ``epoch_us`` on naive timestamps.
+    timestamps carry ``isAdjustedToUTC=false`` load as TIMESTAMP_NTZ.
+    For NTZ columns we use ``timestampdiff(MICROSECOND, NTZ epoch, c)``,
+    which stays entirely in the NTZ domain and is therefore independent
+    of ``spark.sql.session.timeZone`` (ADVICE r4: the earlier
+    ``to_utc_timestamp(c,'UTC')`` form implicitly cast NTZ->LTZ through
+    the SESSION timezone first, so a non-UTC session tz shifted the
+    epoch). Matches DuckDB's ``epoch_us`` on naive timestamps.
     """
     col = F.col(ts_col)
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
     return F.unix_micros(col)
 
 

@@ -16,6 +16,7 @@ Determinism contract (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2212,65 +2213,78 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries with the OLDEST
-# green driver row first. Round-4 window: q16-q35 + x01-x14 (last checked
-# r02), x21/x25 (fixed this round for TIMESTAMP_NTZ testdata — re-prove at
-# driver level), then any x50+ added this round. Local tooling
-# (tools/check_correctness.py, bench.py) still runs every entry, so
-# nothing loses in-repo coverage.
+# green driver row first. Round-5 window: the 35 queries whose latest
+# driver row is from r03 (q14/q15, x15-x20, x22-x24, x26-x49), then any
+# x55+ added this round. Local tooling (tools/check_correctness.py,
+# bench.py) still runs every entry, so nothing loses in-repo coverage.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    "q16_sliding_window_avg",
-    "q17_partition_chunks",
-    "q18_tumbling_time_window",
-    "q19_rank_topk_per_key",
-    "q20_lag_diff",
-    "q21_topk",
-    "q22_slice",
-    "q23_union",
-    "q24a_intersect",
-    "q24b_except",
-    "q25_string_fns",
-    "q26_regexp_extract",
-    "q27_date_trunc",
-    "q28_math_fns",
-    "q29_explode_words",
-    "q30_frequencies",
-    "q31_percentile",
-    "q32_rollup",
-    "q33_zscore_anomaly",
-    "q34_exact_text_dedup",
-    "q35_sessionization",
-    "x01_token_count",
-    "x02_lang_id",
-    "x03_quality_score",
-    "x04_fingerprint",
-    "x05_ngram_jaccard",
-    "x06_minhash_lsh_neardup",
-    "x07_simhash_neardup",
-    "x08_cosine_topk",
-    "x09_ann_lsh_topk",
-    "x10_label_centroids",
-    "x11_json_extract",
-    "x12_tfidf_keywords",
-    "x13_fulltext_search",
-    "x14_case_route",
-    "x21_rolling_time_window",
-    "x25_session_stats",
+    "q14_asof_combine_latest",
+    "q15_running_fold",
+    "x15_corpus_curation",
+    "x16_part_brand_stats",
+    "x17_supplier_by_nation",
+    "x18_lineitem_part_join",
+    "x19_cube",
+    "x20_analytic_functions",
+    "x22_range_band_join",
+    "x23_cosine_neardup",
+    "x24_asof_join",
+    "x26_histogram",
+    "x27_pivot_counts",
+    "x28_bpe_tokens",
+    "x29_rolling_hash",
+    "x30_take_while",
+    "x31_ordered_pairs",
+    "x32_ivf_topk",
+    "x33_streaming_tumbling",
+    "x34_streaming_sessions",
+    "x35_streaming_running_sum",
+    "x36_streaming_zscore",
+    "x37_llm_json_extract",
+    "x38_stream_interval_join",
+    "x39_stratified_sample",
+    "x40_dataset_split",
+    "x41_dedup_clusters",
+    "x42_repetition_signals",
+    "x43_pii_redaction",
+    "x44_decontamination",
+    "x45_boilerplate",
+    "x46_sequence_packing",
+    "x47_mixture_rebalance",
+    "x48_int8_quantization",
+    "x49_streaming_first_seen",
 )
+
+#: Queries registered this round get their FIRST driver row ahead of the
+#: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
+#: ``k >= "x50"`` silently mis-sorted a future "x100").
+_NEW_MIN_ID = 55
+
+
+def _query_num(name: str) -> int | None:
+    m = re.match(r"x(\d+)_", name)
+    return int(m.group(1)) if m else None
 
 
 def _new_this_round() -> tuple[str, ...]:
-    """Names registered after x49 (round-4 additions) — they need their
-    first driver row, so they join the 50-entry window behind the rotation
-    head."""
     return tuple(
-        k for k in SPARK_QUERIES if k >= "x50" and k not in _DRIVER_FIRST
+        k
+        for k in SPARK_QUERIES
+        if (num := _query_num(k)) is not None
+        and num >= _NEW_MIN_ID
+        and k not in _DRIVER_FIRST
     )
 
 
 def _rotate_registry() -> None:
     first = _DRIVER_FIRST + _new_this_round()
+    # The driver records only the first 50 rows: overflowing the window
+    # would silently un-verify whatever lands past it (ADVICE r4).
+    assert len(first) <= 50, (
+        f"driver window overflow: {len(first)} > 50 — rotate _DRIVER_FIRST"
+    )
     for d in (SPARK_QUERIES, ORACLE_SQL):
         head = {k: d[k] for k in first if k in d}
         tail = {k: v for k, v in d.items() if k not in head}

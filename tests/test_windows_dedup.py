@@ -97,3 +97,35 @@ def test_exact_text_groups(spark):
     )
     out = df.transform(dedup.exact_text_groups()).collect()
     assert [(r.keep, r.dups) for r in out] == [(1, 3)]
+
+
+def test_epoch_micros_session_tz_independent(spark):
+    """ADVICE r4: NTZ epoch must not shift under a non-UTC session tz.
+
+    The old ``to_utc_timestamp(ntz, 'UTC')`` form implicitly cast
+    NTZ->LTZ through the SESSION timezone, so America/New_York produced
+    18000000000us for the NTZ epoch instead of 0.
+    """
+    df = spark.createDataFrame(
+        [(0, "1970-01-01 00:00:00"), (1, "2024-07-01 12:34:56.789")],
+        "id long, s string",
+    ).withColumn("ts", F.col("s").cast("timestamp_ntz"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc_vals = {
+            r.id: r.us
+            for r in df.select(
+                "id", windows.epoch_micros(df, "ts").alias("us")
+            ).collect()
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_vals = {
+            r.id: r.us
+            for r in df.select(
+                "id", windows.epoch_micros(df, "ts").alias("us")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc_vals[0] == 0
+    assert utc_vals == ny_vals
