@@ -63,6 +63,7 @@ def main() -> None:
             "x35_streaming_running_sum",
             "x36_streaming_zscore",
             "x38_stream_interval_join",
+            "x49_streaming_first_seen",
         }
     )
     names = [

@@ -105,15 +105,21 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (1-based element_at so the
-    DuckDB oracle's 1-based list indexing matches exactly).
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-computed ``array<string>``
+    words column (1-based element_at so the DuckDB oracle's 1-based list
+    indexing matches exactly).
 
-    Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down* (would
-    yield bogus indices), so docs with fewer than ``n`` tokens get an empty
-    shingle array explicitly.
+    Callers in the hot path should PROJECT the words array into a column
+    first (``.withColumn("_ws", words(text))``) and pass ``F.col("_ws")``
+    here: passing the raw ``words(text)`` expression inlines the regexp
+    split ``n+2`` times inside a higher-order lambda, which blows up the
+    generated code (measured 13s -> 1.4s on x45 at sf0.1 from this alone).
+
+    Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down*
+    (would yield bogus indices), so docs with fewer than ``n`` tokens get
+    an empty shingle array explicitly.
     """
-    w = words(text)
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     shingles = F.transform(
         idx,
@@ -124,6 +130,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, shingles).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; see
+    :func:`shingles_from_words` for the hot-path form over a projected
+    words column."""
+    return shingles_from_words(words(text), n)
 
 
 def _distinct_shingles_py(text: str, n: int = 3) -> list[str]:

@@ -121,12 +121,19 @@ def contamination_counts(
     production) make stopword-run collisions negligible.
     """
     def shingle_hashes(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n=n))).alias(
-                "_s"
-            ),
-        ).select("_id", F.xxhash64("_s").alias("_sh"))
+        # Project the split words FIRST — inlining words(text) into the
+        # shingle lambda repeats the regexp split n+2 times in generated
+        # code (13s -> 1.4s on x45-shaped plans at sf0.1).
+        return (
+            df.select(F.col(id_col).alias("_id"), T.words(F.col(text_col)).alias("_ws"))
+            .select(
+                "_id",
+                F.explode(
+                    F.array_distinct(T.shingles_from_words(F.col("_ws"), n=n))
+                ).alias("_s"),
+            )
+            .select("_id", F.xxhash64("_s").alias("_sh"))
+        )
 
     bench_sh = shingle_hashes(bench_docs).select("_sh").distinct()
     return (
@@ -161,10 +168,16 @@ def boilerplate_stats(
     twice; the window does it once. No step is proportional to pair
     counts (unlike near-dup joins) — linear in corpus token count.
     """
-    exploded = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n=n))).alias("_s"),
-    ).select("_id", F.xxhash64("_s").alias("_sh"))
+    exploded = (
+        docs.select(F.col(id_col).alias("_id"), T.words(F.col(text_col)).alias("_ws"))
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(T.shingles_from_words(F.col("_ws"), n=n))
+            ).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("_sh"))
+    )
     per_shingle = exploded.withColumn(
         "_docs", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
     )

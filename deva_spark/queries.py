@@ -2203,6 +2203,414 @@ def x49(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 5 — corpus hygiene + relational breadth (x50-x59)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x50_prefix_dup_groups",
+    r"""WITH p AS (
+          SELECT doc_id,
+                 array_to_string(regexp_split_to_array(trim(text), '\s+')[1:2], ' ')
+                   AS prefix
+          FROM documents
+        )
+        SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM p GROUP BY prefix HAVING COUNT(*) > 1 ORDER BY prefix""",
+)
+def x50(spark, sf):
+    # Crawl-style prefix dedup candidates (same-header pages): group docs
+    # by their leading-k-words prefix, emit groups with >1 member and the
+    # first-seen keeper. Shuffle key is the short prefix string, never the
+    # body; at 100 TB swap the key for xxhash64(prefix) and keep min-id.
+    docs = _t(spark, sf, "documents")
+    prefix = F.concat_ws(" ", F.slice(T.words(F.col("text")), 1, 2))
+    return (
+        docs.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "x51_url_host_stats",
+    r"""WITH aug AS (
+          SELECT doc_id,
+                 text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example-' || CAST(doc_id % 13 AS VARCHAR)
+                      || '.org/p/' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents
+        )
+        SELECT regexp_extract(t, 'https?://([a-z0-9.-]+)/', 1) AS host,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(t), '\s+'))) AS BIGINT)
+                 AS sum_tokens
+        FROM aug GROUP BY 1 ORDER BY 1""",
+)
+def x51(spark, sf):
+    # URL/host rollup for crawl curation (per-host doc counts feed host-
+    # level quality decisions). The corpus has no organic URLs, so both
+    # engines plant the same deterministic URL per doc (x43 precedent),
+    # then host extraction + rollup must agree exactly.
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://cdn"),
+        (d % 7).cast("string"),
+        F.lit(".example-"),
+        (d % 13).cast("string"),
+        F.lit(".org/p/"),
+        d.cast("string"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", aug.alias("t"))
+    return (
+        docs.select(
+            F.regexp_extract("t", r"https?://([a-z0-9.-]+)/", 1).alias("host"),
+            F.size(T.words(F.col("t"))).cast("bigint").alias("_n"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "x52_encoding_quality",
+    r"""WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' caf' || chr(233) || ' r' || chr(233) || 'sum'
+                              || chr(233) ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[^\x00-\x7f]')) AS BIGINT)
+                 AS n_nonascii,
+               CAST(len(regexp_extract_all(t, '[\x00-\x08\x0b-\x1f]')) AS BIGINT)
+                 AS n_control,
+               CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+                 AS n_replacement,
+               CAST(length(t) AS BIGINT) AS n_chars
+        FROM aug ORDER BY doc_id""",
+)
+def x52(spark, sf):
+    # Encoding-quality signals (mojibake / control-char screens): integer
+    # counts per doc; callers threshold ratios by integer cross-multiply.
+    # Corpus text is clean ASCII, so both engines plant identical non-ASCII
+    # spans first. Pure codegen column expressions, no Python.
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0, F.lit(" café résumé")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("�")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", aug.alias("t"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(r"[^\x00-\x7f]")).cast("bigint").alias("n_nonascii"),
+        F.regexp_count("t", F.lit(r"[\x00-\x08\x0b-\x1f]"))
+        .cast("bigint")
+        .alias("n_control"),
+        F.regexp_count("t", F.lit("�")).cast("bigint").alias("n_replacement"),
+        F.length("t").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "x53_hourly_trending",
+    """WITH c AS (
+         SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2
+       ), r AS (
+         SELECT hr, event_type, cnt,
+                rank() OVER (PARTITION BY hr ORDER BY cnt DESC, event_type) AS rnk
+         FROM c
+       )
+       SELECT hr, event_type, cnt, rnk FROM r WHERE rnk <= 3
+       ORDER BY hr, rnk, event_type""",
+)
+def x53(spark, sf):
+    # Trending dashboard: per hour, top-3 event types by count with a
+    # deterministic (cnt DESC, type ASC) tie-break. Count shuffles on
+    # (hour, type); the rank window partitions by hour — no global window.
+    ev = _t(spark, sf, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("hr").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hr", "event_type", "cnt", "rnk")
+    )
+
+
+@query(
+    "x54_source_token_budget",
+    r"""WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ), r AS (
+          SELECT source, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_tokens, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM tok
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS BIGINT)
+                 AS median_tokens,
+               CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END)
+                 AS BIGINT) AS p90_tokens
+        FROM r GROUP BY source ORDER BY source""",
+)
+def x54(spark, sf):
+    # Token-budget report per source: exact discrete percentiles via
+    # position selection (rank over a per-source window) — identical
+    # integer semantics on both engines, no interpolating percentile.
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("source")
+    r = tok.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med_pos = F.expr("(n + 1) div 2")  # exact integer div — no float round
+    p90_pos = F.expr("(9 * n + 9) div 10")
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max(F.when(F.col("rn") == med_pos, F.col("n_tokens"))).alias(
+            "median_tokens"
+        ),
+        F.max(F.when(F.col("rn") == p90_pos, F.col("n_tokens"))).alias(
+            "p90_tokens"
+        ),
+    )
+
+
+@query(
+    "x55_cross_source_overlap",
+    r"""WITH words AS (
+          SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ), ex AS (
+          SELECT source,
+                 UNNEST(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS s
+          FROM words WHERE len(ws) >= 5
+        ), sh AS (
+          SELECT DISTINCT source, s FROM ex
+        )
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x55(spark, sf):
+    # Cross-source contamination matrix: distinct 5-grams per source,
+    # pairwise shared counts. The self-join key is xxhash64(shingle) — an
+    # 8-byte key, never text — and per-key fan-out is bounded by the
+    # source count (20 here), so no quadratic pair blowup.
+    docs = _t(spark, sf, "documents")
+    sh = (
+        docs.select("source", T.words(F.col("text")).alias("_ws"))
+        .select(
+            "source",
+            F.explode(T.shingles_from_words(F.col("_ws"), n=5)).alias("_s"),
+        )
+        .select("source", F.xxhash64("_s").alias("_sh"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "x56_common_token_mass",
+    r"""WITH tok AS (
+          SELECT doc_id,
+                 UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ), top10 AS (
+          SELECT w FROM tok GROUP BY w
+          ORDER BY COUNT(*) DESC, w LIMIT 10
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN p.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_common
+        FROM tok t LEFT JOIN top10 p ON t.w = p.w
+        GROUP BY 1 ORDER BY 1""",
+)
+def x56(spark, sf):
+    # Stopword-mass proxy: per doc, how many tokens fall in the corpus
+    # top-10 most frequent tokens (deterministic count-desc, token-asc
+    # tie-break). The top-10 set is a broadcast join side; the token
+    # explode aggregates straight back to doc_id.
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    )
+    top10 = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(10)
+        .select("w", F.lit(1).alias("_hit"))
+    )
+    return (
+        tok.join(F.broadcast(top10), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+    )
+
+
+@query(
+    "x57_length_histogram",
+    r"""WITH tok AS (
+          SELECT source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        )
+        SELECT source, n_tokens // 25 AS bucket, COUNT(*) AS n_docs
+        FROM tok GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x57(spark, sf):
+    # Doc-length histogram per source (fixed 25-token buckets — integer
+    # division, no float log binning that could flip on exact powers).
+    docs = _t(spark, sf, "documents")
+    n = F.size(T.words(F.col("text"))).cast("bigint")
+    return (
+        docs.select(
+            "source", F.floor(n / 25).cast("bigint").alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "x58_late_orders_by_priority",
+    """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+       GROUP BY 1 ORDER BY 1""",
+)
+def x58(spark, sf):
+    # TPC-H Q4 shape: EXISTS with a correlated cross-table predicate =
+    # left-semi join with a compound condition (this testdata's lineitem
+    # carries l_shipdate only, so "late" = shipped >90 days after the
+    # order date). The date filter prunes the orders scan before the
+    # semi-join; only matching keys shuffle.
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "x59_customer_value_deciles",
+    """WITH spend AS (
+         SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS total
+         FROM orders GROUP BY 1
+       ), r AS (
+         SELECT o_custkey, total,
+                row_number() OVER (ORDER BY total DESC, o_custkey) AS rn,
+                COUNT(*) OVER () AS n
+         FROM spend
+       )
+       SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+              COUNT(*) AS n_customers,
+              CAST(SUM(total) AS DECIMAL(18,2)) AS total_spend
+       FROM r GROUP BY 1 ORDER BY 1""",
+)
+def x59(spark, sf):
+    # Customer lifetime-value deciles: exact decimal spend, deterministic
+    # (spend DESC, custkey) ranking, integer decile buckets. The global
+    # numbering goes through the adaptive two-phase path (windows.
+    # global_positions) — no single-reducer window at scale.
+    spend = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            money_sum(F.col("o_totalprice")).cast("decimal(18,2)").alias("total")
+        )
+    )
+    # global_positions orders ascending by name — rank DESC on spend via an
+    # exact decimal negation (ties broken by custkey ASC on both engines).
+    ranked = windows.global_positions(
+        spend.withColumn("_neg", (-F.col("total")).cast("decimal(19,2)")),
+        order=["_neg", "o_custkey"],
+        out="rn",
+    )
+    n = spend.count()  # single scalar to the driver — metadata, not data
+    return (
+        ranked.select(
+            F.expr(f"((rn - 1) * 10) div {n}").alias("decile"),
+            F.col("total"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("total").cast("decimal(18,2)").alias("total_spend"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -2260,7 +2668,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 55
+_NEW_MIN_ID = 50
 
 
 def _query_num(name: str) -> int | None:
