@@ -140,3 +140,28 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # have coalesced the small shuffle
     assert "*(1)" in p and "*(2)" in p
     assert "AQEShuffleRead coalesced" in p
+
+
+def test_common_token_mass_broadcasts_top10(plans):
+    # x56: the 10-row top-token set must broadcast; the token explode side
+    # must never shuffle for the join.
+    p = plans("x56_common_token_mass")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_late_orders_semi_join_pushdown(plans):
+    # x58: EXISTS compiles to a left-semi join, and the order-date range
+    # must reach the orders parquet scan as pushed filters.
+    p = plans("x58_late_orders_by_priority")
+    assert "LeftSemi" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed, "order-date range not pushed to the orders scan"
+
+
+def test_prefix_dup_partial_aggregation(plans):
+    # x50: the prefix groupBy must map-side partial-aggregate before the
+    # exchange (two HashAggregates around one shuffle), so at 100 TB the
+    # shuffle carries one row per (partition, prefix), not per doc.
+    p = plans("x50_prefix_dup_groups")
+    assert p.count("HashAggregate") >= 2
