@@ -17,7 +17,11 @@ extension (BASELINE.json north star). Design:
     PNG codec. ALSO REAL: WAV/PCM audio decode (stdlib ``wave``: 8/16/32-bit
     int PCM → float32 in [-1, 1]) with pooled per-segment RMS features.
     STILL STUBBED (no codec installable here): video frame decoding —
-    injectable, default raises NotImplementedError.
+    injectable; :func:`video_features` defaults to a deterministic fake
+    decoder (:func:`fake_decode_video`) so the full Spark-side plumbing
+    (schema, Arrow batching, temporal/spatial pooling) runs and is tested
+    end-to-end, while :func:`raise_not_implemented` remains for callers
+    that must fail loudly without a real codec.
 """
 
 from __future__ import annotations
@@ -352,5 +356,70 @@ def frame_sample(
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "frame_index", "frame"]
             )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def fake_decode_video(content: bytes, n_frames: int = 4) -> np.ndarray:
+    """STUB video decoder — deterministic fake ``(T, 8, 8, 3)`` frames
+    chained from the payload hash (no ffmpeg-class codec exists in this
+    container). The frame CONTENT is fake; everything around it — batch
+    shape, dtype contract (float32 in [0, 1]), per-frame axis — matches
+    what a real injected decoder must produce."""
+    frames = []
+    h = hashlib.sha256(content or b"").digest()
+    for _ in range(max(int(n_frames), 1)):
+        frames.append(
+            np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
+            .reshape(8, 8, 3)
+            .astype(np.float32)
+            / 255.0
+        )
+        h = hashlib.sha256(h).digest()
+    return np.stack(frames)
+
+
+def video_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], np.ndarray] | None = None,
+    content_col: str = "content",
+    out_col: str = "features",
+    pool: int = 4,
+    sample_every: int = 2,
+) -> DataFrame:
+    """Video → pooled feature vector, one ``mapInPandas`` stage: decode
+    (injected; deterministic fake by default), temporal subsample every
+    ``sample_every`` frames, per-frame ``pool``×``pool`` spatial mean-pool
+    with channel-mean flatten, then temporal mean over the sampled frames
+    — output array<float> of length ``pool*pool`` (the video twin of
+    :func:`decode_features` / :func:`audio_features`).
+
+    Scale shape: bytes stay in the Arrow batch until the decoder call; at
+    100 TB the decode stage is the CPU hot spot, so partition count (not
+    this operator) governs parallelism — there is no shuffle here at all.
+    """
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    dec = decoder or fake_decode_video
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            feats = []
+            for content, meta in zip(pdf[content_col], pdf["meta"]):
+                n = int(meta["n_frames"] or 0) if meta is not None else 0
+                clip = dec(content, n)  # (T, H, W, C) float32
+                clip = clip[:: max(int(sample_every), 1)]
+                hs = clip.shape[1] // pool
+                ws = clip.shape[2] // pool
+                pooled = clip[:, : hs * pool, : ws * pool].reshape(
+                    clip.shape[0], pool, hs, pool, ws, -1
+                ).mean(axis=(2, 4, 5))  # (T', pool, pool)
+                feats.append([float(x) for x in pooled.mean(axis=0).ravel()])
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

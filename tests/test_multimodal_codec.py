@@ -162,3 +162,41 @@ def test_extract_meta_real_wav(spark):
                                    "n_frames": None, "sample_rate": None, "mime": None})]
     meta = mm.extract_meta(mm.media_table(spark, rows)).collect()[0].meta
     assert (meta.sample_rate, meta.n_frames, meta.mime) == (22050, 123, "audio/wav")
+
+
+def test_fake_video_decoder_deterministic():
+    a = mm.fake_decode_video(b"clip-bytes", n_frames=5)
+    b = mm.fake_decode_video(b"clip-bytes", n_frames=5)
+    assert a.shape == (5, 8, 8, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    # frames are chained, not repeated, and payloads differ by content
+    assert not np.array_equal(a[0], a[1])
+    assert not np.array_equal(a, mm.fake_decode_video(b"other", n_frames=5))
+
+
+def test_video_features_pooling_matches_numpy(spark):
+    payload = b"\x00fakevideo"
+    rows = [(7, "video", payload, {"width": None, "height": None,
+                                   "n_frames": 6, "sample_rate": None, "mime": None})]
+    out = mm.video_features(
+        mm.media_table(spark, rows), pool=4, sample_every=2
+    ).collect()[0]
+    clip = mm.fake_decode_video(payload, 6)[::2]  # frames 0, 2, 4
+    expected = clip.reshape(3, 4, 2, 4, 2, 3).mean(axis=(2, 4, 5)).mean(axis=0)
+    np.testing.assert_allclose(np.array(out.features), expected.ravel(), rtol=1e-6)
+    assert len(out.features) == 16
+
+
+def test_video_features_injected_decoder(spark):
+    # a real codec slots in via the decoder argument — same plumbing
+    def ramp_decoder(content, n):
+        t = np.arange(max(n, 1), dtype=np.float32).reshape(-1, 1, 1, 1)
+        return np.broadcast_to(t / 10.0, (max(n, 1), 8, 8, 3)).copy()
+
+    rows = [(8, "video", b"x", {"width": None, "height": None,
+                                "n_frames": 4, "sample_rate": None, "mime": None})]
+    out = mm.video_features(
+        mm.media_table(spark, rows), decoder=ramp_decoder, pool=2, sample_every=1
+    ).collect()[0]
+    # frames 0..3 valued i/10 -> temporal mean 0.15 everywhere
+    np.testing.assert_allclose(np.array(out.features), 0.15, rtol=1e-6)
