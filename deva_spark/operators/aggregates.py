@@ -140,3 +140,64 @@ def pivot_counts(
         )
 
     return _t
+
+
+def md5_le64(col: Column) -> Column:
+    """First 8 md5 bytes as an unsigned little-endian 64-bit number in
+    DECIMAL(38,0) — the engine-portable uniform hash (DuckDB's
+    ``md5_number_upper`` computes the identical value, so sketches built
+    on it are hash-checkable cross-engine; see functions.minhash for the
+    same recovery trick)."""
+    hexcol = F.md5(col.cast("string"))
+    rev = F.concat(*[F.substring(hexcol, 1 + 2 * k, 2) for k in range(7, -1, -1)])
+    return F.conv(rev, 16, 10).cast("decimal(38,0)")
+
+
+def kmv_distinct(
+    value_col: str,
+    keys: Sequence[str] = (),
+    k: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """K-minimum-values distinct-count sketch, optionally per group key.
+
+    The classic KMV estimator: hash every value uniformly into [0, 2^64),
+    keep the k smallest DISTINCT hashes; if the k-th smallest is h_k, the
+    estimate is (k-1) * 2^64 / h_k (exact count when fewer than k distinct
+    values exist). All arithmetic is integer (DECIMAL div), so the result
+    is bit-identical across engines and partitionings — unlike HLL-based
+    ``approx_count_distinct``, whose register layout is engine-private.
+
+    Scale shape: the distinct pass shuffles (keys, 8-byte hash) once with
+    map-side combine; the k-smallest selection is a per-key window over
+    at most the distinct hashes. Sketch merges are trivial (union then
+    re-take k smallest), which is what makes KMV the mergeable-sketch
+    choice for hierarchical rollups at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    TWO64 = 18446744073709551616  # 2^64
+
+    def _t(df: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        d = df.select(*key_cols, md5_le64(F.col(value_col)).alias("_h")).distinct()
+        w = (
+            Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
+        ).orderBy("_h")
+        r = d.select(
+            *key_cols,
+            "_h",
+            F.row_number().over(w).alias("_rn"),
+        ).filter(F.col("_rn") <= k)
+        agg = r.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        )
+        est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+            F.expr(
+                f"cast(cast({k - 1} as decimal(38,0)) * cast({TWO64} as decimal(38,0))"
+                " div _hk as bigint)"
+            )
+        )
+        return agg.select(*key_cols, est.alias("est_distinct"))
+
+    return _t

@@ -2611,6 +2611,38 @@ def x59(spark, sf):
     )
 
 
+@query(
+    "x60_kmv_distinct_users",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                CAST(md5_number_upper(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+         FROM events
+       ), r AS (
+         SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         FROM h
+       ), a AS (
+         SELECT event_type, COUNT(*) AS n,
+                MAX(CASE WHEN rn = 64 THEN h END) AS hk
+         FROM r WHERE rn <= 64 GROUP BY 1
+       )
+       SELECT event_type,
+              CAST(CASE WHEN n < 64 THEN n
+                   ELSE (63 * CAST(18446744073709551616 AS HUGEINT)) // hk
+                   END AS BIGINT) AS est_distinct
+       FROM a ORDER BY event_type""",
+)
+def x60(spark, sf):
+    # KMV distinct-count sketch (operators.aggregates.kmv_distinct):
+    # integer-exact k-minimum-values estimator over the portable md5-LE64
+    # hash, so the ESTIMATE itself is hash-checkable cross-engine —
+    # HLL-based approx_count_distinct can't be (register layout is
+    # engine-private). Mergeable sketch = the 100 TB rollup path.
+    return _t(spark, sf, "events").transform(
+        agg.kmv_distinct("user_id", keys=["event_type"], k=64)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)

@@ -281,3 +281,29 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10000
     assert got.agg({"v": "sum"}).collect()[0][0] == 10000 * 9999
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    from deva_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    out = df.transform(agg.kmv_distinct("v", k=64)).collect()
+    assert out[0].est_distinct == 7  # fewer than k distinct -> exact
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from deva_spark.operators import aggregates as agg
+
+    n = 2000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    est = df.transform(agg.kmv_distinct("v", k=128)).collect()[0].est_distinct
+    assert abs(est - n) / n < 0.25  # ~1/sqrt(k) relative error
+
+    # partition-order independence: same estimate on a reshuffled input
+    est2 = (
+        df.repartition(13)
+        .transform(agg.kmv_distinct("v", k=128))
+        .collect()[0]
+        .est_distinct
+    )
+    assert est2 == est
