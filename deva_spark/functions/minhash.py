@@ -169,16 +169,24 @@ def near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_matches: int = 6,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash near-dup pairs: LSH candidates whose signatures agree on at
     least ``min_matches`` of the NUM_HASHES components (estimated Jaccard
-    >= min_matches/NUM_HASHES). Output: (id_a, id_b, est_sim)."""
-    # Persist the signatures: they feed the band explosion AND both sides of
-    # the verify join — without this the 12×|shingles| MD5 evaluation runs
-    # three times (observed 191 s → ~8 s at sf0.1). At cluster scale this is
-    # a materialized signature table (write once, join many).
-    sigs = signatures(docs, id_col, text_col).persist()
-    sigs.count()  # eager: referenced by bands + both verify-join sides
+    >= min_matches/NUM_HASHES). Output: (id_a, id_b, est_sim).
+
+    ``sigs``: a precomputed ``(doc_id, sig)`` signature table (the
+    build-once-query-many artifact — signatures depend only on the text,
+    so one table serves every consumer; the caller owns its persistence).
+    When omitted, signatures are computed and persisted here."""
+    if sigs is None:
+        # Persist the signatures: they feed the band explosion AND both
+        # sides of the verify join — without this the 12×|shingles| MD5
+        # evaluation runs three times (observed 191 s → ~8 s at sf0.1). At
+        # cluster scale this is a materialized signature table (write
+        # once, join many).
+        sigs = signatures(docs, id_col, text_col).persist()
+        sigs.count()  # eager: referenced by bands + both verify-join sides
     cands = lsh_candidate_pairs(sigs)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -40,6 +40,7 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_report: bool = True,
+    sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Return (curated corpus, stage-by-stage report).
 
@@ -80,8 +81,16 @@ def curate(
         n_exact = exact.count()  # eager: exact is multi-referenced below
 
     # near-dup: LSH pairs → drop the higher id of each pair (greedy,
-    # deterministic; pairs are already id_a < id_b)
-    pairs = mh.near_duplicates(exact, min_matches=near_dup_min_matches)
+    # deterministic; pairs are already id_a < id_b). When the caller holds
+    # a corpus-wide signature table (signatures depend only on the text),
+    # the gated subset's signatures are a semi-join against it — no second
+    # signature pass.
+    sub_sigs = (
+        sigs.join(exact.select("doc_id"), "doc_id") if sigs is not None else None
+    )
+    pairs = mh.near_duplicates(
+        exact, min_matches=near_dup_min_matches, sigs=sub_sigs
+    )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     curated = exact.join(drop_ids, "doc_id", "left_anti")
     out = curated.select("doc_id", "text", "q", "lang_pred", "n_tokens")

@@ -86,6 +86,25 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx
 
 
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash signature table over documents with >=3 tokens (the
+    IndexStream pattern: signatures depend only on the text, so ONE
+    Arrow hashing pass serves x06's near-dup join and x15's curation
+    funnel — at cluster scale this is the materialized signature table)."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "doc_sigs")
+    if key not in cache:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.size(T.words(F.col("text"))) >= 3
+        )
+        cache[key] = mh.signatures(docs)
+    sigs = cache[key]
+    if sigs.storageLevel.useMemory is False and sigs.storageLevel.useDisk is False:
+        sigs.persist()
+        sigs.count()  # eager barrier before multi-reference use
+    return sigs
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared near-dup pair set (same IndexStream pattern as `_doc_index`):
     x05 reports the pairs, x41 resolves them into clusters — one LSH-index
@@ -895,7 +914,7 @@ def x05(spark, sf):
 )
 def x06(spark, sf):
     docs = _t(spark, sf, "documents").filter(F.size(T.words(F.col("text"))) >= 3)
-    return mh.near_duplicates(docs, min_matches=6)
+    return mh.near_duplicates(docs, min_matches=6, sigs=_doc_signatures(spark, sf))
 
 
 @query(
@@ -1193,7 +1212,11 @@ def x15(spark, sf):
     from deva_spark.plans.corpus import curate
 
     curated, _ = curate(
-        _t(spark, sf, "documents"), min_quality=40.0, lang="en", with_report=False
+        _t(spark, sf, "documents"),
+        min_quality=40.0,
+        lang="en",
+        with_report=False,
+        sigs=_doc_signatures(spark, sf),
     )
     return curated.select("doc_id", "n_tokens")
 
