@@ -438,6 +438,45 @@ def quantize_int8(vec: Column) -> Column:
     return F.struct(scale.cast("double").alias("scale"), q.alias("q"))
 
 
+from pyspark.sql.types import DoubleType as _Dbl  # noqa: E402
+from pyspark.sql.types import StructField as _SF  # noqa: E402
+from pyspark.sql.types import StructType as _ST  # noqa: E402
+
+_QUANT_STATS_SCHEMA = _ST(
+    [
+        _SF("scale", _Dbl()),
+        _SF("n_dims", LongType()),
+        _SF("sum_q", LongType()),
+        _SF("sum_abs_q", LongType()),
+    ]
+)
+
+
+@pandas_udf(_QUANT_STATS_SCHEMA)
+def quantize_stats_udf(embs: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized twin of ``quantize_int8`` + integer checksums in
+    one pass (x48's hot path: the array-lambda formulation evaluates
+    interpreted per element). Bit-parity with the column expression: the
+    element arithmetic is the identical IEEE double sequence —
+    float->double widen, ``*127.0``, ``/scale``, ``+0.5``, ``floor`` —
+    so quantized codes and their sums hash-match the DuckDB oracle."""
+    scales, nds, sums, asums = [], [], [], []
+    for v in embs:
+        a = np.asarray(v, dtype=np.float64)
+        s = float(np.max(np.abs(a))) if a.size else 0.0
+        if s == 0.0:
+            q = np.zeros(a.size, dtype=np.int64)
+        else:
+            q = np.floor(a * 127.0 / s + 0.5).astype(np.int64)
+        scales.append(s)
+        nds.append(a.size)
+        sums.append(int(q.sum()))
+        asums.append(int(np.abs(q).sum()))
+    return pd.DataFrame(
+        {"scale": scales, "n_dims": nds, "sum_q": sums, "sum_abs_q": asums}
+    )
+
+
 def dequantize_int8(quant: Column) -> Column:
     """Inverse of :func:`quantize_int8`: ``q_i * scale / 127`` as
     array<double> — the read path of an int8 embedding store."""

@@ -2178,22 +2178,12 @@ def x48(spark, sf):
     # int8 embedding-store compression: symmetric per-vector quantization
     # with floor(x+0.5) rounding (HALF_UP vs half-even differs between
     # engines; floor doesn't). Checked via integer code checksums.
-    q = V.quantize_int8(F.col("embedding"))
-    zero = F.lit(0).cast("bigint")
+    # Arrow-vectorized stats UDF (quantize_int8's column twin evaluates
+    # array lambdas interpreted — same IEEE arithmetic, one numpy pass)
     return (
         _t(spark, sf, "embeddings")
-        .select("vec_id", q.alias("_q"))
-        .select(
-            "vec_id",
-            F.col("_q.scale").alias("scale"),
-            F.size("_q.q").cast("bigint").alias("n_dims"),
-            F.aggregate("_q.q", zero, lambda a, x: a + x.cast("bigint")).alias(
-                "sum_q"
-            ),
-            F.aggregate(
-                "_q.q", zero, lambda a, x: a + F.abs(x.cast("bigint"))
-            ).alias("sum_abs_q"),
-        )
+        .select("vec_id", V.quantize_stats_udf(F.col("embedding")).alias("_q"))
+        .select("vec_id", "_q.scale", "_q.n_dims", "_q.sum_q", "_q.sum_abs_q")
     )
 
 
@@ -2454,9 +2444,11 @@ def x54(spark, sf):
 )
 def x55(spark, sf):
     # Cross-source contamination matrix: distinct 5-grams per source,
-    # pairwise shared counts. The self-join key is xxhash64(shingle) — an
-    # 8-byte key, never text — and per-key fan-out is bounded by the
-    # source count (20 here), so no quadratic pair blowup.
+    # pairwise shared counts. ONE pass: per shingle hash, collect the
+    # (sorted) source set and explode its in-array pairs — the corpus is
+    # scanned once (a self-join would recompute the explode subtree for
+    # both sides), the shuffle carries 8-byte hashes, and per-shingle
+    # fan-out is bounded by C(n_sources, 2), not pair rows across docs.
     docs = _t(spark, sf, "documents")
     sh = (
         docs.select("source", T.words(F.col("text")).alias("_ws"))
@@ -2467,15 +2459,27 @@ def x55(spark, sf):
         .select("source", F.xxhash64("_s").alias("_sh"))
         .distinct()
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._sh") == F.col("b._sh"))
-            & (F.col("a.source") < F.col("b.source")),
+    srcs = sh.groupBy("_sh").agg(
+        F.array_sort(F.collect_set("source")).alias("_srcs")
+    )
+    n = F.size("_srcs")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(F.col("_srcs"), (i + 2).cast("int"), 1000),
+                lambda s: F.struct(
+                    F.element_at(F.col("_srcs"), (i + 1).cast("int")).alias("src_a"),
+                    s.alias("src_b"),
+                ),
+            ),
         )
+    )
+    return (
+        srcs.filter(n >= 2)
+        .select(F.explode(pairs).alias("_p"))
         .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+            F.col("_p.src_a").alias("src_a"), F.col("_p.src_b").alias("src_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
