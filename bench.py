@@ -64,6 +64,7 @@ def main() -> None:
             "x36_streaming_zscore",
             "x38_stream_interval_join",
             "x49_streaming_first_seen",
+            "x63_streaming_trending",
         }
     )
     names = [

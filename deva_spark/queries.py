@@ -2745,6 +2745,93 @@ def x61(spark, sf):
     return step(step(ranks)).select("node", F.col("r").alias("rank_scaled"))
 
 
+@query(
+    "x62_top_p_token_mass",
+    r"""WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ), r AS (
+          SELECT source, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n_tokens) OVER (PARTITION BY source) AS tot
+          FROM tok
+        )
+        SELECT source, doc_id, n_tokens
+        FROM r
+        WHERE (cum - n_tokens) * 100 < tot * 80
+        ORDER BY source, doc_id""",
+)
+def x62(spark, sf):
+    # Top-p (nucleus) trim for data mixing: per source, keep the largest
+    # docs until the kept token mass reaches 80% of the source total —
+    # the "head of the distribution" cut loaders use to cap long-tail
+    # noise. Boundary test is integer cross-multiplied (no float p*total).
+    # A doc is kept iff the mass BEFORE it is still under the cap, so
+    # exactly one doc straddles the boundary — deterministic under the
+    # (n_tokens DESC, doc_id) total order; per-source windows only.
+    tok = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("source")
+    r = tok.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+        F.sum("n_tokens").over(wt).alias("tot"),
+    )
+    return r.filter(
+        (F.col("cum") - F.col("n_tokens")) * 100 < F.col("tot") * 80
+    ).select("source", "doc_id", "n_tokens")
+
+
+@query(
+    "x63_streaming_trending",
+    """WITH c AS (
+         SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2
+       ), r AS (
+         SELECT hr, event_type, cnt,
+                rank() OVER (PARTITION BY hr ORDER BY cnt DESC, event_type) AS rnk
+         FROM c
+       )
+       SELECT hr, event_type, cnt, rnk FROM r WHERE rnk <= 3
+       ORDER BY hr, rnk, event_type""",
+)
+def x63(spark, sf):
+    # STREAMING twin of x53: the hourly counts come from a Structured
+    # Streaming tumbling-window drain (event time + watermark,
+    # Trigger.AvailableNow); the top-3 rank runs as a batch post-pass over
+    # the drained counts — the standard "streaming agg feeds a relational
+    # epilogue" composition. The drained result must hash-equal the batch
+    # oracle no matter how the backlog was micro-batched.
+    from deva_spark.streaming.twin import (
+        events_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    counts = run_available_now(
+        tumbling_counts(s), "x63_drain", output_mode="complete"
+    ).select(F.col("w").alias("hr"), "event_type", "cnt")
+    w = Window.partitionBy("hr").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hr", "event_type", "cnt", "rnk")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
