@@ -165,3 +165,45 @@ def test_prefix_dup_partial_aggregation(plans):
     # shuffle carries one row per (partition, prefix), not per doc.
     p = plans("x50_prefix_dup_groups")
     assert p.count("HashAggregate") >= 2
+
+
+def test_no_single_reducer_window_or_cartesian_anywhere(spark, sf_dir):
+    # Whole-registry audit: with the small-input cutover disabled (the
+    # 100 TB configuration), NO batch query may compile to a window fed
+    # by Exchange SinglePartition (all rows through one reducer) or to a
+    # CartesianProduct. This is the plan-level scale contract for every
+    # entry in the driver registry at once.
+    import re
+
+    streaming = {
+        "x33_streaming_tumbling",
+        "x34_streaming_sessions",
+        "x35_streaming_running_sum",
+        "x36_streaming_zscore",
+        "x38_stream_interval_join",
+        "x49_streaming_first_seen",
+        "x63_streaming_trending",
+    }
+    prev = spark.conf.get("spark.deva.positional.smallInputBytes", None)
+    spark.conf.set("spark.deva.positional.smallInputBytes", "0")
+    offenders = []
+    try:
+        for name, fn in Q.SPARK_QUERIES.items():
+            if name in streaming:
+                continue
+            p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            lines = p.splitlines()
+            for i, ln in enumerate(lines):
+                if re.search(r"\bWindow\b", ln) and "Exchange SinglePartition" in "\n".join(
+                    lines[i + 1 : i + 3]
+                ):
+                    offenders.append((name, "single-reducer window"))
+                    break
+            if "CartesianProduct" in p:
+                offenders.append((name, "cartesian product"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.deva.positional.smallInputBytes")
+        else:
+            spark.conf.set("spark.deva.positional.smallInputBytes", prev)
+    assert not offenders, offenders
