@@ -186,3 +186,47 @@ def mixture_rebalance(
         )
 
     return _t
+
+
+def top_p_by_group(
+    keys: Sequence[str],
+    weight_col: str,
+    p_pct: int = 80,
+    order_tiebreak: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Nucleus (top-p) trim per group: keep the heaviest rows until the
+    kept weight reaches ``p_pct`` percent of the group total — the data-
+    mixing cut loaders use to cap long-tail noise per source/domain.
+
+    A row is kept iff the cumulative weight BEFORE it is still under the
+    cap, so exactly one row straddles the boundary and the kept mass is
+    always >= p_pct of the total. The boundary test is integer
+    cross-multiplied (``cum_before * 100 < tot * p_pct``) — no float
+    p*total to drift across engines. Deterministic under the
+    (weight DESC, tiebreak ASC) total order.
+
+    Scale shape: two windows partitioned by ``keys`` (one running sum,
+    one group total) — no global window, no shuffle beyond the one
+    hash-partition on the group keys.
+    """
+    from pyspark.sql import Window
+
+    def _t(df: DataFrame) -> DataFrame:
+        order = [F.desc(weight_col)]
+        if order_tiebreak:
+            order.append(F.asc(order_tiebreak))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*keys)
+        r = df.withColumn("_cum", F.sum(weight_col).over(w)).withColumn(
+            "_tot", F.sum(weight_col).over(wt)
+        )
+        return r.filter(
+            (F.col("_cum") - F.col(weight_col)) * 100
+            < F.col("_tot") * F.lit(int(p_pct))
+        ).drop("_cum", "_tot")
+
+    return _t

@@ -2773,24 +2773,15 @@ def x62(spark, sf):
     # A doc is kept iff the mass BEFORE it is still under the cap, so
     # exactly one doc straddles the boundary — deterministic under the
     # (n_tokens DESC, doc_id) total order; per-source windows only.
+    from deva_spark.operators.sampling import top_p_by_group
+
     tok = _t(spark, sf, "documents").select(
         "source",
         "doc_id",
         F.size(T.words(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = Window.partitionBy("source")
-    r = tok.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum"),
-        F.sum("n_tokens").over(wt).alias("tot"),
-    )
-    return r.filter(
-        (F.col("cum") - F.col("n_tokens")) * 100 < F.col("tot") * 80
+    return tok.transform(
+        top_p_by_group(["source"], "n_tokens", p_pct=80, order_tiebreak="doc_id")
     ).select("source", "doc_id", "n_tokens")
 
 

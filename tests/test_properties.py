@@ -344,3 +344,30 @@ def test_rolling_hash_matches_python_model(spark, texts):
     got = [r.h for r in df.select(T.rolling_hash(F.col("text")).alias("h")).collect()]
     # row order: collect preserves createDataFrame order on a local list
     assert got == [model(t) for t in texts]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=99),
+)
+def test_top_p_mass_invariants(spark, weights, p):
+    """top_p_by_group: kept mass >= p% of total, and removing the LAST
+    kept row (boundary straddler) drops the mass under p% — i.e., the
+    kept set is minimal for the (weight DESC, id) order."""
+    from deva_spark.operators.sampling import top_p_by_group
+
+    df = spark.createDataFrame(
+        [(1, i, w) for i, w in enumerate(weights)], "g long, id long, w long"
+    )
+    kept = (
+        df.transform(top_p_by_group(["g"], "w", p_pct=p, order_tiebreak="id"))
+        .orderBy(F.desc("w"), F.asc("id"))
+        .collect()
+    )
+    total = sum(weights)
+    kept_mass = sum(r.w for r in kept)
+    assert kept_mass * 100 >= total * p  # covers the target mass
+    assert len(kept) >= 1
+    # minimality: without its last (lightest) kept row the cap is unmet
+    assert (kept_mass - kept[-1].w) * 100 < total * p
