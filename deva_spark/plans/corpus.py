@@ -153,6 +153,32 @@ def contamination_counts(
     )
 
 
+def contamination_counts_prehashed(
+    corpus_sh: DataFrame, bench_sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """`contamination_counts` over an existing ``(_id, _sh)`` shingle-hash
+    index (the share-one-explode path: one materialized index serves
+    every hygiene job). ``bench_sh`` needs only ``_sh``."""
+    return (
+        corpus_sh.join(bench_sh.select("_sh").distinct(), "_sh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def boilerplate_stats_prehashed(
+    exploded: DataFrame, min_docs: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """`boilerplate_stats` over an existing ``(_id, _sh)`` index."""
+    per_shingle = exploded.withColumn(
+        "_docs", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    )
+    return per_shingle.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("_docs") >= min_docs, 1)).alias("n_common"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     n: int = 5,

@@ -105,6 +105,34 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs
 
 
+def _shingle5_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc DISTINCT 5-gram hash explode over documents:
+    ``(doc_id, source, _sh)`` with the words array projected before the
+    shingle lambda. One pass serves decontamination (x44), boilerplate
+    (x45) and the cross-source overlap matrix (x55) — at cluster scale
+    this is the materialized shingle index every hygiene job joins."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "shingle5")
+    if key not in cache:
+        docs = _t(spark, sf_dir, "documents")
+        cache[key] = (
+            docs.select("doc_id", "source", T.words(F.col("text")).alias("_ws"))
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(T.shingles_from_words(F.col("_ws"), n=5))
+                ).alias("_s"),
+            )
+            .select("doc_id", "source", F.xxhash64("_s").alias("_sh"))
+        )
+    sh = cache[key]
+    if sh.storageLevel.useMemory is False and sh.storageLevel.useDisk is False:
+        sh.persist()
+        sh.count()  # eager barrier before multi-reference use
+    return sh
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared near-dup pair set (same IndexStream pattern as `_doc_index`):
     x05 reports the pairs, x41 resolves them into clusters — one LSH-index
@@ -2056,13 +2084,16 @@ def x43(spark, sf):
 def x44(spark, sf):
     # benchmark decontamination: count distinct 5-grams each corpus doc
     # shares with the benchmark subset (doc_id % 97 == 0) — hashed-shingle
-    # join, benchmark side broadcast-small.
-    from deva_spark.plans.corpus import contamination_counts
+    # join over the SHARED shingle index (one explode serves x44/x45/x55),
+    # benchmark side broadcast-small.
+    from deva_spark.plans.corpus import contamination_counts_prehashed
 
-    docs = _t(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return contamination_counts(corpus, bench, n=5)
+    sh = _shingle5_hashes(spark, sf).select(
+        F.col("doc_id").alias("_id"), "_sh"
+    )
+    return contamination_counts_prehashed(
+        sh.filter(F.col("_id") % 97 != 0), sh.filter(F.col("_id") % 97 == 0)
+    )
 
 
 @query(
@@ -2087,10 +2118,14 @@ def x44(spark, sf):
 def x45(spark, sf):
     # RefinedWeb-style boilerplate signal: per doc, how many of its
     # distinct 5-grams recur in >= 3 docs corpus-wide (headers/footers/
-    # templates). Hashed-shingle shuffle — 8-byte keys, never text.
-    from deva_spark.plans.corpus import boilerplate_stats
+    # templates). Hashed-shingle shuffle over the shared index — 8-byte
+    # keys, never text.
+    from deva_spark.plans.corpus import boilerplate_stats_prehashed
 
-    return boilerplate_stats(_t(spark, sf, "documents"), n=5, min_docs=3)
+    sh = _shingle5_hashes(spark, sf).select(
+        F.col("doc_id").alias("_id"), "_sh"
+    )
+    return boilerplate_stats_prehashed(sh, min_docs=3)
 
 
 @query(
@@ -2449,16 +2484,7 @@ def x55(spark, sf):
     # scanned once (a self-join would recompute the explode subtree for
     # both sides), the shuffle carries 8-byte hashes, and per-shingle
     # fan-out is bounded by C(n_sources, 2), not pair rows across docs.
-    docs = _t(spark, sf, "documents")
-    sh = (
-        docs.select("source", T.words(F.col("text")).alias("_ws"))
-        .select(
-            "source",
-            F.explode(T.shingles_from_words(F.col("_ws"), n=5)).alias("_s"),
-        )
-        .select("source", F.xxhash64("_s").alias("_sh"))
-        .distinct()
-    )
+    sh = _shingle5_hashes(spark, sf).select("source", "_sh").distinct()
     srcs = sh.groupBy("_sh").agg(
         F.array_sort(F.collect_set("source")).alias("_srcs")
     )
