@@ -2849,6 +2849,36 @@ def x63(spark, sf):
     )
 
 
+@query(
+    "x64_event_transitions",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events
+       )
+       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+       FROM s WHERE prev_type IS NOT NULL
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x64(spark, sf):
+    # Markov transition counts over per-user event sequences (the
+    # session-analysis building block: P(next|prev) numerators). One
+    # per-user lag window under the explicit (ts, event_id) total order
+    # (DEVIATIONS #2), then a hash aggregate on the 25-cell pair space —
+    # the shuffle carries (prev, next) pairs, partial-aggregated map-side.
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
