@@ -2957,10 +2957,19 @@ def _new_this_round() -> tuple[str, ...]:
 def _rotate_registry() -> None:
     first = _DRIVER_FIRST + _new_this_round()
     # The driver records only the first 50 rows: overflowing the window
-    # would silently un-verify whatever lands past it (ADVICE r4).
-    assert len(first) <= 50, (
-        f"driver window overflow: {len(first)} > 50 — rotate _DRIVER_FIRST"
-    )
+    # would silently un-verify whatever lands past it (ADVICE r4). Clip
+    # rather than assert — an import-time crash would take down EVERY
+    # query, which is far worse than the newest additions falling to the
+    # tail until the next rotation.
+    if len(first) > 50:
+        import warnings
+
+        warnings.warn(
+            f"driver window overflow: {len(first)} > 50 — rotate "
+            "_DRIVER_FIRST; newest additions fall past the driver window",
+            stacklevel=2,
+        )
+        first = first[:50]
     for d in (SPARK_QUERIES, ORACLE_SQL):
         head = {k: d[k] for k in first if k in d}
         tail = {k: v for k, v in d.items() if k not in head}
