@@ -2747,28 +2747,40 @@ def x61(spark, sf):
         )
         .distinct()
     )
-    # The unrolled iterations reference the edge list 4x; at this scale
-    # re-deriving it inside one lazy DAG beats a persist barrier (measured
-    # 3.5s vs 7.0s at sf0.1 — the barrier serializes what AQE overlaps).
-    # At cluster scale the edge list is a bucketed table instead, so every
-    # iteration co-locates without either recompute or cache.
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # Keep the base join count low: both edge directions come from ONE
+    # explode (a union would evaluate the orders/lineitem join twice per
+    # reference), outdeg attaches via a window over the same src
+    # partitioning the per-step join needs anyway, and iteration 1 skips
+    # its rank join entirely — the initial rank is the constant SCALE, so
+    # the first contribution is a pure function of outdeg. Net: the base
+    # join evaluates once per iteration instead of 4x total. At cluster
+    # scale the edge list is a bucketed table and every step co-locates.
+    both = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e")
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    cedges = both.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     )
     SCALE, TELEPORT = 1_000_000_000_000, 150_000_000_000
-    ranks = deg.select("node", F.lit(SCALE).cast("bigint").alias("r"))
-
-    def step(r: DataFrame) -> DataFrame:
-        return (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("(r * 85) div (outdeg * 100)").alias("_c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg((F.lit(TELEPORT) + F.sum("_c")).cast("bigint").alias("r"))
+    it1 = (
+        cedges.select(
+            "dst", F.expr(f"({SCALE} * 85) div (outdeg * 100)").alias("_c")
         )
-
-    return step(step(ranks)).select("node", F.col("r").alias("rank_scaled"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg((F.lit(TELEPORT) + F.sum("_c")).cast("bigint").alias("r"))
+    )
+    it2 = (
+        cedges.join(it1.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("(r * 85) div (outdeg * 100)").alias("_c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg((F.lit(TELEPORT) + F.sum("_c")).cast("bigint").alias("r"))
+    )
+    return it2.select("node", F.col("r").alias("rank_scaled"))
 
 
 @query(
