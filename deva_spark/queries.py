@@ -2901,54 +2901,70 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries with the OLDEST
-# green driver row first. Round-5 window: the 35 queries whose latest
-# driver row is from r03 (q14/q15, x15-x20, x22-x24, x26-x49), then any
-# x55+ added this round. Local tooling (tools/check_correctness.py,
-# bench.py) still runs every entry, so nothing loses in-repo coverage.
+# green driver row first. Round-6 window (per docs/ROUND5_NOTES.md and
+# VERDICT r5 #1): the 50 entries whose latest driver row is from r04 —
+# q01-q13, q16-q35 (incl. q24a/q24b), x01-x14, x21, x25. Local tooling
+# (tools/check_correctness.py, bench.py) still runs every entry, so
+# nothing loses in-repo coverage.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    "q14_asof_combine_latest",
-    "q15_running_fold",
-    "x15_corpus_curation",
-    "x16_part_brand_stats",
-    "x17_supplier_by_nation",
-    "x18_lineitem_part_join",
-    "x19_cube",
-    "x20_analytic_functions",
-    "x22_range_band_join",
-    "x23_cosine_neardup",
-    "x24_asof_join",
-    "x26_histogram",
-    "x27_pivot_counts",
-    "x28_bpe_tokens",
-    "x29_rolling_hash",
-    "x30_take_while",
-    "x31_ordered_pairs",
-    "x32_ivf_topk",
-    "x33_streaming_tumbling",
-    "x34_streaming_sessions",
-    "x35_streaming_running_sum",
-    "x36_streaming_zscore",
-    "x37_llm_json_extract",
-    "x38_stream_interval_join",
-    "x39_stratified_sample",
-    "x40_dataset_split",
-    "x41_dedup_clusters",
-    "x42_repetition_signals",
-    "x43_pii_redaction",
-    "x44_decontamination",
-    "x45_boilerplate",
-    "x46_sequence_packing",
-    "x47_mixture_rebalance",
-    "x48_int8_quantization",
-    "x49_streaming_first_seen",
+    "q01_scan_project",
+    "q02_filter",
+    "q03_group_agg",
+    "q04_avg_min_max",
+    "q05_distinct",
+    "q06_dedup_first_seen",
+    "q07_consecutive_dedup",
+    "q08_inner_join",
+    "q09_left_join_coalesce",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_multiway_join",
+    "q13_positional_zip",
+    "q16_sliding_window_avg",
+    "q17_partition_chunks",
+    "q18_tumbling_time_window",
+    "q19_rank_topk_per_key",
+    "q20_lag_diff",
+    "q21_topk",
+    "q22_slice",
+    "q23_union",
+    "q24a_intersect",
+    "q24b_except",
+    "q25_string_fns",
+    "q26_regexp_extract",
+    "q27_date_trunc",
+    "q28_math_fns",
+    "q29_explode_words",
+    "q30_frequencies",
+    "q31_percentile",
+    "q32_rollup",
+    "q33_zscore_anomaly",
+    "q34_exact_text_dedup",
+    "q35_sessionization",
+    "x01_token_count",
+    "x02_lang_id",
+    "x03_quality_score",
+    "x04_fingerprint",
+    "x05_ngram_jaccard",
+    "x06_minhash_lsh_neardup",
+    "x07_simhash_neardup",
+    "x08_cosine_topk",
+    "x09_ann_lsh_topk",
+    "x10_label_centroids",
+    "x11_json_extract",
+    "x12_tfidf_keywords",
+    "x13_fulltext_search",
+    "x14_case_route",
+    "x21_rolling_time_window",
+    "x25_session_stats",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 50
+_NEW_MIN_ID = 65
 
 
 def _query_num(name: str) -> int | None:
