@@ -28,13 +28,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Edge-count cutover for the driver union-find path in
+#: :func:`connected_components`. Memory bound: each collected edge is one
+#: Row of two ids (~100 B of Python objects for long ids, more for long
+#: strings), so the default 1M edges budgets ~100 MB of driver heap — set
+#: ``spark.deva.graph.driverMaxEdges`` lower for wide string ids or a
+#: small driver, or ``0`` to force the distributed path always.
+DRIVER_MAX_EDGES_CONF = "spark.deva.graph.driverMaxEdges"
+DRIVER_MAX_EDGES_DEFAULT = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -44,14 +53,22 @@ def connected_components(
 
     Adaptive, like ``windows.global_positions``: the edge list is the
     *near-dup pair set*, orders of magnitude smaller than the corpus that
-    produced it. Below ``driver_threshold`` edges it is collected and
-    solved with union-find on the driver (one job total — iterative
-    propagation would pay per-round job latency on trivial data); above
-    it, distributed min-label propagation: every node starts labeled with
+    produced it. Below ``driver_threshold`` edges (default from the
+    ``spark.deva.graph.driverMaxEdges`` conf — see the documented memory
+    bound on :data:`DRIVER_MAX_EDGES_CONF`) it is collected and solved
+    with union-find on the driver (one job total — iterative propagation
+    would pay per-round job latency on trivial data); above it,
+    distributed min-label propagation: every node starts labeled with
     itself, each round takes the min of its own and its neighbors'
     labels, stopping when a round changes nothing (cheap ``limit(1)``
     existence probe, not a full count).
     """
+    if driver_threshold is None:
+        driver_threshold = int(
+            edges.sparkSession.conf.get(
+                DRIVER_MAX_EDGES_CONF, str(DRIVER_MAX_EDGES_DEFAULT)
+            )
+        )
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -131,7 +148,7 @@ def canonical_assignments(
     id_b: str = "id_b",
     out_id: str = "doc_id",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> per-doc cluster assignment with a canonical flag.
 
@@ -150,3 +167,131 @@ def canonical_assignments(
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    symmetrize: bool = False,
+    stage: str | None = "checkpoint",
+    checkpoint_every: int = 8,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over an edge-list DataFrame.
+
+    Returns ``(node, rank_scaled)`` after ``n_iter`` update steps, where
+    every node starts at ``scale`` and each step sets
+
+        rank(v) = teleport + sum over in-edges (u, v) of
+                  (rank(u) * damping_pct) div (outdeg(u) * 100)
+
+    with ``teleport = (scale * (100 - damping_pct)) div 100``. All
+    arithmetic is 64-bit integer — per-edge contributions are exact
+    integer division, so ranks are bit-identical across engines,
+    partitionings and retry schedules (the repo determinism contract;
+    float PageRank re-associates sums and drifts per shuffle layout).
+
+    Scale shape (the reference's graph model is an adjacency-dict event
+    graph, `/root/reference/deva/core/graph.py` — rebuilt here as edge
+    DataFrames so the same query runs on a 1e9-edge corpus graph):
+
+    * The (optionally symmetrized) edge list is staged ONCE so the
+      upstream plan that produced it evaluates exactly once. Without
+      staging, every iteration re-evaluates that upstream — at 100 TB it
+      is typically a multi-TB join, and re-scanning it per iteration
+      swamps any cache-management saving. ``stage`` picks the mechanism:
+      ``"checkpoint"`` (default) is ``localCheckpoint(eager=False)`` —
+      it truncates lineage, so Catalyst/AQE stop re-planning the
+      upstream subtree per iteration and the rows are stored without the
+      in-memory-columnar encode a cache pays (measured ~2x faster than
+      ``persist`` at sf0.1; caveat: executor loss discards the blocks,
+      so on a cluster with dynamic allocation use ``"persist"`` or a
+      pre-staged table); ``"persist"`` is a fault-tolerant
+      MEMORY_AND_DISK cache; ``None`` skips staging (only for edge
+      lists that are themselves cheap scans). At cluster scale, write
+      the edges as a table bucketed by ``src`` instead and pass
+      ``stage=None`` — every iteration's join then co-locates with zero
+      shuffle on the big side.
+    * Out-degrees come from a map-side-combining ``groupBy`` (NOT a
+      window over ``partitionBy(src)``, which would concentrate a hot
+      node's whole edge set in one task with no partial aggregation).
+    * Each iteration joins the big edge list against a *node-level*
+      share table: the per-edge contribution is a pure function of the
+      source node, so the division happens once per node before the
+      join, and only ``(src, share)`` pairs broadcast/shuffle — the
+      iteration's cost is one join + one map-side-combining sum per
+      step, the minimum an edge-propagation step can do.
+    * ``checkpoint_every`` bounds lineage growth for deep loops: every k
+      iterations the (node-level, metadata-sized) rank table is
+      persisted and materialized so the plan does not nest k joins deep.
+
+    ``symmetrize=True`` adds the reverse of every edge first (undirected
+    graphs); dangling nodes (no out-edges) never appear as a ``src`` and
+    therefore contribute no mass — matching the unrolled-SQL oracle
+    semantics rather than redistributing dangling mass.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        # Both directions from ONE evaluation of the upstream plan (a
+        # self-union would evaluate it twice when unstaged).
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("_e")
+        ).select(F.col("_e.s").alias("src"), F.col("_e.d").alias("dst"))
+    if stage == "checkpoint":
+        e = e.localCheckpoint(eager=False)
+    elif stage == "persist":
+        e = e.persist()
+    elif stage:
+        raise ValueError(f"stage must be 'checkpoint', 'persist' or None: {stage!r}")
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks = deg.select(
+        "node", "outdeg", F.lit(scale).cast("bigint").alias("r")
+    )
+    cached: DataFrame | None = None
+    for i in range(n_iter):
+        # Node-level share table: the per-edge contribution is a pure
+        # function of the source node, so the division happens once per
+        # node here, and the per-edge join moves only (src, share).
+        # ``broadcast_ranks=True`` (node table fits an executor — true
+        # up to ~1e8 nodes) makes that join map-side; beyond that pass
+        # False and stage the edges bucketed by src so the shuffle
+        # lands only on the node-level side.
+        shares = ranks.select(
+            F.col("node").alias("src"),
+            F.expr(f"(r * {damping_pct}) div (outdeg * 100)").alias("_c"),
+        )
+        if broadcast_ranks:
+            shares = F.broadcast(shares)
+        new_r = (
+            e.join(shares, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(teleport) + F.sum("_c")).cast("bigint").alias("r"))
+        )
+        if i + 1 == n_iter:
+            ranks = new_r
+            break
+        ranks = new_r.join(deg, "node").select("node", "outdeg", "r")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # Bound lineage depth for deep loops; the rank table is
+            # node-level, so the eager materialization is cheap.
+            if stage == "persist":
+                ranks = ranks.persist()
+                ranks.count()
+                if cached is not None:
+                    cached.unpersist()
+                cached = ranks
+            else:
+                ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

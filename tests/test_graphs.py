@@ -46,6 +46,69 @@ def test_canonical_assignments_flags_min_id(spark):
     assert all(r.cluster_id == EXPECTED[r.doc_id] for r in out)
 
 
+def test_connected_components_conf_threshold(spark):
+    # driverMaxEdges=0 forces the distributed path via the conf (no
+    # explicit driver_threshold arg); results must match either way.
+    spark.conf.set("spark.deva.graph.driverMaxEdges", "0")
+    try:
+        out = graphs.connected_components(_edges_df(spark))
+        got = {r.node: r.comp for r in out.collect()}
+        assert got == EXPECTED
+    finally:
+        spark.conf.unset("spark.deva.graph.driverMaxEdges")
+
+
+SCALE = 1_000_000_000_000
+
+# directed star: hub 1 -> leaves 2,3,4 (symmetrized inside pagerank)
+STAR = [(1, 2), (1, 3), (1, 4)]
+# hand-computed integer ranks after two steps (teleport 150e9, damping 85):
+#   iter1: r(hub) = 150e9 + 3*(85e12 div 100)      = 2_700_000_000_000
+#          r(leaf) = 150e9 + (85e12 div 300)        =   433_333_333_333
+#   iter2: r(hub) = 150e9 + 3*((r_leaf*85) div 100) = 1_254_999_999_999
+#          r(leaf) = 150e9 + (r_hub*85) div 300     =   915_000_000_000
+STAR_EXPECTED = {
+    1: 1_254_999_999_999,
+    2: 915_000_000_000,
+    3: 915_000_000_000,
+    4: 915_000_000_000,
+}
+
+
+def test_pagerank_star_two_steps(spark):
+    edges = spark.createDataFrame(STAR, "src long, dst long")
+    out = graphs.pagerank(edges, n_iter=2, symmetrize=True)
+    got = {r.node: r.rank_scaled for r in out.collect()}
+    assert got == STAR_EXPECTED
+
+
+def test_pagerank_stage_modes_agree(spark):
+    edges = spark.createDataFrame(STAR, "src long, dst long")
+    for kw in (
+        {"stage": "persist"},
+        {"stage": None},
+        {"broadcast_ranks": False},
+    ):
+        out = graphs.pagerank(edges, n_iter=2, symmetrize=True, **kw)
+        got = {r.node: r.rank_scaled for r in out.collect()}
+        assert got == STAR_EXPECTED, kw
+
+
+def test_pagerank_regular_graph_fixed_point(spark):
+    # On a d-regular symmetric graph the uniform rank is an exact integer
+    # fixed point: every node sends d * ((SCALE*85) div (d*100)) and the
+    # teleport tops it back up to SCALE. Convergence in the strongest
+    # sense — bit-identical at every iteration depth; checkpoint_every=2
+    # exercises the loop's lineage-truncation path.
+    cycle = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(cycle, "src long, dst long")
+    out = graphs.pagerank(
+        edges, n_iter=5, symmetrize=True, checkpoint_every=2
+    )
+    got = {r.node: r.rank_scaled for r in out.collect()}
+    assert got == {0: SCALE, 1: SCALE, 2: SCALE, 3: SCALE}
+
+
 def test_redact_pii_patterns(spark):
     from deva_spark.functions.text import redact_pii
 
