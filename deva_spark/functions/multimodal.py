@@ -383,6 +383,7 @@ def video_features(
     df: DataFrame,
     decoder: Callable[[bytes, int], np.ndarray] | None = None,
     content_col: str = "content",
+    meta_col: str = "meta",
     out_col: str = "features",
     pool: int = 4,
     sample_every: int = 2,
@@ -408,9 +409,17 @@ def video_features(
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             feats = []
-            for content, meta in zip(pdf[content_col], pdf["meta"]):
+            for content, meta in zip(pdf[content_col], pdf[meta_col]):
                 n = int(meta["n_frames"] or 0) if meta is not None else 0
                 clip = dec(content, n)  # (T, H, W, C) float32
+                if clip.shape[1] < pool or clip.shape[2] < pool:
+                    # fail loudly: a silent mean over an empty pooled axis
+                    # would emit NaN features (ADVICE r5)
+                    raise ValueError(
+                        f"decoded frames {clip.shape[1]}x{clip.shape[2]} "
+                        f"smaller than pool={pool}; shrink pool or upscale "
+                        "in the decoder"
+                    )
                 clip = clip[:: max(int(sample_every), 1)]
                 hs = clip.shape[1] // pool
                 ws = clip.shape[2] // pool

@@ -462,6 +462,14 @@ def quantize_stats_udf(embs: pd.Series) -> pd.DataFrame:
     so quantized codes and their sums hash-match the DuckDB oracle."""
     scales, nds, sums, asums = [], [], [], []
     for v in embs:
+        if v is None:
+            # NULL embedding -> NULL stats row, matching the column
+            # expression's null semantics instead of crashing the stage
+            scales.append(None)
+            nds.append(None)
+            sums.append(None)
+            asums.append(None)
+            continue
         a = np.asarray(v, dtype=np.float64)
         s = float(np.max(np.abs(a))) if a.size else 0.0
         if s == 0.0:
@@ -472,8 +480,15 @@ def quantize_stats_udf(embs: pd.Series) -> pd.DataFrame:
         nds.append(a.size)
         sums.append(int(q.sum()))
         asums.append(int(np.abs(q).sum()))
+    # Nullable extension dtypes: plain int/float lists would turn None
+    # into NaN (wrong type for LongType, wrong value for DoubleType)
     return pd.DataFrame(
-        {"scale": scales, "n_dims": nds, "sum_q": sums, "sum_abs_q": asums}
+        {
+            "scale": pd.array(scales, dtype="Float64"),
+            "n_dims": pd.array(nds, dtype="Int64"),
+            "sum_q": pd.array(sums, dtype="Int64"),
+            "sum_abs_q": pd.array(asums, dtype="Int64"),
+        }
     )
 
 

@@ -168,10 +168,16 @@ def kmv_distinct(
     ``approx_count_distinct``, whose register layout is engine-private.
 
     Scale shape: the distinct pass shuffles (keys, 8-byte hash) once with
-    map-side combine; the k-smallest selection is a per-key window over
-    at most the distinct hashes. Sketch merges are trivial (union then
-    re-take k smallest), which is what makes KMV the mergeable-sketch
-    choice for hierarchical rollups at 100 TB.
+    map-side combine; the k-smallest selection is a two-phase partial
+    merge — each physical partition reduces to its own k smallest via a
+    window over ``(keys, partition_id)`` (fully parallel, never a
+    single-reducer global window even with ``keys=()``), and the merge
+    sorts a bounded array of at most ``partitions x k`` hashes per key.
+    The global k smallest of distinct hashes is partition-invariant, so
+    the estimate keeps the bit-identical determinism contract. Sketch
+    merges are trivial (union then re-take k smallest), which is what
+    makes KMV the mergeable-sketch choice for hierarchical rollups at
+    100 TB.
     """
     from pyspark.sql import Window
 
@@ -180,17 +186,21 @@ def kmv_distinct(
     def _t(df: DataFrame) -> DataFrame:
         key_cols = list(keys)
         d = df.select(*key_cols, md5_le64(F.col(value_col)).alias("_h")).distinct()
-        w = (
-            Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
-        ).orderBy("_h")
-        r = d.select(
+        pw = Window.partitionBy(*key_cols, "_p").orderBy("_h")
+        part = (
+            d.withColumn("_p", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") <= k)
+        )
+        merged = part.groupBy(*key_cols).agg(
+            F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs")
+        )
+        agg = merged.select(
             *key_cols,
-            "_h",
-            F.row_number().over(w).alias("_rn"),
-        ).filter(F.col("_rn") <= k)
-        agg = r.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+            F.size("_hs").alias("_n"),
+            # try_: fewer than k distinct hashes leaves _hk NULL (unused
+            # in that branch) instead of an ANSI out-of-bounds error
+            F.try_element_at("_hs", F.lit(k)).alias("_hk"),
         )
         est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
             F.expr(

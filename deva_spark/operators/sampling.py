@@ -192,7 +192,7 @@ def top_p_by_group(
     keys: Sequence[str],
     weight_col: str,
     p_pct: int = 80,
-    order_tiebreak: str | None = None,
+    order_tiebreak: str = "",
 ) -> Callable[[DataFrame], DataFrame]:
     """Nucleus (top-p) trim per group: keep the heaviest rows until the
     kept weight reaches ``p_pct`` percent of the group total — the data-
@@ -203,7 +203,10 @@ def top_p_by_group(
     always >= p_pct of the total. The boundary test is integer
     cross-multiplied (``cum_before * 100 < tot * p_pct``) — no float
     p*total to drift across engines. Deterministic under the
-    (weight DESC, tiebreak ASC) total order.
+    (weight DESC, tiebreak ASC) total order — ``order_tiebreak`` is
+    REQUIRED (a unique-per-row column): without it the running sum's
+    order on weight ties depends on partition layout, and the kept set
+    silently changes between runs (the repo determinism contract).
 
     Scale shape: two windows partitioned by ``keys`` (one running sum,
     one group total) — no global window, no shuffle beyond the one
@@ -211,10 +214,15 @@ def top_p_by_group(
     """
     from pyspark.sql import Window
 
+    if not order_tiebreak:
+        raise ValueError(
+            "top_p_by_group requires order_tiebreak: a unique tiebreak "
+            "column makes the (weight DESC, tiebreak ASC) order total; "
+            "without one the kept set is partition-order-dependent"
+        )
+
     def _t(df: DataFrame) -> DataFrame:
-        order = [F.desc(weight_col)]
-        if order_tiebreak:
-            order.append(F.asc(order_tiebreak))
+        order = [F.desc(weight_col), F.asc(order_tiebreak)]
         w = (
             Window.partitionBy(*keys)
             .orderBy(*order)

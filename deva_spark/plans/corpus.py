@@ -79,6 +79,13 @@ def curate(
         # one materialization feeds the LSH pass AND the stage counters
         exact = exact.persist()
         n_exact = exact.count()  # eager: exact is multi-referenced below
+    # (with_report=False keeps ONE fully-lazy plan. exact is referenced
+    # twice — the signature semi-join and the anti-join's left side — but
+    # measured at sf0.1/sf0.01 both barrier options lose: a persist or
+    # localCheckpoint here hides size estimates from AQE, the semi-join
+    # drops its broadcast, and the whole funnel regresses 1.5-4x. The
+    # double evaluation is of the gated scan only; the signature pass —
+    # the expensive half — is staged/shared via `sigs`.)
 
     # near-dup: LSH pairs → drop the higher id of each pair (greedy,
     # deterministic; pairs are already id_a < id_b). When the caller holds
@@ -166,16 +173,45 @@ def contamination_counts_prehashed(
     )
 
 
+def _common_shingles(exploded: DataFrame, min_docs: int) -> DataFrame:
+    """Shingle hashes occurring in >= ``min_docs`` rows, counted with the
+    salted two-phase aggregation: shingle frequency is power-law (a
+    stopword run can appear in nearly every document), and while hash-agg
+    partial aggregation usually absorbs hot keys map-side, it degrades to
+    pass-through when the map-side table spills at 100 TB shingle
+    cardinality — the salt bounds any single reducer's share of a hot key
+    by 1/n_salts regardless. Returns ``(_sh, _hit=1)``."""
+    from deva_spark.operators.skew import salted_group_agg
+
+    counts = exploded.transform(
+        salted_group_agg(["_sh"], {"_docs": (F.count(F.lit(1)), F.sum)})
+    )
+    return counts.filter(F.col("_docs") >= min_docs).select(
+        "_sh", F.lit(1).alias("_hit")
+    )
+
+
 def boilerplate_stats_prehashed(
     exploded: DataFrame, min_docs: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """`boilerplate_stats` over an existing ``(_id, _sh)`` index."""
-    per_shingle = exploded.withColumn(
-        "_docs", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-    )
-    return per_shingle.groupBy(F.col("_id").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count(F.when(F.col("_docs") >= min_docs, 1)).alias("n_common"),
+    """`boilerplate_stats` over an existing ``(_id, _sh)`` index.
+
+    Shape: salted per-shingle counts (see :func:`_common_shingles` — NOT
+    a count-over-window partitioned by ``_sh``, which would concentrate a
+    hot shingle's entire row set in one task with no partial
+    aggregation), then a tag join back onto the index and a map-side-
+    combining per-doc aggregation. The tag join is 1:0-or-1 per row (no
+    fan-out) and AQE's skew-join splitting covers its shuffle."""
+    common = _common_shingles(exploded, min_docs)
+    return (
+        exploded.join(common, "_sh", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_common"),
+        )
     )
 
 
@@ -196,12 +232,12 @@ def boilerplate_stats(
 
     Scale shape: ONE explode of the corpus to ``(doc_id,
     xxhash64(shingle))`` — per-doc distinct, so a doc contributes each
-    n-gram once — then a count-over-window partitioned by the 8-byte
-    hash (one shuffle carrying hash+id, never n-gram text) and a per-doc
-    re-aggregation (second shuffle, two longs per row). A groupBy+join
-    formulation is equivalent but scans and re-shingles the corpus
-    twice; the window does it once. No step is proportional to pair
-    counts (unlike near-dup joins) — linear in corpus token count.
+    n-gram once per reference (production paths read a staged shingle
+    index and call :func:`boilerplate_stats_prehashed`, which scans
+    parquet instead of re-shingling). No step is
+    proportional to pair counts (unlike near-dup joins) — linear in
+    corpus token count, and the hot-shingle shuffle is salt-bounded
+    (see :func:`_common_shingles`).
     """
     exploded = (
         docs.select(F.col(id_col).alias("_id"), T.words(F.col(text_col)).alias("_ws"))
@@ -213,10 +249,4 @@ def boilerplate_stats(
         )
         .select("_id", F.xxhash64("_s").alias("_sh"))
     )
-    per_shingle = exploded.withColumn(
-        "_docs", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-    )
-    return per_shingle.groupBy(F.col("_id").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count(F.when(F.col("_docs") >= min_docs, 1)).alias("n_common"),
-    )
+    return boilerplate_stats_prehashed(exploded, min_docs=min_docs, id_col=id_col)
