@@ -200,3 +200,49 @@ def test_video_features_injected_decoder(spark):
     ).collect()[0]
     # frames 0..3 valued i/10 -> temporal mean 0.15 everywhere
     np.testing.assert_allclose(np.array(out.features), 0.15, rtol=1e-6)
+
+
+def test_ffmpeg_decoder_raises_when_binary_absent():
+    with pytest.raises(NotImplementedError, match="not found on PATH"):
+        mm.ffmpeg_decode_video(b"x", binary="no-such-ffmpeg-binary")
+
+
+def test_default_video_decoder_resolves():
+    import shutil
+
+    dec = mm.default_video_decoder()
+    expected = (
+        mm.ffmpeg_decode_video if shutil.which("ffmpeg") else mm.fake_decode_video
+    )
+    assert dec is expected
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="ffmpeg not installed in this container",
+)
+def test_ffmpeg_decoder_real_clip(spark):
+    # synthesize a tiny real mp4 with ffmpeg itself, then decode it back
+    import subprocess
+
+    gen = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=duration=0.5:size=64x64:rate=10",
+            "-f", "mp4", "-movflags", "frag_keyframe+empty_moov", "pipe:1",
+        ],
+        capture_output=True,
+        check=True,
+    )
+    clip = mm.ffmpeg_decode_video(gen.stdout, size=16)
+    assert clip.ndim == 4 and clip.shape[1:] == (16, 16, 3)
+    assert clip.dtype == np.float32 and 0.0 <= clip.min() <= clip.max() <= 1.0
+    rows = [(9, "video", gen.stdout, {"width": None, "height": None,
+                                      "n_frames": 5, "sample_rate": None, "mime": None})]
+    out = mm.video_features(
+        mm.media_table(spark, rows),
+        decoder=lambda c, n: mm.ffmpeg_decode_video(c, n, size=16),
+        pool=4,
+        sample_every=1,
+    ).collect()[0]
+    assert len(out.features) == 16 and all(np.isfinite(out.features))
