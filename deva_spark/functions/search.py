@@ -69,17 +69,23 @@ def search(
     if not terms:
         raise ValueError("empty query")
     q = index.sparkSession.createDataFrame([(t,) for t in set(terms)], "term string")
-    dfreq = doc_freq(index)
+    # Postings restricted to the query terms FIRST: per-term document
+    # frequency only needs that term's rows, so df comes from the
+    # filtered slice instead of aggregating the whole posting table
+    # (identical values — df(term) is a property of the term's postings).
+    # At 100 TB with the posting table bucketed by term this is a
+    # bucket-pruned lookup, not a corpus scan.
+    matched = index.join(F.broadcast(q), "term")
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if isinstance(n_docs, DataFrame):
         nd = n_docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-        base = index.crossJoin(F.broadcast(nd))
+        base = matched.crossJoin(F.broadcast(nd))
         n_expr = F.col("_n") + F.lit(1.0)
     else:
-        base = index
+        base = matched
         n_expr = F.lit(float(n_docs + 1))
     scored = (
-        base.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
+        base.join(F.broadcast(dfreq), "term")
         .withColumn(
             "w",
             (F.lit(1.0) + F.log(F.col("tf")))

