@@ -305,3 +305,62 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+
+
+def containment_pairs(
+    shingle_index: DataFrame,
+    pct_threshold: int = 30,
+    id_col: str = "doc_id",
+    sh_col: str = "_sh",
+) -> DataFrame:
+    """Asymmetric shingle-containment join: pairs where one document's
+    shingle set is (mostly) CONTAINED in the other's — |A∩B| / |A| —
+    which Jaccard misses when a short quote sits inside a long document
+    (|A∩B|/|A∪B| shrinks with the big side; |A∩B|/|A| does not). The
+    standard near-superset / quote-detection tier of a dedup stack,
+    complementing :func:`ngram_jaccard_pairs` (symmetric resemblance) —
+    the reference's dedup surface (`deva/core/stream.py` unique/dedup)
+    has no containment tier; this extends it for training-data curation.
+
+    Input is an already-exploded per-doc DISTINCT shingle index
+    ``(id_col, sh_col)`` — share one staged index across every consumer
+    (the IndexStream pattern); compose with a df-cap prefilter upstream
+    for corpus scale, exactly as in :func:`ngram_jaccard_pairs`.
+
+    Output: ``(id_a, id_b, cont_a_pct, cont_b_pct)`` with ``id_a <
+    id_b``, kept when EITHER direction reaches ``pct_threshold`` percent.
+    Percentages are integer-floored (``div``) — no float boundary, so
+    the kept set is bit-stable across engines.
+
+    Scale shape: the self-join key is the 8-byte shingle hash (the
+    quadratic risk is hot shingles — cap upstream), the pair aggregation
+    shuffles (id_a, id_b) only, and the size join is doc-level.
+    """
+    sh = shingle_index.select(
+        F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(common * 100) div na").alias("cont_a_pct"),
+            F.expr("(common * 100) div nb").alias("cont_b_pct"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_pct"), F.col("cont_b_pct"))
+            >= F.lit(pct_threshold)
+        )
+    )

@@ -497,3 +497,110 @@ def dequantize_int8(quant: Column) -> Column:
     array<double> — the read path of an int8 embedding store."""
     s = quant["scale"]
     return F.transform(quant["q"], lambda x: x.cast("double") * s / F.lit(127.0))
+
+
+def seed_cluster_assign(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest-by-cosine seed centroid, where
+    the seeds are the ``n_clusters`` lowest-id vectors — deterministic by
+    construction (no iteration, no RNG), so the partitioning is
+    reproducible across engines and the whole assignment is expressible
+    in the SQL oracle. This is the exact, oracle-checkable tier of the
+    cluster family; :func:`ivf_topk` is the Lloyd-refined scaled variant
+    of the same shape (both broadcast a centroid table against the
+    corpus; here the centroid table is a filter of the input itself).
+
+    Output: ``(id_col, cluster_id)``. Ties (equal rounded cosine) break
+    to the lowest cluster id. Scale: the seed side is ``n_clusters``
+    rows (broadcast); the rank window partitions by vector id —
+    ``n_clusters`` rows per partition, never a global window.
+    """
+    from pyspark.sql import Window
+
+    seeds = vectors.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).alias("ce"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    scored = v.crossJoin(F.broadcast(seeds)).select(
+        "_vid",
+        "cluster_id",
+        F.round(dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")), 6).alias(
+            "_cs"
+        ),
+    )
+    w = Window.partitionBy("_vid").orderBy(F.col("_cs").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_vid").alias(id_col), "cluster_id")
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-partitioned semantic dedup (Abbas et al.
+    2023, arXiv:2303.09540): cluster the embedding space, then find
+    near-duplicate pairs ONLY within each cluster — the cluster id is
+    the shuffle key, so the quadratic pair search is bounded per cluster
+    instead of corpus-global. The complementary tier to
+    :func:`cosine_neardup_pairs` (hyperplane-LSH buckets): LSH recall
+    depends on bucket collisions; cluster partitioning gives each vector
+    exactly one partition, the shape that scales to billions of
+    embeddings by raising ``n_clusters`` (SemDeDup uses ~10k clusters
+    for 100M+ docs).
+
+    Output: ``(cluster_id, keep_id, prune_id, cos)`` — within a pair the
+    lower id is kept, the higher pruned (deterministic survivor rule);
+    feed the prune list to an anti-join, or the pairs to
+    ``graphs.dedup_clusters`` for transitive resolution.
+
+    Exactness contract: the within-cluster rescore is the sequential
+    fold ``dot`` (matches SQL ``list_sum`` left-to-right), rounded to
+    4dp before thresholding — bit-stable across engines.
+    """
+    asg = seed_cluster_assign(vectors, n_clusters, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+    ).join(asg.withColumnRenamed(id_col, "_vid"), "_vid")
+    a = v.select(
+        "cluster_id",
+        F.col("_vid").alias("keep_id"),
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = v.select(
+        "cluster_id",
+        F.col("_vid").alias("prune_id"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("keep_id") < F.col("prune_id"))
+        .select(
+            "cluster_id",
+            "keep_id",
+            "prune_id",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

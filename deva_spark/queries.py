@@ -2956,6 +2956,92 @@ def x64(spark, sf):
     )
 
 
+@query(
+    "x65_containment_pairs",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ), ex AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS s
+          FROM words WHERE len(ws) >= 5
+        ), sh AS (SELECT DISTINCT doc_id, s FROM ex),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               (c * 100) // na.n AS cont_a_pct,
+               (c * 100) // nb.n AS cont_b_pct
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE greatest((c * 100) // na.n, (c * 100) // nb.n) >= 30
+        ORDER BY id_a, id_b""",
+)
+def x65(spark, sf):
+    # Shingle-CONTAINMENT tier of the dedup stack (near-superset / quote
+    # detection — asymmetric |A∩B|/|A|, which Jaccard dilutes when a
+    # short doc sits inside a long one). Runs off the SAME staged 5-gram
+    # index as x44/x45/x55 — one explode serves four queries. The Spark
+    # join key is the 8-byte xxhash of the shingle; the oracle joins the
+    # shingle strings (same pairs — collision odds ~|shingles|²/2⁶⁴).
+    return mh.containment_pairs(
+        _shingle5_hashes(spark, sf).select("doc_id", "_sh"), pct_threshold=30
+    )
+
+
+@query(
+    "x66_semdedup_prune",
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings
+       ), nrm AS (
+         SELECT vec_id, e,
+                sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nn
+         FROM v
+       ), seeds AS (
+         SELECT vec_id AS cid, e AS ce, nn AS cn FROM nrm WHERE vec_id < 16
+       ), sc AS (
+         SELECT n.vec_id, s.cid,
+                ROUND(list_sum(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]))
+                      / (n.nn * s.cn), 6) AS cs
+         FROM nrm n CROSS JOIN seeds s
+       ), asg AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid) AS rn
+           FROM sc) WHERE rn = 1
+       ), x AS (
+         SELECT a.cid, n.vec_id, n.e, n.nn
+         FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+       )
+       SELECT a.cid AS cluster_id, a.vec_id AS keep_id, b.vec_id AS prune_id,
+              ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                    / (a.nn * b.nn), 4) AS cos
+       FROM x a JOIN x b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                   / (a.nn * b.nn), 4) >= 0.4
+       ORDER BY keep_id, prune_id""",
+)
+def x66(spark, sf):
+    # SemDeDup-style cluster-partitioned semantic dedup: deterministic
+    # seed-centroid assignment (16 clusters, exact fold cosine — the
+    # oracle-checkable tier of the IVF family), then near-dup pairs ONLY
+    # within each cluster. The cluster id is the shuffle key — the
+    # quadratic search is bounded per cluster, the shape that scales to
+    # 1e9 embeddings by raising n_clusters, vs x23's LSH buckets whose
+    # recall rides on hyperplane collisions.
+    return V.semdedup_pairs(
+        _t(spark, sf, "embeddings"), n_clusters=16, threshold=0.4
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3029,7 +3115,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 65
+_NEW_MIN_ID = 67  # x65/x66 deliberately sit past the full round-6 stale
+# window (50 entries exactly); the r7 rotation should lead with them
 
 
 def _query_num(name: str) -> int | None:

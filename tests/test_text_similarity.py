@@ -141,3 +141,54 @@ def test_ngram_jaccard_df_cap_matches_exact_on_rare_overlap(spark, docs):
     }
     for pair, jac in tiny.items():
         assert exact.get(pair) == jac
+
+
+def test_containment_pairs_directional(spark):
+    # doc 1's shingles {10,11,12} sit ENTIRELY inside doc 2's
+    # {10,11,12,13,14,15,16,17,18,19}; Jaccard = 3/10 but containment of
+    # 1-in-2 is 100%. doc 3 shares nothing.
+    rows = (
+        [(1, h) for h in range(10, 13)]
+        + [(2, h) for h in range(10, 20)]
+        + [(3, h) for h in range(50, 60)]
+    )
+    idx = spark.createDataFrame(rows, "doc_id long, _sh long")
+    out = {
+        (r.id_a, r.id_b): (r.cont_a_pct, r.cont_b_pct)
+        for r in mh.containment_pairs(idx, pct_threshold=80).collect()
+    }
+    assert out == {(1, 2): (100, 30)}
+    # symmetric Jaccard at the same bar misses the pair entirely
+    assert mh.containment_pairs(idx, pct_threshold=101).count() == 0
+
+
+def test_seed_cluster_assign_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    M = np.array([np.asarray(e, dtype=np.float64) for e in pdf.embedding])
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    seeds = n[ids < 8]
+    expected = dict(zip(ids, (n @ seeds.T).round(6).argmax(axis=1)))
+    got = {
+        r.vec_id: r.cluster_id
+        for r in V.seed_cluster_assign(emb, n_clusters=8).collect()
+    }
+    # fold-order vs pairwise float sums can differ in the last bits, but
+    # a 6dp-rounded argmax flip would need two seeds within 1e-6 — assert
+    # exact agreement (holds on this data)
+    assert got == expected
+
+
+def test_semdedup_pairs_within_cluster_only(spark, emb):
+    pairs = V.semdedup_pairs(emb, n_clusters=8, threshold=0.3).collect()
+    assert pairs, "expected near-dup pairs at threshold 0.3"
+    asg = {
+        r.vec_id: r.cluster_id
+        for r in V.seed_cluster_assign(emb, n_clusters=8).collect()
+    }
+    for r in pairs:
+        assert r.keep_id < r.prune_id
+        assert asg[r.keep_id] == asg[r.prune_id] == r.cluster_id
+        assert r.cos >= 0.3
