@@ -3005,7 +3005,7 @@ def x65(spark, sf):
                 sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nn
          FROM v
        ), seeds AS (
-         SELECT vec_id AS cid, e AS ce, nn AS cn FROM nrm WHERE vec_id < 16
+         SELECT vec_id AS cid, e AS ce, nn AS cn FROM nrm WHERE vec_id < 32
        ), sc AS (
          SELECT n.vec_id, s.cid,
                 ROUND(list_sum(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]))
@@ -3031,14 +3031,18 @@ def x65(spark, sf):
 )
 def x66(spark, sf):
     # SemDeDup-style cluster-partitioned semantic dedup: deterministic
-    # seed-centroid assignment (16 clusters, exact fold cosine — the
+    # seed-centroid assignment (32 clusters, exact fold cosine — the
     # oracle-checkable tier of the IVF family), then near-dup pairs ONLY
     # within each cluster. The cluster id is the shuffle key — the
     # quadratic search is bounded per cluster, the shape that scales to
     # 1e9 embeddings by raising n_clusters, vs x23's LSH buckets whose
     # recall rides on hyperplane collisions.
+    # n_clusters is THE scale knob: within-cluster pair work is
+    # quadratic per cluster, so cluster count rises with the corpus
+    # (32 here ~= 60 vectors/cluster at sf0.1; SemDeDup uses ~10k at
+    # 100M docs).
     return V.semdedup_pairs(
-        _t(spark, sf, "embeddings"), n_clusters=16, threshold=0.4
+        _t(spark, sf, "embeddings"), n_clusters=32, threshold=0.4
     )
 
 
