@@ -3046,6 +3046,70 @@ def x66(spark, sf):
     )
 
 
+@query(
+    "x67_funnel_conversion",
+    """WITH s1 AS (
+         SELECT user_id AS u, MIN(ts) AS t FROM events
+         WHERE event_type = 'signup' GROUP BY 1
+       ), s2 AS (
+         SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+         JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+         WHERE e.event_type = 'view' GROUP BY 1
+       ), s3 AS (
+         SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+         JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+         WHERE e.event_type = 'click' GROUP BY 1
+       ), s4 AS (
+         SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+         JOIN s3 ON s3.u = e.user_id AND e.ts > s3.t
+         WHERE e.event_type = 'purchase' GROUP BY 1
+       ), n AS (
+         SELECT 1 AS step, 'signup' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+         UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+         UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+         UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+       )
+       SELECT step, event_type, users,
+              (users * 100) // (SELECT COUNT(*) FROM s1) AS pct_of_first
+       FROM n ORDER BY step""",
+)
+def x67(spark, sf):
+    # Ordered product funnel signup -> view -> click -> purchase: step k
+    # counts users whose first step-k event lands STRICTLY after their
+    # step k-1 entry (operators.analytics.funnel_counts — chained
+    # filtered min-aggregates; each stage shuffles (user, ts) only, the
+    # step-type filter is pushed to the scan). Integer-floored pct.
+    from deva_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["signup", "view", "click", "purchase"]
+    )
+
+
+@query(
+    "x68_retention_cohorts",
+    """WITH days AS (
+         SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+       ), cohort AS (
+         SELECT u, MIN(d) AS cohort_date FROM days GROUP BY 1
+       ), j AS (
+         SELECT days.u, cohort_date,
+                datediff('day', cohort_date, d) AS day_offset
+         FROM days JOIN cohort ON cohort.u = days.u
+       )
+       SELECT cohort_date, day_offset, COUNT(*) AS users
+       FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x68(spark, sf):
+    # Retention cohort matrix: users keyed by first-seen day, counted on
+    # each later active day (operators.analytics.retention_cohorts —
+    # two hash aggregates over (user, day) pairs; the distinct bounds
+    # the shuffle by active user-days, not raw events).
+    from deva_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3119,7 +3183,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 67  # x65/x66 deliberately sit past the full round-6 stale
+_NEW_MIN_ID = 69  # x65-x68 deliberately sit past the full round-6 stale
 # window (50 entries exactly); the r7 rotation should lead with them
 
 

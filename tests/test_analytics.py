@@ -1,0 +1,62 @@
+"""Funnel and retention operators — constructed event sequences."""
+
+import datetime as dt
+
+from deva_spark.operators.analytics import funnel_counts, retention_cohorts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, d, h), u, t) for i, (u, d, h, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 1, "signup"), (1, 1, 2, "view"), (1, 1, 3, "click"),
+        # user 2: click BEFORE view — converts to view only
+        (2, 2, 1, "signup"), (2, 2, 2, "click"), (2, 2, 3, "view"),
+        # user 3: never signed up — not in the funnel at all
+        (3, 3, 1, "view"), (3, 3, 2, "click"),
+    ]
+    out = {
+        r.step: (r.event_type, r.users, r.pct_of_first)
+        for r in funnel_counts(_ev(spark, rows), ["signup", "view", "click"]).collect()
+    }
+    assert out == {
+        1: ("signup", 2, 100),
+        2: ("view", 2, 100),
+        3: ("click", 1, 50),
+    }
+
+
+def test_funnel_strictly_after(spark):
+    # the same timestamp does NOT convert (strict >)
+    rows = [(1, 1, 5, "signup"), (1, 1, 5, "view")]
+    out = {r.step: r.users for r in funnel_counts(_ev(spark, rows), ["signup", "view"]).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_retention_cohorts_matrix(spark):
+    rows = [
+        # user 1: first seen day 1, active days 1, 2, 4
+        (1, 1, 1, "view"), (1, 1, 2, "view"), (1, 2, 1, "view"), (1, 4, 1, "view"),
+        # user 2: first seen day 2, active days 2, 4
+        (2, 2, 1, "view"), (2, 4, 1, "view"),
+    ]
+    out = {
+        (str(r.cohort_date), r.day_offset): r.users
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 2): 1,
+    }
+    # max_offset trims the tail
+    trimmed = retention_cohorts(_ev(spark, rows), max_offset=1).collect()
+    assert all(r.day_offset <= 1 for r in trimmed)
