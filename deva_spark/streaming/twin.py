@@ -220,7 +220,12 @@ def when_then(
     """``when(cond).then(callback)`` trigger analog
     (`/root/reference/deva/core/when.py:316-366`): per micro-batch, rows
     matching ``cond`` invoke ``action(rows)`` on the driver — the
-    condition itself filters distributed; only matches move."""
+    condition itself filters distributed; only matches move.
+
+    The callback is DRIVER-BOUND by design (it's an alerting hook, not a
+    data path): an unselective ``cond`` collects the whole micro-batch
+    to the driver. Keep the condition selective, or route bulk matches
+    through a sink (``topic_sink`` / ``writers``) instead."""
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
         hits = bdf.filter(cond).collect()

@@ -371,3 +371,37 @@ def test_top_p_mass_invariants(spark, weights, p):
     assert len(kept) >= 1
     # minimality: without its last (lightest) kept row the cap is unmet
     assert (kept_mass - kept[-1].w) * 100 < total * p
+
+
+# --- containment pairs vs a pure-python reference --------------------------
+
+shingle_sets = st.lists(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(sets=shingle_sets, parts=st.integers(min_value=1, max_value=4), thr=st.sampled_from([1, 30, 80]))
+@SLOW
+def test_containment_matches_python(spark, sets, parts, thr):
+    from deva_spark.functions.minhash import containment_pairs
+
+    rows = [(i, h) for i, hs in enumerate(sets) for h in set(hs)]
+    idx = spark.createDataFrame(rows, "doc_id long, _sh long").repartition(parts)
+    got = {
+        (r.id_a, r.id_b): (r.cont_a_pct, r.cont_b_pct)
+        for r in containment_pairs(idx, pct_threshold=thr).collect()
+    }
+    py_sets = [set(hs) for hs in sets]
+    expected = {}
+    for a in range(len(py_sets)):
+        for b in range(a + 1, len(py_sets)):
+            inter = len(py_sets[a] & py_sets[b])
+            if not inter:
+                continue
+            ca = inter * 100 // len(py_sets[a])
+            cb = inter * 100 // len(py_sets[b])
+            if max(ca, cb) >= thr:
+                expected[(a, b)] = (ca, cb)
+    assert got == expected
