@@ -309,27 +309,17 @@ def _nearest_cell_udf(centers: "np.ndarray"):
     return nearest_cells
 
 
-def ivf_topk(
+def ivf_centers(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: the corpus is partitioned
-    into ``n_cells`` Voronoi cells around k-means-lite centroids; a query
-    scores only the ``n_probe`` nearest cells' members.
-
-    The coarse quantizer is k-means-lite: deterministic data seeds (first
-    ``n_cells`` vectors by id) refined by one distributed Lloyd step —
-    both passes are full-table aggregations, only the n_cells×dim center
-    matrix ever reaches the driver. At 100 TB the cell assignment is the
-    table's physical partitioning — each query touches n_probe/n_cells of
-    the data.
-    """
+) -> np.ndarray:
+    """The IVF coarse quantizer (shared by :func:`ivf_topk` and
+    :func:`ivf_stage`): deterministic data seeds (first ``n_cells``
+    vectors by id) refined by one distributed Lloyd step. Both passes
+    are full-table aggregations; only the n_cells×dim center matrix
+    reaches the driver."""
     seed_rows = (
         vectors.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
@@ -361,8 +351,130 @@ def ivf_topk(
     centers = seeds.copy()
     for r in center_rows:
         centers[r["cell"]] = np.array(r["c"], dtype=np.float64)
-    centers = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    return centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
 
+
+def ivf_stage(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Write the corpus as a CELL-PARTITIONED table — the 100 TB IVF
+    layout :func:`ivf_topk`'s docstring promises: cell assignment becomes
+    the table's physical partitioning, so a search touches only its probe
+    cells' files via partition pruning (no index structure beyond the
+    directory layout + an ``n_cells×dim`` centers sidecar).
+
+    Returns the centers; they are also written to
+    ``<path>/_ivf_centers.json`` so :func:`ivf_search_staged` needs only
+    the path. Re-staging is a full rewrite — IVF postings are immutable
+    artifacts (rebuild on drift, like the signature tables)."""
+    import json
+    import os
+
+    centers = ivf_centers(vectors, n_cells, id_col, vec_col)
+    nearest = _nearest_cell_udf(centers)
+    (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            nearest(F.col(vec_col))[0].alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centers.json"), "w") as f:
+        json.dump(centers.tolist(), f)
+    return centers
+
+
+def ivf_search_staged(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over an :func:`ivf_stage`-written table.
+
+    The probe-cell set (≤ |queries|×n_probe ints — driver-bounded by the
+    small query side, like the centers themselves) becomes an ``isin``
+    filter on the PARTITION column, so the scan reads only those cells'
+    files — the partition-pruned physical analog of :func:`ivf_topk`'s
+    in-memory cell join, with identical results for identical
+    centers/params. Output: (qid, vec_id, cos, rnk)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centers.json")) as f:
+        centers = np.array(json.load(f), dtype=np.float64)
+    nearest = _nearest_cell_udf(centers)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(F.slice(nearest(F.col(vec_col)), 1, n_probe)).alias("cell"),
+    )
+    probe_cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))  # partition pruning
+        .select(
+            "cell",
+            "vec_id",
+            F.col("embedding").alias("ce"),
+            norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_cells`` Voronoi cells around k-means-lite centroids; a query
+    scores only the ``n_probe`` nearest cells' members.
+
+    The coarse quantizer is k-means-lite: deterministic data seeds (first
+    ``n_cells`` vectors by id) refined by one distributed Lloyd step —
+    both passes are full-table aggregations, only the n_cells×dim center
+    matrix ever reaches the driver. At 100 TB the cell assignment is the
+    table's physical partitioning — each query touches n_probe/n_cells of
+    the data.
+    """
+    centers = ivf_centers(vectors, n_cells, id_col, vec_col)
     nearest = _nearest_cell_udf(centers)
     c = vectors.select(
         F.col(id_col).alias("vec_id"),

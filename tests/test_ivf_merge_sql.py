@@ -55,3 +55,37 @@ def test_sql_surface_over_views(spark, sf_dir):
            JOIN region ON n_regionkey = r_regionkey GROUP BY 1"""
     )
     assert joined.count() == 5
+
+
+def test_ivf_staged_matches_in_memory(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    V.ivf_stage(emb, path, n_cells=8)
+    staged = V.ivf_search_staged(spark, path, queries, k=5, n_probe=3)
+    mem = V.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_ivf_staged_partition_pruning(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    V.ivf_stage(emb, path, n_cells=8)
+    one_query = emb.filter(F.col("vec_id") == 0)
+    out = V.ivf_search_staged(spark, path, one_query, k=3, n_probe=1)
+    # the scan must prune on the partition column, not read-and-filter
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [" in scan and "cell" in scan.split("PartitionFilters:")[1]
+    assert out.count() == 3
+    # full probe == exact: every cell scanned -> brute-force result set
+    allq = emb.filter(F.col("vec_id") < 3)
+    full = V.ivf_search_staged(spark, path, allq, k=4, n_probe=8)
+    brute = V.brute_force_topk(emb, allq, k=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
