@@ -65,6 +65,7 @@ def main() -> None:
             "x38_stream_interval_join",
             "x49_streaming_first_seen",
             "x63_streaming_trending",
+            "x69_streaming_funnel",
         }
     )
     names = [

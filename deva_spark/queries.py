@@ -3110,6 +3110,44 @@ def x68(spark, sf):
     return retention_cohorts(_t(spark, sf, "events"))
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@query("x69_streaming_funnel", ORACLE_SQL["x67_funnel_conversion"])
+def x69(spark, sf):
+    # STREAMING twin of x67: per-user funnel state tracked across
+    # micro-batches (applyInPandasWithState — step + entry time), one
+    # conversion row emitted per (user, step); a batch epilogue folds the
+    # drained conversions into the same step/users/pct table. The greedy
+    # in-order advance equals the batch min-ts chaining, so the drain
+    # hash-matches x67's oracle no matter how the backlog was
+    # micro-batched.
+    from deva_spark.streaming.stateful import streaming_funnel
+    from deva_spark.streaming.twin import events_file_stream, run_available_now
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    conv = run_available_now(
+        streaming_funnel(s, _FUNNEL_STEPS), "x69_drain", output_mode="append"
+    )
+    steps_df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(_FUNNEL_STEPS)],
+        "step int, event_type string",
+    )
+    counts = conv.groupBy("step").agg(F.count(F.lit(1)).alias("users"))
+    full = steps_df.join(counts, "step", "left").select(
+        "step",
+        "event_type",
+        F.coalesce(F.col("users"), F.lit(0).cast("long")).alias("users"),
+    )
+    first = full.filter(F.col("step") == 1).select(F.col("users").alias("_n1"))
+    return full.crossJoin(F.broadcast(first)).select(
+        "step",
+        "event_type",
+        "users",
+        F.expr("(users * 100) div _n1").alias("pct_of_first"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3183,7 +3221,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 69  # x65-x68 deliberately sit past the full round-6 stale
+_NEW_MIN_ID = 70  # x65-x69 deliberately sit past the full round-6 stale
 # window (50 entries exactly); the r7 rotation should lead with them
 
 

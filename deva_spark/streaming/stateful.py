@@ -180,3 +180,54 @@ def streaming_running_sum(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, step integer, event_type string"
+FUNNEL_STATE_SCHEMA = "step integer, entry long"
+
+
+def make_funnel_fn(steps: list):
+    """Per-user ordered-funnel tracker: state is (furthest step, its
+    entry time in ns); a row advances the funnel iff it is the NEXT
+    step's type and strictly after the current entry — scanning in
+    (ts, event_id) order makes the greedy first-match identical to the
+    batch min-ts chaining (`analytics.funnel_counts`), so the drained
+    conversions hash-match the batch oracle regardless of micro-batch
+    boundaries. One row is emitted per (user, step) conversion, exactly
+    once (the state is monotonic)."""
+
+    def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        step, entry = state.get if state.exists else (0, -1)
+        rows = []
+        for pdf in pdfs:
+            if step >= len(steps):
+                break
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if step >= len(steps):
+                    break
+                if et == steps[step]:
+                    ns = int(pd.Timestamp(ts).value)
+                    if step == 0 or ns > entry:
+                        step += 1
+                        entry = ns
+                        rows.append((int(key[0]), step, et))
+        state.update((int(step), int(entry)))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "step", "event_type"])
+
+    return _fn
+
+
+def streaming_funnel(stream_df: DataFrame, steps: list) -> DataFrame:
+    """Streaming twin of ``analytics.funnel_counts``'s conversion events
+    (driver query x69): per-user stateful sequence tracking via
+    ``applyInPandasWithState``; the caller aggregates the emitted
+    conversions into step counts."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(list(steps)),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

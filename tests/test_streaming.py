@@ -126,3 +126,27 @@ def test_streaming_ewma_matches_batch(spark, staged, batch_events):
     a = sorted((r.user_id, r.event_id, round(r.ewma, 9)) for r in stream_res.collect())
     b = sorted((r.user_id, r.event_id, round(r.ewma, 9)) for r in batch_res.collect())
     assert a == b
+
+
+def test_streaming_funnel_equivalence(spark, staged, batch_events):
+    # drained conversions must equal the batch min-ts chaining even when
+    # a user's funnel advance spans micro-batch boundaries (chunked
+    # backlog, 1 file per trigger = maximum fragmentation)
+    from deva_spark.operators.analytics import funnel_counts
+
+    steps = ["signup", "view", "click", "purchase"]
+    s = twin.events_file_stream(spark, staged, files_per_trigger=1)
+    conv = twin.run_available_now(
+        stateful.streaming_funnel(s, steps), "t_funnel", output_mode="append"
+    )
+    stream_counts = {
+        r.step: r.users
+        for r in conv.groupBy("step").agg(F.count(F.lit(1)).alias("users")).collect()
+    }
+    batch_counts = {
+        r.step: r.users for r in funnel_counts(batch_events, steps).collect()
+    }
+    # batch emits all steps (possibly 0); the stream only emits reached ones
+    assert stream_counts == {k: v for k, v in batch_counts.items() if v > 0}
+    # exactly-once per (user, step)
+    assert conv.count() == conv.select("user_id", "step").distinct().count()
