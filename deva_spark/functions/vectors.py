@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -611,6 +611,18 @@ def dequantize_int8(quant: Column) -> Column:
     return F.transform(quant["q"], lambda x: x.cast("double") * s / F.lit(127.0))
 
 
+@pandas_udf(DoubleType())
+def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized dot product per Arrow batch (the DEVIATIONS #13
+    rescore path): numpy einsum in float64. Pairwise summation can
+    differ from the sequential fold by ~1e-15 — invisible at the 4-6 dp
+    rounding every consumer applies before compare/threshold, except a
+    measure-zero boundary."""
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
 def seed_cluster_assign(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -646,9 +658,9 @@ def seed_cluster_assign(
     scored = v.crossJoin(F.broadcast(seeds)).select(
         "_vid",
         "cluster_id",
-        F.round(dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")), 6).alias(
-            "_cs"
-        ),
+        F.round(
+            _pair_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")), 6
+        ).alias("_cs"),
     )
     w = Window.partitionBy("_vid").orderBy(F.col("_cs").desc(), F.col("cluster_id"))
     return (
@@ -681,9 +693,10 @@ def semdedup_pairs(
     feed the prune list to an anti-join, or the pairs to
     ``graphs.dedup_clusters`` for transitive resolution.
 
-    Exactness contract: the within-cluster rescore is the sequential
-    fold ``dot`` (matches SQL ``list_sum`` left-to-right), rounded to
-    4dp before thresholding — bit-stable across engines.
+    Exactness contract: assignment and rescore use the einsum batch
+    dot (DEVIATIONS #13 — pairwise vs sequential summation differs by
+    ~1e-15, invisible at the 6dp/4dp rounding applied before
+    argmax/threshold), per-vector norms stay exact folds.
     """
     asg = seed_cluster_assign(vectors, n_clusters, id_col, vec_col)
     v = vectors.select(
@@ -711,7 +724,7 @@ def semdedup_pairs(
             "keep_id",
             "prune_id",
             F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+                _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
