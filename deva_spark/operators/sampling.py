@@ -238,3 +238,56 @@ def top_p_by_group(
         ).drop("_cum", "_tot")
 
     return _t
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per group —
+    the Efraimidis–Spirakis A-ES scheme on a portable hash: each row
+    draws ``u`` from the engine-portable md5-LE64 of its id (uniform in
+    (0,1), identical in Spark and the SQL oracle), and the k rows with
+    the largest ``ln(u)/w`` are the sample. Heavier rows win more often
+    in exact E-S proportion, yet the kept set is a pure function of the
+    ids — reproducible across engines, partitionings and reruns (the
+    data-mixing counterpart of the md5-bucket Bernoulli sampler above:
+    that one is unweighted by rate; this one is weighted by size).
+
+    The sort key is rounded to 10dp before ranking (ties break by id):
+    ``ln`` may differ across libm implementations by ~1 ulp, invisible
+    at 10dp except a measure-zero boundary (DEVIATIONS #13 reasoning).
+    Rows with non-positive weight are excluded (E-S requires w > 0).
+
+    ``group_cols`` must be non-empty: the rank window partitions by it,
+    so the work shards per group. For a GLOBAL weighted sample, add a
+    constant bucket column upstream at test scale or pre-aggregate —
+    an empty partition list would be a single-reducer window, which
+    this module's scale contract forbids.
+
+    Output: the input columns + ``skey`` (the rounded key) + ``rnk``.
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (a global window would be a "
+            "single-reducer; bucket the input upstream instead)"
+        )
+    from pyspark.sql import Window
+
+    from deva_spark.operators.aggregates import md5_le64
+
+    u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 64)
+    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "skey", F.round(F.log(u) / F.col(weight_col), 10)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
+    return keyed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -3148,6 +3148,43 @@ def x69(spark, sf):
     )
 
 
+@query(
+    "x70_weighted_sample",
+    r"""WITH w AS (
+          SELECT source, doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ), h AS (
+          SELECT source, doc_id, w,
+                 ROUND(ln((CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                                     AS HUGEINT) AS DOUBLE) + 0.5)
+                          / 18446744073709551616.0) / w, 10) AS skey
+          FROM w WHERE w > 0
+        ), r AS (
+          SELECT source, doc_id, w, skey,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY skey DESC, doc_id) AS rn
+          FROM h
+        )
+        SELECT source, doc_id, w, skey, rn AS rnk
+        FROM r WHERE rn <= 20 ORDER BY source, rnk""",
+)
+def x70(spark, sf):
+    # Deterministic weighted corpus subsample: 20 docs per source,
+    # probability proportional to token count (Efraimidis-Spirakis on
+    # the portable md5-LE64 hash — sampling.weighted_sample_topk). The
+    # data-mixing step after x47's rebalance targets: pick WHICH docs
+    # fill each source's quota, biased to longer docs, reproducibly.
+    from deva_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("w")
+    )
+    return weighted_sample_topk(
+        docs, k=20, weight_col="w", group_cols=("source",)
+    ).select("source", "doc_id", "w", "skey", "rnk")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3221,7 +3258,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 70  # x65-x69 deliberately sit past the full round-6 stale
+_NEW_MIN_ID = 71  # x65-x70 deliberately sit past the full round-6 stale
 # window (50 entries exactly); the r7 rotation should lead with them
 
 

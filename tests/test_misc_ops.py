@@ -307,3 +307,31 @@ def test_kmv_distinct_estimate_accuracy(spark):
         .est_distinct
     )
     assert est2 == est
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    import pytest as _pytest
+
+    from deva_spark.operators.sampling import weighted_sample_topk
+
+    # 200 light docs (w=10) and 200 heavy docs (w=1000) in one group
+    rows = [(i, "s", 10 if i < 200 else 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = weighted_sample_topk(df, k=50, weight_col="w", group_cols=("source",))
+    kept = sorted(r.doc_id for r in out.collect())
+    # deterministic under any physical partitioning
+    kept2 = sorted(
+        r.doc_id
+        for r in weighted_sample_topk(
+            df.repartition(7), k=50, weight_col="w", group_cols=("source",)
+        ).collect()
+    )
+    assert kept == kept2 and len(kept) == 50
+    # E-S bias: 100x heavier docs dominate the sample
+    heavy = sum(1 for d in kept if d >= 200)
+    assert heavy > 40
+    # zero/negative weights are excluded; empty groups rejected
+    z = spark.createDataFrame([(1, "s", 0)], "doc_id long, source string, w long")
+    assert weighted_sample_topk(z, 5, "w", ("source",)).count() == 0
+    with _pytest.raises(ValueError, match="group_cols"):
+        weighted_sample_topk(df, 5, "w", ())
