@@ -66,6 +66,7 @@ def main() -> None:
             "x49_streaming_first_seen",
             "x63_streaming_trending",
             "x69_streaming_funnel",
+            "x71_streaming_retention",
         }
     )
     names = [

@@ -3185,6 +3185,39 @@ def x70(spark, sf):
     ).select("source", "doc_id", "w", "skey", "rnk")
 
 
+@query("x71_streaming_retention", ORACLE_SQL["x68_retention_cohorts"])
+def x71(spark, sf):
+    # STREAMING twin of x68: the distinct (user, day) set streams through
+    # state-store dropDuplicates — keyed on EXACTLY the projected columns,
+    # so there is no survivor ambiguity (the kept row IS the key) and the
+    # drained set equals the batch DISTINCT no matter the micro-batching.
+    # The cohort join + offset counts run as the batch epilogue.
+    from deva_spark.streaming.twin import events_file_stream, run_available_now
+
+    s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
+    days_stream = s.select(
+        "user_id", F.to_date("ts").alias("_d")
+    ).dropDuplicates(["user_id", "_d"])
+    days = run_available_now(days_stream, "x71_drain", output_mode="append")
+    # fresh attribute ids for the self-join's aggregate side (a memory-
+    # sink view joined with its own aggregate otherwise carries
+    # conflicting references)
+    cohort = (
+        days.select(F.col("user_id").alias("_cu"), F.col("_d").alias("_cd"))
+        .groupBy("_cu")
+        .agg(F.min("_cd").alias("cohort_date"))
+    )
+    return (
+        days.join(cohort, days.user_id == cohort._cu)
+        .select(
+            "cohort_date",
+            F.datediff(F.col("_d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3258,7 +3291,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 71  # x65-x70 deliberately sit past the full round-6 stale
+_NEW_MIN_ID = 72  # x65-x71 deliberately sit past the full round-6 stale
 # window (50 entries exactly); the r7 rotation should lead with them
 
 
