@@ -427,6 +427,15 @@ def ffmpeg_decode_video(
             "ffmpeg produced no frames: "
             + proc.stderr.decode("utf-8", "replace")[:500]
         )
+    if proc.returncode != 0:
+        # A mid-decode failure (corrupt tail, codec error after N frames)
+        # still emits complete leading frames; silently returning them
+        # would feed video_features partial content with no signal.
+        raise ValueError(
+            f"ffmpeg exited {proc.returncode} after {n} complete frame(s) "
+            "— clip is truncated or corrupt: "
+            + proc.stderr.decode("utf-8", "replace")[:500]
+        )
     return (
         np.frombuffer(proc.stdout[: n * frame_bytes], dtype=np.uint8)
         .reshape(n, size, size, 3)

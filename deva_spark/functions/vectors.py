@@ -636,11 +636,13 @@ def seed_cluster_assign(
     assignment stage), no shuffle at all.
     """
     seed_rows = (
-        vectors.filter(F.col(id_col) < n_clusters)
-        .select(id_col, vec_col)
+        vectors.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(n_clusters)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("seed_cluster_assign: input has no vectors")
     seed_ids = np.array([r[0] for r in seed_rows], dtype=np.int64)
     sm = np.stack([np.array(r[1], dtype=np.float64) for r in seed_rows])
     sm_norm = np.linalg.norm(sm, axis=1)

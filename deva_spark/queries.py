@@ -3005,7 +3005,10 @@ def x65(spark, sf):
                 sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nn
          FROM v
        ), seeds AS (
-         SELECT vec_id AS cid, e AS ce, nn AS cn FROM nrm WHERE vec_id < 32
+         -- rank-based seed pick (the n_clusters LOWEST-id vectors), not
+         -- an id-value filter: correct on sparse/offset id spaces too
+         SELECT vec_id AS cid, e AS ce, nn AS cn
+         FROM nrm ORDER BY vec_id LIMIT 32
        ), sc AS (
          SELECT n.vec_id, s.cid,
                 ROUND(list_sum(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]))

@@ -51,7 +51,9 @@ class PageServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, start: bool = True):
         self.data: dict[str, object] = {}
         self._views: dict[str, tuple[Callable[[], DataFrame], int]] = {}
-        self._sse: dict[str, Callable[[str | None], tuple[list, str | None]]] = {}
+        self._sse: dict[
+            str, tuple[Callable[[str | None], tuple[list, str | None]], float]
+        ] = {}
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
@@ -108,9 +110,10 @@ class PageServer:
     ) -> str:
         """Serve events at ``/sse/<name>`` (``sse_view`` analog).
         ``poller(cursor) -> (events, new_cursor)`` is called in the
-        request thread; each event goes out as one ``data:`` frame."""
-        self._sse[name] = poller
-        self._sse_interval = poll_interval
+        request thread; each event goes out as one ``data:`` frame.
+        ``poll_interval`` is stored PER endpoint — registering a second
+        SSE view must not retune the cadence of the first."""
+        self._sse[name] = (poller, poll_interval)
         return f"{self.url}/sse/{name}"
 
 
@@ -190,7 +193,7 @@ def _make_handler(server: PageServer):
                 self._send(body, "text/html; charset=utf-8")
             elif path.startswith("/sse/"):
                 name = path[len("/sse/"):]
-                poller = server._sse.get(name)
+                poller, interval = server._sse.get(name, (None, 0.2))
                 if poller is None:
                     self._send(b"not found", "text/plain", 404)
                     return
@@ -206,7 +209,7 @@ def _make_handler(server: PageServer):
                             payload = json.dumps(ev, default=str)
                             self.wfile.write(f"data: {payload}\n\n".encode())
                         self.wfile.flush()
-                        time.sleep(getattr(server, "_sse_interval", 0.2))
+                        time.sleep(interval)
                 except (BrokenPipeError, ConnectionResetError):
                     pass  # client went away — normal SSE teardown
             else:

@@ -181,6 +181,21 @@ def test_seed_cluster_assign_matches_numpy(spark, emb):
     assert got == expected
 
 
+def test_seed_cluster_assign_sparse_ids(spark):
+    # ADVICE r6: seeds are the n_clusters LOWEST-id vectors by rank, not
+    # an id-value filter — an offset (non-dense) id space must still
+    # yield exactly n_clusters seeds, labelled by their real ids.
+    rows = [
+        (1000 + 3 * i, [float((i * 7 + j) % 5) + 1.0 for j in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    asg = V.seed_cluster_assign(df, n_clusters=4)
+    got = asg.collect()
+    assert len(got) == 12
+    assert {r.cluster_id for r in got} <= {1000, 1003, 1006, 1009}
+
+
 def test_semdedup_pairs_within_cluster_only(spark, emb):
     pairs = V.semdedup_pairs(emb, n_clusters=8, threshold=0.3).collect()
     assert pairs, "expected near-dup pairs at threshold 0.3"
