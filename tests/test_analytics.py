@@ -39,6 +39,53 @@ def test_funnel_strictly_after(spark):
     assert out == {1: 1, 2: 0}
 
 
+def test_funnel_zero_user_step_keeps_row(spark):
+    # a step nobody reaches still yields its row (users=0), as do all
+    # later steps — the oracle's scalar-subquery counts do the same
+    rows = [(1, 1, 1, "signup"), (2, 2, 1, "signup")]
+    out = {
+        r.step: (r.users, r.pct_of_first)
+        for r in funnel_counts(
+            _ev(spark, rows), ["signup", "view", "click"]
+        ).collect()
+    }
+    assert out == {1: (2, 100), 2: (0, 0), 3: (0, 0)}
+
+
+def test_funnel_six_steps_matches_chained_min_reference(spark):
+    # single-pass fold == chained min-aggregates (the r6 formulation) on
+    # a 6-step funnel over a deterministic pseudo-random event soup
+    steps = ["s1", "s2", "s3", "s4", "s5", "s6"]
+    rows = []
+    state = 41
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        u = state % 23
+        d = 1 + (state >> 8) % 27
+        h = (state >> 16) % 24
+        t = steps[(state >> 4) % len(steps)]
+        rows.append((u, d, h, t))
+    ev = _ev(spark, rows)
+    pdf = ev.toPandas()
+
+    # chained-min reference in pandas
+    cur = None
+    expected = {}
+    for k, s in enumerate(steps, start=1):
+        sub = pdf[pdf.event_type == s]
+        if cur is None:
+            cur = sub.groupby("user_id").ts.min()
+        else:
+            m = sub.merge(
+                cur.rename("prev").reset_index(), on="user_id", how="inner"
+            )
+            m = m[m.ts > m.prev]
+            cur = m.groupby("user_id").ts.min()
+        expected[k] = len(cur)
+    got = {r.step: r.users for r in funnel_counts(ev, steps).collect()}
+    assert got == expected
+
+
 def test_retention_cohorts_matrix(spark):
     rows = [
         # user 1: first seen day 1, active days 1, 2, 4
