@@ -376,18 +376,19 @@ def ivf_stage(
 
     centers = ivf_centers(vectors, n_cells, id_col, vec_col)
     nearest = _nearest_cell_udf(centers)
-    (
-        vectors.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            nearest(F.col(vec_col))[0].alias("cell"),
-        )
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        nearest(F.col(vec_col))[0].alias("cell"),
     )
+    staged.write.partitionBy("cell").mode("overwrite").parquet(path)
+    # sidecar LAST (overwrite clears the dir): it doubles as the
+    # completion marker. Carries the table schema so the search path
+    # skips parquet-footer schema inference on every read.
     with open(os.path.join(path, "_ivf_centers.json"), "w") as f:
-        json.dump(centers.tolist(), f)
+        json.dump(
+            {"centers": centers.tolist(), "schema": staged.schema.json()}, f
+        )
     return centers
 
 
@@ -402,52 +403,87 @@ def ivf_search_staged(
 ) -> DataFrame:
     """Approximate top-k over an :func:`ivf_stage`-written table.
 
-    The probe-cell set (≤ |queries|×n_probe ints — driver-bounded by the
-    small query side, like the centers themselves) becomes an ``isin``
-    filter on the PARTITION column, so the scan reads only those cells'
-    files — the partition-pruned physical analog of :func:`ivf_topk`'s
-    in-memory cell join, with identical results for identical
-    centers/params. Output: (qid, vec_id, cos, rnk)."""
+    The query side is small by contract (the centers pattern: bounded
+    metadata), so it is collected ONCE and probe assignment runs in
+    numpy on the driver — the identical arithmetic the assignment UDF
+    runs (normalize, batch matmul, stable descending argsort). The
+    probe-cell set becomes an ``isin`` filter on the PARTITION column,
+    so the scan reads only those cells' files (static partition
+    pruning), and scoring rides the partitioning: one ``mapInPandas``
+    stage computes each cell's query×member cosine block as a numpy
+    matmul and emits only the per-(query, cell) top-k — top-k is
+    distributive over any partition of the candidates, so ranking the
+    ≤ |Q|×n_probe×k survivors in a final micro-window is exact. No
+    join shuffle at all; the batch matmul's pairwise summation vs the
+    oracle's sequential fold is the DEVIATIONS #13 contract (≈1e-15,
+    invisible at the 4dp rounding; hash-verified at three SFs).
+    Output: (qid, vec_id, cos, rnk)."""
     import json
     import os
 
     with open(os.path.join(path, "_ivf_centers.json")) as f:
-        centers = np.array(json.load(f), dtype=np.float64)
-    nearest = _nearest_cell_udf(centers)
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qe"),
-        norm(F.col(vec_col)).alias("qn"),
-        F.explode(F.slice(nearest(F.col(vec_col)), 1, n_probe)).alias("cell"),
-    )
-    probe_cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
-    c = (
-        spark.read.parquet(path)
+        meta = json.load(f)
+    if isinstance(meta, dict):
+        centers = np.array(meta["centers"], dtype=np.float64)
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(
+            StructType.fromJson(json.loads(meta["schema"]))
+        )
+    else:  # pre-schema sidecar format: a bare centers list
+        centers = np.array(meta, dtype=np.float64)
+        reader = spark.read
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cos double, rnk int"
+        )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qm = np.stack([np.array(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qm, axis=1)
+    qunit = qm / np.maximum(qnorm[:, None], 1e-12)
+    order = np.argsort(-(qunit @ centers.T), axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for c in order.ravel()})
+    q_by_cell: dict[int, list[int]] = {}
+    for i in range(len(qids)):
+        for cell in order[i]:
+            q_by_cell.setdefault(int(cell), []).append(i)
+
+    def _score(batches):
+        for pdf in batches:
+            out_q, out_v, out_c = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                idxs = q_by_cell.get(int(cell))
+                if not idxs:
+                    continue
+                M = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                vids = grp["vec_id"].to_numpy().astype(np.int64)
+                mn = np.linalg.norm(M, axis=1)
+                cos = np.round(
+                    (qm[idxs] @ M.T) / (qnorm[idxs][:, None] * mn[None, :]), 4
+                )
+                for row, qi in enumerate(idxs):
+                    mask = vids != qids[qi]
+                    c_, v_ = cos[row][mask], vids[mask]
+                    top = np.lexsort((v_, -c_))[:k]
+                    out_q.extend([qids[qi]] * len(top))
+                    out_v.extend(v_[top])
+                    out_c.extend(c_[top])
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cos": out_c}
+            ).astype({"qid": "int64", "vec_id": "int64", "cos": "float64"})
+
+    cand = (
+        reader.parquet(path)
         .filter(F.col("cell").isin(probe_cells))  # partition pruning
-        .select(
-            "cell",
-            "vec_id",
-            F.col("embedding").alias("ce"),
-            norm(F.col("embedding")).alias("cn"),
-        )
-    )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
-            ).alias("cos"),
-        )
-        .dropDuplicates(["qid", "vec_id"])
+        .select("cell", "vec_id", "embedding")
+        .mapInPandas(_score, "qid long, vec_id long, cos double")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "cos", "rnk")
     )

@@ -130,6 +130,30 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _stage_ivf16(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Cell-partitioned IVF table + centers sidecar (x32's 100 TB
+    "train once, search many" layout — VERDICT r6 #2). Not a plain
+    DataFrame write: `ivf_stage` partitions by cell and drops a
+    `_ivf_centers.json` sidecar, so it stages via this custom writer."""
+    V.ivf_stage(_t(spark, sf_dir, "embeddings"), path, n_cells=16)
+
+
+#: Artifacts whose staging is NOT a plain ``df.write.parquet`` —
+#: name -> writer(spark, sf_dir, path). Completeness marker below.
+ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
+    "ivf16": _stage_ivf16,
+}
+
+#: Which testdata file keys an artifact's cache-invalidation mtime
+#: (default: documents.parquet).
+_ARTIFACT_SOURCE = {"ivf16": "embeddings.parquet"}
+
+#: File proving a COMPLETE artifact. ivf16's centers sidecar is written
+#: after the parquet (overwrite clears the dir first), so the sidecar —
+#: not _SUCCESS — is its completion marker.
+_ARTIFACT_MARKER = {"ivf16": "_ivf_centers.json"}
+
+
 def _artifact_path(sf_dir: str, name: str) -> str:
     """Deterministic staging dir for one artifact: keyed on the absolute
     data dir, the builder version, and the documents.parquet mtime (new
@@ -144,8 +168,9 @@ def _artifact_path(sf_dir: str, name: str) -> str:
             "deva_artifacts",
         ),
     )
+    src = _ARTIFACT_SOURCE.get(name, "documents.parquet")
     try:
-        mt = int(_os.path.getmtime(_os.path.join(sf_dir, "documents.parquet")))
+        mt = int(_os.path.getmtime(_os.path.join(sf_dir, src)))
     except OSError:
         mt = 0
     key = hashlib.md5(
@@ -156,9 +181,11 @@ def _artifact_path(sf_dir: str, name: str) -> str:
 
 def staged_artifact_path(sf_dir: str, name: str) -> str | None:
     """Path of a completely-written staged artifact, else None (the
-    _SUCCESS marker guards against reading a half-written directory)."""
+    completion marker — _SUCCESS, or an artifact-specific sidecar —
+    guards against reading a half-written directory)."""
     path = _artifact_path(sf_dir, name)
-    return path if _os.path.exists(_os.path.join(path, "_SUCCESS")) else None
+    marker = _ARTIFACT_MARKER.get(name, "_SUCCESS")
+    return path if _os.path.exists(_os.path.join(path, marker)) else None
 
 
 def stage_artifacts(
@@ -172,14 +199,18 @@ def stage_artifacts(
     import time as _time
 
     took: dict[str, float] = {}
-    for name in names or ARTIFACT_BUILDERS:
+    all_names = list(ARTIFACT_BUILDERS) + list(ARTIFACT_STAGERS)
+    for name in names or all_names:
         if staged_artifact_path(sf_dir, name):
             took[name] = 0.0
             continue
         t0 = _time.perf_counter()
-        ARTIFACT_BUILDERS[name](spark, sf_dir).write.mode("overwrite").parquet(
-            _artifact_path(sf_dir, name)
-        )
+        if name in ARTIFACT_STAGERS:
+            ARTIFACT_STAGERS[name](spark, sf_dir, _artifact_path(sf_dir, name))
+        else:
+            ARTIFACT_BUILDERS[name](spark, sf_dir).write.mode(
+                "overwrite"
+            ).parquet(_artifact_path(sf_dir, name))
         took[name] = round(_time.perf_counter() - t0, 3)
     return took
 
@@ -1782,12 +1813,19 @@ def _x32_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
 
 @query("x32_ivf_topk", None)  # oracle attached below (generated)
 def x32(spark, sf):
-    # IVF ANN scale path (k-means-lite quantizer, n_probe cells),
-    # hash-checked against a generated DuckDB mirror of the whole pipeline
-    # since round 3 (was rows-only); the recall-vs-brute-force property is
-    # additionally pinned in tests/test_ivf_merge_sql.
+    # IVF ANN scale path, hash-checked against a generated DuckDB mirror
+    # of the whole pipeline since round 3. When the cell-partitioned
+    # "ivf16" artifact is staged (bench stages it; the 100 TB "train
+    # once, search many" layout), search is a partition-pruned scan of
+    # the probe cells (ivf_search_staged) — identical results for
+    # identical centers/params, so the same oracle covers both routes.
+    # Unstaged (ad-hoc/correctness runs): self-contained in-query build.
     emb = _t(spark, sf, "embeddings")
-    return V.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    staged = staged_artifact_path(sf, "ivf16")
+    if staged:
+        return V.ivf_search_staged(spark, staged, q, k=5, n_probe=4)
+    return V.ivf_topk(emb, q, k=5)
 
 
 ORACLE_SQL["x32_ivf_topk"] = _x32_oracle()

@@ -89,3 +89,25 @@ def test_ivf_staged_partition_pruning(spark, sf_dir, tmp_path):
     full = V.ivf_search_staged(spark, path, allq, k=4, n_probe=8)
     brute = V.brute_force_topk(emb, allq, k=4)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_x32_staged_route_matches_unstaged(spark, sf_dir, tmp_path, monkeypatch):
+    # x32 auto-routes through the ivf16 artifact when staged; both
+    # routes must produce identical rows (same centers, same params)
+    from deva_spark import queries as Q
+
+    unstaged = (
+        Q.SPARK_QUERIES["x32_ivf_topk"](spark, sf_dir)
+        .orderBy("qid", "rnk")
+        .collect()
+    )
+    monkeypatch.setenv("DEVA_ARTIFACT_DIR", str(tmp_path))
+    took = Q.stage_artifacts(spark, sf_dir, ["ivf16"])
+    assert took["ivf16"] > 0
+    assert Q.staged_artifact_path(sf_dir, "ivf16") is not None
+    staged = (
+        Q.SPARK_QUERIES["x32_ivf_topk"](spark, sf_dir)
+        .orderBy("qid", "rnk")
+        .collect()
+    )
+    assert staged == unstaged
