@@ -263,10 +263,10 @@ def weighted_sample_topk(
     Rows with non-positive weight are excluded (E-S requires w > 0).
 
     ``group_cols`` must be non-empty: the rank window partitions by it,
-    so the work shards per group. For a GLOBAL weighted sample, add a
-    constant bucket column upstream at test scale or pre-aggregate —
-    an empty partition list would be a single-reducer window, which
-    this module's scale contract forbids.
+    so the work shards per group. For a GLOBAL weighted sample use
+    :func:`weighted_sample_global` (salted two-phase partial top-k +
+    bounded merge) — an empty partition list here would be a
+    single-reducer window, which this module's scale contract forbids.
 
     Output: the input columns + ``skey`` (the rounded key) + ``rnk``.
     """
@@ -291,3 +291,60 @@ def weighted_sample_topk(
     return keyed.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def weighted_sample_global(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-GLOBAL Efraimidis–Spirakis weighted sample without
+    replacement — the variant :func:`weighted_sample_topk` refuses
+    (an empty ``group_cols`` would be a single-reducer window).
+
+    Two-phase, the same shape as the KMV k-smallest merge
+    (``aggregates.kmv_distinct``): each physical partition reduces to
+    its own top-k by ``(skey DESC, id)`` via a window over
+    ``spark_partition_id()`` — fully parallel — and the merge phase
+    sorts a bounded array of at most ``partitions × k`` survivors in
+    one hash aggregate (map-side partial collect; never a global
+    window). The global top-k under a total order is
+    partition-invariant, so the result is the exact global E-S sample:
+    identical rows to the windowed path run with a constant group, and
+    a pure function of the ids (same ``skey`` construction — portable
+    md5 uniform draw, 10dp rounding, id tie-break).
+
+    Output: the input columns + ``skey`` + ``rnk`` (1-based global
+    rank), matching :func:`weighted_sample_topk`'s surface.
+    """
+    from pyspark.sql import Window
+
+    from deva_spark.operators.aggregates import md5_le64
+
+    u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 64)
+    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "skey", F.round(F.log(u) / F.col(weight_col), 10)
+    )
+    pw = Window.partitionBy("_p").orderBy(F.col("skey").desc(), F.col(id_col))
+    part = (
+        keyed.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= k)
+    )
+    row_cols = [c for c in keyed.columns]
+    packed = part.select(
+        F.struct(
+            (-F.col("skey")).alias("_nk"),
+            F.col(id_col).alias("_id"),
+            F.struct(*[F.col(c) for c in row_cols]).alias("_row"),
+        ).alias("_s")
+    )
+    merged = packed.groupBy().agg(
+        F.slice(F.sort_array(F.collect_list("_s")), 1, k).alias("_top")
+    )
+    return merged.select(
+        F.posexplode("_top").alias("_i", "_s")
+    ).select("_s._row.*", (F.col("_i") + 1).cast("int").alias("rnk"))

@@ -3259,6 +3259,43 @@ def x71(spark, sf):
     )
 
 
+@query(
+    "x72_global_weighted_sample",
+    r"""WITH w AS (
+          SELECT source, doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ), h AS (
+          SELECT source, doc_id, w,
+                 ROUND(ln((CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                                     AS HUGEINT) AS DOUBLE) + 0.5)
+                          / 18446744073709551616.0) / w, 10) AS skey
+          FROM w WHERE w > 0
+        ), r AS (
+          SELECT source, doc_id, w, skey,
+                 row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
+          FROM h
+        )
+        SELECT source, doc_id, w, skey, rn AS rnk
+        FROM r WHERE rn <= 50 ORDER BY rnk""",
+)
+def x72(spark, sf):
+    # Corpus-GLOBAL weighted sample (VERDICT r6 #7): the x70 draw with
+    # no group quota — 50 docs from the whole corpus, probability
+    # proportional to token count. The single-reducer window the oracle
+    # uses is exactly what the operator avoids: per-physical-partition
+    # E-S top-k partials, then one bounded hash-aggregate merge
+    # (<= partitions*k rows) — the KMV k-smallest shape. Same rows.
+    from deva_spark.operators.sampling import weighted_sample_global
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("w")
+    )
+    return weighted_sample_global(docs, k=50, weight_col="w").select(
+        "source", "doc_id", "w", "skey", "rnk"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)

@@ -335,3 +335,51 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert weighted_sample_topk(z, 5, "w", ("source",)).count() == 0
     with _pytest.raises(ValueError, match="group_cols"):
         weighted_sample_topk(df, 5, "w", ())
+
+
+def test_weighted_sample_global_matches_windowed_constant_group(spark):
+    # VERDICT r6 #7: the two-phase global sampler must produce EXACTLY
+    # the rows the windowed path yields on a constant group — and its
+    # plan must never funnel all rows through one reducer's window.
+    from pyspark.sql import functions as F
+
+    from deva_spark.operators.sampling import (
+        weighted_sample_global,
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "s", (i * 37) % 97 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    glob = weighted_sample_global(df.repartition(11), k=40, weight_col="w")
+    ref = weighted_sample_topk(
+        df.withColumn("_g", F.lit(1)), k=40, weight_col="w", group_cols=("_g",)
+    )
+    g = {(r.doc_id, r.skey, r.rnk) for r in glob.collect()}
+    e = {(r.doc_id, r.skey, r.rnk) for r in ref.collect()}
+    assert g == e and len(g) == 40
+
+    # same rows under a different physical partitioning
+    g2 = {
+        (r.doc_id, r.skey, r.rnk)
+        for r in weighted_sample_global(
+            df.repartition(3), k=40, weight_col="w"
+        ).collect()
+    }
+    assert g2 == g
+
+    # plan audit: the only window partitions by spark_partition_id —
+    # no window fed by Exchange SinglePartition
+    import re
+
+    plan = (
+        weighted_sample_global(df, k=40, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            assert "Exchange SinglePartition" not in "\n".join(
+                lines[i + 1 : i + 3]
+            ), plan
