@@ -702,6 +702,7 @@ def semdedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: bool = False,
 ) -> DataFrame:
     """SemDeDup-style cluster-partitioned semantic dedup (Abbas et al.
     2023, arXiv:2303.09540): cluster the embedding space, then find
@@ -731,8 +732,24 @@ def semdedup_pairs(
     (measured ~3x). Per-group memory is ``cluster_size²`` doubles —
     bounded by the same contract that makes SemDeDup scale: cluster
     count rises with the corpus so cluster size stays flat.
+
+    ``refine=True`` swaps the seed assignment for Lloyd-refined
+    centroids (:func:`ivf_centers`: the same deterministic seeds plus
+    one distributed k-means step — the shape the SemDeDup paper
+    actually clusters with). Refined clusters track density instead of
+    the arbitrary first-k vectors, so recall on a real corpus is
+    higher; the seed tier stays the oracle-checkable contract (x66).
+    Cluster ids under ``refine``: the 0-based center index.
     """
-    asg = seed_cluster_assign(vectors, n_clusters, id_col, vec_col)
+    if refine:
+        centers = ivf_centers(vectors, n_clusters, id_col, vec_col)
+        nearest = _nearest_cell_udf(centers)
+        asg = vectors.select(
+            F.col(id_col).alias(id_col),
+            nearest(F.col(vec_col))[0].alias("cluster_id"),
+        )
+    else:
+        asg = seed_cluster_assign(vectors, n_clusters, id_col, vec_col)
     v = vectors.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("e")
     ).join(asg.withColumnRenamed(id_col, "_vid"), "_vid")
