@@ -115,6 +115,64 @@ def curate(
     return out, report
 
 
+def curate_from_stats(
+    stats: DataFrame,
+    sigs: DataFrame | None = None,
+    min_quality: float = 40.0,
+    lang: str | None = "en",
+    near_dup_min_matches: int = 6,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The :func:`curate` funnel over a PRE-STAGED per-doc stats table
+    ``(doc_id, q, lang_pred, n_tokens, fp)`` plus shared similarity
+    artifacts — the 100 TB shape where per-doc text statistics and the
+    corpus-wide near-dup pair set are computed once by upstream jobs
+    and every curation run is pure relational work over staged tables
+    (no text expression, no re-scan of the raw corpus). Same
+    keep-policy, identical rows to :func:`curate` with
+    ``with_report=False`` (stats are exact per-doc functions of the
+    text; a doc's MinHash signature is independent of the rest of the
+    corpus, so full-corpus pairs restricted to both-endpoints-surviving
+    equal pairs computed within the survivors). Output: curated
+    ``(doc_id, q, lang_pred, n_tokens)``.
+
+    ``pairs``: staged corpus-wide near-dup pair table
+    ``(id_a, id_b, ...)`` at the same ``min_matches`` bar; when absent,
+    the LSH pass runs here against ``sigs`` (required in that case).
+    """
+    from deva_spark.functions import minhash as _mh
+
+    gated = stats.filter(F.col("q") >= min_quality)
+    if lang is not None:
+        gated = gated.filter(F.col("lang_pred") == lang)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # referenced by both pair-endpoint checks and the anti-join left
+        # side: stage once (repo staging convention)
+        .localCheckpoint(eager=False)
+    )
+    if pairs is not None:
+        p = (
+            pairs.select("id_a", "id_b")
+            .join(exact.select(F.col("doc_id").alias("id_a")), "id_a")
+            .join(exact.select(F.col("doc_id").alias("id_b")), "id_b")
+        )
+    else:
+        if sigs is None:
+            raise ValueError("curate_from_stats needs sigs or pairs")
+        sub_sigs = sigs.join(exact.select("doc_id"), "doc_id")
+        p = _mh.near_duplicates(
+            exact, min_matches=near_dup_min_matches, sigs=sub_sigs
+        )
+    drop_ids = p.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact.join(drop_ids, "doc_id", "left_anti").select(
+        "doc_id", "q", "lang_pred", "n_tokens"
+    )
+
+
 def contamination_counts(
     docs: DataFrame,
     bench_docs: DataFrame,

@@ -122,11 +122,45 @@ def _build_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics ``(doc_id, source, q, lang_pred,
+    n_tokens, fp)`` — exact per-doc functions of the text, computed once
+    by the stats job so curation runs (x15) are pure relational work
+    over staged tables (VERDICT r6 #5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        T.quality_score(F.col("text")).alias("q"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _build_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide MinHash near-dup pair set ``(id_a, id_b, est_sim)``
+    at the standard min_matches=6 bar — x06's answer table, and x15's
+    drop set (a doc's signature is independent of the rest of the
+    corpus, so in-subset pairs = full-corpus pairs restricted to
+    both-endpoints-in-subset)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(T.words(F.col("text"))) >= 3
+    )
+    # _doc_signatures: staged doc_sigs when present (stage_artifacts
+    # stages doc_sigs first — dict order), else the session-cached build
+    return mh.near_duplicates(
+        docs, min_matches=6, sigs=_doc_signatures(spark, sf_dir)
+    )
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
     "shingle5": _build_shingle5_hashes,
     "jaccard_pairs": _build_jaccard_pairs,
+    "doc_stats": _build_doc_stats,
+    "neardup_pairs": _build_neardup_pairs,
 }
 
 
@@ -1047,6 +1081,12 @@ def x05(spark, sf):
         FROM scored WHERE n_match >= 6 ORDER BY id_a, id_b""",
 )
 def x06(spark, sf):
+    # staged neardup_pairs artifact IS this query's answer table (the
+    # x05/jaccard_pairs precedent); unstaged runs the LSH pass off the
+    # shared signature table.
+    staged = staged_artifact_path(sf, "neardup_pairs")
+    if staged:
+        return spark.read.parquet(staged).select("id_a", "id_b", "est_sim")
     docs = _t(spark, sf, "documents").filter(F.size(T.words(F.col("text"))) >= 3)
     return mh.near_duplicates(docs, min_matches=6, sigs=_doc_signatures(spark, sf))
 
@@ -1343,6 +1383,22 @@ def x14(spark, sf):
 def x15(spark, sf):
     # The full north-star curation funnel (plans/corpus.py): quality/lang
     # gate -> exact dedup -> MinHash-LSH near-dup removal -> token counts.
+    # With the doc_stats artifact staged (bench stages it), the funnel is
+    # pure relational work over two staged tables — stats are exact
+    # per-doc functions, so both routes produce identical rows and share
+    # the oracle. Unstaged: the self-contained raw-text funnel.
+    staged_stats = staged_artifact_path(sf, "doc_stats")
+    if staged_stats:
+        from deva_spark.plans.corpus import curate_from_stats
+
+        staged_pairs = staged_artifact_path(sf, "neardup_pairs")
+        return curate_from_stats(
+            spark.read.parquet(staged_stats),
+            sigs=None if staged_pairs else _doc_signatures(spark, sf),
+            min_quality=40.0,
+            lang="en",
+            pairs=spark.read.parquet(staged_pairs) if staged_pairs else None,
+        ).select("doc_id", "n_tokens")
     from deva_spark.plans.corpus import curate
 
     curated, _ = curate(
