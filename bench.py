@@ -231,9 +231,19 @@ def main() -> None:
             for n in per
             if n in base
         }
+    if only:
+        # ad-hoc subset runs must not clobber the full-suite artifacts
+        print(json.dumps(out, separators=(",", ":")))
+        return
     try:
+        # Sequential passes get their own artifact with the SAME
+        # per-query {spark, duckdb, ratio} map as the concurrent detail
+        # (VERDICT r6 #8: per-query ratios from a contention-free pass,
+        # no cross-referencing the concurrent file) — and never clobber
+        # the concurrent BENCH_DETAIL.json.
+        detail_name = "BENCH_SEQ.json" if workers <= 1 else "BENCH_DETAIL.json"
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            os.path.dirname(os.path.abspath(__file__)), detail_name
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

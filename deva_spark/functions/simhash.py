@@ -93,6 +93,7 @@ def near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Simhash near-dup pairs (id_a, id_b, hamming <= max_hamming).
 
@@ -101,11 +102,17 @@ def near_duplicates(
     shares >= 1 chunk, so the self-join key is (chunk_index, chunk_value) —
     shuffle carries (small int, small int, doc_id), never the text. Exact
     ``bit_count(xor)`` verifies candidates.
+
+    ``fps``: a precomputed ``(doc_id, fp)`` fingerprint table (the
+    build-once artifact — fingerprints are per-doc functions of the
+    text, the doc_sigs pattern; the caller owns its persistence). When
+    omitted, fingerprints are computed and persisted here.
     """
-    # Persisted: the pandas-UDF fingerprint pass feeds the chunk explosion
-    # and both join sides; compute it once.
-    fps = fingerprints(docs, id_col, text_col).persist()
-    fps.count()  # eager: referenced by the chunk explosion + both join sides
+    if fps is None:
+        # Persisted: the pandas-UDF fingerprint pass feeds the chunk
+        # explosion and both join sides; compute it once.
+        fps = fingerprints(docs, id_col, text_col).persist()
+        fps.count()  # eager: chunk explosion + both join sides
     chunks = fps.select(
         "doc_id",
         "fp",

@@ -154,6 +154,16 @@ def _build_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 48-bit simhash fingerprint table ``(doc_id, fp)`` — the
+    simhash analog of doc_sigs (a per-doc function of the text); x07's
+    banding/verify joins run off it without re-paying the fingerprint
+    UDF pass."""
+    from deva_spark.functions import simhash as _sh
+
+    return _sh.fingerprints(_t(spark, sf_dir, "documents"))
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -161,6 +171,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": _build_jaccard_pairs,
     "doc_stats": _build_doc_stats,
     "neardup_pairs": _build_neardup_pairs,
+    "simhash_fps": _build_simhash_fps,
 }
 
 
@@ -1122,9 +1133,13 @@ def x06(spark, sf):
         FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY id_a, id_b""",
 )
 def x07(spark, sf):
-    return sh.near_duplicates(_t(spark, sf, "documents"), max_hamming=3).select(
-        "id_a", "id_b", F.col("hd").cast("bigint").alias("hd")
-    )
+    # staged simhash_fps artifact feeds the banding/verify joins (the
+    # doc_sigs pattern); unstaged computes + persists fingerprints here.
+    staged = staged_artifact_path(sf, "simhash_fps")
+    fps = spark.read.parquet(staged) if staged else None
+    return sh.near_duplicates(
+        _t(spark, sf, "documents"), max_hamming=3, fps=fps
+    ).select("id_a", "id_b", F.col("hd").cast("bigint").alias("hd"))
 
 
 @query(
@@ -3362,71 +3377,94 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries with the OLDEST
-# green driver row first. Round-6 window (per docs/ROUND5_NOTES.md and
-# VERDICT r5 #1): the 50 entries whose latest driver row is from r04 —
-# q01-q13, q16-q35 (incl. q24a/q24b), x01-x14, x21, x25. Local tooling
-# (tools/check_correctness.py, bench.py) still runs every entry, so
-# nothing loses in-repo coverage.
+# green driver row first. Round-7 window (per docs/ROUND6_NOTES.md and
+# VERDICT r6 #1): lead with x65-x71 — the seven round-6 additions whose
+# only verification so far is the local gate — then the entries whose
+# latest driver row is r05, minus the eight named deferrals below
+# (x72, new this round, auto-appends via _new_this_round). Local
+# tooling (tools/check_correctness.py, bench.py) still runs every
+# entry, so nothing loses in-repo coverage.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    "q01_scan_project",
-    "q02_filter",
-    "q03_group_agg",
-    "q04_avg_min_max",
-    "q05_distinct",
-    "q06_dedup_first_seen",
-    "q07_consecutive_dedup",
-    "q08_inner_join",
-    "q09_left_join_coalesce",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_multiway_join",
-    "q13_positional_zip",
-    "q16_sliding_window_avg",
-    "q17_partition_chunks",
-    "q18_tumbling_time_window",
-    "q19_rank_topk_per_key",
-    "q20_lag_diff",
-    "q21_topk",
-    "q22_slice",
-    "q23_union",
-    "q24a_intersect",
-    "q24b_except",
-    "q25_string_fns",
-    "q26_regexp_extract",
-    "q27_date_trunc",
-    "q28_math_fns",
-    "q29_explode_words",
-    "q30_frequencies",
-    "q31_percentile",
-    "q32_rollup",
-    "q33_zscore_anomaly",
-    "q34_exact_text_dedup",
-    "q35_sessionization",
-    "x01_token_count",
-    "x02_lang_id",
-    "x03_quality_score",
-    "x04_fingerprint",
-    "x05_ngram_jaccard",
-    "x06_minhash_lsh_neardup",
-    "x07_simhash_neardup",
-    "x08_cosine_topk",
-    "x09_ann_lsh_topk",
-    "x10_label_centroids",
-    "x11_json_extract",
-    "x12_tfidf_keywords",
-    "x13_fulltext_search",
-    "x14_case_route",
-    "x21_rolling_time_window",
-    "x25_session_stats",
+    # never driver-checked (registered r6)
+    "x65_containment_pairs",
+    "x66_semdedup_prune",
+    "x67_funnel_conversion",
+    "x68_retention_cohorts",
+    "x69_streaming_funnel",
+    "x70_weighted_sample",
+    "x71_streaming_retention",
+    # last driver row r05
+    "q14_asof_combine_latest",
+    "q15_running_fold",
+    "x15_corpus_curation",
+    "x19_cube",
+    "x20_analytic_functions",
+    "x22_range_band_join",
+    "x23_cosine_neardup",
+    "x24_asof_join",
+    "x28_bpe_tokens",
+    "x30_take_while",
+    "x31_ordered_pairs",
+    "x32_ivf_topk",
+    "x33_streaming_tumbling",
+    "x34_streaming_sessions",
+    "x35_streaming_running_sum",
+    "x36_streaming_zscore",
+    "x37_llm_json_extract",
+    "x38_stream_interval_join",
+    "x39_stratified_sample",
+    "x40_dataset_split",
+    "x41_dedup_clusters",
+    "x42_repetition_signals",
+    "x43_pii_redaction",
+    "x44_decontamination",
+    "x45_boilerplate",
+    "x46_sequence_packing",
+    "x47_mixture_rebalance",
+    "x48_int8_quantization",
+    "x49_streaming_first_seen",
+    "x50_prefix_dup_groups",
+    "x51_url_host_stats",
+    "x52_encoding_quality",
+    "x54_source_token_budget",
+    "x55_cross_source_overlap",
+    "x56_common_token_mass",
+    "x57_length_histogram",
+    "x59_customer_value_deciles",
+    "x60_kmv_distinct_users",
+    "x61_pagerank_two_steps",
+    "x62_top_p_token_mass",
+    "x63_streaming_trending",
+    "x64_event_transitions",
+)
+
+#: r05-stale entries pushed to the round-8 window because the round-7
+#: window is full (50 = 7 never-checked + 42 stale + x72 new). Recorded
+#: programmatically (ADVICE r6 #4): tests/test_plan_shapes.py asserts
+#: window ∪ deferrals ∪ r06-green rows == the whole registry, so a
+#: forgotten deferral fails CI instead of silently shipping unverified.
+#: Rationale per name: x16/x17/x18 (join+agg shapes re-verified by
+#: q03/q08/q12 in r06), x26 (histogram shape x57 re-verifies this
+#: round), x27 (pivot, t-tested), x29 (fingerprint/rolling-hash shape,
+#: x04 green r06), x53 (x63's streaming twin re-verifies the counts
+#: this round), x58 (semi-join shape q10/q11 green r06).
+_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x16_part_brand_stats",
+    "x17_supplier_by_nation",
+    "x18_lineitem_part_join",
+    "x26_histogram",
+    "x27_pivot_counts",
+    "x29_rolling_hash",
+    "x53_hourly_trending",
+    "x58_late_orders_by_priority",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 72  # x65-x71 deliberately sit past the full round-6 stale
-# window (50 entries exactly); the r7 rotation should lead with them
+_NEW_MIN_ID = 72  # x72+ = new in r7; x65-x71 are pinned in _DRIVER_FIRST
 
 
 def _query_num(name: str) -> int | None:

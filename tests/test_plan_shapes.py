@@ -212,3 +212,25 @@ def test_no_single_reducer_window_or_cartesian_anywhere(spark, sf_dir):
         else:
             spark.conf.set("spark.deva.positional.smallInputBytes", prev)
     assert not offenders, offenders
+
+
+def test_driver_window_accounts_for_every_registry_entry():
+    # ADVICE r6 #4: deferrals are recorded programmatically. Every
+    # registry entry must be (a) inside the 50-row driver window this
+    # round, (b) a named deferral, or (c) green in the PREVIOUS round's
+    # driver CORRECTNESS file — a forgotten rotation fails here instead
+    # of silently shipping a never-verified query.
+    import json
+    import os
+
+    keys = list(Q.SPARK_QUERIES)
+    window = set(keys[:50])
+    deferred = set(Q._DEFERRED_TO_NEXT)
+    assert len(keys[:50]) == 50
+    assert window.isdisjoint(deferred), window & deferred
+    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json")
+    prev_green = set(json.load(open(prev))) - {"meta", "summary"}
+    uncovered = set(keys) - window - deferred - prev_green
+    assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
+    # every deferral names a real registry entry
+    assert deferred <= set(keys)
