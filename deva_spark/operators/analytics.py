@@ -11,18 +11,19 @@ Scale shapes:
 
 - :func:`funnel_counts` is ONE pass over the events table: the
   step-type filter is pushed to the scan, the only shuffle carries
-  (user, ts, type) rows to their user group, and the greedy funnel
-  advance is a column-expression ``aggregate`` over each user's
-  time-sorted funnel events — the same single-pass state machine the
-  streaming twin (``stateful.streaming_funnel``) runs incrementally.
-  Greedy advance over the time order equals chained min-aggregates
-  (step k's entry = min step-k ts strictly after step k-1's entry):
-  strict ``>`` makes same-ts order irrelevant, and the first eligible
-  event in ascending ts order IS the min. Per-user memory is that
-  user's funnel-type event count (the streaming twin's bound too).
-  The previous chained-join formulation re-derived stages 1..k-1
-  inside every stage's subtree — O(k²/2) scans of a 100 TB table for
-  a k-step funnel (VERDICT r6 #1); the fold visits each event once.
+  (user, (ts, step-index)) pairs to their user group, and the greedy
+  funnel advance is a column-expression ``aggregate`` over each
+  user's time-sorted funnel events — the same single-pass state
+  machine the streaming twin (``stateful.streaming_funnel``) runs
+  incrementally. Greedy advance over the time order equals chained
+  min-aggregates (step k's entry = min step-k ts strictly after step
+  k-1's entry): strict ``>`` makes same-ts order irrelevant, and the
+  first eligible event in ascending ts order IS the min. Work is
+  LINEAR in the event count (each event enters the fold once);
+  per-user memory is that user's funnel-type event count — the
+  streaming twin's bound. The r6 chained-join formulation re-derived
+  stages 1..k-1 inside every stage's subtree — O(k²/2) scans of a
+  100 TB table for a k-step funnel (VERDICT r6 #1).
 - :func:`retention_cohorts` is two hash aggregates (per-user first day,
   then per (cohort, offset) distinct users) — the distinct is over
   (user, cohort, offset), bounded by active user-days, and staged with
@@ -51,70 +52,81 @@ def funnel_counts(
 
     Returns one row per step: ``(step, event_type, users,
     pct_of_first)`` with an integer-floored percentage of the step-1
-    cohort (``div`` — no float boundary, bit-stable across engines).
+    cohort (integer floor division — no float boundary, bit-stable
+    across engines).
+
+    Execution (see module docstring): one shuffle to user groups, a
+    linear greedy fold per user, per-step counts in the same pass.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
     spark = events.sparkSession
     ts_type = events.schema[ts_col].dataType
+    # map the step type to its 1-based index BEFORE the shuffle: the
+    # grouped rows carry (timestamp, byte) structs, not type strings,
+    # and the fold compares small ints
+    si = None
+    for k, s in enumerate(steps):
+        si = (
+            F.when(F.col(type_col) == s, F.lit(k + 1))
+            if si is None
+            else si.when(F.col(type_col) == s, F.lit(k + 1))
+        )
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("_u"),
-        F.struct(
-            F.col(ts_col).alias("t"), F.col(type_col).alias("e")
-        ).alias("_ev"),
+        F.struct(F.col(ts_col).alias("t"), si.alias("s")).alias("_ev"),
     )
-    steps_arr = F.array(*[F.lit(s) for s in steps])
     init = F.struct(
         F.lit(0).alias("step"), F.lit(None).cast(ts_type).alias("t")
     )
 
     def _advance(acc, e):
-        # consume e iff it is the NEXT step's type and strictly after the
-        # current entry time (step 1 has no entry time: null t)
+        # consume e iff it is the NEXT step's type and strictly after
+        # the current entry time (step 1 has no entry time: null t).
+        # Greedy in-order advance == chained min-aggregates: strict >
+        # makes same-ts order irrelevant, and the first eligible event
+        # in ascending ts order IS the min.
         ok = (
-            (acc["step"] < F.lit(len(steps)))
-            & (e["e"] == F.element_at(steps_arr, (acc["step"] + 1).cast("int")))
+            (e["s"] == acc["step"] + 1)
             & (acc["t"].isNull() | (e["t"] > acc["t"]))
         )
         return F.when(
-            ok,
-            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t")),
+            ok, F.struct(e["s"].alias("step"), e["t"].alias("t"))
         ).otherwise(acc)
 
     reached = (
         ev.groupBy("_u")
         .agg(F.sort_array(F.collect_list("_ev")).alias("_evs"))
         .select(F.aggregate("_evs", init, _advance)["step"].alias("_r"))
-        .filter(F.col("_r") > 0)
     )
-    # users at step k = users whose fold reached >= k; ≤ len(steps) rows,
-    # checkpointed so the per-user pass runs exactly once no matter how
-    # many downstream references read the counts
-    counts = (
-        reached.select(
-            F.explode(F.sequence(F.lit(1), F.col("_r"))).alias("step")
+    # counts in the SAME pass: users at step k = users whose fold
+    # reached >= k; the ≤ len(steps)-row aggregate is collected as
+    # bounded metadata (probe-cells/centers pattern) and the k-row
+    # output is a local frame. One distributed job total, no
+    # re-derivation, no barrier.
+    rows = reached.agg(
+        *[
+            F.sum((F.col("_r") >= k + 1).cast("long")).alias(f"_n{k}")
+            for k in range(len(steps))
+        ]
+    ).collect()
+    got = {
+        k + 1: int(rows[0][f"_n{k}"] or 0) for k in range(len(steps))
+    }
+    n1 = got.get(1, 0)
+    data = [
+        (
+            i + 1,
+            s,
+            got.get(i + 1, 0),
+            # Spark's integer `div` floors like Python // on non-negative
+            # counts; div-by-zero yields NULL -> None
+            (got.get(i + 1, 0) * 100) // n1 if n1 else None,
         )
-        .groupBy("step")
-        .agg(F.count(F.lit(1)).alias("users"))
-        .localCheckpoint()
-    )
-    steps_df = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)],
-        "step int, event_type string",
-    )
-    filled = steps_df.join(counts, "step", "left").select(
-        "step",
-        "event_type",
-        F.coalesce(F.col("users"), F.lit(0).cast("long")).alias("users"),
-    )
-    first = filled.filter(F.col("step") == 1).select(
-        F.col("users").alias("_n1")
-    )
-    return filled.crossJoin(F.broadcast(first)).select(
-        "step",
-        "event_type",
-        "users",
-        F.expr("(users * 100) div _n1").alias("pct_of_first"),
+        for i, s in enumerate(steps)
+    ]
+    return spark.createDataFrame(
+        data, "step int, event_type string, users long, pct_of_first long"
     )
 
 

@@ -64,6 +64,11 @@ def main() -> None:
     sem = V.semdedup_pairs(emb, n_clusters=16, threshold=0.3)
     print("semdedup pairs (cos >=0.3 within cluster):", sem.count())
 
+    # the Lloyd-refined tier (the SemDeDup paper's k-means-first shape):
+    # same pair-join anatomy, density-tracking clusters
+    sem_r = V.semdedup_pairs(emb, n_clusters=16, threshold=0.3, refine=True)
+    print("semdedup pairs, refined centroids:", sem_r.count())
+
     clusters = canonical_assignments(jac.select("id_a", "id_b"))
     survivors = clusters.filter(F.col("is_canonical"))
     print(
