@@ -216,6 +216,28 @@ def release_neardup_cache() -> int:
     return n
 
 
+def neardup_base(
+    vectors: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector bucket table ``(vid, e, n, bs)`` feeding
+    :func:`cosine_neardup_pairs`: the embedding, its norm, and the
+    multi-table hyperplane bucket ids — all per-vector functions, so
+    the table is a build-once artifact (the doc_sigs pattern)."""
+    planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))
+    bucket_ids = _bucket_ids_udf(planes_mat, n_tables, n_planes)
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("e"),
+        norm(F.col(vec_col)).alias("n"),
+        bucket_ids(F.col(vec_col)).alias("bs"),
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -224,10 +246,17 @@ def cosine_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) with
     cosine >= ``threshold`` — the embedding tier of the dedup stack
     (exact md5 → MinHash/SimHash text tiers → this semantic tier).
+
+    ``base``: a precomputed ``(vid, e, n, bs)`` bucket table (see
+    :func:`neardup_base` — norms and bucket signatures are per-vector
+    functions of the embedding, the doc_sigs staging pattern; the
+    caller owns its persistence). When omitted it is computed and
+    persisted here.
 
     Scale shape: candidates come from a multi-table hyperplane-LSH bucket
     SELF-join (same machinery as :func:`lsh_bucketed_topk` — the shuffle
@@ -243,16 +272,12 @@ def cosine_neardup_pairs(
     repeated invocations in a long-lived session otherwise accumulate
     cached blocks until eviction pressure (ADVICE r2).
     """
-    planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))
-    bucket_ids = _bucket_ids_udf(planes_mat, n_tables, n_planes)
-    base = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("e"),
-        norm(F.col(vec_col)).alias("n"),
-        bucket_ids(F.col(vec_col)).alias("bs"),
-    ).persist()
-    base.count()  # eager: referenced by both candidate sides + rescore
-    _NEARDUP_CACHE.append(base)
+    if base is None:
+        base = neardup_base(
+            vectors, n_planes, n_tables, dim, id_col, vec_col
+        ).persist()
+        base.count()  # eager: referenced by both candidate sides + rescore
+        _NEARDUP_CACHE.append(base)
     buckets = base.select("vid", F.posexplode("bs").alias("t", "b"))
     cand = (
         buckets.alias("a")

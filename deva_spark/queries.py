@@ -164,6 +164,13 @@ def _build_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sh.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector hyperplane-LSH bucket table ``(vid, e, n, bs)`` at
+    x23's (n_planes=6, n_tables=4) — norms and bucket signatures are
+    per-vector functions of the embedding (the doc_sigs pattern)."""
+    return V.neardup_base(_t(spark, sf_dir, "embeddings"))
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -172,6 +179,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": _build_doc_stats,
     "neardup_pairs": _build_neardup_pairs,
     "simhash_fps": _build_simhash_fps,
+    "emb_base": _build_emb_base,
 }
 
 
@@ -191,7 +199,10 @@ ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
 
 #: Which testdata file keys an artifact's cache-invalidation mtime
 #: (default: documents.parquet).
-_ARTIFACT_SOURCE = {"ivf16": "embeddings.parquet"}
+_ARTIFACT_SOURCE = {
+    "ivf16": "embeddings.parquet",
+    "emb_base": "embeddings.parquet",
+}
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
 #: after the parquet (overwrite clears the dir first), so the sidecar —
@@ -1643,8 +1654,14 @@ def _x23_oracle(threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, di
 @query("x23_cosine_neardup", None)  # oracle attached below (generated)
 def x23(spark, sf):
     # embedding-cosine near-dup tier of the dedup stack: LSH bucket
-    # self-join candidates + exact sequential-fold rescore.
-    return V.cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    # self-join candidates + einsum rescore. The staged emb_base
+    # artifact (per-vector norms + bucket ids) feeds the joins when
+    # present; unstaged computes + persists it here.
+    staged = staged_artifact_path(sf, "emb_base")
+    base = spark.read.parquet(staged) if staged else None
+    return V.cosine_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4, base=base
+    )
 
 
 ORACLE_SQL["x23_cosine_neardup"] = _x23_oracle()
