@@ -40,3 +40,26 @@ def test_curate_llm_annotation_stage(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == curated.count()
     assert all(r.completion.startswith("stub:") for r in rows)
+
+
+def test_artifact_markers_and_idempotence(spark, sf_dir, tmp_path, monkeypatch):
+    # staging is idempotent (second call reports 0.0s), and ivf16's
+    # completion marker is its sidecar — a dir with only _SUCCESS (the
+    # half-written state: parquet done, sidecar not yet) must read as
+    # NOT staged, while plain artifacts complete on _SUCCESS alone.
+    import os
+
+    from deva_spark import queries as Q
+
+    monkeypatch.setenv("DEVA_ARTIFACT_DIR", str(tmp_path))
+    took = Q.stage_artifacts(spark, sf_dir, ["doc_stats", "ivf16"])
+    assert took["doc_stats"] > 0 and took["ivf16"] > 0
+    again = Q.stage_artifacts(spark, sf_dir, ["doc_stats", "ivf16"])
+    assert again == {"doc_stats": 0.0, "ivf16": 0.0}
+
+    ivf_path = Q.staged_artifact_path(sf_dir, "ivf16")
+    assert ivf_path is not None
+    os.remove(os.path.join(ivf_path, "_ivf_centers.json"))
+    assert Q.staged_artifact_path(sf_dir, "ivf16") is None
+    assert os.path.exists(os.path.join(ivf_path, "_SUCCESS"))
+    assert Q.staged_artifact_path(sf_dir, "doc_stats") is not None
