@@ -164,6 +164,14 @@ def _build_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sh.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _build_shingle5_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level distinct 5-gram index ``(source, _sh)`` — the x55
+    overlap matrix's input, derived from the doc-level shingle5 index
+    (staged first: dict order) so the per-(source, shingle) distinct
+    shuffle runs once at staging, not per query."""
+    return _shingle5_hashes(spark, sf_dir).select("source", "_sh").distinct()
+
+
 def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x61's symmetrized customer<->supplier edge list (numeric node
     ids: custkey*2 / suppkey*2+1) — the pagerank operator's documented
@@ -206,6 +214,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fps": _build_simhash_fps,
     "emb_base": _build_emb_base,
     "pr_edges": _build_pr_edges,
+    "shingle5_src": _build_shingle5_src,
 }
 
 
@@ -2712,7 +2721,11 @@ def x55(spark, sf):
     # scanned once (a self-join would recompute the explode subtree for
     # both sides), the shuffle carries 8-byte hashes, and per-shingle
     # fan-out is bounded by C(n_sources, 2), not pair rows across docs.
-    sh = _shingle5_hashes(spark, sf).select("source", "_sh").distinct()
+    staged_src = staged_artifact_path(sf, "shingle5_src")
+    if staged_src:
+        sh = spark.read.parquet(staged_src)
+    else:
+        sh = _shingle5_hashes(spark, sf).select("source", "_sh").distinct()
     srcs = sh.groupBy("_sh").agg(
         F.array_sort(F.collect_set("source")).alias("_srcs")
     )
