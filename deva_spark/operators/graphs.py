@@ -180,6 +180,7 @@ def pagerank(
     stage: str | None = "checkpoint",
     checkpoint_every: int = 8,
     broadcast_ranks: bool = True,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over an edge-list DataFrame.
 
@@ -233,6 +234,11 @@ def pagerank(
     graphs); dangling nodes (no out-edges) never appear as a ``src`` and
     therefore contribute no mass — matching the unrolled-SQL oracle
     semantics rather than redistributing dangling mass.
+
+    ``degrees``: a precomputed ``(node, outdeg)`` table — part of the
+    staged graph index alongside the pre-staged edge table (degrees are
+    a pure aggregate of the edges, so they stage together and the
+    per-run degree pass disappears). Must match the edges exactly.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if symmetrize:
@@ -252,8 +258,12 @@ def pagerank(
         e = e.persist()
     elif stage:
         raise ValueError(f"stage must be 'checkpoint', 'persist' or None: {stage!r}")
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    deg = (
+        degrees.select("node", "outdeg")
+        if degrees is not None
+        else e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
     )
     teleport = (scale * (100 - damping_pct)) // 100
     ranks = deg.select(

@@ -197,6 +197,21 @@ def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("_e.s").alias("src"), F.col("_e.d").alias("dst"))
 
 
+def _build_pr_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree table of the staged pr_edges graph (node, outdeg) —
+    a pure aggregate of the edges, staged with them (dict order stages
+    pr_edges first) so the per-run degree pass disappears."""
+    staged = staged_artifact_path(sf_dir, "pr_edges")
+    edges = (
+        spark.read.parquet(staged)
+        if staged
+        else _build_pr_edges(spark, sf_dir)
+    )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
 def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector hyperplane-LSH bucket table ``(vid, e, n, bs)`` at
     x23's (n_planes=6, n_tables=4) — norms and bucket signatures are
@@ -214,6 +229,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fps": _build_simhash_fps,
     "emb_base": _build_emb_base,
     "pr_edges": _build_pr_edges,
+    "pr_deg": _build_pr_deg,
     "shingle5_src": _build_shingle5_src,
 }
 
@@ -238,6 +254,7 @@ _ARTIFACT_SOURCE = {
     "ivf16": "embeddings.parquet",
     "emb_base": "embeddings.parquet",
     "pr_edges": "lineitem.parquet",
+    "pr_deg": "lineitem.parquet",
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -3007,10 +3024,16 @@ def x61(spark, sf):
     )
     staged = staged_artifact_path(sf, "pr_edges")
     if staged:
-        # the operator's documented cluster path: pre-staged edge table,
-        # stage=None — the base join/distinct/symmetrize ran at staging
+        # the operator's documented cluster path: pre-staged edge table
+        # (+ its degree aggregate), stage=None — the base join/distinct/
+        # symmetrize/degree pass all ran at staging
+        staged_deg = staged_artifact_path(sf, "pr_deg")
         ranks = graphs.pagerank(
-            spark.read.parquet(staged), n_iter=2, symmetrize=False, stage=None
+            spark.read.parquet(staged),
+            n_iter=2,
+            symmetrize=False,
+            stage=None,
+            degrees=spark.read.parquet(staged_deg) if staged_deg else None,
         )
     else:
         ranks = graphs.pagerank(e0, n_iter=2, symmetrize=True)

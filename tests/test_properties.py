@@ -405,3 +405,50 @@ def test_containment_matches_python(spark, sets, parts, thr):
             if max(ca, cb) >= thr:
                 expected[(a, b)] = (ca, cb)
     assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # user
+            st.integers(min_value=0, max_value=40),  # second offset
+            st.integers(min_value=0, max_value=3),   # step type idx
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_funnel_matches_chained_min_python(spark, evs, parts):
+    # single-pass greedy fold == chained strictly-after min-aggregates,
+    # under any event soup and any physical partitioning
+    from deva_spark.operators.analytics import funnel_counts
+
+    steps = ["a", "b", "c", "d"]
+    rows = [
+        (i, BASE + dt.timedelta(seconds=sec), u, steps[t])
+        for i, (u, sec, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(parts)
+
+    expected = []
+    cur: dict[int, dt.datetime] = {}
+    for s in steps:
+        nxt: dict[int, dt.datetime] = {}
+        for u, sec, t in evs:
+            if steps[t] != s:
+                continue
+            ts = BASE + dt.timedelta(seconds=sec)
+            if s != steps[0] and (u not in cur or ts <= cur[u]):
+                continue
+            if s == steps[0] or u in cur:
+                if u not in nxt or ts < nxt[u]:
+                    nxt[u] = ts
+        cur = nxt
+        expected.append(len(cur))
+
+    got = {r.step: r.users for r in funnel_counts(df, steps).collect()}
+    assert got == {k + 1: expected[k] for k in range(len(steps))}
