@@ -383,3 +383,63 @@ def test_weighted_sample_global_matches_windowed_constant_group(spark):
             assert "Exchange SinglePartition" not in "\n".join(
                 lines[i + 1 : i + 3]
             ), plan
+
+
+def test_weighted_sample_global_partition_invariance_random(spark):
+    # hypothesis-style sweep over weight distributions: the two-phase
+    # global sampler must be a pure function of (ids, weights) — same
+    # rows under every partitioning, and exactly the global top-k by
+    # (skey DESC, id)
+    from pyspark.sql import functions as F
+
+    from deva_spark.operators.sampling import weighted_sample_global
+
+    state = 99
+    for trial in range(3):
+        rows = []
+        for i in range(300):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            rows.append((i * 7 + trial, "s", state % 500 + 1))
+        df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+        outs = []
+        for parts in (1, 5, 17):
+            outs.append(
+                sorted(
+                    (r.doc_id, r.skey, r.rnk)
+                    for r in weighted_sample_global(
+                        df.repartition(parts), k=25, weight_col="w"
+                    ).collect()
+                )
+            )
+        assert outs[0] == outs[1] == outs[2] and len(outs[0]) == 25
+        # exact global order: recompute the expected top-k from the full
+        # keyed frame
+        keyed = df.withColumn(
+            "u",
+            (
+                F.expr(
+                    "cast(conv(concat(substring(md5(cast(doc_id as string)),15,2),"
+                    "substring(md5(cast(doc_id as string)),13,2),"
+                    "substring(md5(cast(doc_id as string)),11,2),"
+                    "substring(md5(cast(doc_id as string)),9,2),"
+                    "substring(md5(cast(doc_id as string)),7,2),"
+                    "substring(md5(cast(doc_id as string)),5,2),"
+                    "substring(md5(cast(doc_id as string)),3,2),"
+                    "substring(md5(cast(doc_id as string)),1,2)), 16, 10) as decimal(38,0))"
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(float(1 << 64)),
+        )
+        exp = sorted(
+            (
+                (r.doc_id, r.skey)
+                for r in keyed.select(
+                    "doc_id",
+                    F.round(F.log("u") / F.col("w"), 10).alias("skey"),
+                ).collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:25]
+        top_ids = {t[0] for t in exp}
+        assert {t[0] for t in outs[0]} == top_ids

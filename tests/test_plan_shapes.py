@@ -234,3 +234,42 @@ def test_driver_window_accounts_for_every_registry_entry():
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
     # every deferral names a real registry entry
     assert deferred <= set(keys)
+
+
+def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
+    # The staged fast paths (x15 pair-join funnel, x61 staged-graph
+    # pagerank, x55 source-index overlap) are taken only when artifacts
+    # exist, so the whole-registry audit above exercises the UNstaged
+    # routes; this stages into a scratch dir and audits the staged plans
+    # for the same contracts: no cartesian, no single-reducer window.
+    import re
+
+    monkeypatch.setenv("DEVA_ARTIFACT_DIR", str(tmp_path))
+    Q.stage_artifacts(
+        spark,
+        sf_dir,
+        ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges", "pr_deg",
+         "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16"],
+    )
+    for name in (
+        "x15_corpus_curation",
+        "x61_pagerank_two_steps",
+        "x55_cross_source_overlap",
+        "x07_simhash_neardup",
+        "x23_cosine_neardup",
+        "x32_ivf_topk",
+        "x06_minhash_lsh_neardup",
+    ):
+        p = (
+            Q.SPARK_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in p, name
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow\b", ln):
+                assert "Exchange SinglePartition" not in "\n".join(
+                    lines[i + 1 : i + 3]
+                ), (name, p)
