@@ -94,6 +94,7 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """True as-of JOIN between two tables: each left row gets the most
     recent right row (per key) with ``right_ts <= left_ts``.
@@ -104,13 +105,28 @@ def asof_join(
     quadratic per key). This is the scalable as-of shape; the reference's
     ``combine_latest`` (`ops.py:290-354`) is the single-stream special
     case.
+
+    ``tolerance``: an INTERVAL string (e.g. ``"1 hour"``) — a match
+    older than ``left_ts - tolerance`` is nulled out (the pandas
+    ``merge_asof(tolerance=...)`` semantics). Implemented by carrying
+    the matched right timestamp alongside the values and masking in the
+    output projection: same single shuffle, no extra pass.
     """
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    # the matched right row's own timestamp rides with the values so a
+    # tolerance can mask stale matches after the carry
+    carry_cols = list(value_cols) + ["__rts"]
+    rts_type = right.schema[right_ts].dataType
     # shared union schema: left columns + right value columns, each side
     # nulling the other's slots
     lt2 = lt.select(
-        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols]
+        "*",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(rts_type).alias("_rv___rts"),
     )
     rt2 = rt.select(
         *[
@@ -122,9 +138,10 @@ def asof_join(
         F.col("_side"),
         F.col("_ats"),
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rv___rts"),
     )
     u = lt2.select(
-        *left.columns, "_side", "_ats", *[f"_rv_{c}" for c in value_cols]
+        *left.columns, "_side", "_ats", *[f"_rv_{c}" for c in carry_cols]
     ).unionByName(rt2)
     # right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
     # an exactly-simultaneous right row is visible to the left row
@@ -139,9 +156,21 @@ def asof_join(
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in value_cols
         ],
+        F.last("_rv___rts", ignorenulls=True).over(w).alias("__rts_m"),
     )
-    return carried.filter(F.col("_side") == 1).drop(
-        "_side", "_ats", *[f"_rv_{c}" for c in value_cols]
+    out_vals: list = []
+    for c in value_cols:
+        col = F.col(f"{c}{suffix}")
+        if tolerance is not None:
+            col = F.when(
+                F.col("__rts_m") >= F.col("_ats") - F.expr(f"INTERVAL {tolerance}"),
+                col,
+            ).alias(f"{c}{suffix}")
+        out_vals.append(col)
+    base_cols = [c for c in left.columns]
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(*base_cols, *out_vals)
     )
 
 

@@ -443,3 +443,42 @@ def test_weighted_sample_global_partition_invariance_random(spark):
         )[:25]
         top_ids = {t[0] for t in exp}
         assert {t[0] for t in outs[0]} == top_ids
+
+
+def test_asof_join_tolerance_masks_stale_matches(spark):
+    # pandas merge_asof(tolerance=...) semantics: a carried match older
+    # than left_ts - tolerance nulls out; in-window matches unchanged
+    import datetime as dt
+
+    from deva_spark.operators import joins
+
+    B = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [
+            (i + 1, "a", B + dt.timedelta(minutes=m))
+            for i, m in enumerate((10, 90, 200))
+        ],
+        "tid long, sym string, t_ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("a", B + dt.timedelta(minutes=5), 100.0),
+         ("a", B + dt.timedelta(minutes=85), 200.0)],
+        "sym string, q_ts timestamp, px double",
+    )
+    out = {
+        r.tid: r.px_asof
+        for r in joins.asof_join(
+            trades, quotes, "sym", "t_ts", "q_ts", ["px"], tolerance="1 hour"
+        ).collect()
+    }
+    # t=10: quote@5 within 1h -> 100; t=90: quote@85 within 1h -> 200;
+    # t=200: last quote@85 is 115 min stale -> null
+    assert out == {1: 100.0, 2: 200.0, 3: None}
+    # no tolerance: t=200 keeps the stale carry
+    out2 = {
+        r.tid: r.px_asof
+        for r in joins.asof_join(
+            trades, quotes, "sym", "t_ts", "q_ts", ["px"]
+        ).collect()
+    }
+    assert out2 == {1: 100.0, 2: 200.0, 3: 200.0}
