@@ -390,3 +390,52 @@ def consecutive_change_filter(
         ).drop("_p")
 
     return _t
+
+
+def merge_intervals(
+    start_col: str = "start",
+    end_col: str = "end",
+    partition: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Merge overlapping/touching [start, end] intervals per key — the
+    gaps-and-islands primitive over EXPLICIT spans (media segments,
+    speech regions, downtime windows), complementing :func:`sessionize`
+    (which derives spans from point-event gaps). Intervals overlap when
+    ``next.start <= running max(end)`` (touching endpoints merge).
+
+    Output: one row per merged island ``(partition?, start, end,
+    n_merged)``.
+
+    Scale shape: one shuffle on the partition key, two window passes
+    (running max of end to spot island breaks, running sum to number
+    islands) and a hash aggregate — the :func:`sessionize` anatomy
+    applied to spans. With ``partition=None`` the window is global:
+    only for per-key-pre-grouped or small frames (the plan-audit
+    single-reducer contract); keyed use is the scale path.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        keys = [partition] if partition else []
+        w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+        prev_max_end = F.max(end_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        brk = F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        islands = df.withColumn("_brk", brk).withColumn(
+            "_island", F.sum("_brk").over(w2)
+        )
+        return (
+            islands.groupBy(*keys, "_island")
+            .agg(
+                F.min(start_col).alias(start_col),
+                F.max(end_col).alias(end_col),
+                F.count(F.lit(1)).alias("n_merged"),
+            )
+            .drop("_island")
+        )
+
+    return _t

@@ -129,3 +129,37 @@ def test_epoch_micros_session_tz_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert utc_vals[0] == 0
     assert utc_vals == ny_vals
+
+
+def test_merge_intervals_islands(spark):
+    # overlapping + touching spans merge; disjoint spans stay separate;
+    # a span contained in an earlier long span must not restart the
+    # island (running-max-end, not lag-end)
+    from deva_spark.operators.windows import merge_intervals
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 7), ("a", 10, 12),   # one island 0-12
+        ("a", 20, 25),                                # second island
+        ("a", 21, 22),                                # contained
+        ("b", 0, 100), ("b", 50, 60), ("b", 90, 200),  # one island 0-200
+    ]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    out = sorted(
+        (r.k, r.start, r.end, r.n_merged)
+        for r in df.transform(
+            merge_intervals("start", "end", partition="k")
+        ).collect()
+    )
+    assert out == [
+        ("a", 0, 12, 3),
+        ("a", 20, 25, 2),
+        ("b", 0, 200, 3),
+    ]
+    # partitioning invariance
+    out2 = sorted(
+        (r.k, r.start, r.end, r.n_merged)
+        for r in df.repartition(5)
+        .transform(merge_intervals("start", "end", partition="k"))
+        .collect()
+    )
+    assert out2 == out
