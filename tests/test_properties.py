@@ -452,3 +452,72 @@ def test_funnel_matches_chained_min_python(spark, evs, parts):
 
     got = {r.step: r.users for r in funnel_counts(df, steps).collect()}
     assert got == {k + 1: expected[k] for k in range(len(steps))}
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=12), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    thr=st.sampled_from([20, 50, 80, 100]),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_containment_pairs_matches_python(spark, sets, thr, parts):
+    from deva_spark.functions import minhash as mh
+
+    rows = [(i, h) for i, s in enumerate(sets) for h in s]
+    idx = spark.createDataFrame(rows, "doc_id long, _sh long").repartition(parts)
+    got = {
+        (r.id_a, r.id_b): (r.cont_a_pct, r.cont_b_pct)
+        for r in mh.containment_pairs(idx, pct_threshold=thr).collect()
+    }
+    expected = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            ca = inter * 100 // len(sets[a])
+            cb = inter * 100 // len(sets[b])
+            if max(ca, cb) >= thr:
+                expected[(a, b)] = (ca, cb)
+    assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=1, max_value=20),  # day
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_retention_cohorts_matches_python(spark, evs, parts):
+    from deva_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, i % 24), u, "view")
+        for i, (u, d) in enumerate(evs)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(parts)
+    got = {
+        (str(r.cohort_date), r.day_offset): r.users
+        for r in retention_cohorts(df).collect()
+    }
+    first: dict[int, int] = {}
+    days = {(u, d) for u, d in evs}
+    for u, d in days:
+        first[u] = min(first.get(u, d), d)
+    expected: dict[tuple[str, int], int] = {}
+    for u, d in days:
+        key = (f"2024-01-{first[u]:02d}", d - first[u])
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected
