@@ -444,13 +444,270 @@ def ffmpeg_decode_video(
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """LZW decompression for GIF image data (GIF89a spec, appendix F):
+    variable-width codes packed LSB-first, dictionary reset on CLEAR."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    return out
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """REAL animated-GIF decoder, pure stdlib — the in-container
+    multi-frame codec (GIF87a/89a: logical screen, global/local color
+    tables, interlacing, transparency, disposal methods 1/2). Returns
+    ``(T, H, W, 3)`` float32 frames in [0, 1], composed on the logical
+    screen exactly as a player would. The reference delegates media
+    decode to external codecs (`deva/utils/media.py`); here GIF is the
+    codec that needs no external binary, so CI exercises a genuine
+    multi-frame decode path (ffmpeg remains the hook for everything
+    else)."""
+    if len(content) < 13 or content[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    packed = content[10]
+    bg_index = content[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:, :] = gct[bg_index]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos]
+            pos += 1
+            subs = []
+            while content[pos] != 0:
+                ln = content[pos]
+                subs.append(content[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:  # graphic control
+                gc = subs[0]
+                disposal = (gc[0] >> 2) & 0x07
+                transparent = gc[3] if gc[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left = int.from_bytes(content[pos : pos + 2], "little")
+        top = int.from_bytes(content[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(content[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(content[pos + 6 : pos + 8], "little")
+        ipacked = content[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                content[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        min_code = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(b"".join(chunks), min_code)[: fw * fh],
+            dtype=np.int32,
+        ).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows 0::8, 4::8, 2::4, 1::2
+            de = np.empty_like(idx)
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            de[order] = idx
+            idx = de
+        prev_region = canvas[top : top + fh, left : left + fw].copy()
+        region = canvas[top : top + fh, left : left + fw]
+        mask = (
+            np.ones_like(idx, dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        region[mask] = ct[np.clip(idx, 0, len(ct) - 1)][mask]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background
+            canvas[top : top + fh, left : left + fw] = (
+                gct[bg_index] if gct is not None and bg_index < len(gct) else 0
+            )
+        elif disposal == 3:  # restore to previous
+            canvas[top : top + fh, left : left + fw] = prev_region
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contained no image frames")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """LZW compression for GIF image data (inverse of
+    :func:`_gif_lzw_decode`): emits CLEAR, dictionary-compressed codes
+    with width growth, END — LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for v in indices.ravel():
+        nxt = cur + bytes([int(v)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # canonical GIF pairing (round-trip-verified across widths 2-8
+        # incl. the 4096 dictionary reset): encoder widens one code
+        # AFTER the decoder's table-size trigger (next_code >
+        # 2^code_size), because the decoder lags the encoder's
+        # dictionary by one entry
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        cur = bytes([int(v)])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: "np.ndarray") -> bytes:
+    """Animated-GIF encoder (uint8 ``(T, H, W, 3)`` frames, ≤256 distinct
+    colors across the clip — exact palette, so decode∘encode is
+    bit-exact; the write path of the GIF codec and the test fixture for
+    :func:`decode_gif`)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    t, h, w, _ = frames.shape
+    colors = np.unique(frames.reshape(-1, 3), axis=0)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    n_slots = 2
+    while n_slots < max(len(colors), 2):
+        n_slots *= 2
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    palette = np.zeros((n_slots, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    size_field = n_slots.bit_length() - 2  # 2^(field+1) == n_slots
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | size_field, 0, 0]) + palette.tobytes()
+    min_code = max(n_slots.bit_length() - 1, 2)
+    for frame in frames:
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        idx = np.array(
+            [lut[tuple(px)] for px in frame.reshape(-1, 3)], dtype=np.int32
+        )
+        data = _gif_lzw_encode(idx, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def gif_decode_video(content: bytes, n_frames: int = 0) -> np.ndarray:
+    """:func:`decode_gif` adapted to the video-decoder signature:
+    ``n_frames`` caps the decoded clip when positive (decode the frames
+    you need, like the ffmpeg hook's ``-frames:v``)."""
+    frames = decode_gif(content)
+    return frames[: int(n_frames)] if n_frames and int(n_frames) > 0 else frames
+
+
 def default_video_decoder() -> Callable[[bytes, int], np.ndarray]:
-    """The real ffmpeg decoder when the binary exists, else the
-    deterministic fake — resolve once on the driver and pass the result to
-    :func:`video_features` so every executor uses the same path."""
+    """Per-clip dispatching decoder: GIF payloads decode with the REAL
+    pure-stdlib codec (works in any container), anything else uses
+    ffmpeg when the binary exists, else the deterministic fake —
+    resolve once on the driver and pass the result to
+    :func:`video_features` so every executor uses the same policy."""
     import shutil
 
-    return ffmpeg_decode_video if shutil.which("ffmpeg") else fake_decode_video
+    other = ffmpeg_decode_video if shutil.which("ffmpeg") else fake_decode_video
+
+    def dispatch(content: bytes, n_frames: int = 0) -> np.ndarray:
+        if content[:4] == b"GIF8":
+            return gif_decode_video(content, n_frames)
+        return other(content, n_frames)
+
+    return dispatch
 
 
 def video_features(
