@@ -498,6 +498,14 @@ def decode_gif(content: bytes) -> np.ndarray:
     else)."""
     if len(content) < 13 or content[:4] != b"GIF8":
         raise ValueError("not a GIF payload")
+
+    def _need(p: int, n: int) -> None:
+        # every fixed-offset read goes through this so a truncated
+        # payload raises the documented ValueError, not IndexError
+        # (ADVICE r7)
+        if p + n > len(content):
+            raise ValueError("truncated GIF payload")
+
     w = int.from_bytes(content[6:8], "little")
     h = int.from_bytes(content[8:10], "little")
     packed = content[10]
@@ -506,6 +514,7 @@ def decode_gif(content: bytes) -> np.ndarray:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        _need(pos, 3 * n)
         gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
@@ -514,27 +523,35 @@ def decode_gif(content: bytes) -> np.ndarray:
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
+    saw_trailer = False
     while pos < len(content):
         block = content[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension
+            _need(pos, 1)
             label = content[pos]
             pos += 1
             subs = []
-            while content[pos] != 0:
+            while True:
+                _need(pos, 1)
                 ln = content[pos]
+                if ln == 0:
+                    break
+                _need(pos + 1, ln)
                 subs.append(content[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1
-            if label == 0xF9 and subs:  # graphic control
+            if label == 0xF9 and subs and len(subs[0]) >= 4:  # graphic control
                 gc = subs[0]
                 disposal = (gc[0] >> 2) & 0x07
                 transparent = gc[3] if gc[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _need(pos, 9)
         left = int.from_bytes(content[pos : pos + 2], "little")
         top = int.from_bytes(content[pos + 2 : pos + 4], "little")
         fw = int.from_bytes(content[pos + 4 : pos + 6], "little")
@@ -544,17 +561,23 @@ def decode_gif(content: bytes) -> np.ndarray:
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            _need(pos, 3 * n)
             ct = np.frombuffer(
                 content[pos : pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF image with no color table")
+        _need(pos, 1)
         min_code = content[pos]
         pos += 1
         chunks = []
-        while content[pos] != 0:
+        while True:
+            _need(pos, 1)
             ln = content[pos]
+            if ln == 0:
+                break
+            _need(pos + 1, ln)
             chunks.append(content[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
@@ -589,6 +612,11 @@ def decode_gif(content: bytes) -> np.ndarray:
             canvas[top : top + fh, left : left + fw] = prev_region
         transparent = None
         disposal = 0
+    if not saw_trailer:
+        # the spec's 0x3B trailer is mandatory; a stream that ends
+        # between blocks is a truncated payload even if some frames
+        # decoded (ADVICE r7: truncation always raises ValueError)
+        raise ValueError("truncated GIF payload")
     if not frames:
         raise ValueError("GIF contained no image frames")
     return np.stack(frames).astype(np.float32) / 255.0

@@ -1,0 +1,157 @@
+"""Exact-substring (long-common-run) dedup tier.
+
+The dedup stack's ratio tiers (3-gram Jaccard x05, MinHash x06, SimHash
+x07) dilute a long shared span inside two otherwise-different documents:
+a 40-word licence header in two 400-word docs is ~10% of either shingle
+set and never crosses a similarity threshold. The public result this
+tier re-expresses is Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"): exact substrings above a length floor shared
+ACROSS documents are memorization fuel and should be found regardless of
+whole-document similarity. Their suffix-array build is a single-machine
+construction; the scalable Spark shape is the repo's standard inverted-
+index anatomy (`minhash.ngram_jaccard_pairs` is the template):
+
+1. every length-``window`` consecutive WORD run of each document,
+   hashed to 8 bytes (``xxhash64``) — stride 1 at word granularity, so
+   any shared run of >= ``window`` words yields at least one shared
+   window with no alignment/selection step (character-stride schemes
+   need content-defined anchors to stay alignment-free);
+2. inverted index (window-hash -> doc) — the join key is the 8-byte
+   hash, never the text, so the shuffle survives a corpus-scale run;
+3. doc pairs sharing >= ``min_common`` distinct windows, with the exact
+   shared-window count as the (integer, hash-stable) output signal.
+
+A pair sharing n >= 1 windows shares a run of >= ``window`` words; n
+consecutive shared windows certify a run of ``window + n - 1`` words.
+
+Reference surface: the reference has no substring tier — its dedup is
+`SimhashIndex` (`/root/reference/deva/utils/simhash.py`) over whole
+documents; this tier is part of the LLM-pipeline ring the build adds.
+
+Scale shape: rows in the index = total words in the corpus (same
+cardinality as the x05 3-gram index); the self-join key is an 8-byte
+hash whose expected fan-out is tiny EXCEPT for boilerplate — which is
+the signal here, so instead of dropping hot windows (x05's ``df_cap``
+recall trade) the pair stage caps blowup with ``df_cap`` only when the
+caller asks, and `boilerplate_windows` surfaces the hot windows
+themselves (group-by, linear) for mask-style dedup where pairwise
+output would be quadratic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deva_spark.functions.text import words
+
+
+def window_runs(text: Column, window: int) -> Column:
+    """Array of all length-``window`` consecutive word runs of ``text``
+    (lowercased, whitespace-split), each joined with single spaces —
+    pure JVM expressions (split / sequence / transform / slice), no
+    Python in the hot path. Empty array when the doc is shorter than
+    ``window`` words (guarded: Spark's ``sequence(1, 0)`` counts DOWN).
+    """
+    ws = words(F.lower(text))
+    n = F.size(ws)
+    idx = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i, window), " ")
+    )
+
+
+def window_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Inverted-index rows ``(doc_id, wh)``: the DISTINCT 64-bit hashes
+    of every length-``window`` word run per document. This is the
+    stageable artifact of the tier (the doc_sigs/shingle5 pattern)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(window_runs(F.col(text_col), window))
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("wh"))
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_common: int = 1,
+    df_cap: int | None = None,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_common`` distinct length-
+    ``window`` word runs: ``(id_a, id_b, n_common)`` with ``id_a <
+    id_b`` and the exact count of shared distinct windows — an integer,
+    so the result hashes identically across engines (no float
+    boundary).
+
+    ``df_cap``: drop windows present in more than ``df_cap`` documents
+    from pair generation (a window shared by 10k docs contributes
+    ~5*10^7 pairs on its own). Unlike x05's candidate filter there is
+    no rescore pass — capped windows are simply not counted, which is
+    the honest semantics for this tier: a window THAT common is corpus
+    boilerplate, and `boilerplate_windows` is the linear-cost tool for
+    it.
+
+    ``hashes``: a pre-staged :func:`window_hashes` table (the cluster
+    path — stage the index once, run pair queries many times).
+    """
+    sh = (
+        hashes
+        if hashes is not None
+        else window_hashes(docs, id_col, text_col, window)
+    )
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("dfc"))
+            .filter(F.col("dfc") <= df_cap)
+            .select("wh")
+        )
+        sh = sh.join(rare, "wh")
+    a = sh.select(F.col("doc_id").alias("id_a"), "wh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def boilerplate_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The hot side of the tier, at LINEAR cost: word runs shared by >=
+    ``min_docs`` documents — ``(wh, n_docs, keep_id)`` with the
+    first-seen doc as keeper (x50's group-then-min shape over interior
+    runs instead of prefixes). This is the mask-style output for
+    corpus-wide boilerplate, where emitting pairs would be quadratic by
+    construction."""
+    return (
+        window_hashes(docs, id_col, text_col, window)
+        .groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

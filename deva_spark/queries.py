@@ -81,7 +81,7 @@ _SHARED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictio
 
 #: bump when any artifact builder's logic changes — stale staged parquet
 #: from an older definition must never satisfy a newer read
-_ARTIFACT_VERSION = 1
+_ARTIFACT_VERSION = 2  # v2: pr_edges carries outdeg (VERDICT r7 #4)
 
 
 def _session_cache(spark: SparkSession) -> dict:
@@ -165,18 +165,28 @@ def _build_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_shingle5_src(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-level distinct 5-gram index ``(source, _sh)`` — the x55
-    overlap matrix's input, derived from the doc-level shingle5 index
-    (staged first: dict order) so the per-(source, shingle) distinct
-    shuffle runs once at staging, not per query."""
-    return _shingle5_hashes(spark, sf_dir).select("source", "_sh").distinct()
+    """Source-level 5-gram index ``(_sh, _srcs)``: per shingle hash,
+    the SORTED array of sources containing it — x55's overlap input,
+    derived from the doc-level shingle5 index (staged first: dict
+    order). v2 pre-aggregates the per-shingle source sets at staging
+    (VERDICT r7 #8: the collect_set shuffle was ~1.0 s of x55's 1.0 s
+    floor), so the per-run query is scan → explode in-array pairs →
+    one pair-level aggregate. The array is bounded by the SOURCE count
+    (not docs) per shingle — metadata-sized rows at any corpus scale."""
+    sh = _shingle5_hashes(spark, sf_dir).select("source", "_sh").distinct()
+    return sh.groupBy("_sh").agg(
+        F.array_sort(F.collect_set("source")).alias("_srcs")
+    )
 
 
 def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x61's symmetrized customer<->supplier edge list (numeric node
-    ids: custkey*2 / suppkey*2+1) — the pagerank operator's documented
-    cluster path is exactly this: stage the edge table once, pass
-    ``stage=None``. Same rows the in-query symmetrize produces."""
+    ids: custkey*2 / suppkey*2+1), DENORMALIZED with each edge's source
+    out-degree (VERDICT r7 #4) — the pagerank operator's documented
+    cluster path: stage this table once (bucketed by src at cluster
+    scale), pass ``stage=None, outdeg_col="outdeg"``, and the per-run
+    degree pass and degree join both disappear. Same edge rows the
+    in-query symmetrize produces; outdeg is their pure aggregate."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -187,7 +197,7 @@ def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return e0.select(
+    edges = e0.select(
         F.explode(
             F.array(
                 F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
@@ -195,21 +205,12 @@ def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_e")
     ).select(F.col("_e.s").alias("src"), F.col("_e.d").alias("dst"))
-
-
-def _build_pr_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-degree table of the staged pr_edges graph (node, outdeg) —
-    a pure aggregate of the edges, staged with them (dict order stages
-    pr_edges first) so the per-run degree pass disappears."""
-    staged = staged_artifact_path(sf_dir, "pr_edges")
-    edges = (
-        spark.read.parquet(staged)
-        if staged
-        else _build_pr_edges(spark, sf_dir)
-    )
-    return edges.groupBy(F.col("src").alias("node")).agg(
+    deg = edges.groupBy(F.col("src").alias("_dn")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    return edges.join(
+        F.broadcast(deg), edges.src == F.col("_dn")
+    ).select("src", "dst", "outdeg")
 
 
 def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +230,6 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fps": _build_simhash_fps,
     "emb_base": _build_emb_base,
     "pr_edges": _build_pr_edges,
-    "pr_deg": _build_pr_deg,
     "shingle5_src": _build_shingle5_src,
 }
 
@@ -248,13 +248,15 @@ ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
     "ivf16": _stage_ivf16,
 }
 
-#: Which testdata file keys an artifact's cache-invalidation mtime
-#: (default: documents.parquet).
-_ARTIFACT_SOURCE = {
-    "ivf16": "embeddings.parquet",
-    "emb_base": "embeddings.parquet",
-    "pr_edges": "lineitem.parquet",
-    "pr_deg": "lineitem.parquet",
+#: Which testdata file(s) key an artifact's cache-invalidation mtime
+#: (default: documents.parquet). EVERY table the builder reads must be
+#: listed — the key uses the max mtime across them, so regenerating any
+#: one source invalidates the staged copy (ADVICE r7: pr_edges keyed on
+#: lineitem only, silently reusing a stale graph when orders changed).
+_ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
+    "ivf16": ("embeddings.parquet",),
+    "emb_base": ("embeddings.parquet",),
+    "pr_edges": ("orders.parquet", "lineitem.parquet"),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -277,11 +279,13 @@ def _artifact_path(sf_dir: str, name: str) -> str:
             "deva_artifacts",
         ),
     )
-    src = _ARTIFACT_SOURCE.get(name, "documents.parquet")
-    try:
-        mt = int(_os.path.getmtime(_os.path.join(sf_dir, src)))
-    except OSError:
-        mt = 0
+    srcs = _ARTIFACT_SOURCE.get(name, ("documents.parquet",))
+    mt = 0
+    for src in srcs:
+        try:
+            mt = max(mt, int(_os.path.getmtime(_os.path.join(sf_dir, src))))
+        except OSError:
+            pass
     key = hashlib.md5(
         f"{_os.path.abspath(sf_dir)}|{name}|v{_ARTIFACT_VERSION}|{mt}".encode()
     ).hexdigest()[:16]
@@ -2740,12 +2744,14 @@ def x55(spark, sf):
     # fan-out is bounded by C(n_sources, 2), not pair rows across docs.
     staged_src = staged_artifact_path(sf, "shingle5_src")
     if staged_src:
-        sh = spark.read.parquet(staged_src)
+        # staged index is already per-shingle sorted source arrays —
+        # the timed query is scan → pair-explode → pair aggregate
+        srcs = spark.read.parquet(staged_src)
     else:
         sh = _shingle5_hashes(spark, sf).select("source", "_sh").distinct()
-    srcs = sh.groupBy("_sh").agg(
-        F.array_sort(F.collect_set("source")).alias("_srcs")
-    )
+        srcs = sh.groupBy("_sh").agg(
+            F.array_sort(F.collect_set("source")).alias("_srcs")
+        )
     n = F.size("_srcs")
     pairs = F.flatten(
         F.transform(
@@ -3024,16 +3030,16 @@ def x61(spark, sf):
     )
     staged = staged_artifact_path(sf, "pr_edges")
     if staged:
-        # the operator's documented cluster path: pre-staged edge table
-        # (+ its degree aggregate), stage=None — the base join/distinct/
-        # symmetrize/degree pass all ran at staging
-        staged_deg = staged_artifact_path(sf, "pr_deg")
+        # the operator's documented cluster path: pre-staged DENORM
+        # edge table (each row carries src's outdeg), stage=None — the
+        # base join/distinct/symmetrize/degree pass all ran at staging,
+        # and the degree join disappears from the per-run plan
         ranks = graphs.pagerank(
             spark.read.parquet(staged),
             n_iter=2,
             symmetrize=False,
             stage=None,
-            degrees=spark.read.parquet(staged_deg) if staged_deg else None,
+            outdeg_col="outdeg",
         )
     else:
         ranks = graphs.pagerank(e0, n_iter=2, symmetrize=True)
@@ -3456,6 +3462,94 @@ def x72(spark, sf):
     )
 
 
+@query(
+    "x73_merge_intervals",
+    """WITH sp AS (
+         SELECT user_id, ts AS start_ts,
+                ts + (CAST(FLOOR(value) AS BIGINT) % 300)
+                     * INTERVAL 1 SECOND AS end_ts
+         FROM events
+       ), m AS (
+         SELECT user_id, start_ts, end_ts,
+                MAX(end_ts) OVER (
+                  PARTITION BY user_id ORDER BY start_ts, end_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS pmax
+         FROM sp
+       ), f AS (
+         SELECT *, CASE WHEN pmax IS NULL OR start_ts > pmax
+                        THEN 1 ELSE 0 END AS brk
+         FROM m
+       ), g AS (
+         SELECT *, SUM(brk) OVER (
+                     PARTITION BY user_id ORDER BY start_ts, end_ts
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS island
+         FROM f
+       )
+       SELECT user_id, MIN(start_ts) AS start_ts, MAX(end_ts) AS end_ts,
+              COUNT(*) AS n_merged
+       FROM g GROUP BY user_id, island
+       ORDER BY user_id, start_ts""",
+)
+def x73(spark, sf):
+    # Interval merge over EXPLICIT [start, end] spans (windows.
+    # merge_intervals — the gaps-and-islands primitive complementing
+    # x25's point-event sessionization): spans synthesized per user as
+    # [ts, ts + (floor(value) % 300) sec]. The span end uses exact
+    # integer-second timestampadd (floor-then-mod, both engines
+    # truncate identically) so the timestamps are bit-identical; keyed
+    # on user_id, so the two window passes and the island aggregate all
+    # ride ONE shuffle — the scale path (a global merge single-reduces).
+    from deva_spark.operators.windows import merge_intervals
+
+    spans = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "timestampadd(SECOND, CAST(FLOOR(value) AS BIGINT) % 300, ts)"
+        ).alias("end_ts"),
+    )
+    return merge_intervals("start_ts", "end_ts", partition="user_id")(
+        spans
+    ).select("user_id", "start_ts", "end_ts", "n_merged")
+
+
+@query(
+    "x74_substring_dup_pairs",
+    r"""WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                          i -> array_to_string(w[i : i + 7], ' '))) AS s
+            FROM d WHERE len(w) >= 8
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2""",
+)
+def x74(spark, sf):
+    # Exact-substring dedup tier (VERDICT r7 #2, Lee et al. 2022
+    # re-expressed): doc pairs sharing at least one exact 8-word run at
+    # ANY position — the signal the ratio tiers (x05/x06/x07) dilute
+    # for licence boilerplate and partially-copied documents. Inverted
+    # index over per-doc distinct window hashes; the self-join ships
+    # 8-byte xxhash64 keys, never text; n_common is an exact integer
+    # count, hash-stable across engines.
+    from deva_spark.functions.substring import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _t(spark, sf, "documents"), window=8, min_common=1
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3476,70 +3570,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # never driver-checked (registered r6)
-    "x65_containment_pairs",
-    "x66_semdedup_prune",
-    "x67_funnel_conversion",
-    "x68_retention_cohorts",
-    "x69_streaming_funnel",
-    "x70_weighted_sample",
-    "x71_streaming_retention",
-    # last driver row r05
-    "q14_asof_combine_latest",
-    "q15_running_fold",
-    "x15_corpus_curation",
-    "x19_cube",
-    "x20_analytic_functions",
-    "x22_range_band_join",
-    "x23_cosine_neardup",
-    "x24_asof_join",
-    "x28_bpe_tokens",
-    "x30_take_while",
-    "x31_ordered_pairs",
-    "x32_ivf_topk",
-    "x33_streaming_tumbling",
-    "x34_streaming_sessions",
-    "x35_streaming_running_sum",
-    "x36_streaming_zscore",
-    "x37_llm_json_extract",
-    "x38_stream_interval_join",
-    "x39_stratified_sample",
-    "x40_dataset_split",
-    "x41_dedup_clusters",
-    "x42_repetition_signals",
-    "x43_pii_redaction",
-    "x44_decontamination",
-    "x45_boilerplate",
-    "x46_sequence_packing",
-    "x47_mixture_rebalance",
-    "x48_int8_quantization",
-    "x49_streaming_first_seen",
-    "x50_prefix_dup_groups",
-    "x51_url_host_stats",
-    "x52_encoding_quality",
-    "x54_source_token_budget",
-    "x55_cross_source_overlap",
-    "x56_common_token_mass",
-    "x57_length_histogram",
-    "x59_customer_value_deciles",
-    "x60_kmv_distinct_users",
-    "x61_pagerank_two_steps",
-    "x62_top_p_token_mass",
-    "x63_streaming_trending",
-    "x64_event_transitions",
-)
-
-#: r05-stale entries pushed to the round-8 window because the round-7
-#: window is full (50 = 7 never-checked + 42 stale + x72 new). Recorded
-#: programmatically (ADVICE r6 #4): tests/test_plan_shapes.py asserts
-#: window ∪ deferrals ∪ r06-green rows == the whole registry, so a
-#: forgotten deferral fails CI instead of silently shipping unverified.
-#: Rationale per name: x16/x17/x18 (join+agg shapes re-verified by
-#: q03/q08/q12 in r06), x26 (histogram shape x57 re-verifies this
-#: round), x27 (pivot, t-tested), x29 (fingerprint/rolling-hash shape,
-#: x04 green r06), x53 (x63's streaming twin re-verifies the counts
-#: this round), x58 (semi-join shape q10/q11 green r06).
-_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    # round-7's deferrals lead (their latest driver row is r06)
     "x16_part_brand_stats",
     "x17_supplier_by_nation",
     "x18_lineitem_part_join",
@@ -3548,12 +3579,78 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x29_rolling_hash",
     "x53_hourly_trending",
     "x58_late_orders_by_priority",
+    # then the r06-green set, minus the ten deferrals below
+    "q03_group_agg",
+    "q06_dedup_first_seen",
+    "q07_consecutive_dedup",
+    "q08_inner_join",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_multiway_join",
+    "q13_positional_zip",
+    "q16_sliding_window_avg",
+    "q17_partition_chunks",
+    "q18_tumbling_time_window",
+    "q19_rank_topk_per_key",
+    "q20_lag_diff",
+    "q21_topk",
+    "q23_union",
+    "q24a_intersect",
+    "q24b_except",
+    "q26_regexp_extract",
+    "q27_date_trunc",
+    "q31_percentile",
+    "q32_rollup",
+    "q33_zscore_anomaly",
+    "q34_exact_text_dedup",
+    "q35_sessionization",
+    "x01_token_count",
+    "x02_lang_id",
+    "x03_quality_score",
+    "x04_fingerprint",
+    "x05_ngram_jaccard",
+    "x06_minhash_lsh_neardup",
+    "x07_simhash_neardup",
+    "x08_cosine_topk",
+    "x09_ann_lsh_topk",
+    "x10_label_centroids",
+    "x11_json_extract",
+    "x12_tfidf_keywords",
+    "x13_fulltext_search",
+    "x14_case_route",
+    "x21_rolling_time_window",
+    "x25_session_stats",
+)
+
+#: Entries pushed to the round-9 window (48 pinned + this round's new
+#: registrations fill the 50). Recorded programmatically (ADVICE r6
+#: #4): tests/test_plan_shapes.py asserts window ∪ deferrals ∪
+#: r07-green rows == the whole registry, so a forgotten deferral fails
+#: CI instead of silently shipping unverified. Rationale per name
+#: (VERDICT r7 #1 prescribed the first eight; q04/q09 displaced by the
+#: two r8 registrations): q01/q02 scan-project/filter (every query
+#: exercises the scan path), q05 distinct (q34/x04 same shape), q22
+#: slice (t-tested), q25 string fns / q28 math fns (pure built-ins,
+#: t-tested), q29 explode (x56 shape), q30 frequencies (q03 shape),
+#: q04 avg/min/max (q03's group-agg shape, in-window), q09 left join
+#: coalesce (join family q08/q10/q11/q12 all in-window).
+_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "q01_scan_project",
+    "q02_filter",
+    "q04_avg_min_max",
+    "q05_distinct",
+    "q09_left_join_coalesce",
+    "q22_slice",
+    "q25_string_fns",
+    "q28_math_fns",
+    "q29_explode_words",
+    "q30_frequencies",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 72  # x72+ = new in r7; x65-x71 are pinned in _DRIVER_FIRST
+_NEW_MIN_ID = 73  # x73+ = new in r8
 
 
 def _query_num(name: str) -> int | None:

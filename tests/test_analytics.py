@@ -86,6 +86,45 @@ def test_funnel_six_steps_matches_chained_min_reference(spark):
     assert got == expected
 
 
+def test_funnel_repeated_step_type(spark):
+    # a funnel whose step list REPEATS a type (view -> click -> view)
+    # must advance past the second occurrence (ADVICE r7: pre-mapping
+    # events to their first matching step position capped this at 2)
+    rows = [
+        # user 1: view, click, view — full repeated-type funnel
+        (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 1, 3, "view"),
+        # user 2: view, click, no second view — stops at 2
+        (2, 2, 1, "view"), (2, 2, 2, "click"),
+        # user 3: view, view, click — second view can't convert (needs
+        # click first), click converts, then no third view
+        (3, 3, 1, "view"), (3, 3, 2, "view"), (3, 3, 3, "click"),
+    ]
+    out = {
+        r.step: (r.event_type, r.users)
+        for r in funnel_counts(
+            _ev(spark, rows), ["view", "click", "view"]
+        ).collect()
+    }
+    assert out == {
+        1: ("view", 3),
+        2: ("click", 3),
+        3: ("view", 1),
+    }
+
+
+def test_funnel_returns_lazy_plan(spark):
+    # VERDICT r7: the result must be a lazy plan, not a pre-collected
+    # local relation — building the DataFrame should launch no job
+    rows = [(1, 1, 1, "signup"), (1, 1, 2, "view")]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = funnel_counts(_ev(spark, rows), ["signup", "view"])
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "funnel_counts ran a job at plan-build time"
+    # and the plan still evaluates correctly
+    assert {r.step: r.users for r in df.collect()} == {1: 1, 2: 1}
+
+
 def test_retention_cohorts_matrix(spark):
     rows = [
         # user 1: first seen day 1, active days 1, 2, 4

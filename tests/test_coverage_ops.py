@@ -115,6 +115,74 @@ def test_http_fetch_stage(spark):
     assert out[2][0] is None and "ValueError" in out[2][1]
 
 
+def test_adwin_exponential_histogram_invariants():
+    # Bifet & Gavaldà 2007: bucket counts are powers of two with at
+    # most M (+1 transient) per capacity — memory O(M log(n/M)) for an
+    # n-element window, not O(n)
+    import math
+
+    from deva_spark.streaming.drift import M, Adwin
+
+    det = Adwin()
+    for i in range(5000):
+        det.insert(math.sin(i))  # stationary: nothing gets dropped
+    assert det.n == 5000
+    caps = {}
+    for bn in det.ns:
+        assert bn & (bn - 1) == 0, f"bucket size {bn} not a power of two"
+        caps[bn] = caps.get(bn, 0) + 1
+    assert all(c <= M for c in caps.values()), caps
+    assert len(det.ns) <= M * (math.log2(5000) + 2)
+    # oldest-first: capacities never increase towards the newest end
+    assert list(det.ns) == sorted(det.ns, reverse=True)
+
+
+def test_adwin_variance_combine_is_exact():
+    # the parallel-axis (n, sum, var) merge keeps the WHOLE-window
+    # variance exact through any sequence of bucket compressions
+    import random
+
+    import numpy as np
+
+    from deva_spark.streaming.drift import Adwin
+
+    rng = random.Random(5)
+    vals = [rng.gauss(10.0, 3.0) for _ in range(700)]
+    det = Adwin()
+    for v in vals:
+        det.insert(v)
+    assert det.n == len(vals)
+    assert det.total == pytest.approx(sum(vals), rel=1e-12)
+    assert det.variance() == pytest.approx(float(np.var(vals)), rel=1e-9)
+
+
+def test_adwin_cut_bound_is_variance_aware():
+    # the paper's bound scales with sigma2_W: a low-variance stream cuts
+    # on a modest mean step, while a HIGH-variance stream absorbs the
+    # same step — the property the r1-r7 variance-blind analog lacked
+    import random
+
+    from deva_spark.streaming.drift import Adwin
+
+    def drifts(pre_sigma, step):
+        rng = random.Random(17)
+        det = Adwin()
+        hits = 0
+        for i in range(400):
+            mu = 10.0 if i < 200 else 10.0 + step
+            det.insert(rng.gauss(mu, pre_sigma))
+            if det.detect_and_shrink() is not None:
+                hits += 1
+        return hits, det
+
+    quiet_hits, quiet_det = drifts(pre_sigma=0.05, step=2.0)
+    noisy_hits, _ = drifts(pre_sigma=8.0, step=2.0)
+    assert quiet_hits >= 1
+    assert noisy_hits == 0
+    # after the cut the window tracks the new regime
+    assert quiet_det.total / quiet_det.n == pytest.approx(12.0, abs=0.5)
+
+
 def test_streaming_drift_detects_mean_shift(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

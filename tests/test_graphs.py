@@ -94,6 +94,41 @@ def test_pagerank_stage_modes_agree(spark):
         assert got == STAR_EXPECTED, kw
 
 
+def test_pagerank_denorm_outdeg_agrees(spark):
+    # the staged-graph fast path (edges carrying src outdeg,
+    # VERDICT r7 #4) is bit-identical to the join-per-iteration path
+    sym = STAR + [(d, s) for s, d in STAR]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    edges = spark.createDataFrame(
+        [(s, d, deg[s]) for s, d in sym], "src long, dst long, outdeg long"
+    )
+    for kw in ({}, {"stage": None}, {"broadcast_ranks": False}):
+        out = graphs.pagerank(
+            edges, n_iter=2, symmetrize=False, outdeg_col="outdeg", **kw
+        )
+        got = {r.node: r.rank_scaled for r in out.collect()}
+        assert got == STAR_EXPECTED, kw
+    # deeper loop exercises the rank-join and lineage-truncation arms
+    a = graphs.pagerank(
+        edges, n_iter=4, symmetrize=False, outdeg_col="outdeg",
+        checkpoint_every=2,
+    )
+    b = graphs.pagerank(
+        spark.createDataFrame(sym, "src long, dst long"), n_iter=4,
+        symmetrize=False,
+    )
+    assert {r.node: r.rank_scaled for r in a.collect()} == {
+        r.node: r.rank_scaled for r in b.collect()
+    }
+    # symmetrize+outdeg_col is a contract violation
+    import pytest
+
+    with pytest.raises(ValueError, match="pre-symmetrized"):
+        graphs.pagerank(edges, symmetrize=True, outdeg_col="outdeg")
+
+
 def test_pagerank_regular_graph_fixed_point(spark):
     # On a d-regular symmetric graph the uniform rank is an exact integer
     # fixed point: every node sends d * ((SCALE*85) div (d*100)) and the

@@ -482,3 +482,44 @@ def test_asof_join_tolerance_masks_stale_matches(spark):
         ).collect()
     }
     assert out2 == {1: 100.0, 2: 200.0, 3: 200.0}
+
+
+def test_asof_join_row_level_nulls_and_tolerance(spark):
+    # ADVICE r7: the match is ROW-level (DuckDB ASOF / merge_asof) — the
+    # newest in-range right row supplies ALL values including its NULLs;
+    # an older row's non-null value must NOT ride through the tolerance
+    # gate on the newest row's timestamp
+    import datetime as dt
+
+    import pytest
+
+    from deva_spark.operators import joins
+
+    B = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [(1, "a", B + dt.timedelta(minutes=90))],
+        "tid long, sym string, t_ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("a", B + dt.timedelta(minutes=5), 100.0),   # stale, has px
+         ("a", B + dt.timedelta(minutes=85), None)],  # fresh, NULL px
+        "sym string, q_ts timestamp, px double",
+    )
+    out = joins.asof_join(
+        trades, quotes, "sym", "t_ts", "q_ts", ["px"], tolerance="1 hour"
+    ).collect()
+    # matched row is quote@85 (in tolerance) -> its px is NULL; the
+    # stale quote@5's 100.0 must not leak through
+    assert out[0].px_asof is None
+    # same without tolerance: row-level match still takes the newest
+    # row's NULL, not the older non-null
+    out2 = joins.asof_join(
+        trades, quotes, "sym", "t_ts", "q_ts", ["px"]
+    ).collect()
+    assert out2[0].px_asof is None
+    # the interpolated INTERVAL string is validated, not trusted
+    with pytest.raises(ValueError, match="INTERVAL"):
+        joins.asof_join(
+            trades, quotes, "sym", "t_ts", "q_ts", ["px"],
+            tolerance="1 hour) OR (1=1",
+        )

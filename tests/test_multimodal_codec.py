@@ -279,6 +279,21 @@ def test_gif_decoder_rejects_non_gif():
         mm.decode_gif(b"\x89PNG\r\n\x1a\n garbage")
 
 
+def test_gif_decoder_truncated_raises_valueerror():
+    # ADVICE r7: truncation anywhere in the byte stream must raise the
+    # documented ValueError, never IndexError — chop a valid GIF at
+    # every prefix length and check the error type
+    import pytest as _pytest
+
+    frames = np.full((2, 6, 7, 3), 40, dtype=np.uint8)
+    frames[1, :, :, :] = 200
+    gif = mm.encode_gif(frames)
+    assert isinstance(mm.decode_gif(gif), np.ndarray)
+    for cut in range(4, len(gif) - 1):
+        with _pytest.raises(ValueError):
+            mm.decode_gif(gif[:cut])
+
+
 def test_default_video_decoder_dispatches_gif(spark):
     # a GIF clip decodes with the REAL codec through the standard
     # video_features path — genuine multi-frame decode in CI, no ffmpeg

@@ -228,7 +228,7 @@ def test_driver_window_accounts_for_every_registry_entry():
     deferred = set(Q._DEFERRED_TO_NEXT)
     assert len(keys[:50]) == 50
     assert window.isdisjoint(deferred), window & deferred
-    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json")
+    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json")
     prev_green = set(json.load(open(prev))) - {"meta", "summary"}
     uncovered = set(keys) - window - deferred - prev_green
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
@@ -248,7 +248,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
     Q.stage_artifacts(
         spark,
         sf_dir,
-        ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges", "pr_deg",
+        ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16"],
     )
     for name in (

@@ -1,0 +1,159 @@
+"""Exact-substring dedup tier — planted partial copies + brute-force parity."""
+
+import random
+
+import pytest
+
+from deva_spark.functions.substring import (
+    boilerplate_windows,
+    substring_dup_pairs,
+    window_hashes,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vocab_text(rng, n, vocab=200):
+    return " ".join(f"w{rng.randrange(vocab)}" for _ in range(n))
+
+
+def test_planted_partial_copy_found(spark):
+    # doc 2 copies a 20-word span from doc 1 into otherwise-unrelated
+    # text: a shared L-word run yields exactly L - W + 1 shared windows
+    # when the surrounding text shares nothing
+    rng = random.Random(7)
+    span = " ".join(f"copy{i}" for i in range(20))
+    d1 = _vocab_text(rng, 80) + " " + span + " " + _vocab_text(rng, 40)
+    d2 = _vocab_text(rng, 30) + " " + span + " " + _vocab_text(rng, 90)
+    d3 = _vocab_text(rng, 100)  # no copy
+    out = substring_dup_pairs(
+        _docs(spark, [(1, d1), (2, d2), (3, d3)]), window=8
+    ).collect()
+    got = {(r.id_a, r.id_b): r.n_common for r in out}
+    assert (1, 2) in got
+    # at least the span-interior windows (boundary windows may also
+    # match if the random flanks collide, hence >=)
+    assert got[(1, 2)] >= 20 - 8 + 1
+    assert all(p == (1, 2) for p in got)
+
+
+def test_ratio_tier_blind_spot_is_covered(spark):
+    # the motivating case: a 12-word licence header in two long,
+    # otherwise-disjoint docs — 3-gram jaccard is far below any sane
+    # threshold, the substring tier still fires
+    header = " ".join(f"lic{i}" for i in range(12))
+    a = header + " " + " ".join(f"a{i}" for i in range(300))
+    b = header + " " + " ".join(f"b{i}" for i in range(300))
+    out = substring_dup_pairs(_docs(spark, [(1, a), (2, b)]), window=8).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    # jaccard over 3-grams for scale: shared 10 of ~610 → ~1.6%
+    from deva_spark.functions.minhash import ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(
+        _docs(spark, [(1, a), (2, b)]), pct_threshold=30
+    ).collect()
+    assert jac == []
+
+
+def test_short_doc_yields_no_windows(spark):
+    # shorter than the window: empty array, no sequence(1, 0) reversal
+    out = window_hashes(
+        _docs(spark, [(1, "only three words"), (2, "a b c d e f g h")]),
+        window=8,
+    ).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert len(out) == 1
+
+
+def test_matches_bruteforce_reference(spark):
+    # pseudo-random soup with a few planted overlaps == python reference
+    rng = random.Random(42)
+    W = 5
+    texts = {}
+    for i in range(1, 9):
+        texts[i] = _vocab_text(rng, rng.randrange(20, 60), vocab=30)
+    # plant: 6 copies 9 words of 5, 7 copies 9 words of 6
+    texts[6] = texts[6] + " " + " ".join(texts[5].split()[3:12])
+    texts[7] = " ".join(texts[6].split()[-9:]) + " " + texts[7]
+
+    def wins(t):
+        ws = t.lower().split()
+        return {
+            " ".join(ws[i : i + W]) for i in range(len(ws) - W + 1)
+        }
+
+    expected = {}
+    for i in texts:
+        for j in texts:
+            if i < j:
+                c = len(wins(texts[i]) & wins(texts[j]))
+                if c:
+                    expected[(i, j)] = c
+    out = substring_dup_pairs(
+        _docs(spark, sorted(texts.items())), window=W
+    ).collect()
+    got = {(r.id_a, r.id_b): r.n_common for r in out}
+    assert got == expected
+    assert (5, 6) in got and (6, 7) in got
+
+
+def test_df_cap_drops_hot_windows_and_boilerplate_surfaces_them(spark):
+    # one 8-word banner in EVERY doc: df_cap excises it from pair
+    # generation; boilerplate_windows reports it at linear cost
+    banner = " ".join(f"bn{i}" for i in range(8))
+    rng = random.Random(3)
+    rows = [(i, banner + " " + _vocab_text(rng, 40, vocab=500)) for i in range(1, 7)]
+    capped = substring_dup_pairs(_docs(spark, rows), window=8, df_cap=3).collect()
+    assert capped == []  # only the banner was shared, and it is hot
+    uncapped = substring_dup_pairs(_docs(spark, rows), window=8).collect()
+    assert len(uncapped) == 15  # all 6-choose-2 pairs share the banner
+    hot = boilerplate_windows(_docs(spark, rows), window=8, min_docs=4).collect()
+    assert len(hot) == 1
+    assert hot[0].n_docs == 6 and hot[0].keep_id == 1
+
+
+def test_min_common_threshold(spark):
+    span = " ".join(f"s{i}" for i in range(10))  # 3 shared 8-windows
+    rng = random.Random(9)
+    a = _vocab_text(rng, 50) + " " + span
+    b = span + " " + _vocab_text(rng, 50)
+    docs = _docs(spark, [(1, a), (2, b)])
+    assert len(substring_dup_pairs(docs, window=8, min_common=3).collect()) == 1
+    assert substring_dup_pairs(docs, window=8, min_common=4).collect() == []
+
+
+def test_staged_hashes_route_matches_inline(spark):
+    rng = random.Random(11)
+    span = " ".join(f"z{i}" for i in range(15))
+    rows = [
+        (1, _vocab_text(rng, 60) + " " + span),
+        (2, span + " " + _vocab_text(rng, 60)),
+        (3, _vocab_text(rng, 60)),
+    ]
+    docs = _docs(spark, rows)
+    staged = window_hashes(docs, window=8).persist()
+    try:
+        via_staged = sorted(
+            (r.id_a, r.id_b, r.n_common)
+            for r in substring_dup_pairs(docs, hashes=staged, window=8).collect()
+        )
+        inline = sorted(
+            (r.id_a, r.id_b, r.n_common)
+            for r in substring_dup_pairs(docs, window=8).collect()
+        )
+        assert via_staged == inline and len(inline) == 1
+    finally:
+        staged.unpersist()
+
+
+def test_pair_plan_has_no_cartesian(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")])
+    plan = (
+        substring_dup_pairs(docs, window=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,237 @@
+"""Amplified-scale (~sf1) benchmark of the heavy dedup/ANN/graph tiers.
+
+VERDICT r7 #7: the fixed-cost-floor argument predicts the spark/duckdb
+ratios of the heavy tiers cross below 1 as data grows; this measures it.
+No sf1 testdata exists (and /root/testdata is read-only), so this tool
+builds a DETERMINISTIC 10x amplification of sf0.1 under
+``bench_data/sf1/`` (repo-local, gitignored):
+
+- ``documents``: 10 replicas; replica r > 0 offsets doc_id by r*1e6 and
+  prefixes every token with ``r{r}`` — within-replica dedup structure
+  is preserved (pair counts scale linearly) while cross-replica shingle
+  sets are disjoint (no artificial quadratic near-dup blowup), and the
+  shingle vocabulary grows ~10x like a real corpus.
+- ``embeddings``: 10 replicas; vec_id offset; deterministic per-replica
+  perturbation (x + 0.017*r*sin(i + 1.3*r) per coordinate) keeps
+  replicas semantically distinct.
+- ``orders``/``lineitem``: 10 replicas with key offsets — the x61 graph
+  becomes 10 disjoint copies (nodes and edges both 10x).
+
+Both engines read the SAME amplified parquet; per-query timing is the
+min of N_RUNS warm runs. Spark artifacts are staged OUTSIDE the timed
+window (bench.py's methodology). Output: one JSON line, written to
+BENCH_SF1.json.
+
+Usage: python tools/bench_sf1.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deva_spark.session import TABLES, get_spark  # noqa: E402
+from deva_spark import queries as Q  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_data",
+    "sf1",
+)
+REPLICAS = 10
+N_RUNS = 2
+
+HEAVY = [
+    "x05_ngram_jaccard",
+    "x06_minhash_lsh_neardup",
+    "x07_simhash_neardup",
+    "x08_cosine_topk",
+    "x09_ann_lsh_topk",
+    "x23_cosine_neardup",
+    "x32_ivf_topk",
+    "x41_dedup_clusters",
+    "x55_cross_source_overlap",
+    "x61_pagerank_two_steps",
+    "x66_semdedup_prune",
+    "x74_substring_dup_pairs",
+]
+
+
+def build(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rs = list(range(REPLICAS))
+
+    def _amplify(name: str, per_replica):
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.exists(dst):
+            return
+        base = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = [per_replica(base, r) for r in rs]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # one file per replica is plenty of read parallelism here
+        df.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+
+    def _docs(base, r):
+        if r == 0:
+            return base
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        text = F.array_join(
+            F.transform(toks, lambda t: F.concat(F.lit(f"r{r}"), t)), " "
+        )
+        return base.select(
+            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).alias("n_chars"),
+        )
+
+    def _embs(base, r):
+        if r == 0:
+            return base
+        pert = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x + F.lit(0.017 * r) * F.sin(i.cast("double") + 1.3 * r)
+            ).cast("float"),
+        )
+        return base.select(
+            (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+            pert.alias("embedding"),
+            "label",
+        )
+
+    def _orders(base, r):
+        if r == 0:
+            return base
+        return base.select(
+            (F.col("o_orderkey") + r * 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + r * 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+
+    def _lineitem(base, r):
+        if r == 0:
+            return base
+        return base.select(
+            (F.col("l_orderkey") + r * 10_000_000).alias("l_orderkey"),
+            "l_partkey",
+            (F.col("l_suppkey") + r * 1_000_000).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+
+    _amplify("documents", _docs)
+    _amplify("embeddings", _embs)
+    _amplify("orders", _orders)
+    _amplify("lineitem", _lineitem)
+
+
+def main() -> int:
+    spark = get_spark("bench-sf1")
+    if "--rebuild" in sys.argv:
+        import shutil
+
+        shutil.rmtree(OUT, ignore_errors=True)
+    t0 = time.perf_counter()
+    build(spark)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    # amplified tables + the untouched small dims straight from sf0.1
+    amplified = {"documents", "embeddings", "orders", "lineitem"}
+    con = duckdb.connect()
+    for t in TABLES:
+        d = OUT if t in amplified else SRC
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+
+    # spark reads the same mixed layout: point _t's table loads at a dir
+    # that contains the amplified four; fall back links for the rest
+    for t in TABLES:
+        if t not in amplified:
+            dst = os.path.join(OUT, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+
+    t0 = time.perf_counter()
+    staged = Q.stage_artifacts(spark, OUT)
+    staging_sec = round(time.perf_counter() - t0, 1)
+
+    out: dict = {
+        "metric": "sf1_heavy_tier_suite",
+        "sf": "sf0.1 x10 amplified (~sf1)",
+        "build_sec": build_sec,
+        "staging_sec": staging_sec,
+        "runs": N_RUNS,
+        "queries": {},
+        "duckdb": {},
+        "rows": {},
+    }
+    for name in HEAVY:
+        fn = Q.SPARK_QUERIES[name]
+        best = None
+        nrows = 0
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            nrows = len(fn(spark, OUT).collect())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out["queries"][name] = round(best, 3)
+        out["rows"][name] = nrows
+
+        sql = Q.ORACLE_SQL.get(name)
+        if sql is None:
+            out["duckdb"][name] = None
+            continue
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out["duckdb"][name] = round(best, 3)
+        print(
+            f"{name}: spark={out['queries'][name]}s "
+            f"duck={out['duckdb'][name]}s rows={nrows}",
+            file=sys.stderr,
+        )
+
+    spark_total = sum(out["queries"].values())
+    duck_total = sum(v for v in out["duckdb"].values() if v)
+    out["spark_total"] = round(spark_total, 2)
+    out["duckdb_total"] = round(duck_total, 2)
+    out["ratio"] = round(spark_total / duck_total, 3) if duck_total else None
+    line = json.dumps(out)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(OUT), "..", "BENCH_SF1.json"), "w"
+    ) as f:
+        f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
