@@ -109,11 +109,16 @@ def substring_dup_pairs(
     ``hashes``: a pre-staged :func:`window_hashes` table (the cluster
     path — stage the index once, run pair queries many times).
     """
-    sh = (
-        hashes
-        if hashes is not None
-        else window_hashes(docs, id_col, text_col, window)
-    )
+    if hashes is not None:
+        sh = hashes
+    else:
+        # persist + eager barrier: the plan references the index on both
+        # join sides (plus the df_cap aggregate) — without a barrier the
+        # window-explode subtree recomputes per reference (the
+        # ngram_jaccard_pairs lesson). Cluster path: stage the index to
+        # a table (the `subwin8` artifact) and pass ``hashes=``.
+        sh = window_hashes(docs, id_col, text_col, window).persist()
+        sh.count()
     if df_cap is not None:
         rare = (
             sh.groupBy("wh")
@@ -131,6 +136,79 @@ def substring_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def window_hash_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Positioned index rows ``(doc_id, pos, wh)``: the 64-bit hash of
+    the length-``window`` word run STARTING at 1-based word position
+    ``pos`` — NOT distinct (run reconstruction needs every position).
+    Same row cardinality as :func:`window_hashes` before its distinct.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(window_runs(F.col(text_col), window)).alias("p0", "s"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), F.xxhash64("s").alias("wh")
+    )
+
+
+def longest_common_run(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_run: int | None = None,
+    positions: DataFrame | None = None,
+) -> DataFrame:
+    """Per document pair, the length IN WORDS of the longest exact
+    shared word run — the measurement Lee et al. 2022's suffix arrays
+    produce, recovered here from shared-window POSITIONS: a shared
+    window at word position ``i`` of A and ``j`` of B lies on diagonal
+    ``d = i - j``; consecutive positions on one (pair, diagonal) chain
+    into islands, and an island of ``L`` windows certifies a shared run
+    of exactly ``L + window - 1`` words. Output: ``(id_a, id_b,
+    run_words)`` with ``id_a < id_b``; ``min_run`` filters (in words).
+
+    Scale shape: the join ships (8-byte hash, doc id, int position)
+    rows; the island detection is the gaps-and-islands anatomy
+    (`merge_intervals`/sessionize) — ``pos - row_number()`` per
+    (pair, diagonal) partition, i.e. ONE window pass riding the
+    pair-level shuffle, then two hash aggregates. Positions are unique
+    per (pair, diagonal) by construction (one row per position per
+    doc), so no distinct is needed anywhere.
+
+    ``positions``: a pre-staged :func:`window_hash_positions` table.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        positions
+        if positions is not None
+        else window_hash_positions(docs, id_col, text_col, window)
+    )
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "wh")
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "wh")
+    m = (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("dd"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "dd").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "dd", "grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy("id_a", "id_b")
+        .agg((F.max("_len") + F.lit(window - 1)).alias("run_words"))
+    )
+    if min_run is not None:
+        runs = runs.filter(F.col("run_words") >= min_run)
+    return runs
 
 
 def boilerplate_windows(

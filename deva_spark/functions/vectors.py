@@ -200,6 +200,86 @@ def _bucket_ids_udf(planes_mat: "np.ndarray", n_tables: int, n_planes: int):
     return bucket_ids
 
 
+def lsh_topk_onepass(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-pass formulation of :func:`lsh_bucketed_topk` — identical
+    results (same double-precision sign buckets, same any-table
+    candidate rule, same HALF_UP 4dp cosine, same (cos desc, id) order),
+    restructured for scale: query buckets are computed driver-side
+    (queries are small by contract — the ivf_search_staged pattern),
+    and ONE ``mapInPandas`` pass over the vectors does bucket-match +
+    rescore + per-partition top-k in numpy. The only shuffled rows are
+    the <= partitions*k*Q partial winners into the bounded global
+    top-k merge (exact: global top-k under the (cos desc, vec_id) total
+    order is partition-invariant — the x72 argument) — versus the
+    explode/distinct/rescore-join pipeline's three data-sized shuffles.
+
+    Rescore uses a numpy matmul (pairwise summation) where the join
+    formulation folds left-to-right — ~1e-15 relative, invisible at the
+    4dp rounding (DEVIATIONS #13, the x32 contract).
+    """
+    planes_mat = np.array(deterministic_planes(dim, n_planes * n_tables))
+    weights = 1 << np.arange(n_planes)
+
+    def _buckets(m: "np.ndarray") -> "np.ndarray":
+        s = (m @ planes_mat.T) >= 0
+        return (s.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.array(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.linalg.norm(qm, axis=1)
+    qb = _buckets(qm)  # (Q, T)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vids = pdf[id_col].to_numpy().astype(np.int64)
+            cb = _buckets(M)  # (N, T)
+            match = (cb[:, None, :] == qb[None, :, :]).any(axis=2)  # (N, Q)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                mask = match[:, qi] & (vids != qids[qi])
+                if not mask.any():
+                    continue
+                V_ = M[mask]
+                v_ = vids[mask]
+                raw = (V_ @ qm[qi]) / (
+                    np.linalg.norm(V_, axis=1) * qnorm[qi]
+                )
+                # HALF_UP, matching F.round/duckdb ROUND
+                c_ = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+                top = np.lexsort((v_, -c_))[:k]
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(v_[top])
+                out_c.extend(c_[top])
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cos": out_c}
+            ).astype({"qid": "int64", "vec_id": "int64", "cos": "float64"})
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(
+        _score, "qid long, vec_id long, cos double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
 #: persisted signature DFs produced by :func:`cosine_neardup_pairs`,
 #: released by :func:`release_neardup_cache`
 _NEARDUP_CACHE: list[DataFrame] = []

@@ -220,6 +220,16 @@ def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.neardup_base(_t(spark, sf_dir, "embeddings"))
 
 
+def _build_subwin8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74's per-doc distinct 8-word-window hash index ``(doc_id, wh)``
+    (`substring.window_hashes`) — the doc_sigs/shingle5 pattern: a pure
+    per-doc function of the text, staged once so the pair query's two
+    join sides scan parquet instead of re-running the window explode."""
+    from deva_spark.functions.substring import window_hashes
+
+    return window_hashes(_t(spark, sf_dir, "documents"), window=8)
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -231,6 +241,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_base": _build_emb_base,
     "pr_edges": _build_pr_edges,
     "shingle5_src": _build_shingle5_src,
+    "subwin8": _build_subwin8,
 }
 
 
@@ -1285,8 +1296,15 @@ def _x09_oracle() -> str:
 
 @query("x09_ann_lsh_topk", None)  # oracle attached below (generated)
 def x09(spark, sf):
+    # Single-pass LSH ANN (r8): driver-side query buckets + one
+    # mapInPandas bucket-match/rescore/partial-top-k over the vectors,
+    # bounded global merge — identical results to the join formulation
+    # (parity-tested), ~3x faster and ONE bounded shuffle instead of
+    # three data-sized ones. The r7 staged-bucket-table experiment
+    # stayed reverted (ROUND7_NOTES: measured slower); this is the
+    # different cut that worked.
     emb = _t(spark, sf, "embeddings")
-    return V.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return V.lsh_topk_onepass(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 ORACLE_SQL["x09_ann_lsh_topk"] = _x09_oracle()
@@ -3545,9 +3563,61 @@ def x74(spark, sf):
     # count, hash-stable across engines.
     from deva_spark.functions.substring import substring_dup_pairs
 
+    staged = staged_artifact_path(sf, "subwin8")
+    if staged:
+        # staged window-hash index: both join sides scan parquet
+        return substring_dup_pairs(
+            _t(spark, sf, "documents"),
+            window=8,
+            min_common=1,
+            hashes=spark.read.parquet(staged),
+        )
     return substring_dup_pairs(
         _t(spark, sf, "documents"), window=8, min_common=1
     )
+
+
+@query(
+    "x75_longest_common_run",
+    r"""WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), p AS (
+          SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                          i -> struct_pack(pos := i,
+                               s := array_to_string(w[i : i + 7], ' ')))) AS u
+            FROM d WHERE len(w) >= 8
+          )
+        ), m AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa,
+                 a.pos - b.pos AS dd
+          FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+        ), r AS (
+          SELECT ia, ib, dd, pa,
+                 pa - ROW_NUMBER() OVER (
+                   PARTITION BY ia, ib, dd ORDER BY pa) AS grp
+          FROM m
+        ), runs AS (
+          SELECT ia, ib, COUNT(*) AS len
+          FROM r GROUP BY ia, ib, dd, grp
+        )
+        SELECT ia AS id_a, ib AS id_b, MAX(len) + 7 AS run_words
+        FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def x75(spark, sf):
+    # Longest exact shared word-run per doc pair (substring.
+    # longest_common_run — the measurement Lee et al.'s suffix arrays
+    # produce): shared windows land on (pair, diagonal) chains, a
+    # pos - row_number() island pass measures them, and an island of L
+    # windows certifies a run of L + window - 1 words exactly. The join
+    # ships (hash, id, pos) rows; the island window rides the pair
+    # shuffle.
+    from deva_spark.functions.substring import longest_common_run
+
+    return longest_common_run(_t(spark, sf, "documents"), window=8)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
@@ -3582,7 +3652,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # then the r06-green set, minus the ten deferrals below
     "q03_group_agg",
     "q06_dedup_first_seen",
-    "q07_consecutive_dedup",
     "q08_inner_join",
     "q10_semi_join",
     "q11_anti_join",
@@ -3633,12 +3702,15 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: slice (t-tested), q25 string fns / q28 math fns (pure built-ins,
 #: t-tested), q29 explode (x56 shape), q30 frequencies (q03 shape),
 #: q04 avg/min/max (q03's group-agg shape, in-window), q09 left join
-#: coalesce (join family q08/q10/q11/q12 all in-window).
+#: coalesce (join family q08/q10/q11/q12 all in-window), q07
+#: consecutive-dedup (lag-over-keyed-window shape — q20 lag_diff stays
+#: in-window; displaced by the third r8 registration x75).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
     "q04_avg_min_max",
     "q05_distinct",
+    "q07_consecutive_dedup",
     "q09_left_join_coalesce",
     "q22_slice",
     "q25_string_fns",

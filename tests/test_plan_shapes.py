@@ -249,7 +249,8 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         spark,
         sf_dir,
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
-         "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16"],
+         "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16",
+         "subwin8"],
     )
     for name in (
         "x15_corpus_curation",
@@ -259,6 +260,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         "x23_cosine_neardup",
         "x32_ivf_topk",
         "x06_minhash_lsh_neardup",
+        "x74_substring_dup_pairs",
     ):
         p = (
             Q.SPARK_QUERIES[name](spark, sf_dir)

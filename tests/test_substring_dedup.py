@@ -148,6 +148,85 @@ def test_staged_hashes_route_matches_inline(spark):
         staged.unpersist()
 
 
+def test_longest_common_run_exact_length(spark):
+    # an island of L shared windows certifies a run of exactly
+    # L + window - 1 words — plant spans of known lengths and check
+    # the reported word counts are exact
+    from deva_spark.functions.substring import longest_common_run
+
+    rng = random.Random(21)
+    span17 = " ".join(f"c{i}" for i in range(17))
+    span9 = " ".join(f"k{i}" for i in range(9))
+    rows = [
+        (1, _vocab_text(rng, 50) + " " + span17 + " " + _vocab_text(rng, 30)),
+        # doc 2 shares the 17-word span AND a separate 9-word span —
+        # run_words reports the LONGEST
+        (2, span9 + " " + _vocab_text(rng, 40) + " " + span17),
+        # doc 3 shares only the 9-word span
+        (3, _vocab_text(rng, 60) + " " + span9),
+    ]
+    out = {
+        (r.id_a, r.id_b): r.run_words
+        for r in longest_common_run(_docs(spark, rows), window=5).collect()
+    }
+    assert out[(1, 2)] == 17
+    assert out[(2, 3)] == 9
+    assert (1, 3) not in out  # no shared 5-word run
+    # min_run filters in words
+    flt = longest_common_run(_docs(spark, rows), window=5, min_run=10).collect()
+    assert {(r.id_a, r.id_b) for r in flt} == {(1, 2)}
+
+
+def test_longest_common_run_matches_bruteforce(spark):
+    # random soup with planted overlaps == python longest-common-
+    # substring-at-word-level reference (dynamic programming)
+    from deva_spark.functions.substring import longest_common_run
+
+    rng = random.Random(33)
+    W = 4
+    texts = {i: _vocab_text(rng, rng.randrange(15, 40), vocab=12) for i in range(1, 7)}
+    texts[5] = texts[5] + " " + " ".join(texts[4].split()[2:11])
+
+    def lcs_words(a, b):
+        aw, bw = a.lower().split(), b.lower().split()
+        best = 0
+        dp = [0] * (len(bw) + 1)
+        for i in range(1, len(aw) + 1):
+            prev = 0
+            for j in range(1, len(bw) + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if aw[i - 1] == bw[j - 1] else 0
+                best = max(best, dp[j])
+                prev = cur
+        return best
+
+    expected = {}
+    for i in texts:
+        for j in texts:
+            if i < j:
+                L = lcs_words(texts[i], texts[j])
+                if L >= W:
+                    expected[(i, j)] = L
+    out = {
+        (r.id_a, r.id_b): r.run_words
+        for r in longest_common_run(_docs(spark, sorted(texts.items())), window=W).collect()
+    }
+    assert out == expected
+    assert (4, 5) in out and out[(4, 5)] >= 9
+
+
+def test_longest_common_run_periodic_text(spark):
+    # repeated periodic content: every window of A matches many
+    # positions of B — diagonals keep the islands straight
+    from deva_spark.functions.substring import longest_common_run
+
+    a = " ".join(["p q r"] * 6)  # 18 words, period 3
+    b = " ".join(["p q r"] * 4)  # 12 words
+    out = longest_common_run(_docs(spark, [(1, a), (2, b)]), window=4).collect()
+    # longest shared run == all of b (12 words), found on some diagonal
+    assert len(out) == 1 and out[0].run_words == 12
+
+
 def test_pair_plan_has_no_cartesian(spark):
     docs = _docs(spark, [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")])
     plan = (

@@ -118,6 +118,17 @@ def test_lsh_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_onepass_matches_join_formulation(spark, emb):
+    # the single-pass mapInPandas route (driver query buckets +
+    # per-partition rescore/top-k, x09's r8 plan) must return IDENTICAL
+    # rows to the explode/join formulation — same buckets, same HALF_UP
+    # 4dp cosines, same (cos desc, id) order
+    qs = emb.filter(F.col("vec_id") < 10)
+    a = sorted(tuple(r) for r in V.lsh_bucketed_topk(emb, qs, k=5).collect())
+    b = sorted(tuple(r) for r in V.lsh_topk_onepass(emb, qs, k=5).collect())
+    assert a == b and len(a) > 0
+
+
 def test_centroids_shape(spark, emb):
     out = V.centroids(emb).collect()
     labels = {r.label for r in out}

@@ -99,12 +99,28 @@ def build(spark) -> None:
         )
 
     def _embs(base, r):
+        # per-replica ORTHOGONAL transform (coordinate rotation by 7r +
+        # deterministic sign flips): within-replica pairwise cosines are
+        # preserved EXACTLY (near-dup structure scales linearly), while
+        # cross-replica cosines decorrelate to ~0 (no artificial
+        # quadratic pair blowup — additive noise either left replicas
+        # near-identical or destroyed within-replica structure)
         if r == 0:
             return base
+        dim = 64
         pert = F.transform(
             F.col("embedding"),
             lambda x, i: (
-                x + F.lit(0.017 * r) * F.sin(i.cast("double") + 1.3 * r)
+                F.element_at(F.col("embedding"), (i + 7 * r) % dim + 1)
+                * (
+                    1
+                    - 2
+                    * (
+                        (i.cast("bigint") * 1103515245 + r * 12345)
+                        % 97
+                        % 2
+                    ).cast("int")
+                )
             ).cast("float"),
         )
         return base.select(
@@ -162,10 +178,12 @@ def main() -> int:
     amplified = {"documents", "embeddings", "orders", "lineitem"}
     con = duckdb.connect()
     for t in TABLES:
-        d = OUT if t in amplified else SRC
+        p = os.path.join(OUT if t in amplified else SRC, f"{t}.parquet")
+        if os.path.isdir(p):  # spark writes a directory of part files
+            p = os.path.join(p, "*.parquet")
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{p}')"
         )
 
     # spark reads the same mixed layout: point _t's table loads at a dir
