@@ -211,6 +211,122 @@ def longest_common_run(
     return runs
 
 
+def remove_duplicate_runs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+    positions: DataFrame | None = None,
+) -> DataFrame:
+    """The tier's ACTION step — Lee et al. 2022's actual deduplication:
+    rewrite the corpus with every length->=``window`` word run that
+    appears in >= ``min_docs`` documents removed from all but its
+    first-seen (min ``doc_id``) document. x74/x75 DETECT shared runs;
+    this operator removes them. Output per document: ``(doc_id,
+    n_words, n_removed, clean_text)`` where ``clean_text`` is the
+    surviving words joined by single spaces (text is canonicalized —
+    lowercased, whitespace-normalized — for untouched documents too, so
+    the output is a uniform rewritten corpus, not a mixed one).
+
+    Semantics: the keeper of a duplicated window keeps ALL its
+    occurrences; every other document drops every word position covered
+    by that window. A document can be keeper for one window and lose
+    another — removal is per-window, which is what makes the pass
+    corpus-global rather than pairwise.
+
+    Scale shape — LINEAR, never pairwise: one positioned window index
+    (``(doc_id, pos, wh)`` — 8-byte hashes, same cardinality as the
+    corpus word count), one hash aggregate for the duplicate mask
+    (count-distinct docs + min keeper per hash), one hash-join of index
+    against mask (fan-out = occurrence count, linear in corpus size
+    even for boilerplate in 10k docs — unlike the pairwise tiers there
+    is no quadratic hot-key risk), a gaps-and-islands interval merge
+    riding the per-doc shuffle (the x73 anatomy over word-position
+    spans), and one join back to the documents for the rewrite, which
+    is pure JVM array expressions (filter-by-interval + array_join).
+    Nothing collects to the driver.
+
+    ``positions``: a pre-staged :func:`window_hash_positions` table
+    (the cluster path; it is also used twice here, so the unstaged
+    build persists it with an eager barrier).
+    """
+    from pyspark.sql import Window
+
+    if positions is not None:
+        p = positions
+        owned = None
+    else:
+        # referenced twice (mask aggregate + cover join): barrier, or
+        # the window-explode subtree recomputes per reference
+        owned = window_hash_positions(docs, id_col, text_col, window).persist()
+        owned.count()
+        p = owned
+    mask = (
+        p.groupBy("wh")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("wh", "keep_id")
+    )
+    cov = (
+        p.join(mask, "wh")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    # merge covered [s, e] word spans per doc (gaps-and-islands over
+    # spans — the merge_intervals anatomy; adjacency merges too, since
+    # only the covered-position union matters). (doc_id, s) is unique
+    # by construction: one index row per word position per doc.
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col("s") > prev_max + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    ivs = (
+        cov.withColumn("isl", F.sum(brk).over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    ws = words(F.lower(F.col("text")))
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+    kept = F.filter(
+        ws,
+        lambda wd, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
+        ),
+    )
+    out = (
+        base.join(ivs, "doc_id", "left")
+        .withColumn("ivs", F.coalesce(F.col("ivs"), empty_ivs))
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            (F.size(ws) - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+    if owned is not None:
+        # the plan is built; the barrier already ran, and the persisted
+        # index stays cached for the job that executes this plan
+        pass
+    return out
+
+
 def boilerplate_windows(
     docs: DataFrame,
     id_col: str = "doc_id",

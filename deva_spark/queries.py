@@ -230,6 +230,16 @@ def _build_subwin8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_hashes(_t(spark, sf_dir, "documents"), window=8)
 
 
+def _build_subpos8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x76's positioned 8-word-window hash index ``(doc_id, pos, wh)``
+    (`substring.window_hash_positions`) — referenced twice by the
+    removal pass (mask aggregate + cover join), so staging it means two
+    parquet scans instead of two window explodes."""
+    from deva_spark.functions.substring import window_hash_positions
+
+    return window_hash_positions(_t(spark, sf_dir, "documents"), window=8)
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -242,6 +252,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pr_edges": _build_pr_edges,
     "shingle5_src": _build_shingle5_src,
     "subwin8": _build_subwin8,
+    "subpos8": _build_subpos8,
 }
 
 
@@ -3620,6 +3631,70 @@ def x75(spark, sf):
     return longest_common_run(_t(spark, sf, "documents"), window=8)
 
 
+@query(
+    "x76_remove_duplicate_runs",
+    r"""WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), p AS (
+          SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                          i -> struct_pack(pos := i,
+                               s := array_to_string(w[i : i + 7], ' ')))) AS u
+            FROM d WHERE len(w) >= 8
+          )
+        ), mask AS (
+          SELECT s, MIN(doc_id) AS keep_id
+          FROM p GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+        ), cov AS (
+          SELECT DISTINCT p.doc_id, p.pos + k.o AS cp
+          FROM p JOIN mask ON p.s = mask.s AND p.doc_id <> mask.keep_id
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS o) k
+        ), wp AS (
+          SELECT doc_id, u.i AS i, u.wd AS wd FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1),
+                          j -> struct_pack(i := j, wd := w[j]))) AS u
+            FROM d
+          )
+        ), kept AS (
+          SELECT wp.doc_id, wp.i, wp.wd
+          FROM wp LEFT JOIN cov
+            ON wp.doc_id = cov.doc_id AND wp.i = cov.cp
+          WHERE cov.doc_id IS NULL
+        )
+        SELECT d.doc_id,
+               len(d.w) AS n_words,
+               len(d.w) - COUNT(k.i) AS n_removed,
+               COALESCE(string_agg(k.wd, ' ' ORDER BY k.i), '') AS clean_text
+        FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id, len(d.w)
+        ORDER BY d.doc_id""",
+)
+def x76(spark, sf):
+    # The substring tier's ACTION step (Lee et al. 2022's actual
+    # dedup): rewrite the corpus with every >=8-word run shared by >=2
+    # docs removed from all but its first-seen (min doc_id) doc.
+    # x74/x75 detect; this removes. LINEAR anatomy — positioned window
+    # index, duplicate mask (one hash aggregate), index-vs-mask hash
+    # join (occurrence fan-out, no pairwise blowup), gaps-and-islands
+    # interval merge per doc (the x73 anatomy over word spans), then a
+    # pure-JVM array rewrite (filter-by-interval + array_join). Output
+    # text is hash-stable: exact words joined by single spaces.
+    from deva_spark.functions.substring import remove_duplicate_runs
+
+    staged = staged_artifact_path(sf, "subpos8")
+    if staged:
+        return remove_duplicate_runs(
+            _t(spark, sf, "documents"),
+            window=8,
+            positions=spark.read.parquet(staged),
+        )
+    return remove_duplicate_runs(_t(spark, sf, "documents"), window=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3667,7 +3742,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q24a_intersect",
     "q24b_except",
     "q26_regexp_extract",
-    "q27_date_trunc",
     "q31_percentile",
     "q32_rollup",
     "q33_zscore_anomaly",
@@ -3704,7 +3778,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: q04 avg/min/max (q03's group-agg shape, in-window), q09 left join
 #: coalesce (join family q08/q10/q11/q12 all in-window), q07
 #: consecutive-dedup (lag-over-keyed-window shape — q20 lag_diff stays
-#: in-window; displaced by the third r8 registration x75).
+#: in-window; displaced by the third r8 registration x75), q27
+#: date-trunc (x53 hourly-trending in-window exercises the same
+#: date_trunc bucketing; displaced by the fourth r8 registration x76).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -3714,6 +3790,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q09_left_join_coalesce",
     "q22_slice",
     "q25_string_fns",
+    "q27_date_trunc",
     "q28_math_fns",
     "q29_explode_words",
     "q30_frequencies",

@@ -236,3 +236,130 @@ def test_pair_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_remove_duplicate_runs_planted_span(spark):
+    # 3 docs; docs 1 and 2 share a 20-word span — keeper (min doc_id,
+    # doc 1) keeps everything, doc 2 loses exactly the 20 covered
+    # words, doc 3 is untouched (but canonicalized: lowercase + single
+    # spaces)
+    from deva_spark.functions.substring import remove_duplicate_runs
+
+    rng = random.Random(11)
+    span = " ".join(f"dup{i}" for i in range(20))
+    pre2, post2 = _vocab_text(rng, 30), _vocab_text(rng, 40)
+    d1 = _vocab_text(rng, 60) + " " + span + " " + _vocab_text(rng, 25)
+    d2 = pre2 + " " + span + " " + post2
+    d3 = _vocab_text(rng, 50)
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_runs(
+            _docs(spark, [(1, d1), (2, d2), (3, d3)]), window=8
+        ).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == d1.lower()
+    assert out[2].n_removed == 20
+    assert out[2].clean_text == (pre2 + " " + post2).lower()
+    assert out[3].n_removed == 0 and out[3].clean_text == d3.lower()
+    assert out[2].n_words == 30 + 20 + 40
+
+
+def test_remove_duplicate_runs_cross_keeper(spark):
+    # doc 1 is keeper for span A (loses span B), doc 2 is keeper for
+    # span B (loses span A) — removal is per-window, not per-document
+    from deva_spark.functions.substring import remove_duplicate_runs
+
+    rng = random.Random(13)
+    sa = " ".join(f"aa{i}" for i in range(12))
+    sb = " ".join(f"bb{i}" for i in range(12))
+    f1, f2, f3, f4 = (_vocab_text(rng, 20, vocab=500) for _ in range(4))
+    # doc 1 has A then B; doc 2 has B then A; keeper is min doc_id per
+    # WINDOW, so doc 1 keeps both (it contains both spans) — use 3 docs
+    d1 = f1 + " " + sa
+    d2 = f2 + " " + sb
+    d3 = f3 + " " + sa + " " + f4 + " " + sb
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_runs(
+            _docs(spark, [(1, d1), (2, d2), (3, d3)]), window=8
+        ).collect()
+    }
+    # doc 3 loses BOTH spans (keeper of A is doc 1, of B is doc 2)
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    assert out[3].n_removed == 24
+    assert out[3].clean_text == (f3 + " " + f4).lower()
+
+
+def test_remove_duplicate_runs_matches_bruteforce(spark):
+    # random soup with planted overlaps == a python reference that
+    # replays the exact semantics (window mask -> covered positions)
+    from deva_spark.functions.substring import remove_duplicate_runs
+
+    rng = random.Random(17)
+    W = 4
+    texts = {i: _vocab_text(rng, rng.randrange(12, 30), vocab=10) for i in range(1, 8)}
+    texts[6] = texts[6] + " " + " ".join(texts[3].split()[1:9])
+
+    def reference(texts, w):
+        toks = {i: t.lower().split() for i, t in texts.items()}
+        occ = {}
+        for i, tw in toks.items():
+            for p in range(len(tw) - w + 1):
+                occ.setdefault(tuple(tw[p : p + w]), {}).setdefault(i, []).append(p)
+        cov = {i: set() for i in toks}
+        for win, docs_ in occ.items():
+            if len(docs_) < 2:
+                continue
+            keep = min(docs_)
+            for i, ps in docs_.items():
+                if i == keep:
+                    continue
+                for p in ps:
+                    cov[i].update(range(p, p + w))
+        return {
+            i: (
+                len(tw),
+                len(cov[i]),
+                " ".join(t for j, t in enumerate(tw) if j not in cov[i]),
+            )
+            for i, tw in toks.items()
+        }
+
+    exp = reference(texts, W)
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in remove_duplicate_runs(
+            _docs(spark, sorted(texts.items())), window=W
+        ).collect()
+    }
+    assert got == exp
+    assert any(v[1] > 0 for v in exp.values())  # the planted copy fired
+
+
+def test_remove_duplicate_runs_staged_positions_route(spark):
+    from deva_spark.functions.substring import (
+        remove_duplicate_runs,
+        window_hash_positions,
+    )
+
+    rng = random.Random(19)
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, _vocab_text(rng, 30) + " " + span),
+        (2, span + " " + _vocab_text(rng, 30)),
+    ]
+    docs = _docs(spark, rows)
+    staged = window_hash_positions(docs, window=6).persist()
+    try:
+        a = sorted(map(tuple, remove_duplicate_runs(docs, window=6).collect()))
+        b = sorted(
+            map(
+                tuple,
+                remove_duplicate_runs(
+                    docs, window=6, positions=staged
+                ).collect(),
+            )
+        )
+        assert a == b and a[1][2] > 0  # doc 2 lost the span
+    finally:
+        staged.unpersist()
