@@ -138,6 +138,64 @@ def substring_dup_pairs(
     )
 
 
+def window_doc_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Pair-ready grouped index ``(wh, ids)``: per window hash, the
+    SORTED array of documents containing it. The x55 `shingle5_src`
+    move applied to this tier: the groupBy-wh shuffle happens at
+    STAGING time, so the timed pair query is scan → in-array pair
+    explode → one pair aggregate — one shuffle instead of two and one
+    scan instead of two. Hot-window skew is identical to the join
+    formulation (the same wh key concentrates the same pairs either
+    way); ``df_cap`` in the consumer bounds it."""
+    return (
+        window_hashes(docs, id_col, text_col, window)
+        .groupBy("wh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+
+
+def substring_dup_pairs_from_groups(
+    groups: DataFrame,
+    min_common: int = 1,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """:func:`substring_dup_pairs` computed from a staged
+    :func:`window_doc_groups` table — identical rows (parity-tested):
+    ordered in-array pairs (ids sorted at build time, so ``id_a <
+    id_b`` by construction) explode straight out of each group row,
+    then one hash aggregate counts shared windows per pair. ``df_cap``
+    here is exact document frequency (``size(ids)``), same semantics
+    as the join route's capped aggregate."""
+    g = groups
+    if df_cap is not None:
+        g = g.filter(F.size("ids") <= df_cap)
+    pairs = g.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def window_hash_positions(
     docs: DataFrame,
     id_col: str = "doc_id",

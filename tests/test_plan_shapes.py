@@ -250,7 +250,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         sf_dir,
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16",
-         "subwin8", "subpos8"],
+         "subwin8g", "subpos8"],
     )
     for name in (
         "x15_corpus_curation",
@@ -261,6 +261,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         "x32_ivf_topk",
         "x06_minhash_lsh_neardup",
         "x74_substring_dup_pairs",
+        "x75_longest_common_run",
         "x76_remove_duplicate_runs",
     ):
         p = (

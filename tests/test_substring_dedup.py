@@ -363,3 +363,44 @@ def test_remove_duplicate_runs_staged_positions_route(spark):
         assert a == b and a[1][2] > 0  # doc 2 lost the span
     finally:
         staged.unpersist()
+
+
+def test_grouped_pairs_route_matches_join(spark):
+    # the pair-ready grouped index (wh -> sorted doc array, x74's
+    # staged route) must emit IDENTICAL pair rows to the self-join
+    # formulation, including under df_cap
+    from deva_spark.functions.substring import (
+        substring_dup_pairs,
+        substring_dup_pairs_from_groups,
+        window_doc_groups,
+    )
+
+    rng = random.Random(23)
+    span = " ".join(f"g{i}" for i in range(15))
+    rows = [
+        (1, _vocab_text(rng, 40, vocab=8)),
+        (2, _vocab_text(rng, 40, vocab=8)),
+        (3, _vocab_text(rng, 30, vocab=8) + " " + span),
+        (4, span + " " + _vocab_text(rng, 30, vocab=8)),
+    ]
+    docs = _docs(spark, rows)
+    groups = window_doc_groups(docs, window=4).persist()
+    try:
+        for cap in (None, 2):
+            a = sorted(
+                map(
+                    tuple,
+                    substring_dup_pairs(docs, window=4, df_cap=cap).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    substring_dup_pairs_from_groups(
+                        groups, df_cap=cap
+                    ).collect(),
+                )
+            )
+            assert a == b and len(a) > 0, cap
+    finally:
+        groups.unpersist()

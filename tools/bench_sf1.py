@@ -63,6 +63,8 @@ HEAVY = [
     "x61_pagerank_two_steps",
     "x66_semdedup_prune",
     "x74_substring_dup_pairs",
+    "x75_longest_common_run",
+    "x76_remove_duplicate_runs",
 ]
 
 
