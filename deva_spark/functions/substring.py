@@ -196,6 +196,48 @@ def substring_dup_pairs_from_groups(
     )
 
 
+def incremental_dup_pairs(
+    new_hashes: DataFrame,
+    old_hashes: DataFrame,
+    min_common: int = 1,
+) -> DataFrame:
+    """Incremental form of :func:`substring_dup_pairs` — the shape a
+    growing corpus actually runs: a NEW batch's window index joins the
+    STAGED index of the existing corpus, emitting only pairs with at
+    least one new side (new x old via the index join, new x new via the
+    batch self-join). old x old pairs were reported when those docs
+    arrived and are never recomputed, so the per-batch cost is
+    proportional to BATCH size plus matched fan-out — never corpus
+    size. Afterwards the batch index rows are appended to the staged
+    index (a parquet append, no rebuild), which is what makes the
+    staged artifact an operational structure rather than a cache.
+
+    Both inputs are :func:`window_hashes` tables ``(doc_id, wh)``; doc
+    ids must be disjoint between them. Output matches
+    :func:`substring_dup_pairs` on the union corpus, restricted to
+    pairs where ``id_b`` or ``id_a`` is a new doc (parity-tested).
+    """
+    n = new_hashes.select(F.col("doc_id").alias("nid"), "wh")
+    o = old_hashes.select(F.col("doc_id").alias("oid"), "wh")
+    cross = n.join(o, "wh").select(
+        F.least("nid", "oid").alias("id_a"),
+        F.greatest("nid", "oid").alias("id_b"),
+    )
+    a = new_hashes.select(F.col("doc_id").alias("id_a"), "wh")
+    b = new_hashes.select(F.col("doc_id").alias("id_b"), "wh")
+    self_pairs = (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return (
+        cross.unionByName(self_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def window_hash_positions(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3646,6 +3646,58 @@ def x75(spark, sf):
 
 
 @query(
+    "x77_incremental_dup_pairs",
+    r"""WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                          i -> array_to_string(w[i : i + 7], ' '))) AS s
+            FROM d WHERE len(w) >= 8
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id >= 450 OR b.doc_id >= 450
+        GROUP BY 1, 2
+        ORDER BY 1, 2""",
+)
+def x77(spark, sf):
+    # Incremental dedup — the operational 100 TB shape: docs with
+    # doc_id >= 450 simulate a NEW batch; its window index joins the
+    # STAGED index of the existing corpus (new x old) plus a batch
+    # self-join (new x new). old x old is never recomputed, so the
+    # per-batch cost scales with batch size, not corpus size; result ==
+    # the full x74 pair set restricted to pairs touching the batch
+    # (parity-tested). The staged positioned index (subpos8) supplies
+    # (doc_id, wh) rows via one distinct aggregate when present.
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        window_hashes,
+    )
+
+    threshold = 450
+    staged = staged_artifact_path(sf, "subpos8")
+    if staged:
+        idx = (
+            spark.read.parquet(staged).select("doc_id", "wh").distinct()
+        )
+    else:
+        idx = window_hashes(
+            _t(spark, sf, "documents"), window=8
+        ).persist()
+        idx.count()
+    return incremental_dup_pairs(
+        idx.filter(F.col("doc_id") >= threshold),
+        idx.filter(F.col("doc_id") < threshold),
+    )
+
+
+@query(
     "x76_remove_duplicate_runs",
     r"""WITH d AS (
           SELECT doc_id,
@@ -3752,7 +3804,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q19_rank_topk_per_key",
     "q20_lag_diff",
     "q21_topk",
-    "q23_union",
     "q24a_intersect",
     "q24b_except",
     "q26_regexp_extract",
@@ -3794,7 +3845,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: consecutive-dedup (lag-over-keyed-window shape — q20 lag_diff stays
 #: in-window; displaced by the third r8 registration x75), q27
 #: date-trunc (x53 hourly-trending in-window exercises the same
-#: date_trunc bucketing; displaced by the fourth r8 registration x76).
+#: date_trunc bucketing; displaced by the fourth r8 registration x76),
+#: q23 union (set-op family q24a/q24b stays in-window; displaced by the
+#: fifth r8 registration x77).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -3803,6 +3856,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
     "q22_slice",
+    "q23_union",
     "q25_string_fns",
     "q27_date_trunc",
     "q28_math_fns",

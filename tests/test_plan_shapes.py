@@ -263,6 +263,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         "x74_substring_dup_pairs",
         "x75_longest_common_run",
         "x76_remove_duplicate_runs",
+        "x77_incremental_dup_pairs",
     ):
         p = (
             Q.SPARK_QUERIES[name](spark, sf_dir)

@@ -3,6 +3,7 @@
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from deva_spark.functions.substring import (
     boilerplate_windows,
@@ -404,3 +405,46 @@ def test_grouped_pairs_route_matches_join(spark):
             assert a == b and len(a) > 0, cap
     finally:
         groups.unpersist()
+
+
+def test_incremental_pairs_matches_full_restricted(spark):
+    # incremental (new-batch index vs staged corpus index) must equal
+    # the full pair set restricted to pairs touching the batch — and
+    # must contain NO old x old pair
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        substring_dup_pairs,
+        window_hashes,
+    )
+
+    rng = random.Random(29)
+    span = " ".join(f"inc{i}" for i in range(12))
+    rows = [
+        (1, _vocab_text(rng, 30, vocab=9)),
+        (2, _vocab_text(rng, 30, vocab=9) + " " + span),
+        (3, _vocab_text(rng, 25, vocab=9)),
+        # "new batch"
+        (4, span + " " + _vocab_text(rng, 20, vocab=9)),
+        (5, _vocab_text(rng, 25, vocab=9)),
+    ]
+    docs = _docs(spark, rows)
+    T = 4
+    full = {
+        (r.id_a, r.id_b): r.n_common
+        for r in substring_dup_pairs(docs, window=4).collect()
+    }
+    expected = {p: c for p, c in full.items() if p[0] >= T or p[1] >= T}
+    assert any(p[1] >= T and p[0] < T for p in expected)  # cross fired
+    idx = window_hashes(docs, window=4).persist()
+    try:
+        got = {
+            (r.id_a, r.id_b): r.n_common
+            for r in incremental_dup_pairs(
+                idx.filter(F.col("doc_id") >= T),
+                idx.filter(F.col("doc_id") < T),
+            ).collect()
+        }
+    finally:
+        idx.unpersist()
+    assert got == expected
+    assert all(p[0] >= T or p[1] >= T for p in got)
