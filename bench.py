@@ -67,6 +67,7 @@ def main() -> None:
             "x63_streaming_trending",
             "x69_streaming_funnel",
             "x71_streaming_retention",
+            "x78_streaming_incremental_dedup",
         }
     )
     names = [

@@ -2020,6 +2020,18 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return cache[key]
 
 
+def _staged_docs(spark: SparkSession, sf_dir: str, min_id: int = 450) -> str:
+    """Stage the new-batch document slice once per (session, sf) as
+    doc_id-ordered chunks for the streaming incremental-dedup drain."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "staged_docs", min_id)
+    if key not in cache:
+        from deva_spark.streaming.twin import stage_doc_chunks
+
+        cache[key] = stage_doc_chunks(spark, sf_dir, chunks=3, min_id=min_id)
+    return cache[key]
+
+
 @query(
     "x33_streaming_tumbling",
     """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
@@ -3698,6 +3710,70 @@ def x77(spark, sf):
 
 
 @query(
+    "x78_streaming_incremental_dedup",
+    r"""WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                          i -> array_to_string(w[i : i + 7], ' '))) AS s
+            FROM d WHERE len(w) >= 8
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 450 AND b.doc_id >= 450
+        GROUP BY 1, 2
+        ORDER BY 1, 2""",
+)
+def x78(spark, sf):
+    # STREAMING incremental dedup (x77's operational arrival shape):
+    # new documents land on a file stream in doc_id-ordered chunks;
+    # each micro-batch's window index (stateless explode+hash)
+    # stream-static joins the STAGED corpus index and a streaming
+    # aggregation counts shared windows per (old, new) pair. Counts
+    # decompose over micro-batches, so the AvailableNow drain
+    # hash-matches the batch oracle under any batching. The new-x-new
+    # side runs as the batch epilogue (x77) once the batch index
+    # appends to the staged corpus.
+    from deva_spark.functions.substring import window_hashes
+    from deva_spark.streaming.twin import (
+        docs_file_stream,
+        run_available_now,
+        streaming_incremental_pairs,
+    )
+
+    threshold = 450
+    staged = staged_artifact_path(sf, "subpos8")
+    if staged:
+        old = (
+            spark.read.parquet(staged)
+            .filter(F.col("doc_id") < threshold)
+            .select("doc_id", "wh")
+            .distinct()
+        )
+    else:
+        # static side is re-evaluated every micro-batch: persist it
+        old = window_hashes(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < threshold),
+            window=8,
+        ).persist()
+        old.count()
+    s = docs_file_stream(
+        spark, _staged_docs(spark, sf, threshold), files_per_trigger=1
+    )
+    return run_available_now(
+        streaming_incremental_pairs(s, old, window=8),
+        "x78_drain",
+        output_mode="complete",
+    )
+
+
+@query(
     "x76_remove_duplicate_runs",
     r"""WITH d AS (
           SELECT doc_id,
@@ -3803,7 +3879,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
     "q20_lag_diff",
-    "q21_topk",
     "q24a_intersect",
     "q24b_except",
     "q26_regexp_extract",
@@ -3847,7 +3922,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: date-trunc (x53 hourly-trending in-window exercises the same
 #: date_trunc bucketing; displaced by the fourth r8 registration x76),
 #: q23 union (set-op family q24a/q24b stays in-window; displaced by the
-#: fifth r8 registration x77).
+#: fifth r8 registration x77), q21 global top-k (q19 rank-topk-per-key
+#: in-window shares the TakeOrderedAndProject shape, which is also
+#: plan-asserted; displaced by the sixth r8 registration x78).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -3855,6 +3932,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q05_distinct",
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
+    "q21_topk",
     "q22_slice",
     "q23_union",
     "q25_string_fns",

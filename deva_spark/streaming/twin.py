@@ -64,6 +64,88 @@ def stage_event_chunks(
     return out_dir
 
 
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stage_doc_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = 3,
+    min_id: int = 450,
+    out_dir: str | None = None,
+) -> str:
+    """Stage the NEW-batch slice of the documents table (``doc_id >=
+    min_id`` — the x77 batch simulation) as ``chunks`` parquet files so
+    a file-stream source replays the batch arriving incrementally. Same
+    anatomy as :func:`stage_event_chunks`: range-partitioned distributed
+    write, driver touches only file metadata (rename + monotonic
+    mtimes)."""
+    import time
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="deva_docstream_")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= min_id
+    )
+    (
+        docs.repartitionByRange(chunks, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    t0 = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
+        os.rename(os.path.join(out_dir, name), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    return out_dir
+
+
+def docs_file_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over staged document chunks."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def streaming_incremental_pairs(
+    doc_stream: DataFrame, old_hashes: DataFrame, window: int = 8
+) -> DataFrame:
+    """STREAMING twin of `substring.incremental_dup_pairs`' new-x-old
+    side: documents arrive on a stream, each micro-batch's window index
+    (stateless explode + hash — runs inside the batch) stream-static
+    joins the STAGED corpus index, and a streaming aggregation counts
+    shared windows per (old, new) pair. Sums decompose over
+    micro-batches, so the drained result is identical under any
+    batching — hash-checked against the batch oracle. The new-x-new
+    side needs pair state across batches (a stream-stream self-join);
+    operationally it runs as the batch epilogue when the batch index
+    appends to the staged corpus (the x71 epilogue pattern).
+
+    ``old_hashes``: static ``(doc_id, wh)`` index of the existing
+    corpus — every old id must be below every streamed id."""
+    from deva_spark.functions.substring import window_hashes
+
+    new_idx = window_hashes(doc_stream, "doc_id", "text", window)
+    old = old_hashes.select(F.col("doc_id").alias("id_a"), "wh")
+    return (
+        new_idx.select(F.col("doc_id").alias("id_b"), "wh")
+        .join(old, "wh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def events_file_stream(
     spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
 ) -> DataFrame:

@@ -150,3 +150,45 @@ def test_streaming_funnel_equivalence(spark, staged, batch_events):
     assert stream_counts == {k: v for k, v in batch_counts.items() if v > 0}
     # exactly-once per (user, step)
     assert conv.count() == conv.select("user_id", "step").distinct().count()
+
+
+def test_streaming_incremental_dedup_equivalence(spark, sf_dir):
+    # x78: documents stream (new batch) x staged corpus index via
+    # stream-static join + streaming count — the drained result must
+    # equal the batch new-x-old pair computation regardless of how the
+    # backlog micro-batches (counts decompose over batches)
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        window_hashes,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    threshold = 450
+    idx = window_hashes(docs, window=8).persist()
+    try:
+        batch = {
+            (r.id_a, r.id_b): r.n_common
+            for r in incremental_dup_pairs(
+                idx.filter(F.col("doc_id") >= threshold),
+                idx.filter(F.col("doc_id") < threshold),
+            ).collect()
+            # restrict to the cross (new x old) side the stream computes
+            if r.id_a < threshold
+        }
+        d = twin.stage_doc_chunks(spark, sf_dir, chunks=3, min_id=threshold)
+        try:
+            old = idx.filter(F.col("doc_id") < threshold)
+            s = twin.docs_file_stream(spark, d, files_per_trigger=1)
+            got = {
+                (r.id_a, r.id_b): r.n_common
+                for r in twin.run_available_now(
+                    twin.streaming_incremental_pairs(s, old, window=8),
+                    "t_inc_dedup",
+                    output_mode="complete",
+                ).collect()
+            }
+            assert got == batch and len(got) > 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        idx.unpersist()
