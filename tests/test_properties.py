@@ -521,3 +521,92 @@ def test_retention_cohorts_matches_python(spark, evs, parts):
         key = (f"2024-01-{first[u]:02d}", d - first[u])
         expected[key] = expected.get(key, 0) + 1
     assert got == expected
+
+
+docs_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=24),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(docs=docs_lists, parts=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_longest_common_run_matches_python(spark, docs, parts):
+    # tiny vocab => heavy window collisions, repeats, periodic content —
+    # the diagonal-island decomposition must still equal a word-level
+    # longest-common-substring DP for every pair, under any partitioning
+    from deva_spark.functions.substring import longest_common_run
+
+    W = 3
+    texts = {i + 1: " ".join(f"w{k}" for k in d) for i, d in enumerate(docs)}
+
+    def lcs_words(aw, bw):
+        best = 0
+        dp = [0] * (len(bw) + 1)
+        for i in range(1, len(aw) + 1):
+            prev = 0
+            for j in range(1, len(bw) + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if aw[i - 1] == bw[j - 1] else 0
+                best = max(best, dp[j])
+                prev = cur
+        return best
+
+    toks = {i: t.split() for i, t in texts.items()}
+    expected = {}
+    for i in toks:
+        for j in toks:
+            if i < j:
+                L = lcs_words(toks[i], toks[j])
+                if L >= W:
+                    expected[(i, j)] = L
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        (r.id_a, r.id_b): r.run_words
+        for r in longest_common_run(df, window=W).collect()
+    }
+    assert got == expected
+
+
+@given(docs=docs_lists, parts=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_remove_duplicate_runs_matches_python(spark, docs, parts):
+    # removal semantics (keeper keeps, others lose covered positions)
+    # vs a python replay, arbitrary inputs and partitioning
+    from deva_spark.functions.substring import remove_duplicate_runs
+
+    W = 3
+    texts = {i + 1: " ".join(f"w{k}" for k in d) for i, d in enumerate(docs)}
+    toks = {i: t.split() for i, t in texts.items()}
+    occ = {}
+    for i, tw in toks.items():
+        for p in range(len(tw) - W + 1):
+            occ.setdefault(tuple(tw[p : p + W]), {}).setdefault(i, []).append(p)
+    cov = {i: set() for i in toks}
+    for win, dmap in occ.items():
+        if len(dmap) < 2:
+            continue
+        keep = min(dmap)
+        for i, ps in dmap.items():
+            if i != keep:
+                for p in ps:
+                    cov[i].update(range(p, p + W))
+    expected = {
+        i: (
+            len(tw),
+            len(cov[i]),
+            " ".join(t for j, t in enumerate(tw) if j not in cov[i]),
+        )
+        for i, tw in toks.items()
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in remove_duplicate_runs(df, window=W).collect()
+    }
+    assert got == expected
