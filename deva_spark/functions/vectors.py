@@ -497,6 +497,47 @@ def ivf_stage(
     return centers
 
 
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to an :func:`ivf_stage`-written layout
+    without retraining — the x77 incremental contract on the vector
+    side: new vectors are assigned to the EXISTING cells (the sidecar's
+    centers, exactly the arithmetic `ivf_stage` ran) and land as
+    appended files inside their cells' partition directories. The
+    centers sidecar is untouched, so :func:`ivf_search_staged` serves
+    the grown corpus immediately — per-batch cost is one assignment
+    pass + a partitioned parquet append, never a corpus rewrite.
+
+    Centers drift as the corpus grows; restage on drift exactly like
+    the signature tables (the IVF literature's retrain-vs-insert
+    trade — inserts keep serving, retrains restore cell balance)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centers.json")) as f:
+        meta = json.load(f)
+    centers = np.array(
+        meta["centers"] if isinstance(meta, dict) else meta,
+        dtype=np.float64,
+    )
+    nearest = _nearest_cell_udf(centers)
+    (
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            nearest(F.col(vec_col))[0].alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def ivf_search_staged(
     spark,
     path: str,

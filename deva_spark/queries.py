@@ -1915,13 +1915,20 @@ def x31(spark, sf):
     return reshape.ordered_pairs(_t(spark, sf, "region"), "r_name")
 
 
-def _x32_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+def _x32_oracle(
+    n_cells: int = 16, n_probe: int = 4, k: int = 5, train_where: str = ""
+) -> str:
     """DuckDB mirror of the FULL IVF pipeline (VERDICT r2 #8): seed pick →
     initial assignment → one Lloyd step → re-normalize → probe → exact
     rescore → (cos DESC, vec_id) rank. Every stage is deterministic on
     both engines (stable tie-breaks, members averaged in vec_id order);
     the only cross-engine noise is summation-order float error (~1e-15),
-    absorbed by the 4 dp rounding exactly as in x09/x23."""
+    absorbed by the 4 dp rounding exactly as in x09/x23.
+
+    ``train_where``: optional SQL predicate restricting the CENTER
+    TRAINING corpus (seeds + Lloyd step) — the x79 incremental-append
+    mirror, where centers come from the pre-append corpus but the whole
+    grown corpus is assigned and searched."""
     return f"""WITH vec AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                  sqrt(list_sum(list_transform(embedding,
@@ -1930,12 +1937,12 @@ def _x32_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
         ), seeds AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
                  list_transform(e, x -> x / n) AS s
-          FROM vec ORDER BY vec_id LIMIT {n_cells}
+          FROM vec {train_where} ORDER BY vec_id LIMIT {n_cells}
         ), sim0 AS (
           SELECT v.vec_id, sd.cell,
                  list_sum(list_transform(range(1, 65),
                       i -> (v.e[i] / v.n) * sd.s[i])) AS sim
-          FROM vec v CROSS JOIN seeds sd
+          FROM (SELECT * FROM vec {train_where}) v CROSS JOIN seeds sd
         ), a0 AS (
           SELECT vec_id, cell FROM (
             SELECT vec_id, cell,
@@ -3773,6 +3780,46 @@ def x78(spark, sf):
     )
 
 
+def _staged_ivf_append(spark: SparkSession, sf_dir: str, min_id: int) -> str:
+    """Session-scoped IVF layout built INCREMENTALLY: stage the old
+    corpus (vec_id < min_id — centers train on it alone), then append
+    the new batch with `ivf_append` (old centers, no retrain). The dir
+    is what a growing 100 TB vector store looks like between restages."""
+    cache = _session_cache(spark)
+    key = (sf_dir, "ivf_append", min_id)
+    if key not in cache:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="deva_ivf_inc_")
+        emb = _t(spark, sf_dir, "embeddings")
+        V.ivf_stage(emb.filter(F.col("vec_id") < min_id), path)
+        V.ivf_append(spark, path, emb.filter(F.col("vec_id") >= min_id))
+        cache[key] = path
+    return cache[key]
+
+
+@query("x79_ivf_append_search", None)  # oracle attached below (generated)
+def x79(spark, sf):
+    # Incremental ANN (x77's contract on the vector side): vectors with
+    # vec_id >= 450 simulate a batch appended AFTER staging — ivf_append
+    # assigns them to the EXISTING cells (old-corpus centers, no
+    # retrain) and appends inside the cell partitions; the identical
+    # ivf_search_staged plan then serves the grown corpus (partition
+    # pruning + one matmul mapInPandas, no rebuild). The generated
+    # oracle mirrors the whole pipeline with center training restricted
+    # to the pre-append corpus — appended vectors DO appear in the
+    # results, proving the append is live.
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    return V.ivf_search_staged(
+        spark, _staged_ivf_append(spark, sf, 450), q, k=5, n_probe=4
+    )
+
+
+ORACLE_SQL["x79_ivf_append_search"] = _x32_oracle(
+    train_where="WHERE vec_id < 450"
+)
+
+
 @query(
     "x76_remove_duplicate_runs",
     r"""WITH d AS (
@@ -3873,7 +3920,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q10_semi_join",
     "q11_anti_join",
     "q12_multiway_join",
-    "q13_positional_zip",
     "q16_sliding_window_avg",
     "q17_partition_chunks",
     "q18_tumbling_time_window",
@@ -3924,7 +3970,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: q23 union (set-op family q24a/q24b stays in-window; displaced by the
 #: fifth r8 registration x77), q21 global top-k (q19 rank-topk-per-key
 #: in-window shares the TakeOrderedAndProject shape, which is also
-#: plan-asserted; displaced by the sixth r8 registration x78).
+#: plan-asserted; displaced by the sixth r8 registration x78), q13
+#: positional zip (two-phase global numbering is property-tested —
+#: test_global_positions_matches_sequential_numbering — and
+#: plan-audited; displaced by the seventh r8 registration x79).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -3932,6 +3981,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q05_distinct",
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
+    "q13_positional_zip",
     "q21_topk",
     "q22_slice",
     "q23_union",

@@ -111,3 +111,50 @@ def test_x32_staged_route_matches_unstaged(spark, sf_dir, tmp_path, monkeypatch)
         .collect()
     )
     assert staged == unstaged
+
+
+def test_ivf_append_serves_grown_corpus(spark, sf_dir, tmp_path):
+    # append new vectors to a staged layout (old centers, no retrain):
+    # (a) assignments of appended rows match the sidecar centers
+    # exactly; (b) search == staging old+new against the SAME centers
+    # in one shot; (c) append batching doesn't matter
+    import json
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    p1 = str(tmp_path / "inc1")
+    V.ivf_stage(old, p1, n_cells=8)
+    V.ivf_append(spark, p1, new)
+
+    # (c) two smaller appends -> identical search results
+    p2 = str(tmp_path / "inc2")
+    V.ivf_stage(old, p2, n_cells=8)
+    V.ivf_append(spark, p2, new.filter(F.col("vec_id") < 450))
+    V.ivf_append(spark, p2, new.filter(F.col("vec_id") >= 450))
+
+    r1 = sorted(map(tuple, V.ivf_search_staged(spark, p1, queries, k=5, n_probe=3).collect()))
+    r2 = sorted(map(tuple, V.ivf_search_staged(spark, p2, queries, k=5, n_probe=3).collect()))
+    assert r1 == r2 and len(r1) == 25
+
+    # (a) every appended row sits in the cell the sidecar centers assign
+    import numpy as np
+
+    with open(os.path.join(p1, "_ivf_centers.json")) as f:
+        centers = np.array(json.load(f)["centers"])
+    got = spark.read.parquet(p1).filter(F.col("vec_id") >= 400).collect()
+    assert len(got) == new.count()
+    for r in got:
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        sims = v @ centers.T
+        best = int(np.argmax(sims))  # stable: argmax takes lowest on ties
+        assert int(r.cell) == best, r.vec_id
+
+    # (b) appended vectors are reachable: search with full probe equals
+    # brute force over the WHOLE grown corpus
+    full = V.ivf_search_staged(spark, p1, queries, k=4, n_probe=8)
+    brute = V.brute_force_topk(emb, queries, k=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
