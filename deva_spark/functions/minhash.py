@@ -129,10 +129,14 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+def band_keys(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band projection of a signature table: ``(doc_id, band, bkey)``
+    rows, one per (doc, band), with the band's signature slice hashed
+    to a bucket key. This is the LSH tier's stageable/appendable index —
+    a pure per-doc function of the signature, so a new batch's band
+    rows join an existing table without any rebuild."""
     num_bands = NUM_HASHES // band_size
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -154,6 +158,11 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    bands = band_keys(sigs, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -161,6 +170,64 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def incremental_near_duplicates(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    min_matches: int = 6,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Incremental MinHash near-dup — the x77 anatomy on the signature
+    tier: the NEW batch's band keys join the existing corpus's band
+    projection (new x old) plus a batch self-join (new x new); old x
+    old candidates never recompute, so per-batch cost scales with the
+    batch. The verify rescore joins the union signature table per
+    candidate exactly as `near_duplicates` does, so the output equals
+    `near_duplicates` on the union corpus restricted to pairs touching
+    the batch (parity-tested). Doc ids must be disjoint between the
+    inputs. On a cluster both the signature table and its band
+    projection are staged parquet; the batch appends its rows to each
+    after running (no rebuild — the substring tier's x77 contract)."""
+    nb = band_keys(new_sigs, band_size)
+    ob = band_keys(old_sigs, band_size)
+    cross = (
+        nb.select(F.col("doc_id").alias("nid"), "band", "bkey")
+        .join(ob.select(F.col("doc_id").alias("oid"), "band", "bkey"), ["band", "bkey"])
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
+    )
+    a = nb.alias("a")
+    b = nb.alias("b")
+    self_pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    cands = cross.unionByName(self_pairs).distinct()
+    allsigs = new_sigs.unionByName(old_sigs)
+    sa = allsigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = allsigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= min_matches)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_match").cast("double") / F.lit(float(NUM_HASHES)), 4
+            ).alias("est_sim"),
+        )
     )
 
 

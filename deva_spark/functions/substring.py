@@ -355,13 +355,11 @@ def remove_duplicate_runs(
 
     if positions is not None:
         p = positions
-        owned = None
     else:
         # referenced twice (mask aggregate + cover join): barrier, or
         # the window-explode subtree recomputes per reference
-        owned = window_hash_positions(docs, id_col, text_col, window).persist()
-        owned.count()
-        p = owned
+        p = window_hash_positions(docs, id_col, text_col, window).persist()
+        p.count()
     mask = (
         p.groupBy("wh")
         .agg(
@@ -420,10 +418,8 @@ def remove_duplicate_runs(
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
-    if owned is not None:
-        # the plan is built; the barrier already ran, and the persisted
-        # index stays cached for the job that executes this plan
-        pass
+    # when the index was built here, it stays persisted for the job that
+    # executes this plan (same ownership contract as near_duplicates)
     return out
 
 

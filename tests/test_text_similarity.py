@@ -250,3 +250,30 @@ def test_semdedup_refined_tier_finds_planted_duplicates(spark):
     # recall contract on the planted set: refined finds every planted
     # pair the seed tier found
     assert (seed_pairs & planted) <= refined_pairs
+
+
+def test_incremental_minhash_matches_full_restricted(spark, sf_dir):
+    # incremental near-dup (new-batch bands vs existing-corpus bands)
+    # must equal near_duplicates over the union restricted to pairs
+    # touching the batch — no old x old pair appears
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    T = 400
+    sigs = mh.signatures(docs).persist()
+    try:
+        sigs.count()
+        full = {
+            (r.id_a, r.id_b): r.est_sim
+            for r in mh.near_duplicates(docs, sigs=sigs).collect()
+        }
+        expected = {p: s for p, s in full.items() if p[0] >= T or p[1] >= T}
+        got = {
+            (r.id_a, r.id_b): r.est_sim
+            for r in mh.incremental_near_duplicates(
+                sigs.filter(F.col("doc_id") >= T),
+                sigs.filter(F.col("doc_id") < T),
+            ).collect()
+        }
+        assert got == expected and len(got) > 0
+        assert all(p[0] >= T or p[1] >= T for p in got)
+    finally:
+        sigs.unpersist()
