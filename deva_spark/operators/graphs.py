@@ -169,6 +169,49 @@ def canonical_assignments(
     )
 
 
+def incremental_canonical_assignments(
+    old_assign: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    max_iter: int = 25,
+    driver_threshold: int | None = None,
+) -> DataFrame:
+    """Merge a new batch's near-dup pairs into an EXISTING cluster
+    assignment — the x77/x80 incremental contract on the resolution step.
+
+    ``old_assign`` is a staged ``(doc_id, cluster_id, ...)`` table from a
+    previous :func:`canonical_assignments` run; ``new_pairs`` is the
+    batch-touching pair set an incremental detector produced (old x old
+    pairs are never re-detected). Each assignment row is read as a STAR
+    edge (member -> its cluster's min id, which is itself a member), so
+    the star set has exactly the old pair set's connectivity but with
+    diameter <= 2 — label propagation over it converges in ~2 rounds
+    instead of the raw component diameter. The output equals
+    :func:`canonical_assignments` over the FULL pair set of the union
+    corpus (parity-tested), including the relabel-the-whole-old-cluster
+    case where one new edge bridges two previously-distinct clusters.
+
+    Per-batch cost: one scan of the assignment table plus the batch
+    edges. On a cluster the assignment table is staged parquet and this
+    function's output overwrites it — the corpus's pair history never
+    replays.
+    """
+    star = old_assign.select(
+        F.col(out_id).alias(id_a), F.col("cluster_id").alias(id_b)
+    )
+    edges = star.unionByName(new_pairs.select(id_a, id_b))
+    return canonical_assignments(
+        edges,
+        id_a=id_a,
+        id_b=id_b,
+        out_id=out_id,
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -242,6 +242,22 @@ def _build_subpos8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_hash_positions(_t(spark, sf_dir, "documents"), window=8)
 
 
+def _build_dup_assign450(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x81's staged PRE-BATCH cluster assignment: canonical assignments
+    over the old corpus's (doc_id < 450) own pair set — what a previous
+    resolution run left behind. Pair membership is a pure function of
+    the two docs, so filtering the full staged pair set to old x old
+    reproduces exactly the pair set the old corpus alone would yield."""
+    from deva_spark.operators import graphs
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return graphs.canonical_assignments(
+        pairs.filter((F.col("id_a") < 450) & (F.col("id_b") < 450)).select(
+            "id_a", "id_b"
+        )
+    )
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -255,6 +271,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle5_src": _build_shingle5_src,
     "subwin8g": _build_subwin8g,
     "subpos8": _build_subpos8,
+    "dup_assign450": _build_dup_assign450,
 }
 
 
@@ -3884,6 +3901,130 @@ def x76(spark, sf):
     return remove_duplicate_runs(_t(spark, sf, "documents"), window=8)
 
 
+@query(
+    "x80_incremental_minhash_neardup",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                     [CAST(md5_number_upper(s) AS HUGEINT) % 2305843009213693951,
+                      CAST(md5_number_lower(s) AS HUGEINT) % 2305843009213693951]) AS hs
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12),
+                     j -> CAST(list_min(list_transform(hs,
+                              h -> (h[1] + j * h[2]) % 2305843009213693951)) AS BIGINT)) AS sig
+          FROM hs
+        ), bands AS (
+          SELECT doc_id, b,
+                 md5(CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+                     || '|' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+          FROM sig, range(0, 4) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2 USING (b, bkey)
+          WHERE a.doc_id < b2.doc_id
+        ), scored AS (
+          SELECT id_a, id_b,
+                 len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS n_match
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, CAST(ROUND(n_match / 12.0, 4) AS DOUBLE) AS est_sim
+        FROM scored
+        WHERE n_match >= 6 AND (id_a >= 450 OR id_b >= 450)
+        ORDER BY id_a, id_b""",
+)
+def x80(spark, sf):
+    # Incremental MinHash near-dup — the x77 anatomy on the signature
+    # tier: docs with doc_id >= 450 simulate a NEW batch whose band keys
+    # join the existing corpus's band projection (new x old) plus a
+    # batch self-join (new x new); old x old candidates never recompute
+    # and band rows are append-only (a pure per-doc function of the
+    # signature). The verify rescore joins the shared signature table
+    # per candidate, so the output equals the full x06 pair set
+    # restricted to pairs touching the batch (oracle = x06's SQL with
+    # that restriction; parity test vs near_duplicates on the union).
+    threshold = 450
+    sigs = _doc_signatures(spark, sf)
+    return mh.incremental_near_duplicates(
+        sigs.filter(F.col("doc_id") >= threshold),
+        sigs.filter(F.col("doc_id") < threshold),
+    )
+
+
+@query(
+    "x81_incremental_dedup_clusters",
+    r"""WITH RECURSIVE words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), ex AS (
+          SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE common * 100 >= (na.n + nb.n - common) * 30
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS is_canonical
+        FROM reach GROUP BY node ORDER BY doc_id""",
+)
+def x81(spark, sf):
+    # Incremental cluster resolution — x77/x80's contract on the LAST
+    # mile of the dedup funnel: the staged pre-batch assignment table
+    # (docs < 450, its rows read as diameter-<=2 star edges) merges with
+    # the batch-touching pair set (x77's restriction of the shared
+    # jaccard_pairs edges); old x old pairs are never re-detected and
+    # the pair history never replays. Output == the full x41 resolution
+    # over the union corpus (same oracle SQL), including the case where
+    # one new edge bridges two previously-distinct old clusters and the
+    # whole cluster relabels.
+    from deva_spark.operators import graphs
+
+    threshold = 450
+    pairs = _jaccard_pairs(spark, sf)
+    staged = staged_artifact_path(sf, "dup_assign450")
+    if staged:
+        old_assign = spark.read.parquet(staged)
+    else:
+        old_assign = graphs.canonical_assignments(
+            pairs.filter(
+                (F.col("id_a") < threshold) & (F.col("id_b") < threshold)
+            ).select("id_a", "id_b")
+        )
+    new_pairs = pairs.filter(
+        (F.col("id_a") >= threshold) | (F.col("id_b") >= threshold)
+    ).select("id_a", "id_b")
+    return graphs.incremental_canonical_assignments(old_assign, new_pairs)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -3918,7 +4059,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q06_dedup_first_seen",
     "q08_inner_join",
     "q10_semi_join",
-    "q11_anti_join",
     "q12_multiway_join",
     "q16_sliding_window_avg",
     "q17_partition_chunks",
@@ -3927,7 +4067,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q20_lag_diff",
     "q24a_intersect",
     "q24b_except",
-    "q26_regexp_extract",
     "q31_percentile",
     "q32_rollup",
     "q33_zscore_anomaly",
@@ -3973,7 +4112,14 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: plan-asserted; displaced by the sixth r8 registration x78), q13
 #: positional zip (two-phase global numbering is property-tested —
 #: test_global_positions_matches_sequential_numbering — and
-#: plan-audited; displaced by the seventh r8 registration x79).
+#: plan-audited; displaced by the seventh r8 registration x79), q11
+#: anti join and q26 regexp extract (both ZERO-ROW at driver SF —
+#: sf0.01 has no customers without orders and no digits in documents,
+#: so their driver rows verify only an agreed-empty result, the
+#: weakest check in the window; q10/q12 keep the semi/multiway join
+#: family in-window and x04's regexp_replace normalization plus
+#: t-tests cover the regexp path; displaced by the eighth and ninth
+#: r8 registrations x80/x81).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -3981,11 +4127,13 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q05_distinct",
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
+    "q11_anti_join",
     "q13_positional_zip",
     "q21_topk",
     "q22_slice",
     "q23_union",
     "q25_string_fns",
+    "q26_regexp_extract",
     "q27_date_trunc",
     "q28_math_fns",
     "q29_explode_words",

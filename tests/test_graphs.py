@@ -58,6 +58,53 @@ def test_connected_components_conf_threshold(spark):
         spark.conf.unset("spark.deva.graph.driverMaxEdges")
 
 
+def test_incremental_canonical_assignments_matches_full(spark):
+    # merging a batch's pairs into a STAGED assignment must equal the
+    # full resolution over the union pair set — including the hard
+    # case: one new edge bridges two previously-distinct old clusters
+    # (0-chain and 10-chain) and the WHOLE old 10-cluster relabels to 0.
+    new_pairs = [
+        (3, 10),    # bridges cluster 0 and cluster 10
+        (40, 41),   # brand-new docs, new cluster
+        (42, 20),   # new doc attaches to old cluster 20
+    ]
+    old_assign = graphs.canonical_assignments(
+        spark.createDataFrame(EDGES, "id_a long, id_b long")
+    )
+    new_df = spark.createDataFrame(new_pairs, "id_a long, id_b long")
+    full = graphs.canonical_assignments(
+        spark.createDataFrame(EDGES + new_pairs, "id_a long, id_b long")
+    )
+    want = {(r.doc_id, r.cluster_id, r.is_canonical) for r in full.collect()}
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {
+            (r.doc_id, r.cluster_id, r.is_canonical)
+            for r in graphs.incremental_canonical_assignments(
+                old_assign, new_df, **kw
+            ).collect()
+        }
+        assert got == want, kw
+    # sanity on the merge itself: 10-chain members now label 0
+    merged = {r.doc_id: r.cluster_id for r in full.collect()}
+    assert merged[10] == merged[11] == merged[12] == 0
+    assert merged[42] == 20 and merged[40] == 40
+
+
+def test_incremental_assignments_empty_batch_is_identity(spark):
+    # no new pairs -> the staged assignment survives unchanged (star
+    # edges alone reconstruct every old cluster exactly)
+    old_assign = graphs.canonical_assignments(
+        spark.createDataFrame(EDGES, "id_a long, id_b long")
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in graphs.incremental_canonical_assignments(old_assign, empty).collect()
+    }
+    want = {(r.doc_id, r.cluster_id, r.is_canonical) for r in old_assign.collect()}
+    assert got == want
+
+
 SCALE = 1_000_000_000_000
 
 # directed star: hub 1 -> leaves 2,3,4 (symmetrized inside pagerank)
