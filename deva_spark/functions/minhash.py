@@ -178,6 +178,7 @@ def incremental_near_duplicates(
     old_sigs: DataFrame,
     min_matches: int = 6,
     band_size: int = BAND_SIZE,
+    old_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash near-dup — the x77 anatomy on the signature
     tier: the NEW batch's band keys join the existing corpus's band
@@ -189,9 +190,12 @@ def incremental_near_duplicates(
     the batch (parity-tested). Doc ids must be disjoint between the
     inputs. On a cluster both the signature table and its band
     projection are staged parquet; the batch appends its rows to each
-    after running (no rebuild — the substring tier's x77 contract)."""
+    after running (no rebuild — the substring tier's x77 contract).
+    ``old_bands``: the existing corpus's staged band projection (from
+    :func:`band_keys`); when given, the old signatures are touched only
+    by the per-candidate rescore join, never re-banded."""
     nb = band_keys(new_sigs, band_size)
-    ob = band_keys(old_sigs, band_size)
+    ob = old_bands if old_bands is not None else band_keys(old_sigs, band_size)
     cross = (
         nb.select(F.col("doc_id").alias("nid"), "band", "bkey")
         .join(ob.select(F.col("doc_id").alias("oid"), "band", "bkey"), ["band", "bkey"])

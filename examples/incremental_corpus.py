@@ -28,12 +28,13 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
-from deva_spark.functions import vectors as V
+from deva_spark.functions import minhash as mh, vectors as V
 from deva_spark.functions.substring import (
     incremental_dup_pairs,
     remove_duplicate_runs,
     window_hashes,
 )
+from deva_spark.operators import graphs
 from deva_spark.session import get_spark, read_table
 from deva_spark.streaming import twin
 
@@ -52,7 +53,17 @@ def main() -> None:
     old_docs = docs.filter(F.col("doc_id") < cut)
     window_hashes(old_docs, window=8).write.parquet(idx_path)
     V.ivf_stage(emb.filter(F.col("vec_id") < cut), ivf_path, n_cells=8)
-    print(f"staged: window index + IVF layout under {work}")
+    # signature tier: MinHash signatures + their band projection, and
+    # the cluster assignment the old corpus's own pairs resolve to
+    sig_path, band_path = f"{work}/sigs", f"{work}/bands"
+    assign_path = f"{work}/assignments_v0"
+    mh.signatures(old_docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)).write.parquet(sig_path)
+    mh.band_keys(spark.read.parquet(sig_path)).write.parquet(band_path)
+    old_idx0 = spark.read.parquet(idx_path)
+    graphs.canonical_assignments(
+        incremental_dup_pairs(old_idx0, old_idx0.limit(0))
+    ).write.parquet(assign_path)
+    print(f"staged: window index + IVF layout + signatures/bands + assignments under {work}")
 
     # ---- a batch arrives -------------------------------------------------
     new_docs = docs.filter(F.col("doc_id") >= cut)
@@ -64,6 +75,31 @@ def main() -> None:
     pairs = incremental_dup_pairs(new_idx, old_idx).orderBy("id_a", "id_b")
     print("incremental dup pairs (>=1 shared 8-word run):")
     pairs.show(10, truncate=False)
+
+    # 1b. same contract at the signature tier (x80): the batch's band
+    #     keys join the STAGED band projection; old signatures are
+    #     touched only by the per-candidate rescore
+    new_sigs = mh.signatures(
+        new_docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+    old_sigs = spark.read.parquet(sig_path)
+    near = mh.incremental_near_duplicates(
+        new_sigs, old_sigs, old_bands=spark.read.parquet(band_path)
+    )
+    print(f"incremental MinHash near-dups (est_sim >= 0.5): {near.count()}")
+
+    # 1c. fold the batch's pairs into the STAGED cluster assignment
+    #     (x81): assignment rows act as diameter-<=2 star edges, the
+    #     pair history never replays; versioned write, then swap
+    merged = graphs.incremental_canonical_assignments(
+        spark.read.parquet(assign_path), pairs.select("id_a", "id_b")
+    )
+    merged.write.parquet(f"{work}/assignments_v1")
+    n_clusters = (
+        spark.read.parquet(f"{work}/assignments_v1")
+        .filter("is_canonical").count()
+    )
+    print(f"clusters after merging the batch: {n_clusters}")
 
     # 2. the same new x old counts via a streaming drain (x78):
     #    identical under any micro-batching — counts decompose
@@ -99,8 +135,11 @@ def main() -> None:
     print(f"IVF search over grown corpus: {hits.count()} rows, "
           f"{n_new} hits from the appended batch")
 
-    # 5. the batch joins the index for the next batch (parquet append)
+    # 5. the batch joins every staged structure for the next batch
+    #    (parquet appends — no rebuild anywhere)
     new_idx.write.mode("append").parquet(idx_path)
+    new_sigs.write.mode("append").parquet(sig_path)
+    mh.band_keys(new_sigs).write.mode("append").parquet(band_path)
     print(f"index rows after append: {spark.read.parquet(idx_path).count()}")
 
     new_idx.unpersist()

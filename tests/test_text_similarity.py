@@ -275,5 +275,16 @@ def test_incremental_minhash_matches_full_restricted(spark, sf_dir):
         }
         assert got == expected and len(got) > 0
         assert all(p[0] >= T or p[1] >= T for p in got)
+        # staged band projection route: identical (old sigs touched
+        # only by the rescore join)
+        staged = {
+            (r.id_a, r.id_b): r.est_sim
+            for r in mh.incremental_near_duplicates(
+                sigs.filter(F.col("doc_id") >= T),
+                sigs.filter(F.col("doc_id") < T),
+                old_bands=mh.band_keys(sigs.filter(F.col("doc_id") < T)),
+            ).collect()
+        }
+        assert staged == expected
     finally:
         sigs.unpersist()
