@@ -88,6 +88,87 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def chunk_keys(fps: DataFrame) -> DataFrame:
+    """Chunk projection of a fingerprint table: ``(doc_id, fp, ci,
+    cv)`` rows, one per (doc, chunk index), with the chunk's 12-bit
+    value as the bucket key. This is the simhash tier's stageable/
+    appendable index — a pure per-doc function of the fingerprint, so a
+    new batch's rows append to an existing table without any rebuild
+    (the band_keys / window-index contract). Rows carry ``fp`` so the
+    Hamming verify needs no second join."""
+    return fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("fp"), i * CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(NUM_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "fp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+
+def incremental_near_duplicates(
+    new_fps: DataFrame,
+    old_fps: DataFrame,
+    max_hamming: int = 3,
+    old_chunks: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental simhash near-dup — the x77/x80 anatomy on the
+    fingerprint tier: the NEW batch's chunk keys join the existing
+    corpus's chunk projection (new x old) plus a batch self-join
+    (new x new); old x old candidates never recompute, so per-batch
+    cost scales with the batch. Chunk rows carry the fingerprint, so
+    the ``bit_count(xor)`` verify is join-free. Output equals
+    :func:`near_duplicates` on the union corpus restricted to pairs
+    touching the batch (parity-tested); doc ids must be disjoint.
+    ``old_chunks``: the staged chunk projection (:func:`chunk_keys`);
+    when given, old fingerprints are never re-exploded."""
+    nc = chunk_keys(new_fps)
+    oc = old_chunks if old_chunks is not None else chunk_keys(old_fps)
+    cross = (
+        nc.select(
+            F.col("doc_id").alias("nid"), F.col("fp").alias("nfp"), "ci", "cv"
+        )
+        .join(
+            oc.select(
+                F.col("doc_id").alias("oid"), F.col("fp").alias("ofp"), "ci", "cv"
+            ),
+            ["ci", "cv"],
+        )
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+            hamming(F.col("nfp"), F.col("ofp")).alias("hd"),
+        )
+    )
+    a = nc.select(
+        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "ci", "cv"
+    )
+    b = nc.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "ci", "cv"
+    )
+    self_pairs = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming(F.col("fp_a"), F.col("fp_b")).alias("hd")
+        )
+    )
+    return (
+        cross.unionByName(self_pairs)
+        .distinct()
+        .filter(F.col("hd") <= max_hamming)
+    )
+
+
 def near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -113,23 +194,7 @@ def near_duplicates(
         # explosion and both join sides; compute it once.
         fps = fingerprints(docs, id_col, text_col).persist()
         fps.count()  # eager: chunk explosion + both join sides
-    chunks = fps.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("fp"), i * CHUNK_BITS)
-                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(NUM_CHUNKS)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "fp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunks = chunk_keys(fps)
     a = chunks.select(
         F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "ci", "cv"
     )

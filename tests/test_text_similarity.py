@@ -288,3 +288,41 @@ def test_incremental_minhash_matches_full_restricted(spark, sf_dir):
         assert staged == expected
     finally:
         sigs.unpersist()
+
+
+def test_incremental_simhash_matches_full_restricted(spark, sf_dir):
+    # incremental simhash (new-batch chunk keys vs existing chunk
+    # projection) must equal near_duplicates over the union restricted
+    # to pairs touching the batch; the staged old_chunks route is
+    # identical (old fingerprints never re-exploded)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    T = 400
+    H = 14  # wide budget so the parity set is non-trivial at tiny SF
+    fps = sh.fingerprints(docs).persist()
+    try:
+        fps.count()
+        full = {
+            (r.id_a, r.id_b): r.hd
+            for r in sh.near_duplicates(docs, max_hamming=H, fps=fps).collect()
+        }
+        expected = {p: d for p, d in full.items() if p[0] >= T or p[1] >= T}
+        new_fps = fps.filter(F.col("doc_id") >= T)
+        old_fps = fps.filter(F.col("doc_id") < T)
+        got = {
+            (r.id_a, r.id_b): r.hd
+            for r in sh.incremental_near_duplicates(
+                new_fps, old_fps, max_hamming=H
+            ).collect()
+        }
+        assert got == expected and len(got) > 0
+        assert all(p[0] >= T or p[1] >= T for p in got)
+        staged = {
+            (r.id_a, r.id_b): r.hd
+            for r in sh.incremental_near_duplicates(
+                new_fps, old_fps, max_hamming=H,
+                old_chunks=sh.chunk_keys(old_fps),
+            ).collect()
+        }
+        assert staged == expected
+    finally:
+        fps.unpersist()

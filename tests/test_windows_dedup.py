@@ -99,6 +99,43 @@ def test_exact_text_groups(spark):
     assert [(r.keep, r.dups) for r in out] == [(1, 3)]
 
 
+def test_incremental_exact_dups_matches_full_replay(spark):
+    # incremental exact dedup (new digests vs staged digest table) must
+    # equal the union corpus's exact_text_groups membership restricted
+    # to new docs: batch-vs-old dup, batch-internal dup (min batch id
+    # survives), whitespace-normalized match, and a unique doc
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, " a b "),  # dup of old 1 via trim
+            (11, "x y"),    # batch-internal group with 12
+            (12, "x y"),
+            (13, "fresh"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in dedup.incremental_exact_dups(new, dedup.digests(old)).collect()
+    }
+    assert got == {(10, 1), (12, 11)}
+    # full-replay parity: every union-corpus dup group's non-keep NEW
+    # members appear with the group's keeper, nothing else
+    union = old.unionByName(new)
+    groups = union.transform(dedup.exact_text_groups()).collect()
+    keepers = {r.keep for r in groups}
+    assert keepers == {1, 11}
+    # appending the batch digests leaves the next batch's base complete
+    appended = dedup.digests(old).unionByName(dedup.digests(new))
+    again = dedup.incremental_exact_dups(
+        spark.createDataFrame([(20, "x y")], "doc_id long, text string"),
+        appended,
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in again] == [(20, 11)]
+
+
 def test_epoch_micros_session_tz_independent(spark):
     """ADVICE r4: NTZ epoch must not shift under a non-UTC session tz.
 

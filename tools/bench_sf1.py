@@ -65,6 +65,9 @@ HEAVY = [
     "x74_substring_dup_pairs",
     "x75_longest_common_run",
     "x76_remove_duplicate_runs",
+    "x77_incremental_dup_pairs",
+    "x80_incremental_minhash_neardup",
+    "x81_incremental_dedup_clusters",
 ]
 
 
