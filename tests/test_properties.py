@@ -610,3 +610,123 @@ def test_remove_duplicate_runs_matches_python(spark, docs, parts):
         for r in remove_duplicate_runs(df, window=W).collect()
     }
     assert got == expected
+
+
+@given(docs=docs_lists, parts=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_longest_common_run_grouped_matches_python(spark, docs, parts):
+    # the staged grouped route (position_groups -> in-array pair
+    # explode) must equal the same word-level LCS DP the join route is
+    # checked against — tiny vocab forces collisions, periodic text,
+    # same-doc repeated windows
+    from deva_spark.functions.substring import (
+        longest_common_run_from_groups,
+        position_groups,
+    )
+
+    W = 3
+    texts = {i + 1: " ".join(f"w{k}" for k in d) for i, d in enumerate(docs)}
+
+    def lcs_words(aw, bw):
+        best = 0
+        dp = [0] * (len(bw) + 1)
+        for i in range(1, len(aw) + 1):
+            prev = 0
+            for j in range(1, len(bw) + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if aw[i - 1] == bw[j - 1] else 0
+                best = max(best, dp[j])
+                prev = cur
+        return best
+
+    toks = {i: t.split() for i, t in texts.items()}
+    expected = {}
+    for i in toks:
+        for j in toks:
+            if i < j:
+                L = lcs_words(toks[i], toks[j])
+                if L >= W:
+                    expected[(i, j)] = L
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        (r.id_a, r.id_b): r.run_words
+        for r in longest_common_run_from_groups(
+            position_groups(df, window=W), window=W
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    docs=docs_lists,
+    cut_frac=st.integers(min_value=1, max_value=5),
+    parts=st.integers(min_value=1, max_value=4),
+)
+@SLOW
+def test_incremental_pairs_any_split_matches_full(spark, docs, cut_frac, parts):
+    # the incremental contract must hold for ANY batch boundary, not
+    # just the registered threshold: incremental(new, old) == full pair
+    # set restricted to pairs touching the batch, and no old x old pair
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        substring_dup_pairs,
+        window_hashes,
+    )
+
+    W = 3
+    texts = {i + 1: " ".join(f"w{k}" for k in d) for i, d in enumerate(docs)}
+    cut = 1 + (len(texts) * cut_frac) // 6  # any boundary incl. empty sides
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).repartition(parts)
+    full = {
+        (r.id_a, r.id_b): r.n_common
+        for r in substring_dup_pairs(df, window=W, min_common=1).collect()
+    }
+    expected = {p: n for p, n in full.items() if p[0] >= cut or p[1] >= cut}
+    idx = window_hashes(df, window=W)
+    got = {
+        (r.id_a, r.id_b): r.n_common
+        for r in incremental_dup_pairs(
+            idx.filter(F.col("doc_id") >= cut),
+            idx.filter(F.col("doc_id") < cut),
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.integers(min_value=0, max_value=3),  # 4 possible texts => dups
+        min_size=1,
+        max_size=12,
+    ),
+    cut_frac=st.integers(min_value=0, max_value=4),
+)
+@SLOW
+def test_incremental_exact_dups_matches_python(spark, texts, cut_frac):
+    # exact-tier incremental contract vs a python replay at any split:
+    # every new doc whose text appeared before (in the old corpus or
+    # earlier in id order) maps to the global min id for that text
+    corpus = [(i, f"t {v}") for i, v in enumerate(texts)]
+    cut = (len(corpus) * cut_frac) // 4
+    old = [(i, t) for i, t in corpus if i < cut]
+    new = [(i, t) for i, t in corpus if i >= cut]
+    first = {}
+    for i, t in corpus:
+        first.setdefault(t, i)
+    expected = {
+        (i, first[t]) for i, t in new if first[t] != i
+    }
+    schema = "doc_id long, text string"
+    old_df = spark.createDataFrame(old, schema)
+    new_df = spark.createDataFrame(new, schema)
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in dedup.incremental_exact_dups(
+            new_df, dedup.digests(old_df)
+        ).collect()
+    }
+    assert got == expected
