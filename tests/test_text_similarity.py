@@ -326,3 +326,60 @@ def test_incremental_simhash_matches_full_restricted(spark, sf_dir):
         assert staged == expected
     finally:
         fps.unpersist()
+
+
+def test_band_index_append_and_compaction_invariance(spark, sf_dir, tmp_path):
+    # the staged band projection is an OPERATIONAL structure: batches
+    # append to it (one parquet file each), and a maintenance-tick
+    # compaction (writers.compact_table) must leave incremental
+    # near-dup results bit-identical while cutting the file count
+    import os
+
+    from deva_spark.sources.writers import compact_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    T1, T2 = 300, 400
+    sigs = mh.signatures(docs).persist()
+    try:
+        sigs.count()
+        path = str(tmp_path / "bands")
+        mh.band_keys(sigs.filter(F.col("doc_id") < T1)).write.parquet(path)
+        for lo, hi in ((T1, 350), (350, T2)):
+            mh.band_keys(
+                sigs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ).write.mode("append").parquet(path)
+
+        def run():
+            return {
+                (r.id_a, r.id_b): r.est_sim
+                for r in mh.incremental_near_duplicates(
+                    sigs.filter(F.col("doc_id") >= T2),
+                    sigs.filter(F.col("doc_id") < T2),
+                    old_bands=spark.read.parquet(path),
+                ).collect()
+            }
+
+        expected = {
+            (r.id_a, r.id_b): r.est_sim
+            for r in mh.incremental_near_duplicates(
+                sigs.filter(F.col("doc_id") >= T2),
+                sigs.filter(F.col("doc_id") < T2),
+            ).collect()
+        }
+        assert run() == expected and len(expected) > 0
+
+        def n_files():
+            return sum(
+                1
+                for _dp, _dn, fns in os.walk(path)
+                for f in fns
+                if f.endswith(".parquet")
+            )
+
+        before = n_files()
+        assert before >= 3  # one per append at minimum
+        compact_table(spark, path, target_mb=128)
+        assert n_files() < before
+        assert run() == expected
+    finally:
+        sigs.unpersist()
