@@ -4048,6 +4048,97 @@ def x81(spark, sf):
     return graphs.incremental_canonical_assignments(old_assign, new_pairs)
 
 
+@query(
+    "x82_incremental_simhash_neardup",
+    r"""WITH w AS (
+          SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
+          FROM documents
+        ), wh AS (
+          SELECT doc_id, substr(md5(word), 1, 12) AS hx FROM w
+        ), bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                          substr(hx, CAST(floor((47 - b) / 4) AS INT) + 1, 1)) - 1)
+                          / power(2, b % 4)) AS BIGINT) % 2 = 1
+                     THEN 1 ELSE -1 END) AS vote
+          FROM wh, range(0, 48) t(b) GROUP BY doc_id, b
+        ), fp AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS fp
+          FROM bits GROUP BY doc_id
+        ), chunks AS (
+          SELECT doc_id, fp, ci,
+                 CAST(floor(fp / power(2, ci * 12)) AS BIGINT) % 4096 AS cv
+          FROM fp, range(0, 4) t(ci)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b2.doc_id AS id_b, b2.fp AS fp_b
+          FROM chunks a JOIN chunks b2 USING (ci, cv)
+          WHERE a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hd
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND (id_a >= 450 OR id_b >= 450)
+        ORDER BY id_a, id_b""",
+)
+def x82(spark, sf):
+    # Incremental SimHash near-dup — the x77/x80 contract on the
+    # fingerprint tier: docs with doc_id >= 450 simulate a NEW batch
+    # whose chunk keys join the existing corpus's chunk projection
+    # (`simhash.chunk_keys`, the stageable/appendable index; chunk rows
+    # carry fp so the Hamming verify is join-free) plus a batch
+    # self-join; old x old candidates never recompute. Oracle = x07's
+    # SQL restricted to batch-touching pairs; parity test vs
+    # near_duplicates on the union incl. the staged old_chunks route
+    # (tests/test_text_similarity.py).
+    threshold = 450
+    staged = staged_artifact_path(sf, "simhash_fps")
+    fps = (
+        spark.read.parquet(staged)
+        if staged
+        else sh.fingerprints(_t(spark, sf, "documents"))
+    )
+    return sh.incremental_near_duplicates(
+        fps.filter(F.col("doc_id") >= threshold),
+        fps.filter(F.col("doc_id") < threshold),
+        max_hamming=3,
+    ).select("id_a", "id_b", F.col("hd").cast("bigint").alias("hd"))
+
+
+@query(
+    "x83_incremental_exact_dedup",
+    """WITH u AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 97 = 3
+       ), h AS (SELECT doc_id, MD5(TRIM(text)) AS _h FROM u),
+       k AS (SELECT _h, MIN(doc_id) AS dup_of FROM h GROUP BY _h)
+       SELECT doc_id, dup_of FROM h JOIN k USING (_h)
+       WHERE doc_id >= 450 AND doc_id <> dup_of ORDER BY doc_id""",
+)
+def x83(spark, sf):
+    # Incremental EXACT dedup — the x77/x80/x81 contract on the first
+    # funnel tier: the new batch's digests (`dedup.digests`, the
+    # stageable/appendable index) semi-join the staged digest table, so
+    # only old rows whose digest the batch actually carries ever ship;
+    # per-batch cost scales with the batch, never the corpus. The batch
+    # is the fresh tail (doc_id >= 450) plus a RE-CRAWL slice — every
+    # 97th old page arriving again under a new id (+10000), the shape
+    # exact dedup exists for (the small SFs carry no natural byte-exact
+    # dups, so the batch models the operational one). Output == the
+    # union corpus's exact_text_groups membership restricted to batch
+    # docs (oracle = q34's digest grouping as per-doc dup_of rows with
+    # that restriction; parity test in tests/test_windows_dedup.py).
+    threshold = 450
+    docs = _t(spark, sf, "documents")
+    recrawl = docs.filter(F.col("doc_id") % 97 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    batch = docs.filter(F.col("doc_id") >= threshold).unionByName(recrawl)
+    return dedup.incremental_exact_dups(
+        batch, dedup.digests(docs.filter(F.col("doc_id") < threshold))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4088,7 +4179,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
     "q20_lag_diff",
-    "q24a_intersect",
     "q24b_except",
     "q31_percentile",
     "q32_rollup",
@@ -4108,7 +4198,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x11_json_extract",
     "x12_tfidf_keywords",
     "x13_fulltext_search",
-    "x14_case_route",
     "x21_rolling_time_window",
     "x25_session_stats",
 )
@@ -4142,7 +4231,12 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: weakest check in the window; q10/q12 keep the semi/multiway join
 #: family in-window and x04's regexp_replace normalization plus
 #: t-tests cover the regexp path; displaced by the eighth and ninth
-#: r8 registrations x80/x81).
+#: r8 registrations x80/x81), q24a intersect (left-semi distinct shape
+#: — q24b keeps the set-op family in-window with the strictly rarer
+#: left-anti plan, and q10 semi-join covers leftsemi; displaced by the
+#: tenth r8 registration x82), x14 case-route (pure CASE WHEN column
+#: expression, t-tested in test_routing and shared with q14/q33 shapes;
+#: displaced by the eleventh r8 registration x83).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4155,12 +4249,14 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q21_topk",
     "q22_slice",
     "q23_union",
+    "q24a_intersect",
     "q25_string_fns",
     "q26_regexp_extract",
     "q27_date_trunc",
     "q28_math_fns",
     "q29_explode_words",
     "q30_frequencies",
+    "x14_case_route",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the
