@@ -211,3 +211,153 @@ def kmv_distinct(
         return agg.select(*key_cols, est.alias("est_distinct"))
 
     return _t
+
+
+def stats_partials(
+    value_col: str, keys: Sequence[str] = ()
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch ALGEBRAIC statistics partial: one row per group with
+    ``(cnt, s, s2, mn, mx)`` — count, sum, sum of squares (DECIMAL(38,0),
+    exact at any corpus size), min, max over an integer measure.
+
+    This is the stats/monitoring tier of the incremental-corpus ring
+    (the band_keys / chunk_keys / digests contract, applied to
+    aggregates instead of indexes): a batch's partial row is a pure
+    aggregate of the batch, so it APPENDS to a staged partials table and
+    :func:`merge_stat_partials` folds any set of batches into exact
+    full-corpus statistics — count/sum/min/max/mean/variance — without
+    ever rescanning old batches. All partial fields are integers
+    (classic algebraic decomposition: sums add, extrema max), so the
+    merge is bit-identical regardless of batch split or partitioning —
+    unlike Welford/Chan double-precision M2 merging, whose low bits
+    depend on merge order. At 100 TB the partials table is one row per
+    (batch, group): metadata-sized forever.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("long")
+        return df.groupBy(*keys).agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).cast("decimal(38,0)").alias("s"),
+            F.sum((v * v).cast("decimal(38,0)")).alias("s2"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+
+    return _t
+
+
+def merge_stat_partials(
+    keys: Sequence[str] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Fold a :func:`stats_partials` table (any number of batch rows per
+    group) into finalized full-corpus statistics: ``cnt, s, mn, mx,
+    mean, var`` (sample variance).
+
+    The numerator ``cnt*s2 - s^2`` is computed in DECIMAL — exact
+    integer algebra — and only the final division runs in double, so
+    the result is deterministic across engines and batch splits (one
+    IEEE division of exactly-known integers, then HALF_UP 4dp). Groups
+    with ``cnt <= 1`` get NULL variance rather than a division error.
+    """
+
+    def _t(partials: DataFrame) -> DataFrame:
+        g = partials.groupBy(*keys).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        num = (
+            F.col("cnt").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s") * F.col("s")
+        )
+        den = F.col("cnt").cast("double") * (F.col("cnt") - 1).cast("double")
+        return g.select(
+            *keys,
+            "cnt",
+            F.col("s").cast("bigint").alias("s"),
+            "mn",
+            "mx",
+            F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias("mean"),
+            F.when(
+                F.col("cnt") > 1, F.round(num.cast("double") / den, 4)
+            ).alias("var"),
+        )
+
+    return _t
+
+
+def kmv_partials(
+    value_col: str,
+    keys: Sequence[str] = (),
+    k: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch KMV SYNOPSIS: one row per group carrying the batch's k
+    smallest distinct md5-LE64 hashes as a sorted array — the mergeable
+    form of :func:`kmv_distinct` and the distinct-count tier of the
+    incremental-corpus ring. Every one of the corpus-wide k smallest
+    hashes is necessarily within its own batch's k smallest, so a union
+    of batch synopses loses nothing: :func:`kmv_merge_partials` re-takes
+    the k smallest over the union and lands on the IDENTICAL estimate
+    the one-shot sketch computes over the whole corpus (bit-identical —
+    integer arithmetic end to end). Batch rows append; ~k * 16 bytes per
+    (batch, group) of state at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    def _t(df: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        d = df.select(
+            *key_cols, md5_le64(F.col(value_col)).alias("_h")
+        ).distinct()
+        pw = Window.partitionBy(*key_cols, "_p").orderBy("_h")
+        part = (
+            d.withColumn("_p", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") <= k)
+        )
+        return part.groupBy(*key_cols).agg(
+            F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs")
+        )
+
+    return _t
+
+
+def kmv_merge_partials(
+    keys: Sequence[str] = (),
+    k: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """Merge a :func:`kmv_partials` synopsis table into per-group
+    distinct-count estimates — the same estimator tail as
+    :func:`kmv_distinct` (exact below k; ``(k-1) * 2^64 div h_k``
+    above), over the union of the batch synopses. The flatten/distinct/
+    re-take-k runs per group on bounded arrays (<= batches * k hashes),
+    so the merge is a metadata-sized aggregate however large the corpus
+    that produced the synopses was.
+    """
+    TWO64 = 18446744073709551616  # 2^64
+
+    def _t(partials: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        merged = (
+            partials.select(*key_cols, F.explode("_hs").alias("_h"))
+            .distinct()
+            .groupBy(*key_cols)
+            .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs"))
+        )
+        agg_df = merged.select(
+            *key_cols,
+            F.size("_hs").alias("_n"),
+            F.try_element_at("_hs", F.lit(k)).alias("_hk"),
+        )
+        est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+            F.expr(
+                f"cast(cast({k - 1} as decimal(38,0)) * cast({TWO64} as decimal(38,0))"
+                " div _hk as bigint)"
+            )
+        )
+        return agg_df.select(*key_cols, est.alias("est_distinct"))
+
+    return _t

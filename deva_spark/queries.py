@@ -4139,6 +4139,89 @@ def x83(spark, sf):
     )
 
 
+@query(
+    "x84_incremental_corpus_stats",
+    r"""WITH t AS (
+          SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS v
+          FROM documents
+        ), g AS (
+          SELECT lang, COUNT(*) AS cnt, SUM(CAST(v AS HUGEINT)) AS s,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2, MIN(v) AS mn, MAX(v) AS mx
+          FROM t GROUP BY lang
+        )
+        SELECT lang, cnt, CAST(s AS BIGINT) AS s, mn, mx,
+               ROUND(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS mean,
+               CASE WHEN cnt > 1
+                    THEN ROUND(CAST(cnt * s2 - s * s AS DOUBLE)
+                               / (CAST(cnt AS DOUBLE) * (cnt - 1)), 4)
+               END AS var
+        FROM g ORDER BY lang""",
+)
+def x84(spark, sf):
+    # Incremental corpus statistics — the stats/monitoring tier of the
+    # incremental ring (`aggregates.stats_partials` +
+    # `merge_stat_partials`): three arrival batches each reduce to one
+    # ALGEBRAIC partial row per lang (cnt/sum/sum-of-squares in exact
+    # integer DECIMAL, min/max); the union of partials — the appendable
+    # staged table — folds into full-corpus count/sum/min/max/mean/
+    # variance without rescanning any old batch. Exact integer algebra
+    # until one final IEEE division, so the merge is bit-identical under
+    # any batch split (oracle = the direct one-pass SQL over the whole
+    # corpus; split-invariance property test in test_misc_ops.py).
+    docs = _t(spark, sf, "documents")
+    partials = None
+    for lo, hi in ((None, 300), (300, 450), (450, None)):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        p = b.select(
+            "lang", T.token_count(F.col("text")).alias("v")
+        ).transform(agg.stats_partials("v", keys=["lang"]))
+        partials = p if partials is None else partials.unionByName(p)
+    return partials.transform(agg.merge_stat_partials(keys=["lang"]))
+
+
+@query(
+    "x85_kmv_rollup_distinct_users",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                CAST(md5_number_upper(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+         FROM events
+       ), r AS (
+         SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         FROM h
+       ), a AS (
+         SELECT event_type, COUNT(*) AS n,
+                MAX(CASE WHEN rn = 64 THEN h END) AS hk
+         FROM r WHERE rn <= 64 GROUP BY 1
+       )
+       SELECT event_type,
+              CAST(CASE WHEN n < 64 THEN n
+                   ELSE (63 * CAST(18446744073709551616 AS HUGEINT)) // hk
+                   END AS BIGINT) AS est_distinct
+       FROM a ORDER BY event_type""",
+)
+def x85(spark, sf):
+    # Hierarchical KMV rollup — the distinct-count tier of the
+    # incremental ring (`aggregates.kmv_partials` + `kmv_merge_partials`),
+    # making kmv_distinct's "mergeable sketch = the 100 TB rollup path"
+    # claim oracle-checked: one bounded SYNOPSIS row (k smallest distinct
+    # hashes) per (event_type, day) — the appendable per-day table — then
+    # the merge re-takes the k smallest over the union per event_type.
+    # Every corpus-wide k-smallest hash is within its own day's k
+    # smallest, so the rollup estimate is BIT-IDENTICAL to the one-shot
+    # x60 sketch over the whole corpus (same oracle SQL; integer
+    # arithmetic end to end).
+    ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
+    partials = ev.transform(
+        agg.kmv_partials("user_id", keys=["event_type", "_day"], k=64)
+    )
+    return partials.transform(agg.kmv_merge_partials(keys=["event_type"], k=64))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4173,7 +4256,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q06_dedup_first_seen",
     "q08_inner_join",
     "q10_semi_join",
-    "q12_multiway_join",
     "q16_sliding_window_avg",
     "q17_partition_chunks",
     "q18_tumbling_time_window",
@@ -4195,7 +4277,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x08_cosine_topk",
     "x09_ann_lsh_topk",
     "x10_label_centroids",
-    "x11_json_extract",
     "x12_tfidf_keywords",
     "x13_fulltext_search",
     "x21_rolling_time_window",
@@ -4236,7 +4317,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: left-anti plan, and q10 semi-join covers leftsemi; displaced by the
 #: tenth r8 registration x82), x14 case-route (pure CASE WHEN column
 #: expression, t-tested in test_routing and shared with q14/q33 shapes;
-#: displaced by the eleventh r8 registration x83).
+#: displaced by the eleventh r8 registration x83), q12 multiway join
+#: (chained inner joins — q08 inner and q10 semi keep the join family
+#: in-window and the chain is plan-audited; displaced by the twelfth
+#: r8 registration x84), x11 json-extract (get_json_object built-in,
+#: t-tested; displaced by the thirteenth r8 registration x85).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4245,6 +4330,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
     "q11_anti_join",
+    "q12_multiway_join",
     "q13_positional_zip",
     "q21_topk",
     "q22_slice",
@@ -4256,6 +4342,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q28_math_fns",
     "q29_explode_words",
     "q30_frequencies",
+    "x11_json_extract",
     "x14_case_route",
 )
 

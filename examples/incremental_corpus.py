@@ -12,7 +12,9 @@ layout). Each later batch then:
      (`remove_duplicate_runs` — the Lee et al. action step),
   4. lands its vectors in the IVF layout with `ivf_append` (existing
      cells, no retrain) — searches serve the grown corpus immediately,
-  5. appends its own index rows for the next batch (parquet append).
+  5. appends its own index rows for the next batch (parquet append),
+  6. reduces to one algebraic stats partial + KMV synopsis row per
+     group, so corpus-wide stats merge without rescanning old batches.
 
 Per-batch cost scales with the batch, never the corpus — the property
 that makes the loop runnable daily at 100 TB.
@@ -141,6 +143,25 @@ def main() -> None:
     new_sigs.write.mode("append").parquet(sig_path)
     mh.band_keys(new_sigs).write.mode("append").parquet(band_path)
     print(f"index rows after append: {spark.read.parquet(idx_path).count()}")
+
+    # 6. the monitoring tier (x84/x85): the batch reduces to ONE
+    #    algebraic stats partial row and one KMV synopsis row per
+    #    group; appended to the stats tables, the merge serves exact
+    #    corpus-wide token stats and distinct-token estimates without
+    #    rescanning a single old batch
+    from deva_spark.functions import text as T
+    from deva_spark.operators import aggregates as agg
+
+    stats_path = f"{work}/stats_partials"
+    for b in (old_docs, new_docs):
+        b.select("lang", T.token_count(F.col("text")).alias("v")).transform(
+            agg.stats_partials("v", keys=["lang"])
+        ).write.mode("append").parquet(stats_path)
+    corpus_stats = spark.read.parquet(stats_path).transform(
+        agg.merge_stat_partials(keys=["lang"])
+    )
+    print("corpus token stats from merged batch partials:")
+    corpus_stats.orderBy("lang").show()
 
     new_idx.unpersist()
     shutil.rmtree(chunks, ignore_errors=True)

@@ -523,3 +523,95 @@ def test_asof_join_row_level_nulls_and_tolerance(spark):
             trades, quotes, "sym", "t_ts", "q_ts", ["px"],
             tolerance="1 hour) OR (1=1",
         )
+
+
+def test_stats_partials_merge_split_invariance(spark):
+    # the stats tier of the incremental ring: ANY batch split's partials
+    # merge to the exact one-shot statistics (integer algebra until the
+    # final division), matching a Python reference
+    import statistics
+
+    from deva_spark.operators import aggregates as agg
+
+    rows = [(i % 3, (i * 7919) % 1000 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+
+    def merged(splits):
+        parts = None
+        for lo, hi in splits:
+            p = df.filter((F.col("v") % 10 >= lo) & (F.col("v") % 10 < hi))
+            pp = p.transform(agg.stats_partials("v", keys=["k"]))
+            parts = pp if parts is None else parts.unionByName(pp)
+        return {
+            r.k: (r.cnt, r.s, r.mn, r.mx, r.mean, r.var)
+            for r in parts.transform(
+                agg.merge_stat_partials(keys=["k"])
+            ).collect()
+        }
+
+    one = merged([(0, 10)])
+    assert merged([(0, 3), (3, 7), (7, 10)]) == one
+    assert merged([(0, 5), (5, 10)]) == one
+    # python reference per key
+    for k in (0, 1, 2):
+        vs = [v for kk, v in rows if kk == k]
+        cnt, s, mn, mx, mean, var = one[k]
+        assert (cnt, s, mn, mx) == (len(vs), sum(vs), min(vs), max(vs))
+        assert mean == round(sum(vs) / len(vs), 4)
+        assert var == round(statistics.variance(vs), 4)
+
+
+def test_stats_partials_singleton_group_null_var(spark):
+    from deva_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(0, 5), (1, 3), (1, 9)], "k long, v long")
+    out = {
+        r.k: r
+        for r in df.transform(agg.stats_partials("v", keys=["k"]))
+        .transform(agg.merge_stat_partials(keys=["k"]))
+        .collect()
+    }
+    assert out[0].var is None and out[0].cnt == 1 and out[0].mean == 5.0
+    assert out[1].var == 18.0  # sample variance of (3, 9)
+
+
+def test_kmv_partials_merge_equals_one_shot(spark):
+    # the distinct-count tier: per-batch synopses merged == the one-shot
+    # kmv_distinct estimate, bit-identical, for any batch split and
+    # both below-k (exact) and above-k (estimator) regimes
+    from deva_spark.operators import aggregates as agg
+
+    rows = [(i % 2, i % 500) for i in range(3000)]  # 500 distinct per key
+    df = spark.createDataFrame(rows, "k long, v long")
+    one = {
+        r.k: r.est_distinct
+        for r in df.transform(
+            agg.kmv_distinct("v", keys=["k"], k=64)
+        ).collect()
+    }
+    for n_batches in (2, 5):
+        parts = None
+        for b in range(n_batches):
+            p = df.filter(F.col("v") % n_batches == b).withColumn(
+                "_b", F.lit(b)
+            )
+            pp = p.transform(agg.kmv_partials("v", keys=["k", "_b"], k=64))
+            parts = pp if parts is None else parts.unionByName(pp)
+        got = {
+            r.k: r.est_distinct
+            for r in parts.transform(
+                agg.kmv_merge_partials(keys=["k"], k=64)
+            ).collect()
+        }
+        assert got == one
+    # below-k regime stays exact through the merge
+    small = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    p1 = small.filter(F.col("v") < 3).transform(agg.kmv_partials("v", k=64))
+    p2 = small.filter(F.col("v") >= 3).transform(agg.kmv_partials("v", k=64))
+    est = (
+        p1.unionByName(p2)
+        .transform(agg.kmv_merge_partials(k=64))
+        .collect()[0]
+        .est_distinct
+    )
+    assert est == 7
