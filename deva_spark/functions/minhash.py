@@ -435,3 +435,101 @@ def containment_pairs(
             >= F.lit(pct_threshold)
         )
     )
+
+
+def incremental_shingle_overlap(
+    new_index: DataFrame,
+    old_index: DataFrame,
+    pct_threshold: int = 30,
+    id_col: str = "doc_id",
+    sh_col: str = "_sh",
+    old_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental EXACT-overlap dedup — the x77/x80/x82 contract on the
+    shingle-set tier, serving both resemblance (Jaccard, the
+    :func:`ngram_jaccard_pairs` criterion) and containment (asymmetric
+    |A∩B|/|A|, the :func:`containment_pairs` criterion) in one pass:
+    the NEW batch's exploded distinct-shingle index joins the STAGED
+    corpus index (new x old) plus a batch self-join (new x new);
+    old x old pairs never recompute, and the batch's index rows append
+    afterwards (a pure per-doc function of the text — the band_keys /
+    chunk_keys / digests contract).
+
+    Inputs are ``(id_col, sh_col)`` exploded DISTINCT shingle indexes
+    (the shared staged 5-gram index). Counting rows per candidate pair
+    IS the exact |A∩B| — the index carries the full sets, so no second
+    rescore join is needed (unlike the banded MinHash tier).
+
+    Output: ``(id_a, id_b, common, jaccard, cont_a_pct, cont_b_pct)``
+    with ``id_a < id_b``, kept when EITHER the symmetric criterion
+    (``common*100 >= union*pct``, integer cross-multiplied) or the
+    asymmetric one (either integer-floored containment percentage
+    reaches ``pct_threshold``) holds. Equals the full-corpus overlap
+    table restricted to pairs touching the batch (parity-tested).
+
+    Scale shape: the candidate join shuffles 8-byte shingle hashes; at
+    corpus scale stage the old index BUCKETED by the shingle hash
+    (``writers.write_bucketed``) so each batch's lookup join shuffles
+    only the batch side. ``old_sizes``: a staged per-doc size table
+    (itself appendable — sizes are per-doc constants); when omitted the
+    old index is re-aggregated for sizes of matched docs.
+    """
+    n = new_index.select(
+        F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
+    ).persist()
+    n.count()  # batch-sized; feeds cross join, self join, and sizes
+    o = old_index.select(
+        F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
+    )
+    cross = (
+        n.select(F.col("doc_id").alias("nid"), "sh")
+        .join(o.select(F.col("doc_id").alias("oid"), "sh"), "sh")
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
+    )
+    selfp = (
+        n.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(n.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    common = (
+        cross.unionByName(selfp)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    new_sizes = n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    osz = (
+        old_sizes.select("doc_id", "n")
+        if old_sizes is not None
+        else o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = new_sizes.unionByName(osz)
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("common")
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(F.col("common").cast("double") / u.cast("double"), 4).alias(
+                "jaccard"
+            ),
+            F.expr("(common * 100) div na").alias("cont_a_pct"),
+            F.expr("(common * 100) div nb").alias("cont_b_pct"),
+            (F.col("common") * 100 >= u * pct_threshold).alias("_sym"),
+        )
+        .filter(
+            F.col("_sym")
+            | (
+                F.greatest("cont_a_pct", "cont_b_pct")
+                >= F.lit(pct_threshold)
+            )
+        )
+        .drop("_sym")
+    )

@@ -4222,6 +4222,56 @@ def x85(spark, sf):
     return partials.transform(agg.kmv_merge_partials(keys=["event_type"], k=64))
 
 
+@query(
+    "x86_incremental_shingle_overlap",
+    r"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ), ex AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS s
+          FROM words WHERE len(ws) >= 5
+        ), sh AS (SELECT DISTINCT doc_id, s FROM ex),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, c AS common,
+               ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard,
+               (c * 100) // na.n AS cont_a_pct,
+               (c * 100) // nb.n AS cont_b_pct
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE (c * 100 >= (na.n + nb.n - c) * 30
+               OR greatest((c * 100) // na.n, (c * 100) // nb.n) >= 30)
+          AND (id_a >= 450 OR id_b >= 450)
+        ORDER BY id_a, id_b""",
+)
+def x86(spark, sf):
+    # Incremental EXACT-overlap dedup (`minhash.incremental_shingle_overlap`)
+    # — the last dedup tier to get its batch-incremental form, closing
+    # the ring: x05's symmetric Jaccard criterion AND x65's asymmetric
+    # containment criterion in ONE pass over the shared staged 5-gram
+    # index. The batch's exploded shingles join the staged corpus index
+    # (new x old) plus a batch self-join; counting rows per pair IS the
+    # exact |A∩B| (the index carries full sets — no rescore join), and
+    # old x old pairs never recompute. Oracle = the full-corpus overlap
+    # SQL (x65's CTEs + both criteria) restricted to batch-touching
+    # pairs; parity test vs the full table in test_text_similarity.py.
+    threshold = 450
+    idx = _shingle5_hashes(spark, sf).select("doc_id", "_sh")
+    return mh.incremental_shingle_overlap(
+        idx.filter(F.col("doc_id") >= threshold),
+        idx.filter(F.col("doc_id") < threshold),
+        pct_threshold=30,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4256,7 +4306,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q06_dedup_first_seen",
     "q08_inner_join",
     "q10_semi_join",
-    "q16_sliding_window_avg",
     "q17_partition_chunks",
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
@@ -4321,7 +4370,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: (chained inner joins — q08 inner and q10 semi keep the join family
 #: in-window and the chain is plan-audited; displaced by the twelfth
 #: r8 registration x84), x11 json-extract (get_json_object built-in,
-#: t-tested; displaced by the thirteenth r8 registration x85).
+#: t-tested; displaced by the thirteenth r8 registration x85), q16
+#: sliding-window avg (the window-agg family keeps q18 tumbling, q20
+#: lag, x21 rolling-time in-window; q16 is t-tested; displaced by the
+#: fourteenth r8 registration x86).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4332,6 +4384,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q11_anti_join",
     "q12_multiway_join",
     "q13_positional_zip",
+    "q16_sliding_window_avg",
     "q21_topk",
     "q22_slice",
     "q23_union",

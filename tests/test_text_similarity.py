@@ -383,3 +383,104 @@ def test_band_index_append_and_compaction_invariance(spark, sf_dir, tmp_path):
         assert run() == expected
     finally:
         sigs.unpersist()
+
+
+def test_incremental_shingle_overlap_matches_full_restricted(spark, docs):
+    # the exact-overlap tier's incremental form: new-batch index joined
+    # against the old index (+ batch self-join) == the FULL corpus
+    # overlap table restricted to batch-touching pairs; and an
+    # old_sizes= staged table changes nothing
+    T1 = 350
+    idx = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(split(trim(text),"
+                        " '\\\\s+')) - 4, 0)), i -> concat_ws(' ',"
+                        " slice(split(trim(text), '\\\\s+'), i, 5)))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .filter(F.length("s") > 0)
+        .select("doc_id", F.xxhash64("s").alias("_sh"))
+        .persist()
+    )
+    try:
+        idx.count()
+        new, old = (
+            idx.filter(F.col("doc_id") >= T1),
+            idx.filter(F.col("doc_id") < T1),
+        )
+
+        def as_map(df):
+            return {
+                (r.id_a, r.id_b): (
+                    r.common,
+                    r.jaccard,
+                    r.cont_a_pct,
+                    r.cont_b_pct,
+                )
+                for r in df.collect()
+            }
+
+        inc = as_map(mh.incremental_shingle_overlap(new, old))
+        # full table = same operator with an empty old side over the
+        # whole corpus (the self-join covers every pair)
+        full = as_map(mh.incremental_shingle_overlap(idx, idx.limit(0)))
+        expected = {
+            p: v for p, v in full.items() if p[0] >= T1 or p[1] >= T1
+        }
+        assert inc == expected and len(expected) > 0
+        # no old x old pair leaks in
+        assert all(a >= T1 or b >= T1 for a, b in inc)
+        # staged per-doc size table: same output, old index never
+        # re-aggregated
+        osz = old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        assert as_map(
+            mh.incremental_shingle_overlap(new, old, old_sizes=osz)
+        ) == expected
+    finally:
+        idx.unpersist()
+
+
+def test_incremental_shingle_overlap_criteria(spark):
+    # synthetic: one containment-only pair (short inside long), one
+    # jaccard pair (identical), one unrelated — thresholds match the
+    # batch operators' integer semantics
+    base = "w%d " * 30
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    short_doc = " ".join(f"w{i}" for i in range(10))  # contained run
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, other), (10, short_doc), (11, long_doc)],
+        "doc_id long, text string",
+    )
+    idx = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(trim(text),"
+                    " '\\\\s+')) - 4, 0)), i -> concat_ws(' ',"
+                    " slice(split(trim(text), '\\\\s+'), i, 5)))"
+                )
+            )
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("_sh"))
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mh.incremental_shingle_overlap(
+            idx.filter(F.col("doc_id") >= 10),
+            idx.filter(F.col("doc_id") < 10),
+        ).collect()
+    }
+    # short (6 shingles) fully inside long (26): containment 100% of the
+    # short side, jaccard 6/26 below 30% -> kept by the asymmetric arm
+    assert out[(0, 10)].cont_b_pct == 100 and out[(0, 10)].jaccard < 0.3
+    # identical docs: jaccard 1.0
+    assert out[(0, 11)].jaccard == 1.0
+    # unrelated doc shares nothing
+    assert not any(1 in p for p in out)
