@@ -450,7 +450,6 @@ def test_incremental_shingle_overlap_criteria(spark):
     # synthetic: one containment-only pair (short inside long), one
     # jaccard pair (identical), one unrelated — thresholds match the
     # batch operators' integer semantics
-    base = "w%d " * 30
     long_doc = " ".join(f"w{i}" for i in range(30))
     short_doc = " ".join(f"w{i}" for i in range(10))  # contained run
     other = " ".join(f"z{i}" for i in range(30))

@@ -68,6 +68,11 @@ HEAVY = [
     "x77_incremental_dup_pairs",
     "x80_incremental_minhash_neardup",
     "x81_incremental_dedup_clusters",
+    "x82_incremental_simhash_neardup",
+    "x83_incremental_exact_dedup",
+    "x84_incremental_corpus_stats",
+    "x85_kmv_rollup_distinct_users",
+    "x86_incremental_shingle_overlap",
 ]
 
 
@@ -169,6 +174,203 @@ def build(spark) -> None:
     _amplify("lineitem", _lineitem)
 
 
+def incremental_operational(spark) -> dict:
+    """The OPERATIONAL shape the registry entries can't show at this
+    panel's amplified scale (their fixed doc_id>=450 split makes the
+    "batch" 99% of the corpus — the degeneracy recorded for x77): a
+    1% arrival batch (the last 500 doc_ids of replica 9) against the
+    staged 99% corpus. For each dedup tier, times the incremental
+    operator (old-side index STAGED outside the window, per contract)
+    against the full-recompute alternative — the SAME operator over
+    (whole corpus, empty old), i.e. the identical code path with only
+    the input split changed. Min of N_RUNS warm runs, Spark vs Spark.
+    """
+    from deva_spark.functions import minhash as mh
+    from deva_spark.functions import simhash as sh
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        window_hashes,
+    )
+    from deva_spark.operators import aggregates as agg
+    from deva_spark.operators import dedup
+
+    CUT = 9_004_500  # replica 9's last 500 docs = 1% of the corpus
+    docs = spark.read.parquet(os.path.join(OUT, "documents.parquet"))
+    # In production the arrival batch IS its own files — a batch-sized
+    # scan. Filtering the merged corpus parquet instead would charge
+    # every incremental path a full-corpus scan (doc_ids are spread
+    # across every row group, so nothing prunes), which is a benchmark
+    # artifact, not the operational shape. Materialize the batch (and
+    # the batch's slices of the staged per-doc tables) once, outside
+    # the timed window, exactly like arrival files on disk.
+    batch_dir = os.path.join(OUT, "_arrival_batch")
+    if not os.path.exists(batch_dir):
+        docs.filter(F.col("doc_id") >= CUT).coalesce(4).write.parquet(
+            batch_dir
+        )
+    new_docs = spark.read.parquet(batch_dir)
+    old_docs = docs.filter(F.col("doc_id") < CUT)
+    corpus_docs, batch_docs = docs.count(), new_docs.count()
+
+    def arrival(df, name):
+        """Batch slice of a staged per-doc table, as its own files."""
+        d = os.path.join(OUT, f"_arrival_{name}")
+        if not os.path.exists(d):
+            df.coalesce(4).write.parquet(d)
+        return spark.read.parquet(d)
+
+    def timed(make_df):
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            n = make_df().count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3), n
+
+    res: dict = {
+        "batch_docs": batch_docs,
+        "corpus_docs": corpus_docs,
+        "tiers": {},
+    }
+
+    def tier(name, stage, inc, full):
+        staged = {k: v.persist() for k, v in stage().items()}
+        for v in staged.values():
+            v.count()
+        inc_sec, inc_rows = timed(lambda: inc(staged))
+        full_sec, full_rows = timed(full)
+        for v in staged.values():
+            v.unpersist()
+        res["tiers"][name] = {
+            "inc_sec": inc_sec,
+            "full_sec": full_sec,
+            "speedup": round(full_sec / inc_sec, 1) if inc_sec else None,
+            "inc_rows": inc_rows,
+            "full_rows": full_rows,
+        }
+        print(
+            f"operational {name}: inc={inc_sec}s full={full_sec}s",
+            file=sys.stderr,
+        )
+
+    # substring tier (x77 anatomy): the batch's window index is part of
+    # the timed per-batch cost; only the OLD index is staged
+    all_idx = window_hashes(docs, window=8)
+    tier(
+        "substring",
+        lambda: {"old": window_hashes(old_docs, window=8)},
+        lambda s: incremental_dup_pairs(
+            window_hashes(new_docs, window=8), s["old"]
+        ),
+        lambda: incremental_dup_pairs(all_idx, all_idx.limit(0)),
+    )
+
+    # MinHash tier (x80): the signature table is a staged shared
+    # artifact for BOTH routes (parquet); only the OLD band projection
+    # is staged — the batch's banding + joins + verify are timed
+    sigs_path = Q.staged_artifact_path(OUT, "doc_sigs")
+    sigs = (
+        spark.read.parquet(sigs_path)
+        if sigs_path
+        else mh.signatures(
+            docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        )
+    )
+    tier(
+        "minhash",
+        lambda: {
+            "old_bands": mh.band_keys(sigs.filter(F.col("doc_id") < CUT)),
+        },
+        lambda s: mh.incremental_near_duplicates(
+            arrival(sigs.filter(F.col("doc_id") >= CUT), "sigs"),
+            sigs.filter(F.col("doc_id") < CUT),
+            old_bands=s["old_bands"],
+        ),
+        lambda: mh.incremental_near_duplicates(sigs, sigs.limit(0)),
+    )
+
+    # SimHash tier (x82): fingerprints staged for both; OLD chunk
+    # projection staged, batch chunking + joins timed
+    fps_path = Q.staged_artifact_path(OUT, "simhash_fps")
+    fps = (
+        spark.read.parquet(fps_path)
+        if fps_path
+        else sh.fingerprints(docs)
+    )
+    tier(
+        "simhash",
+        lambda: {
+            "old_chunks": sh.chunk_keys(fps.filter(F.col("doc_id") < CUT)),
+        },
+        lambda s: sh.incremental_near_duplicates(
+            arrival(fps.filter(F.col("doc_id") >= CUT), "fps"),
+            fps.filter(F.col("doc_id") < CUT),
+            old_chunks=s["old_chunks"],
+        ),
+        lambda: sh.incremental_near_duplicates(fps, fps.limit(0)),
+    )
+
+    # exact tier (x83)
+    tier(
+        "exact",
+        lambda: {"old_digests": dedup.digests(old_docs)},
+        lambda s: dedup.incremental_exact_dups(new_docs, s["old_digests"]),
+        lambda: dedup.incremental_exact_dups(
+            docs, dedup.digests(docs.limit(0))
+        ),
+    )
+
+    # exact-overlap tier (x86), off the staged 5-gram index
+    shp = Q.staged_artifact_path(OUT, "shingle5")
+    idx = (
+        spark.read.parquet(shp).select("doc_id", "_sh")
+        if shp
+        else None
+    )
+    if idx is not None:
+        tier(
+            "overlap",
+            lambda: {
+                "old": idx.filter(F.col("doc_id") < CUT),
+                "old_sizes": idx.filter(F.col("doc_id") < CUT)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n")),
+            },
+            lambda s: mh.incremental_shingle_overlap(
+                arrival(idx.filter(F.col("doc_id") >= CUT), "shingles"),
+                s["old"],
+                old_sizes=s["old_sizes"],
+            ),
+            lambda: mh.incremental_shingle_overlap(idx, idx.limit(0)),
+        )
+
+    # stats tier (x84): batch partial + merge with the staged partials
+    from deva_spark.functions import text as T
+
+    old_partials = (
+        old_docs.select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.stats_partials("v", keys=["lang"]))
+    )
+    tier(
+        "stats",
+        lambda: {"old_partials": old_partials},
+        lambda s: new_docs.select(
+            "lang", T.token_count(F.col("text")).alias("v")
+        )
+        .transform(agg.stats_partials("v", keys=["lang"]))
+        .unionByName(s["old_partials"])
+        .transform(agg.merge_stat_partials(keys=["lang"])),
+        lambda: docs.select(
+            "lang", T.token_count(F.col("text")).alias("v")
+        )
+        .transform(agg.stats_partials("v", keys=["lang"]))
+        .transform(agg.merge_stat_partials(keys=["lang"])),
+    )
+
+    return res
+
+
 def main() -> int:
     spark = get_spark("bench-sf1")
     if "--rebuild" in sys.argv:
@@ -247,6 +449,7 @@ def main() -> int:
     out["spark_total"] = round(spark_total, 2)
     out["duckdb_total"] = round(duck_total, 2)
     out["ratio"] = round(spark_total / duck_total, 3) if duck_total else None
+    out["incremental_operational"] = incremental_operational(spark)
     line = json.dumps(out)
     print(line)
     with open(
