@@ -361,3 +361,61 @@ def kmv_merge_partials(
         return agg_df.select(*key_cols, est.alias("est_distinct"))
 
     return _t
+
+
+def batch_drift(
+    hist_partials: DataFrame,
+    batch_partials: DataFrame,
+    keys: Sequence[str] = (),
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Arrival-batch QUALITY GATE over the stats tier — the operational
+    consumer of :func:`stats_partials`: before a batch's partial row is
+    appended to the staged table, score its per-group mean against the
+    merged HISTORY (all prior batch partials) with a z-statistic
+    ``z = (batch_mean - hist_mean) / sqrt(hist_var / batch_cnt)`` and
+    flag groups that drifted (|z| >= z_threshold) or appeared from
+    nowhere (no history). A shifted scraper, a broken decoder, or a
+    language-mix inversion shows up here BEFORE the batch pollutes the
+    corpus — the batch-granular complement of the row-granular
+    streaming ADWIN detector.
+
+    Both inputs are partials tables (any number of rows per group on
+    either side — the merge is fold-order-free), so the gate costs two
+    metadata-sized aggregates however large the corpus the history
+    summarizes. Deterministic: means/variances come from the exact
+    integer algebra of :func:`merge_stat_partials` (4dp), and the final
+    score is one IEEE divide + sqrt, rounded to 4dp.
+
+    Output: ``keys, hist_cnt, hist_mean, batch_cnt, batch_mean, z,
+    drifted`` — one row per group present in the batch.
+    """
+    key_cols = list(keys)
+    h = merge_stat_partials(keys)(hist_partials).select(
+        *key_cols,
+        F.col("cnt").alias("hist_cnt"),
+        F.col("mean").alias("hist_mean"),
+        F.col("var").alias("hist_var"),
+    )
+    b = merge_stat_partials(keys)(batch_partials).select(
+        *key_cols,
+        F.col("cnt").alias("batch_cnt"),
+        F.col("mean").alias("batch_mean"),
+    )
+    z = F.round(
+        (F.col("batch_mean") - F.col("hist_mean"))
+        / F.sqrt(F.col("hist_var") / F.col("batch_cnt")),
+        4,
+    )
+    return b.join(h, key_cols, "left").select(
+        *key_cols,
+        "hist_cnt",
+        "hist_mean",
+        "batch_cnt",
+        "batch_mean",
+        F.when(F.col("hist_var") > 0, z).alias("z"),
+        F.coalesce(
+            F.abs(F.when(F.col("hist_var") > 0, z)) >= F.lit(z_threshold),
+            F.lit(True),
+        ).alias("drifted"),
+    )

@@ -615,3 +615,101 @@ def test_kmv_partials_merge_equals_one_shot(spark):
         .est_distinct
     )
     assert est == 7
+
+
+def test_batch_drift_gate(spark):
+    # the stats tier's operational consumer: a shifted arrival batch is
+    # flagged per group BEFORE its partial appends to the history; a
+    # same-distribution batch passes; a group with no history flags
+    from deva_spark.operators import aggregates as agg
+
+    hist_rows = [("en", 100 + (i * 13) % 21) for i in range(300)] + [
+        ("de", 200 + (i * 7) % 21) for i in range(300)
+    ]
+    hist = (
+        spark.createDataFrame(hist_rows, "k string, v long")
+        .transform(agg.stats_partials("v", keys=["k"]))
+    )
+
+    def gate(batch_rows):
+        b = spark.createDataFrame(
+            batch_rows, "k string, v long"
+        ).transform(agg.stats_partials("v", keys=["k"]))
+        return {r.k: r for r in agg.batch_drift(hist, b, keys=["k"]).collect()}
+
+    # same distribution -> not drifted
+    ok = gate([("en", 100 + (i * 13) % 21) for i in range(40)])
+    assert ok["en"].drifted is False and abs(ok["en"].z) < 3
+    # +30 shift (~5 sigma of the uniform-ish spread) -> drifted
+    bad = gate([("en", 130 + (i * 13) % 21) for i in range(40)])
+    assert bad["en"].drifted is True and bad["en"].z > 3
+    # unseen group -> no history, flagged with NULL z
+    new = gate([("zz", 5), ("zz", 6)])
+    assert new["zz"].drifted is True and new["zz"].z is None
+    # deterministic under history batch splits: same z either way
+    h2 = (
+        spark.createDataFrame(hist_rows[:150] , "k string, v long")
+        .transform(agg.stats_partials("v", keys=["k"]))
+        .unionByName(
+            spark.createDataFrame(hist_rows[150:], "k string, v long")
+            .transform(agg.stats_partials("v", keys=["k"]))
+        )
+    )
+    b = spark.createDataFrame(
+        [("en", 130 + (i * 13) % 21) for i in range(40)], "k string, v long"
+    ).transform(agg.stats_partials("v", keys=["k"]))
+    z1 = {r.k: r.z for r in agg.batch_drift(hist, b, keys=["k"]).collect()}
+    z2 = {r.k: r.z for r in agg.batch_drift(h2, b, keys=["k"]).collect()}
+    assert z1 == z2
+
+
+def test_streaming_stats_partials_equivalence(spark, sf_dir):
+    # the stats tier's STREAMING twin needs no new operator:
+    # stats_partials is a plain aggregate transform, so it runs on a
+    # file stream directly; a complete-mode AvailableNow drain equals
+    # the batch route under any micro-batching (the aggregate is
+    # algebraic — partials fold per micro-batch in the state store)
+    from deva_spark.functions import text as T
+    from deva_spark.operators import aggregates as agg
+
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, min_id=0)
+    stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
+    drained = twin.run_available_now(
+        stream.select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.stats_partials("v", keys=["lang"])),
+        "stats_twin_drain",
+        output_mode="complete",
+    )
+    got = {
+        r.lang: r
+        for r in drained.transform(
+            agg.merge_stat_partials(keys=["lang"])
+        ).collect()
+    }
+    batch = read_table(spark, sf_dir, "documents")
+    expected = {
+        r.lang: r
+        for r in batch.select(
+            "lang", T.token_count(F.col("text")).alias("v")
+        )
+        .transform(agg.stats_partials("v", keys=["lang"]))
+        .transform(agg.merge_stat_partials(keys=["lang"]))
+        .collect()
+    }
+    assert set(got) == set(expected) and len(got) > 0
+    for k in got:
+        assert (
+            got[k].cnt,
+            got[k].s,
+            got[k].mn,
+            got[k].mx,
+            got[k].mean,
+            got[k].var,
+        ) == (
+            expected[k].cnt,
+            expected[k].s,
+            expected[k].mn,
+            expected[k].mx,
+            expected[k].mean,
+            expected[k].var,
+        )
