@@ -4272,6 +4272,65 @@ def x86(spark, sf):
     )
 
 
+@query(
+    "x87_batch_drift_gate",
+    r"""WITH t AS (
+          SELECT lang, doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS v
+          FROM documents
+        ), h AS (
+          SELECT lang, COUNT(*) AS cnt, SUM(CAST(v AS HUGEINT)) AS s,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2
+          FROM t WHERE doc_id < 450 GROUP BY lang
+        ), hf AS (
+          SELECT lang, cnt,
+                 ROUND(CAST(s AS DOUBLE) / cnt, 4) AS mean,
+                 CASE WHEN cnt > 1
+                      THEN ROUND(CAST(cnt * s2 - s * s AS DOUBLE)
+                                 / (CAST(cnt AS DOUBLE) * (cnt - 1)), 4)
+                 END AS var
+          FROM h
+        ), b AS (
+          SELECT lang, COUNT(*) AS cnt,
+                 ROUND(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
+                       / COUNT(*), 4) AS mean
+          FROM t WHERE doc_id >= 450 GROUP BY lang
+        ), z AS (
+          SELECT b.lang, hf.cnt AS hist_cnt, hf.mean AS hist_mean,
+                 b.cnt AS batch_cnt, b.mean AS batch_mean,
+                 CASE WHEN hf.var > 0
+                      THEN ROUND((b.mean - hf.mean)
+                                 / sqrt(hf.var / b.cnt), 4)
+                 END AS z
+          FROM b LEFT JOIN hf USING (lang)
+        )
+        SELECT lang, hist_cnt, hist_mean, batch_cnt, batch_mean, z,
+               COALESCE(ABS(z) >= 3.0, TRUE) AS drifted
+        FROM z ORDER BY lang""",
+)
+def x87(spark, sf):
+    # Arrival-batch QUALITY GATE over the stats tier
+    # (`aggregates.batch_drift`, the operational consumer of x84's
+    # partials): before the batch's partial row appends to the staged
+    # table, its per-group token-count mean scores against the merged
+    # HISTORY with z = (m_b - m_h) / sqrt(var_h / n_b); drifted or
+    # never-seen groups flag. Every input to the score comes from the
+    # exact integer algebra (4dp), so the gate is bit-stable under any
+    # history batch split (property test in test_misc_ops.py). Oracle =
+    # the same formulas over the direct per-side SQL aggregates.
+    threshold = 450
+    vals = _t(spark, sf, "documents").select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("v")
+    )
+    hist = vals.filter(F.col("doc_id") < threshold).transform(
+        agg.stats_partials("v", keys=["lang"])
+    )
+    batch = vals.filter(F.col("doc_id") >= threshold).transform(
+        agg.stats_partials("v", keys=["lang"])
+    )
+    return agg.batch_drift(hist, batch, keys=["lang"], z_threshold=3.0)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4306,7 +4365,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q06_dedup_first_seen",
     "q08_inner_join",
     "q10_semi_join",
-    "q17_partition_chunks",
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
     "q20_lag_diff",
@@ -4373,7 +4431,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: t-tested; displaced by the thirteenth r8 registration x85), q16
 #: sliding-window avg (the window-agg family keeps q18 tumbling, q20
 #: lag, x21 rolling-time in-window; q16 is t-tested; displaced by the
-#: fourteenth r8 registration x86).
+#: fourteenth r8 registration x86), q17 partition-chunks (windowed
+#: chunking over the same keyed-window machinery as q18 tumbling,
+#: which stays in-window; t-tested; displaced by the fifteenth r8
+#: registration x87).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4385,6 +4446,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q12_multiway_join",
     "q13_positional_zip",
     "q16_sliding_window_avg",
+    "q17_partition_chunks",
     "q21_topk",
     "q22_slice",
     "q23_union",

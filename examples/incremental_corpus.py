@@ -153,10 +153,21 @@ def main() -> None:
     from deva_spark.operators import aggregates as agg
 
     stats_path = f"{work}/stats_partials"
-    for b in (old_docs, new_docs):
-        b.select("lang", T.token_count(F.col("text")).alias("v")).transform(
-            agg.stats_partials("v", keys=["lang"])
-        ).write.mode("append").parquet(stats_path)
+    old_partials = old_docs.select(
+        "lang", T.token_count(F.col("text")).alias("v")
+    ).transform(agg.stats_partials("v", keys=["lang"]))
+    old_partials.write.parquet(stats_path)
+    batch_partials = new_docs.select(
+        "lang", T.token_count(F.col("text")).alias("v")
+    ).transform(agg.stats_partials("v", keys=["lang"]))
+    # ...and the batch is GATED against the history before its partial
+    # appends (x87): drifted or never-seen groups would flag here
+    gate = agg.batch_drift(
+        spark.read.parquet(stats_path), batch_partials, keys=["lang"]
+    )
+    print("batch drift gate (drifted groups block the append):")
+    gate.orderBy("lang").show()
+    batch_partials.write.mode("append").parquet(stats_path)
     corpus_stats = spark.read.parquet(stats_path).transform(
         agg.merge_stat_partials(keys=["lang"])
     )
