@@ -713,3 +713,45 @@ def test_streaming_stats_partials_equivalence(spark, sf_dir):
             expected[k].mean,
             expected[k].var,
         )
+
+
+@given(
+    splits=st.lists(st.integers(min_value=0, max_value=4), min_size=40, max_size=40),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_stats_and_kmv_merge_arbitrary_split_property(spark, splits):
+    # hypothesis: ANY assignment of rows to batches merges to the same
+    # stats and the same KMV estimate as the one-shot computation —
+    # the fold-order/batching-freedom contract of both synopsis tiers
+    from deva_spark.operators import aggregates as agg
+
+    rows = [
+        (i % 3, (i * 2654435761) % 997, splits[i % 40]) for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, b long")
+    one_stats = {
+        r.k: (r.cnt, r.s, r.mn, r.mx, r.mean, r.var)
+        for r in df.transform(agg.stats_partials("v", keys=["k"]))
+        .transform(agg.merge_stat_partials(keys=["k"]))
+        .collect()
+    }
+    one_kmv = {
+        r.k: r.est_distinct
+        for r in df.transform(agg.kmv_distinct("v", keys=["k"], k=32)).collect()
+    }
+    parts_s = df.transform(agg.stats_partials("v", keys=["k", "b"])).drop("b")
+    got_stats = {
+        r.k: (r.cnt, r.s, r.mn, r.mx, r.mean, r.var)
+        for r in parts_s.transform(
+            agg.merge_stat_partials(keys=["k"])
+        ).collect()
+    }
+    parts_k = df.transform(agg.kmv_partials("v", keys=["k", "b"], k=32))
+    got_kmv = {
+        r.k: r.est_distinct
+        for r in parts_k.transform(
+            agg.kmv_merge_partials(keys=["k"], k=32)
+        ).collect()
+    }
+    assert got_stats == one_stats
+    assert got_kmv == one_kmv
