@@ -296,6 +296,25 @@ def release_neardup_cache() -> int:
     return n
 
 
+def _pair_cos_udf():
+    """Vectorized pair-dot rescore: one numpy einsum per Arrow batch
+    instead of an interpreted higher-order-function fold per pair (HOFs
+    don't codegen; observed 3 s -> sub-second on 130k candidates).
+    float32 -> float64 cast before the multiply matches the oracle's
+    CAST(x AS DOUBLE); numpy's pairwise summation can differ from the
+    sequential fold by ~1e-15, invisible at 4 dp except for a
+    measure-zero .xxxx5 boundary."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pair_cos
+
+
 def neardup_base(
     vectors: DataFrame,
     n_planes: int = 6,
@@ -369,20 +388,7 @@ def cosine_neardup_pairs(
     ea = base.select(F.col("vid").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
     eb = base.select(F.col("vid").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
 
-    # Vectorized rescore: one numpy einsum per Arrow batch instead of an
-    # interpreted higher-order-function fold per pair (HOFs don't codegen;
-    # observed 3 s -> sub-second on 130k candidates). float32 -> float64
-    # cast before the multiply matches the oracle's CAST(x AS DOUBLE);
-    # numpy's pairwise summation can differ from the sequential fold by
-    # ~1e-15, invisible at 4 dp except for a measure-zero .xxxx5 boundary.
-    from pyspark.sql.types import DoubleType
-
-    @pandas_udf(DoubleType())
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
+    pair_cos = _pair_cos_udf()
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -392,6 +398,73 @@ def cosine_neardup_pairs(
             F.round(pair_cos(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias(
                 "cos"
             ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def incremental_cosine_neardup(
+    new_base: DataFrame,
+    old_base: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dup — the x77/x80/x82 contract on the
+    embedding tier, the last detection tier to get its batch-incremental
+    form: the NEW batch's (table, bucket) keys join the existing
+    corpus's staged bucket projection (:func:`neardup_base` — norms and
+    bucket signatures are per-vector functions, so batch rows append to
+    the staged table with no rebuild) plus a batch self-join; old x old
+    candidates never recompute. Every candidate is exactly rescored
+    with the shared einsum dot — identical arithmetic to
+    :func:`cosine_neardup_pairs`, so the output equals the full-corpus
+    pair set restricted to pairs touching the batch (parity-tested).
+
+    Inputs are ``(vid, e, n, bs)`` base tables; vid sets must be
+    disjoint. The caller owns persistence (the staged old table is
+    parquet; persist the batch side if it is not already materialized).
+
+    Scale shape: candidate shuffles carry (table, bucket, id) triples,
+    never embeddings; the rescore joins embeddings per candidate only.
+    At corpus scale stage the old bucket projection BUCKETED by
+    (t, b) so each batch's lookup shuffles only the batch side.
+    """
+    nb = new_base.select("vid", F.posexplode("bs").alias("t", "b"))
+    ob = old_base.select("vid", F.posexplode("bs").alias("t", "b"))
+    cross = (
+        nb.select(F.col("vid").alias("nid"), "t", "b")
+        .join(ob.select(F.col("vid").alias("oid"), "t", "b"), ["t", "b"])
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
+    )
+    selfp = (
+        nb.select(F.col("vid").alias("id_a"), "t", "b")
+        .join(nb.select(F.col("vid").alias("id_b"), "t", "b"), ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(selfp).distinct()
+    allb = new_base.select("vid", "e", "n").unionByName(
+        old_base.select("vid", "e", "n")
+    )
+    ea = allb.select(
+        F.col("vid").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    eb = allb.select(
+        F.col("vid").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    pair_cos = _pair_cos_udf()
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                pair_cos(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -483,3 +483,33 @@ def test_incremental_shingle_overlap_criteria(spark):
     assert out[(0, 11)].jaccard == 1.0
     # unrelated doc shares nothing
     assert not any(1 in p for p in out)
+
+
+def test_incremental_cosine_neardup_matches_full_restricted(spark, emb):
+    # the semantic tier's incremental form: the batch's bucket keys join
+    # the staged bucket projection (+ batch self-join) == the full
+    # cosine_neardup_pairs output restricted to batch-touching pairs,
+    # including the 4dp einsum rescore
+    T1 = 350
+    base = V.neardup_base(emb).persist()
+    try:
+        base.count()
+        full = {
+            (r.id_a, r.id_b): r.cos
+            for r in V.cosine_neardup_pairs(
+                emb, threshold=0.4, base=base
+            ).collect()
+        }
+        expected = {p: c for p, c in full.items() if p[0] >= T1 or p[1] >= T1}
+        got = {
+            (r.id_a, r.id_b): r.cos
+            for r in V.incremental_cosine_neardup(
+                base.filter(F.col("vid") >= T1),
+                base.filter(F.col("vid") < T1),
+                threshold=0.4,
+            ).collect()
+        }
+        assert got == expected and len(expected) > 0
+        assert all(a >= T1 or b >= T1 for a, b in got)
+    finally:
+        base.unpersist()
