@@ -128,6 +128,18 @@ def main() -> None:
     print("rewritten docs (n_removed > 0 lost duplicated runs):")
     rewritten.select("doc_id", "n_words", "n_removed").show(10)
 
+    # 3b. semantic near-dup for the batch's vectors (x88's anatomy):
+    #     the batch's bucket keys join the STAGED bucket projection —
+    #     emb_base is the appendable index, so this row set also
+    #     appends in step 5
+    base_path = f"{work}/emb_base"
+    V.neardup_base(emb.filter(F.col("vec_id") < cut)).write.parquet(base_path)
+    new_base = V.neardup_base(emb.filter(F.col("vec_id") >= cut))
+    sem = V.incremental_cosine_neardup(
+        new_base, spark.read.parquet(base_path), threshold=0.4
+    )
+    print(f"incremental semantic near-dups (cos >= 0.4): {sem.count()}")
+
     # 4. vectors land in the IVF layout — no retrain, searches see them
     V.ivf_append(spark, ivf_path, emb.filter(F.col("vec_id") >= cut))
     hits = V.ivf_search_staged(
@@ -142,6 +154,7 @@ def main() -> None:
     new_idx.write.mode("append").parquet(idx_path)
     new_sigs.write.mode("append").parquet(sig_path)
     mh.band_keys(new_sigs).write.mode("append").parquet(band_path)
+    new_base.write.mode("append").parquet(base_path)
     print(f"index rows after append: {spark.read.parquet(idx_path).count()}")
 
     # 6. the monitoring tier (x84/x85): the batch reduces to ONE
