@@ -1726,10 +1726,19 @@ def x22(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def _x23_oracle(threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, dim: int = 64) -> str:
+def _x23_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    restrict: str = "",
+) -> str:
     """DuckDB twin of the LSH-prefiltered cosine near-dup pair join: same
     deterministic planes, same bucket self-join, same sequential-fold
-    exact rescore (list_sum == left-to-right fold)."""
+    exact rescore (list_sum == left-to-right fold). ``restrict``: extra
+    predicate on the final pair set — the r9 x88 registration passes
+    the batch-touching restriction (``"AND (id_a >= 450 OR id_b >=
+    450)"``, the x80/x82 recipe on vectors)."""
     from deva_spark.functions.vectors import deterministic_planes
 
     planes = deterministic_planes(dim, n_planes * n_tables)
@@ -1764,7 +1773,7 @@ def _x23_oracle(threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, di
           JOIN vec va ON va.vec_id = c.id_a
           JOIN vec vb ON vb.vec_id = c.id_b
         )
-        SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+        SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold} {restrict}
         ORDER BY id_a, id_b"""
 
 
@@ -4331,6 +4340,38 @@ def x87(spark, sf):
     return agg.batch_drift(hist, batch, keys=["lang"], z_threshold=3.0)
 
 
+@query("x88_incremental_cosine_neardup", None)  # oracle attached below
+def x88(spark, sf):
+    # Incremental SEMANTIC near-dup (`vectors.incremental_cosine_neardup`)
+    # — the x77/x80/x82 contract on the embedding tier, the last
+    # detection tier to get its batch-incremental form: vectors with
+    # vec_id >= 450 simulate a NEW batch whose (table, bucket) keys join
+    # the existing corpus's staged bucket projection (`emb_base` IS the
+    # appendable index — norms and bucket signatures are per-vector
+    # functions) plus a batch self-join; old x old candidates never
+    # recompute, and the shared einsum rescore keeps the 4dp contract.
+    # Oracle = x23's generated SQL restricted to batch-touching pairs;
+    # parity test vs cosine_neardup_pairs on the union
+    # (test_incremental_cosine_neardup_matches_full_restricted).
+    threshold = 450
+    staged = staged_artifact_path(sf, "emb_base")
+    base = (
+        spark.read.parquet(staged)
+        if staged
+        else V.neardup_base(_t(spark, sf, "embeddings"))
+    )
+    return V.incremental_cosine_neardup(
+        base.filter(F.col("vid") >= threshold),
+        base.filter(F.col("vid") < threshold),
+        threshold=0.4,
+    )
+
+
+ORACLE_SQL["x88_incremental_cosine_neardup"] = _x23_oracle(
+    restrict="AND (id_a >= 450 OR id_b >= 450)"
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4383,7 +4424,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x07_simhash_neardup",
     "x08_cosine_topk",
     "x09_ann_lsh_topk",
-    "x10_label_centroids",
     "x12_tfidf_keywords",
     "x13_fulltext_search",
     "x21_rolling_time_window",
@@ -4434,7 +4474,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: fourteenth r8 registration x86), q17 partition-chunks (windowed
 #: chunking over the same keyed-window machinery as q18 tumbling,
 #: which stays in-window; t-tested; displaced by the fifteenth r8
-#: registration x87).
+#: registration x87), x10 label centroids (per-label array-average —
+#: the q03 group-agg shape over vectors, t-tested in
+#: test_centroids_shape, and x66's cluster machinery exercises the
+#: same centroid arithmetic in-window; displaced by the sixteenth r8
+#: registration x88).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4457,6 +4501,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q28_math_fns",
     "q29_explode_words",
     "q30_frequencies",
+    "x10_label_centroids",
     "x11_json_extract",
     "x14_case_route",
 )
