@@ -268,22 +268,68 @@ def merge_stat_partials(
             F.sum("s2").cast("decimal(38,0)").alias("s2"),
             F.min("mn").alias("mn"),
             F.max("mx").alias("mx"),
+            # any negative-count partial marks a retraction
+            # (retract_stat_partials): extrema are NOT invertible, so the
+            # merged mn/mx of a retraction-touched group are conservatively
+            # NULLed below — they may still reflect a retracted row. The
+            # linear moments stay exact.
+            F.max((F.col("cnt") < 0).cast("int")).alias("_retr"),
         )
         num = (
             F.col("cnt").cast("decimal(38,0)") * F.col("s2")
             - F.col("s") * F.col("s")
         )
         den = F.col("cnt").cast("double") * (F.col("cnt") - 1).cast("double")
-        return g.select(
+        return (
+            # a fully-retracted group (cnt folds to 0) leaves the corpus
+            g.filter(F.col("cnt") > 0)
+            .select(
+                *keys,
+                "cnt",
+                F.col("s").cast("bigint").alias("s"),
+                F.when(F.col("_retr") == 0, F.col("mn")).alias("mn"),
+                F.when(F.col("_retr") == 0, F.col("mx")).alias("mx"),
+                F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias("mean"),
+                F.when(
+                    F.col("cnt") > 1, F.round(num.cast("double") / den, 4)
+                ).alias("var"),
+            )
+        )
+
+    return _t
+
+
+def retract_stat_partials(
+    value_col: str, keys: Sequence[str] = ()
+) -> Callable[[DataFrame], DataFrame]:
+    """NEGATIVE :func:`stats_partials` over the rows being forgotten —
+    the deletion side of the stats/monitoring tier (the
+    `dedup.retract_rows` contract applied to aggregates): because the
+    linear moments are exact integer algebra, appending one negated
+    partial row per group makes :func:`merge_stat_partials` yield
+    bit-identical count/sum/mean/variance to a full recompute over the
+    surviving corpus — no batch ever rescans (parity-tested).
+
+    Honesty about extrema: min/max are NOT invertible aggregates — a
+    retracted row may have BEEN the extremum and no synopsis can recover
+    the runner-up. Retraction partials therefore carry NULL ``mn``/``mx``
+    and the merge conservatively NULLs the extrema of every
+    retraction-touched group (recompute them with a one-off scan of the
+    affected groups if needed). Same honesty boundary as the KMV tier,
+    which is documented as append-only: a k-smallest-hash synopsis
+    cannot forget a member either.
+    """
+    base = stats_partials(value_col, keys)
+
+    def _t(df: DataFrame) -> DataFrame:
+        p = base(df)
+        return p.select(
             *keys,
-            "cnt",
-            F.col("s").cast("bigint").alias("s"),
-            "mn",
-            "mx",
-            F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias("mean"),
-            F.when(
-                F.col("cnt") > 1, F.round(num.cast("double") / den, 4)
-            ).alias("var"),
+            (-F.col("cnt")).alias("cnt"),
+            (-F.col("s")).cast("decimal(38,0)").alias("s"),
+            (-F.col("s2")).cast("decimal(38,0)").alias("s2"),
+            F.lit(None).cast("long").alias("mn"),
+            F.lit(None).cast("long").alias("mx"),
         )
 
     return _t

@@ -112,3 +112,130 @@ def incremental_exact_dups(
         .filter(F.col("doc_id") != F.col("dup_of"))
         .select("doc_id", "dup_of")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retraction: the deletion-side maintenance of the staged index tiers
+# (opt-out / takedown handling). The reference's dedup index only ever
+# grows (`/root/reference/deva/utils/simhash.py:247-341` has no delete);
+# an operational corpus needs the inverse of the append contract: remove
+# a bounded forget-list from every staged projection without rebuilding
+# it. Every per-doc index (digests, band_keys, chunk_keys, window
+# hashes, positioned windows, doc_stats, signatures, embeddings) is a
+# pure function of its own doc, so retraction is EXACTLY an anti-join —
+# retract(index(corpus), forget) == index(corpus minus forget), row for
+# row (parity-tested per artifact). Grouped (key -> member-array)
+# projections rewrite their arrays in place. Cluster assignments are the
+# one index where deletion has non-local effects (a forgotten doc can
+# bridge a cluster) — see graphs.retract_assignments.
+# ---------------------------------------------------------------------------
+
+
+def retract_rows(
+    index: DataFrame, forget: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove a forget-list from a FLAT per-doc staged index.
+
+    ``forget`` holds the ids to remove (single column, any name; a
+    bounded request batch by contract — orders of magnitude smaller
+    than the index, hence the broadcast). One scan of the index, no
+    shuffle: on a cluster the output overwrites (or compacts into) the
+    staged parquet, exactly like the append path but subtractive.
+    """
+    fg = forget.select(F.col(forget.columns[0]).alias(id_col)).distinct()
+    return index.join(F.broadcast(fg), id_col, "left_anti")
+
+
+def retract_grouped(
+    index: DataFrame,
+    forget_ids: Sequence,
+    arr_col: str,
+    member: str | None = None,
+    min_size: int = 2,
+) -> DataFrame:
+    """Remove a forget-list from a GROUPED ``(key -> member array)``
+    staged index (subwin8g / subpos8g / shingle5_src shapes): rewrite
+    each array in place, then drop groups that fall below ``min_size``
+    (pair-ready projections keep only >=2-occurrence groups, so a group
+    reduced to one member can never contribute a candidate again).
+
+    ``forget_ids`` is a driver-side list (the forget-list is a bounded
+    request batch by contract, so shipping it as a literal into the
+    filter expression keeps the rewrite a zero-shuffle single scan —
+    element order and duplicates inside the arrays are preserved, which
+    ``array_except`` would not guarantee). ``member`` names the struct
+    field holding the doc id for struct-element arrays (e.g. ``doc`` in
+    subpos8g's ``(doc, pos)`` structs); ``None`` means the elements ARE
+    the ids.
+    """
+    ids = list(forget_ids)
+    col = F.col(arr_col)
+    if member is None:
+        new = F.filter(col, lambda x: ~x.isin(ids))
+    else:
+        new = F.filter(col, lambda x: ~x.getField(member).isin(ids))
+    return index.withColumn(arr_col, new).filter(F.size(F.col(arr_col)) >= min_size)
+
+
+def cluster_representatives(
+    assign: DataFrame,
+    features: DataFrame,
+    order: Sequence,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick ONE representative per duplicate cluster by an explicit
+    quality ordering — the keep-BEST survivor policy (the min-id
+    convention baked into `canonical_assignments` is the deterministic
+    default; real curation keeps the highest-quality copy of a
+    duplicated page, not the numerically smallest id).
+
+    ``assign``: ``(doc_id, cluster_id, ...)`` from the resolution step;
+    ``features``: per-doc feature table carrying the ordering columns
+    (the staged doc_stats artifact in the registry); ``order``: explicit
+    ordering expressions, best first — the caller MUST make the order
+    total (tie-break on the id column) for a deterministic pick.
+    Output: ``(cluster_id, keep_id, n_members)``.
+
+    Both the rank window and the aggregate partition on ``cluster_col``,
+    so the second shuffle reuses the first exchange (AQE); the features
+    join ships only the ordering columns.
+    """
+    j = assign.select(F.col(id_col), F.col(cluster_col)).join(
+        features, id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .groupBy(cluster_col)
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def drop_non_representatives(
+    docs: DataFrame,
+    assign: DataFrame,
+    features: DataFrame,
+    order: Sequence,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Rewrite the corpus keeping only each cluster's representative
+    (plus every unclustered doc): the ACTION step for
+    :func:`cluster_representatives`, mirroring remove_duplicate_runs'
+    detect-then-rewrite split. The loser set is bounded by the clustered
+    minority, so the final anti-join broadcasts it against the corpus
+    scan."""
+    reps = cluster_representatives(
+        assign, features, order, id_col=id_col, cluster_col=cluster_col
+    )
+    losers = (
+        assign.select(F.col(id_col), F.col(cluster_col))
+        .join(reps.select(cluster_col, "keep_id"), cluster_col)
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

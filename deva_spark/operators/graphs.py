@@ -212,6 +212,84 @@ def incremental_canonical_assignments(
     )
 
 
+def retract_assignments(
+    old_assign: DataFrame,
+    pairs: DataFrame,
+    forget: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    max_iter: int = 25,
+    driver_threshold: int | None = None,
+) -> DataFrame:
+    """Remove a forget-list from an EXISTING cluster assignment — the
+    deletion-side counterpart of :func:`incremental_canonical_assignments`
+    (opt-out / takedown handling in an operational corpus: the reference
+    has no deletion story at all, its dedup index only grows —
+    `/root/reference/deva/utils/simhash.py:247-341`).
+
+    ``old_assign`` is the staged ``(doc_id, cluster_id, is_canonical)``
+    table; ``pairs`` is the staged corpus-wide near-dup pair set that
+    produced it; ``forget`` holds the doc ids to remove (single column,
+    any name). Removing a doc can SPLIT its cluster (the forgotten doc
+    may be the only bridge between two subgroups) and can change the
+    canonical survivor (the min id may be the one forgotten), so star
+    edges from the assignment table are NOT sufficient — the affected
+    clusters must re-resolve from the surviving members of the original
+    pair set. Only they do:
+
+    - clusters containing no forgotten doc keep their assignment rows
+      untouched (no recompute, no reshuffle: the affected-cluster set is
+      broadcast into an anti-join);
+    - affected clusters re-run min-label resolution over their surviving
+      pairs — a subgraph bounded by the forget list's cluster fan-out,
+      not the corpus.
+
+    A pair can never cross two clusters, so restricting the pair set to
+    affected members loses nothing. Output == :func:`canonical_assignments`
+    over the full pair set with both-endpoints-surviving (parity-tested),
+    including the split and canonical-relabel cases; docs that drop out
+    of every surviving pair leave the table, matching the
+    no-pair-docs-are-omitted contract.
+
+    Per-retraction cost: one scan of the assignment table (broadcast
+    anti-join — forget lists are bounded request batches by contract,
+    orders of magnitude smaller than the corpus) plus resolution over the
+    affected subgraph. On a cluster the output overwrites the staged
+    assignment table; the pair history is read, never recomputed.
+    """
+    fg = forget.select(F.col(forget.columns[0]).alias(out_id)).distinct()
+    affected = (
+        old_assign.join(F.broadcast(fg), out_id)
+        .select("cluster_id")
+        .distinct()
+    )
+    kept = old_assign.join(F.broadcast(affected), "cluster_id", "left_anti")
+    members = (
+        old_assign.join(F.broadcast(affected), "cluster_id", "left_semi")
+        .join(F.broadcast(fg), out_id, "left_anti")
+        .select(out_id)
+    )
+    surv_pairs = (
+        pairs.select(id_a, id_b)
+        .join(
+            F.broadcast(members.select(F.col(out_id).alias(id_a))), id_a, "left_semi"
+        )
+        .join(
+            F.broadcast(members.select(F.col(out_id).alias(id_b))), id_b, "left_semi"
+        )
+    )
+    resolved = canonical_assignments(
+        surv_pairs,
+        id_a=id_a,
+        id_b=id_b,
+        out_id=out_id,
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    return kept.select(out_id, "cluster_id", "is_canonical").unionByName(resolved)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -173,6 +173,92 @@ def curate_from_stats(
     )
 
 
+def curation_audit(
+    stats: DataFrame,
+    sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    min_quality: float = 40.0,
+    lang: str | None = "en",
+    near_dup_min_matches: int = 6,
+) -> DataFrame:
+    """Per-doc provenance for the :func:`curate` funnel: WHY was each
+    document kept or dropped, and to which surviving duplicate does a
+    dropped one defer — the audit table a governed 100 TB pipeline must
+    be able to produce for any document (data lineage / takedown
+    response), not just the aggregate stage counts the report gives.
+
+    Input is the staged per-doc stats table ``(doc_id, q, lang_pred,
+    n_tokens, fp)`` (plus ``pairs`` or ``sigs`` exactly as
+    :func:`curate_from_stats`). Output: ``(doc_id, verdict, dup_of)``
+    for EVERY input doc, with the FIRST rejecting stage in funnel order:
+
+    - ``quality``: ``q < min_quality`` (checked first, matching the
+      gate order in :func:`curate` — a doc failing both gates reads
+      ``quality``);
+    - ``language``: wrong ``lang_pred``;
+    - ``exact_dup``: an earlier (lower-id) gated doc has the same
+      fingerprint — ``dup_of`` is that keeper;
+    - ``near_dup``: dropped by the LSH pass — ``dup_of`` is the
+      smallest lower-id partner it was paired with (the pair that
+      dropped it; in a duplicate CHAIN that partner may itself read
+      ``near_dup``, so follow ``dup_of`` transitively for the ultimate
+      survivor — the greedy drop-every-``id_b`` policy is pairwise, not
+      clustered);
+    - ``kept``: in the curated output.
+
+    The exact-keeper is a conditional window min (min gated doc_id per
+    fingerprint, computed in the same pass as the gate flags — no
+    self-join), and the verdicts for the whole corpus assemble from two
+    broadcast-sized left joins; row count always equals the input.
+    kept-rows == :func:`curate_from_stats` output (parity-tested).
+    """
+    from deva_spark.functions import minhash as _mh
+
+    gate_q = F.col("q") >= min_quality
+    gate_l = F.lit(True) if lang is None else F.col("lang_pred") == lang
+    flagged = stats.withColumn(
+        "_keep_fp",
+        F.min(F.when(gate_q & gate_l, F.col("doc_id"))).over(
+            Window.partitionBy("fp")
+        ),
+    )
+    surv = flagged.filter(F.col("doc_id") == F.col("_keep_fp")).select("doc_id")
+    if pairs is not None:
+        p = (
+            pairs.select("id_a", "id_b")
+            .join(surv.select(F.col("doc_id").alias("id_a")), "id_a")
+            .join(surv.select(F.col("doc_id").alias("id_b")), "id_b")
+        )
+    else:
+        if sigs is None:
+            raise ValueError("curation_audit needs sigs or pairs")
+        p = _mh.near_duplicates(
+            surv, min_matches=near_dup_min_matches,
+            sigs=sigs.join(surv, "doc_id"),
+        )
+    near = p.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("_near_of")
+    )
+    return (
+        flagged.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~gate_q, F.lit("quality"))
+            .when(~gate_l, F.lit("language"))
+            .when(F.col("_keep_fp") != F.col("doc_id"), F.lit("exact_dup"))
+            .when(F.col("_near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.when(
+                gate_q & gate_l & (F.col("_keep_fp") != F.col("doc_id")),
+                F.col("_keep_fp"),
+            )
+            .otherwise(F.col("_near_of"))
+            .alias("dup_of"),
+        )
+    )
+
+
 def contamination_counts(
     docs: DataFrame,
     bench_docs: DataFrame,
