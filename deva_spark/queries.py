@@ -269,6 +269,16 @@ def _build_dup_assign450(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus cluster assignment table (x41's own answer) — the
+    governance ring's staged state: x89 retracts a forget-list from it
+    (only forgotten-member clusters re-resolve) and x90 picks keep-best
+    survivors per cluster from it. Derived from the shared jaccard_pairs
+    artifact, which stage_artifacts builds first (dict order)."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return graphs.canonical_assignments(pairs.select("id_a", "id_b"))
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -284,6 +294,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subpos8": _build_subpos8,
     "subpos8g": _build_subpos8g,
     "dup_assign450": _build_dup_assign450,
+    "dup_assign": _build_dup_assign,
 }
 
 
@@ -4372,6 +4383,281 @@ ORACLE_SQL["x88_incremental_cosine_neardup"] = _x23_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# Governance / retraction ring (round 8, fourth session): the deletion
+# side of the incremental contract — opt-out removal against the staged
+# cluster state (x89), keep-best survivor selection (x90), per-doc
+# curation provenance (x91), and exact stats retraction (x92).
+# ---------------------------------------------------------------------------
+
+#: The registry's deterministic forget-list: every 11th-ish document
+#: (doc_id % 11 == 5) files an opt-out. Shared by x89 and x92 so the
+#: ring reads as one scenario.
+_FORGET_PRED = "doc_id % 11 = 5"
+
+
+def _cluster_assign_cte(doc_where: str = "") -> str:
+    """x41's pair-detection + recursive-resolution CTE chain (verbatim
+    anatomy), parameterized on a document filter, ending in an
+    ``assign(doc_id, cluster_id, is_canonical)`` relation for the
+    caller's final SELECT."""
+    return rf"""WITH RECURSIVE words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents {doc_where}
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), ex AS (
+          SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE common * 100 >= (na.n + nb.n - common) * 30
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ), assign AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+                 node = MIN(lbl) AS is_canonical
+          FROM reach GROUP BY node
+        )"""
+
+
+@query(
+    "x89_retract_clusters",
+    _cluster_assign_cte(f"WHERE NOT ({_FORGET_PRED})")
+    + """
+        SELECT doc_id, cluster_id, is_canonical FROM assign ORDER BY doc_id""",
+)
+def x89(spark, sf):
+    # Right-to-be-forgotten against the staged cluster state
+    # (`graphs.retract_assignments`): the forget-list's clusters — and
+    # ONLY those — re-resolve from the surviving members of the staged
+    # pair set (covering the cluster-split and canonical-relabel cases),
+    # while untouched clusters keep their assignment rows through a
+    # broadcast anti-join, never recomputing. The oracle re-runs full
+    # detection + resolution over the surviving corpus — equality IS the
+    # retraction contract (pair membership is a pure two-doc function,
+    # so surviving pairs == staged pairs with both endpoints surviving).
+    pairs = _jaccard_pairs(spark, sf).select("id_a", "id_b")
+    staged = staged_artifact_path(sf, "dup_assign")
+    assign = (
+        spark.read.parquet(staged)
+        if staged
+        else graphs.canonical_assignments(pairs)
+    )
+    forget = (
+        _t(spark, sf, "documents")
+        .filter(F.expr(_FORGET_PRED))
+        .select("doc_id")
+    )
+    return graphs.retract_assignments(assign, pairs, forget)
+
+
+@query(
+    "x90_keep_best_per_cluster",
+    _cluster_assign_cte()
+    + rf""", qd AS (
+          SELECT doc_id,
+                 ROUND((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 30 ELSE 0 END)
+                     + (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                                  w -> w IN {_STOPS_SQL})) * 10
+                             >= len(regexp_split_to_array(trim(text), '\s+')) THEN 40 ELSE 0 END)
+                     + (CASE WHEN LENGTH(text) > 0
+                             THEN 30.0 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                                / CAST(LENGTH(text) AS DOUBLE))
+                             ELSE 0.0 END), 2) AS q
+          FROM documents
+        ), r AS (
+          SELECT a.cluster_id, a.doc_id, qd.q,
+                 ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                    ORDER BY qd.q DESC, a.doc_id) AS rn
+          FROM assign a JOIN qd USING (doc_id)
+        )
+        SELECT cluster_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+               COUNT(*) AS n_members
+        FROM r GROUP BY cluster_id ORDER BY cluster_id""",
+)
+def x90(spark, sf):
+    # Keep-BEST survivor per duplicate cluster
+    # (`dedup.cluster_representatives`): real curation keeps the
+    # highest-quality copy, not the numerically smallest id — the staged
+    # assignment table joins the staged per-doc quality column and a
+    # rank window picks argmax(q, tie -> min doc_id) per cluster. Both
+    # the window and the aggregate partition on cluster_id (one
+    # exchange, AQE-reused).
+    staged = staged_artifact_path(sf, "dup_assign")
+    assign = (
+        spark.read.parquet(staged)
+        if staged
+        else _build_dup_assign(spark, sf)
+    )
+    staged_stats = staged_artifact_path(sf, "doc_stats")
+    feats = (
+        spark.read.parquet(staged_stats)
+        if staged_stats
+        else _t(spark, sf, "documents").select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        )
+    ).select("doc_id", "q")
+    return dedup.cluster_representatives(
+        assign, feats, [F.col("q").desc(), F.col("doc_id")]
+    )
+
+
+@query(
+    "x91_curation_audit",
+    rf"""WITH base AS (
+          SELECT doc_id, text,
+                 ROUND((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 30 ELSE 0 END)
+                     + (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                                  w -> w IN {_STOPS_SQL})) * 10
+                             >= len(regexp_split_to_array(trim(text), '\s+')) THEN 40 ELSE 0 END)
+                     + (CASE WHEN LENGTH(text) > 0
+                             THEN 30.0 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                                / CAST(LENGTH(text) AS DOUBLE))
+                             ELSE 0.0 END), 2) AS q,
+                 CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                           w -> w IN {_STOPS_SQL})) * 100
+                          >= len(regexp_split_to_array(trim(text), '\s+')) * 15
+                      THEN 'en' ELSE 'other' END AS lang_pred,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents
+        ), k AS (
+          SELECT *, MIN(CASE WHEN q >= 40 AND lang_pred = 'en' THEN doc_id END)
+                        OVER (PARTITION BY fp) AS keep_fp
+          FROM base
+        ), exact AS (
+          SELECT doc_id, text FROM k WHERE doc_id = keep_fp
+        ), words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM exact
+        ), sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+          FROM words WHERE len(ws) >= 3
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                     [CAST(md5_number_upper(s) AS HUGEINT) % 2305843009213693951,
+                      CAST(md5_number_lower(s) AS HUGEINT) % 2305843009213693951]) AS hs
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12),
+                     j -> CAST(list_min(list_transform(hs,
+                              h -> (h[1] + j * h[2]) % 2305843009213693951)) AS BIGINT)) AS sig
+          FROM hs
+        ), bands AS (
+          SELECT doc_id, b,
+                 md5(CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+                     || '|' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+          FROM sig, range(0, 4) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2 USING (b, bkey)
+          WHERE a.doc_id < b2.doc_id
+        ), drops AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS near_of FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+          WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 6
+          GROUP BY id_b
+        )
+        SELECT k.doc_id,
+               CASE WHEN q < 40 THEN 'quality'
+                    WHEN lang_pred != 'en' THEN 'language'
+                    WHEN keep_fp != k.doc_id THEN 'exact_dup'
+                    WHEN d.near_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS verdict,
+               CASE WHEN q >= 40 AND lang_pred = 'en' AND keep_fp != k.doc_id
+                    THEN keep_fp ELSE d.near_of END AS dup_of
+        FROM k LEFT JOIN drops d ON d.doc_id = k.doc_id
+        ORDER BY k.doc_id""",
+)
+def x91(spark, sf):
+    # Per-doc curation provenance (`corpus.curation_audit`): WHY each
+    # document was kept or dropped — first rejecting funnel stage in
+    # gate order plus the duplicate it defers to — the lineage table a
+    # governed pipeline must produce for any takedown or appeal. Rides
+    # the staged doc_stats + neardup_pairs artifacts (x15's tables);
+    # kept-rows == the curated output (parity test).
+    staged_stats = staged_artifact_path(sf, "doc_stats")
+    stats = (
+        spark.read.parquet(staged_stats)
+        if staged_stats
+        else _t(spark, sf, "documents").select(
+            "doc_id",
+            T.quality_score(F.col("text")).alias("q"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    from deva_spark.plans.corpus import curation_audit
+
+    staged_pairs = staged_artifact_path(sf, "neardup_pairs")
+    return curation_audit(
+        stats,
+        sigs=None if staged_pairs else _doc_signatures(spark, sf),
+        pairs=spark.read.parquet(staged_pairs) if staged_pairs else None,
+    )
+
+
+@query(
+    "x92_retract_corpus_stats",
+    rf"""WITH t AS (
+          SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS v
+          FROM documents WHERE NOT ({_FORGET_PRED})
+        ), g AS (
+          SELECT lang, COUNT(*) AS cnt, SUM(CAST(v AS HUGEINT)) AS s,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2
+          FROM t GROUP BY lang
+        )
+        SELECT lang, cnt, CAST(s AS BIGINT) AS s,
+               ROUND(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS mean,
+               CASE WHEN cnt > 1
+                    THEN ROUND(CAST(cnt * s2 - s * s AS DOUBLE)
+                               / (CAST(cnt AS DOUBLE) * (cnt - 1)), 4)
+               END AS var
+        FROM g ORDER BY lang""",
+)
+def x92(spark, sf):
+    # Stats-tier retraction (`aggregates.retract_stat_partials`): the
+    # forget-list's rows reduce to one NEGATED algebraic partial per
+    # group, appended next to the standing corpus partials — the merge
+    # then yields count/sum/mean/variance bit-identical to a recompute
+    # over the surviving corpus (oracle = that direct SQL) without
+    # rescanning any old batch. Extrema are non-invertible and
+    # conservatively NULLed for retraction-touched groups, so this
+    # query reports the exactly-retractable columns.
+    docs = _t(spark, sf, "documents")
+    vals = docs.select("lang", "doc_id", T.token_count(F.col("text")).alias("v"))
+    base = vals.transform(agg.stats_partials("v", keys=["lang"]))
+    neg = vals.filter(F.expr(_FORGET_PRED)).transform(
+        agg.retract_stat_partials("v", keys=["lang"])
+    )
+    return (
+        base.unionByName(neg)
+        .transform(agg.merge_stat_partials(keys=["lang"]))
+        .select("lang", "cnt", "s", "mean", "var")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4405,14 +4691,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q03_group_agg",
     "q06_dedup_first_seen",
     "q08_inner_join",
-    "q10_semi_join",
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
     "q20_lag_diff",
     "q24b_except",
-    "q31_percentile",
-    "q32_rollup",
-    "q33_zscore_anomaly",
     "q34_exact_text_dedup",
     "q35_sessionization",
     "x01_token_count",
@@ -4478,7 +4760,19 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: the q03 group-agg shape over vectors, t-tested in
 #: test_centroids_shape, and x66's cluster machinery exercises the
 #: same centroid arithmetic in-window; displaced by the sixteenth r8
-#: registration x88).
+#: registration x88), q10 semi join (x83's incremental exact dedup —
+#: in-window — runs the same left-semi plan over staged digests, and
+#: q08 inner join keeps the join family in-window; q10 is t-tested and
+#: plan-audited; displaced by the seventeenth r8 registration x89),
+#: q31 percentile (exact windowed percentile, t-tested incl. the
+#: sketch twin; x26 histogram keeps distribution summarization
+#: in-window; displaced by the eighteenth r8 registration x90), q32
+#: rollup (grouping-sets built-in, t-tested; x26/x27 keep multi-group
+#: aggregation in-window; displaced by the nineteenth r8 registration
+#: x91), q33 z-score anomaly (x87's batch-drift gate — in-window —
+#: hash-checks the same z formula over the stats tier, and the Welford
+#: operator is t-tested; displaced by the twentieth r8 registration
+#: x92).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4486,6 +4780,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q05_distinct",
     "q07_consecutive_dedup",
     "q09_left_join_coalesce",
+    "q10_semi_join",
     "q11_anti_join",
     "q12_multiway_join",
     "q13_positional_zip",
@@ -4501,6 +4796,9 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q28_math_fns",
     "q29_explode_words",
     "q30_frequencies",
+    "q31_percentile",
+    "q32_rollup",
+    "q33_zscore_anomaly",
     "x10_label_centroids",
     "x11_json_extract",
     "x14_case_route",

@@ -250,10 +250,13 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         sf_dir,
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16",
-         "subwin8g", "subpos8", "subpos8g", "dup_assign450"],
+         "subwin8g", "subpos8", "subpos8g", "dup_assign450", "dup_assign"],
     )
     for name in (
         "x15_corpus_curation",
+        "x89_retract_clusters",
+        "x90_keep_best_per_cluster",
+        "x91_curation_audit",
         "x61_pagerank_two_steps",
         "x55_cross_source_overlap",
         "x07_simhash_neardup",
