@@ -611,6 +611,78 @@ def ivf_append(
     )
 
 
+def ivf_retract(
+    spark,
+    path: str,
+    forget: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove a forget-list from an :func:`ivf_stage`-written layout —
+    the deletion side of :func:`ivf_append` (the `dedup.retract_rows`
+    contract on the vector tier): only the partition directories of
+    cells that actually CONTAIN a forgotten vector are rewritten, via
+    dynamic partition overwrite; every other cell's files are untouched
+    bytes. Locating the affected cells scans just the pruned ``vec_id``
+    column (parquet column pruning), and the forget-list is a bounded
+    request batch by contract, so both the membership broadcast and the
+    affected-cell collect are metadata-sized.
+
+    The centers sidecar is deliberately untouched: deletion cannot
+    un-train a centroid any more than it can recover a retracted
+    min/max (the `retract_stat_partials` honesty boundary) — the cells
+    drift-restage on the same schedule as growth. Search over the
+    retracted layout equals search over the surviving corpus exactly
+    (assignments of survivors are unchanged; parity-tested).
+
+    A cell emptied entirely by the retraction is removed explicitly —
+    dynamic overwrite only replaces partitions present in the written
+    data, so an emptied cell would otherwise keep its stale files.
+    Returns the number of cell partitions rewritten or removed.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "_ivf_centers.json")) as f:
+        meta = json.load(f)
+    reader = spark.read
+    if isinstance(meta, dict) and "schema" in meta:
+        reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    tbl = reader.parquet(path)
+    fg = forget.select(F.col(forget.columns[0]).alias("vec_id")).distinct()
+    per_cell = (
+        tbl.select("vec_id", "cell")
+        .join(F.broadcast(fg), "vec_id", "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_forgotten"))
+        .collect()
+    )
+    affected = [r.cell for r in per_cell]
+    if not affected:
+        return 0
+    survivors = tbl.filter(F.col("cell").isin(affected)).join(
+        F.broadcast(fg), "vec_id", "left_anti"
+    )
+    nonempty = {
+        r.cell
+        for r in survivors.groupBy("cell").agg(F.count(F.lit(1))).collect()
+    }
+    if nonempty:
+        (
+            survivors.filter(F.col("cell").isin(list(nonempty)))
+            .select("vec_id", "embedding", "cell")
+            .write.partitionBy("cell")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    for cell in set(affected) - nonempty:
+        shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+    return len(affected)
+
+
 def ivf_search_staged(
     spark,
     path: str,

@@ -158,3 +158,97 @@ def test_ivf_append_serves_grown_corpus(spark, sf_dir, tmp_path):
     full = V.ivf_search_staged(spark, p1, queries, k=4, n_probe=8)
     brute = V.brute_force_topk(emb, queries, k=4)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_retract_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
+    # the deletion contract: search over the retracted layout == search
+    # over a layout staged from the surviving corpus AGAINST THE SAME
+    # CENTERS (centers are deliberately untouched, like append), and
+    # unaffected cell partitions keep their exact files (mtime + size).
+    import glob
+    import json
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ret1")
+    V.ivf_stage(emb, path, n_cells=8)
+
+    # forget a slice concentrated in whatever cells it lands in
+    fg_ids = [r.vec_id for r in emb.select("vec_id").limit(40).collect()][::2]
+    fg = spark.createDataFrame([(i,) for i in fg_ids], "forget_id long")
+
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+    }
+    tbl = spark.read.parquet(path)
+    affected_cells = {
+        r.cell for r in tbl.filter(F.col("vec_id").isin(fg_ids)).select("cell").distinct().collect()
+    }
+    assert affected_cells and len(affected_cells) < 8, "fixture should touch some, not all, cells"
+
+    n = V.ivf_retract(spark, path, fg)
+    assert n == len(affected_cells)
+
+    # unaffected partitions: identical files
+    for f, sig in before.items():
+        cell = int(f.split("cell=")[1].split(os.sep)[0])
+        if cell not in affected_cells:
+            assert (os.path.getmtime(f), os.path.getsize(f)) == sig, f
+
+    # no forgotten vector remains; survivors' assignments unchanged
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id").isin(fg_ids)).count() == 0
+    assert after.count() == emb.count() - len(fg_ids)
+    with open(os.path.join(path, "_ivf_centers.json")) as f:
+        centers = np.array(json.load(f)["centers"])
+    for r in after.filter(F.col("cell").isin(list(affected_cells))).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        assert int(r.cell) == int(np.argmax(v @ centers.T)), r.vec_id
+
+    # search parity vs the surviving corpus at full probe
+    surv = emb.filter(~F.col("vec_id").isin(fg_ids))
+    got = sorted(
+        map(tuple, V.ivf_search_staged(spark, path, queries, k=5, n_probe=8).collect())
+    )
+    want = sorted(
+        map(tuple, V.brute_force_topk(surv, queries, k=5).collect())
+    )
+    assert got == want
+
+
+def test_ivf_retract_empties_a_cell(spark, sf_dir, tmp_path):
+    # forgetting EVERY vector of some cell must remove its partition dir
+    # (dynamic overwrite alone would leave stale files behind)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ret2")
+    V.ivf_stage(emb, path, n_cells=8)
+    tbl = spark.read.parquet(path)
+    some_cell = tbl.select("cell").first().cell
+    cell_ids = [
+        r.vec_id for r in tbl.filter(F.col("cell") == some_cell).collect()
+    ]
+    extra = [
+        r.vec_id
+        for r in tbl.filter(F.col("cell") != some_cell).limit(3).collect()
+    ]
+    fg = spark.createDataFrame(
+        [(i,) for i in cell_ids + extra], "vec_id long"
+    )
+    V.ivf_retract(spark, path, fg)
+    assert not os.path.exists(os.path.join(path, f"cell={some_cell}"))
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("cell") == some_cell).count() == 0
+    assert after.count() == emb.count() - len(cell_ids) - len(extra)
+
+
+def test_ivf_retract_noop_forget(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ret3")
+    V.ivf_stage(emb, path, n_cells=8)
+    fg = spark.createDataFrame([(999999,)], "vec_id long")
+    assert V.ivf_retract(spark, path, fg) == 0
+    assert spark.read.parquet(path).count() == emb.count()
