@@ -187,6 +187,56 @@ def main() -> None:
     print("corpus token stats from merged batch partials:")
     corpus_stats.orderBy("lang").show()
 
+    # 7. governance: a forget-list arrives (opt-outs / takedowns) and
+    #    every staged structure retracts it IN PLACE — the deletion
+    #    mirror of steps 1-6 (x89/x92's anatomy). Per-request cost
+    #    scales with the forget-list and its cluster/cell fan-out,
+    #    never the corpus.
+    from deva_spark.operators import dedup
+
+    union_ids = [r.doc_id for r in docs.select("doc_id").limit(30).collect()]
+    fg_ids = union_ids[::3]
+    fg = spark.createDataFrame([(i,) for i in fg_ids], "doc_id long")
+
+    # flat per-doc indexes: anti-join == rebuild, written back compacted
+    for p, id_col in (
+        (idx_path, "doc_id"),
+        (sig_path, "doc_id"),
+        (band_path, "doc_id"),
+        (base_path, "vid"),
+    ):
+        retracted = dedup.retract_rows(spark.read.parquet(p), fg, id_col=id_col)
+        retracted.write.mode("overwrite").parquet(f"{p}_v2")
+    print(f"retracted {len(fg_ids)} docs from 4 flat staged indexes")
+
+    # cluster assignments: only forgotten-member clusters re-resolve
+    # from the surviving pairs (splits + canonical relabels handled)
+    all_idx = spark.read.parquet(idx_path)
+    all_pairs = incremental_dup_pairs(all_idx, all_idx.limit(0))
+    assign2 = graphs.retract_assignments(
+        spark.read.parquet(f"{work}/assignments_v1"), all_pairs, fg
+    )
+    assign2.write.parquet(f"{work}/assignments_v2")
+    print(f"clusters after retraction: "
+          f"{assign2.filter('is_canonical').count()}")
+
+    # IVF layout: only the cells holding forgotten vectors rewrite
+    n_cells = V.ivf_retract(
+        spark, ivf_path, fg.withColumnRenamed("doc_id", "vec_id")
+    )
+    print(f"IVF retraction rewrote {n_cells} cell partitions")
+
+    # stats tier: one NEGATED algebraic partial per group — linear
+    # moments stay exact, extrema conservatively NULL until a rescan
+    neg = docs.filter(F.col("doc_id").isin(fg_ids)).select(
+        "lang", T.token_count(F.col("text")).alias("v")
+    ).transform(agg.retract_stat_partials("v", keys=["lang"]))
+    neg.write.mode("append").parquet(stats_path)
+    print("corpus token stats after retraction partials:")
+    spark.read.parquet(stats_path).transform(
+        agg.merge_stat_partials(keys=["lang"])
+    ).orderBy("lang").show()
+
     new_idx.unpersist()
     shutil.rmtree(chunks, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
