@@ -465,3 +465,232 @@ def batch_drift(
             F.lit(True),
         ).alias("drifted"),
     )
+
+def quantile_partials(
+    value_col: str, keys: Sequence[str] = (), width: float = 25.0
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch binned quantile SYNOPSIS: one row per (group, bin) with
+    ``bin = floor(value / width)`` and a count — the quantile tier of the
+    incremental-corpus ring (the ``stats_partials`` / ``kmv_partials``
+    contract applied to order statistics).
+
+    A batch's bin counts are a pure aggregate of the batch, so rows
+    APPEND to a staged partials table and :func:`merge_quantile_partials`
+    folds any set of batches into corpus-wide quantile estimates with
+    bounded error (the true percentile lies inside the chosen bin, so
+    the lower-edge estimate is within one ``width`` of exact). Counts
+    are integers and sums are fold-order-free, so the merge is
+    BIT-IDENTICAL under any batch split or partitioning — the property
+    double-based sketches (t-digest, GK) cannot offer, which is what
+    makes this the hash-checkable mergeable-quantile choice. Counts are
+    also INVERTIBLE, so the tier supports retraction exactly
+    (:func:`retract_quantile_partials`) — unlike KMV, which is
+    append-only. At 100 TB the partials table holds one row per
+    (batch, group, occupied bin): metadata-sized forever.
+
+    The bin formula ``floor(value / width)`` is written identically in
+    SQL oracles; one IEEE divide on the raw value keeps both engines
+    bit-aligned (the ``histogram_fixed_width`` precedent).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        b = F.floor(F.col(value_col).cast("double") / F.lit(float(width)))
+        return df.groupBy(*keys, b.cast("int").alias("bin")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    return _t
+
+
+def retract_quantile_partials(
+    value_col: str, keys: Sequence[str] = (), width: float = 25.0
+) -> Callable[[DataFrame], DataFrame]:
+    """NEGATIVE :func:`quantile_partials` over rows being forgotten — the
+    governance-ring side of the quantile tier (the
+    ``retract_stat_partials`` contract): bin counts are plain integers,
+    so appending one negated row per (group, bin) makes
+    :func:`merge_quantile_partials` yield estimates bit-identical to a
+    full recompute over the surviving corpus. No honesty caveat needed
+    here — unlike extrema, EVERY order statistic of the survivors is
+    recoverable from the surviving bin counts (parity-tested)."""
+    base = quantile_partials(value_col, keys, width)
+
+    def _t(df: DataFrame) -> DataFrame:
+        return base(df).select(*keys, "bin", (-F.col("cnt")).alias("cnt"))
+
+    return _t
+
+
+def merge_quantile_partials(
+    keys: Sequence[str] = (),
+    width: float = 25.0,
+    pcts: Sequence[int] = (50, 90, 99),
+) -> Callable[[DataFrame], DataFrame]:
+    """Fold a :func:`quantile_partials` table into per-group quantile
+    estimates: ``keys, n, p<pct>...`` where ``p<pct>`` is the LOWER EDGE
+    (``bin * width``) of the first bin whose running count reaches the
+    rank ``ceil(pct * n / 100)`` — the deterministic integer form of the
+    classic lower-boundary binned percentile (``cum >= ceil(p*n/100)``
+    iff ``100*cum >= p*n`` for integer cum, so no division ever runs).
+
+    Plan shape: one hash-aggregate folds batch rows per (group, bin),
+    then per group the bounded bin array (<= value_range / width
+    entries — synopsis-sized by construction, independent of corpus
+    size) sorts in-array and a single ``F.aggregate`` scan reads off
+    every requested percentile. No window function, no second shuffle
+    beyond the group fold, nothing driver-side."""
+    pct_list = [int(p) for p in pcts]
+
+    def _t(partials: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        g = (
+            partials.groupBy(*key_cols, "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            # a fully-retracted bin vanishes, matching a direct recompute
+            .filter(F.col("cnt") > 0)
+        )
+        arr = g.groupBy(*key_cols).agg(
+            F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("_bins")
+        )
+        n = F.aggregate(
+            "_bins", F.lit(0).cast("bigint"), lambda a, x: a + x["cnt"]
+        )
+        out = arr.withColumn("n", n)
+        def _step(p):
+            def merge(acc, x):
+                return F.struct(
+                    (acc["cum"] + x["cnt"]).alias("cum"),
+                    F.coalesce(
+                        acc["b"],
+                        F.when(
+                            (acc["cum"] + x["cnt"]) * 100
+                            >= F.lit(p) * F.col("n"),
+                            x["bin"],
+                        ),
+                    ).alias("b"),
+                )
+
+            return merge
+
+        est_cols = []
+        for p in pct_list:
+            acc0 = F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(None).cast("int").alias("b"),
+            )
+            found = F.aggregate("_bins", acc0, _step(p))["b"]
+            est_cols.append(
+                (found.cast("double") * F.lit(float(width))).alias(f"p{p}")
+            )
+        return out.filter(F.col("n") > 0).select(*key_cols, "n", *est_cols)
+
+    return _t
+
+def cms_partials(
+    key_col: str, depth: int = 4, width: int = 512
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch COUNT-MIN SKETCH partial (Cormode & Muthukrishnan 2005):
+    every row hashes its key through ``depth`` independent md5-LE64
+    hash rows into ``width`` buckets each, and the batch reduces to one
+    count per occupied (row, bucket) cell — at most ``depth * width``
+    rows per batch, however large the batch. The frequency tier of the
+    incremental-corpus ring: cell counts are plain integers, so batch
+    partials APPEND to a staged table, :func:`cms_merge_partials` folds
+    cells by addition (bit-identical under any split), and retraction is
+    exact via negated partials (:func:`cms_retract_partials`).
+
+    The hash family is the engine-portable md5-LE64 (DuckDB's
+    ``md5_number_upper`` computes the identical value) with the row
+    index salted into the input, so sketch CELLS — not just estimates —
+    hash-check cross-engine. Point estimates come from
+    :func:`cms_point_estimates`: ``min`` over the key's ``depth`` cells,
+    an overestimate bounded by ``eps * N`` with
+    ``eps = e / width`` at confidence ``1 - e^-depth``."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        k = F.col(key_col).cast("string")
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (md5_le64(F.concat(k, F.lit(f"#cms{i}"))) % width)
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+        return (
+            df.select(F.explode(cells).alias("e"))
+            .groupBy(F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _t
+
+
+def cms_retract_partials(
+    key_col: str, depth: int = 4, width: int = 512
+) -> Callable[[DataFrame], DataFrame]:
+    """NEGATIVE :func:`cms_partials` over rows being forgotten — cell
+    counts are invertible integers, so one negated partial makes the
+    merged sketch bit-identical to one built over the survivors."""
+    base = cms_partials(key_col, depth, width)
+
+    def _t(df: DataFrame) -> DataFrame:
+        return base(df).select("i", "bucket", (-F.col("cnt")).alias("cnt"))
+
+    return _t
+
+
+def cms_merge_partials() -> Callable[[DataFrame], DataFrame]:
+    """Fold any set of :func:`cms_partials` batch rows into one merged
+    sketch: element-wise integer addition per (row, bucket) cell — the
+    linearity that makes CMS the mergeable/retractable frequency
+    synopsis. Bounded output (<= depth * width cells)."""
+
+    def _t(partials: DataFrame) -> DataFrame:
+        return (
+            partials.groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    return _t
+
+
+def cms_point_estimates(
+    counters: DataFrame,
+    query_keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates from a merged CMS: for each key in
+    ``query_keys`` (one row per key — a bounded dimension, broadcast),
+    read the key's ``depth`` cells and take the min:
+    ``est >= true count`` always, with the eps*N overestimate bound.
+
+    Plan shape: the query side explodes to ``|keys| * depth`` cell
+    probes, broadcast-joins the (<= depth * width)-row counter table,
+    and one bounded aggregate takes the min — no shuffle of anything
+    data-proportional; the corpus was already reduced to cells."""
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (md5_le64(F.concat(k, F.lit(f"#cms{i}"))) % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = query_keys.select(
+        key_col, F.explode(cells).alias("e")
+    ).select(key_col, F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(counters), ["i", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

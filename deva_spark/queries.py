@@ -4658,6 +4658,131 @@ def x92(spark, sf):
     )
 
 
+@query(
+    "x93_quantile_rollup",
+    """WITH b AS (
+         SELECT event_type, CAST(floor(value / 25.0) AS INT) AS bin,
+                COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2
+       ), n AS (SELECT event_type, SUM(cnt) AS n FROM b GROUP BY 1),
+       c AS (
+         SELECT b.event_type, bin, cnt, n.n,
+                SUM(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum
+         FROM b JOIN n USING (event_type)
+       )
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(25.0 * MIN(CASE WHEN cum * 100 >= 50 * n THEN bin END)
+                   AS DOUBLE) AS p50,
+              CAST(25.0 * MIN(CASE WHEN cum * 100 >= 90 * n THEN bin END)
+                   AS DOUBLE) AS p90,
+              CAST(25.0 * MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END)
+                   AS DOUBLE) AS p99
+       FROM c GROUP BY event_type, n ORDER BY event_type""",
+)
+def x93(spark, sf):
+    # Mergeable quantile rollup — the ORDER-STATISTICS tier of the
+    # incremental ring (`aggregates.quantile_partials` +
+    # `merge_quantile_partials`, the stats_partials/kmv_partials contract
+    # applied to percentiles): each arrival day reduces to bounded
+    # (group, bin) count rows — the appendable staged table — and the
+    # merge folds any batch set into p50/p90/p99 lower-bin-edge
+    # estimates (within one bin width of exact; the oracle computes the
+    # identical deterministic estimate directly). Integer counts make
+    # the merge bit-identical under any split AND exactly retractable
+    # (`retract_quantile_partials`) — the property double-based sketches
+    # (t-digest/GK) cannot offer. The Spark route proves the rollup
+    # path: per-day partials union then merge == the direct compute.
+    ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
+    partials = ev.transform(
+        agg.quantile_partials("value", keys=["event_type", "_day"], width=25.0)
+    ).drop("_day")
+    return partials.transform(
+        agg.merge_quantile_partials(keys=["event_type"], width=25.0, pcts=(50, 90, 99))
+    )
+
+
+@query(
+    "x94_cms_heavy_hitters",
+    """WITH qk AS (SELECT DISTINCT event_type FROM events),
+       cells AS (
+         SELECT t.i,
+                CAST(CAST(md5_number_upper(event_type || '#cms'
+                          || CAST(t.i AS VARCHAR)) AS HUGEINT) % 256 AS INT)
+                    AS bucket,
+                COUNT(*) AS cnt
+         FROM events CROSS JOIN range(0, 4) t(i)
+         GROUP BY 1, 2
+       ), probes AS (
+         SELECT event_type, t.i,
+                CAST(CAST(md5_number_upper(event_type || '#cms'
+                          || CAST(t.i AS VARCHAR)) AS HUGEINT) % 256 AS INT)
+                    AS bucket
+         FROM qk CROSS JOIN range(0, 4) t(i)
+       )
+       SELECT p.event_type, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+       FROM probes p LEFT JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+       GROUP BY 1 ORDER BY 1""",
+)
+def x94(spark, sf):
+    # Count-Min heavy hitters — the FREQUENCY tier of the incremental
+    # ring (`aggregates.cms_partials` / `cms_merge_partials` /
+    # `cms_point_estimates`; Cormode & Muthukrishnan 2005): each arrival
+    # day reduces to <= depth*width sketch cells on the engine-portable
+    # md5-LE64 hash family (cells themselves hash-check cross-engine,
+    # not just estimates); cells merge by integer addition
+    # (bit-identical under any split, exactly retractable) and a point
+    # estimate is min over a key's depth cells — est >= truth with the
+    # eps*N bound. The Spark route proves the rollup path: per-day
+    # partials union-merged, then estimates for the corpus's distinct
+    # keys via bounded broadcast probes.
+    depth, width = 4, 256
+    ev = _t(spark, sf, "events")
+    parts = None
+    for b in range(3):  # three static arrival batches (the x84 shape)
+        p = ev.filter(F.dayofmonth("ts") % 3 == b).transform(
+            agg.cms_partials("event_type", depth, width)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    sketch = parts.transform(agg.cms_merge_partials())
+    keys = ev.select("event_type").distinct()
+    return agg.cms_point_estimates(sketch, keys, "event_type", depth, width)
+
+
+@query(
+    "x95_bloom_pruned_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY 1 ORDER BY 1""",
+)
+def x95(spark, sf):
+    # Bloom-pruned fact-dim join (`joins.bloom_pruned_join`) — the
+    # explicit semi-join-reduction scale pattern: the selective dim
+    # side's keys set 3 md5-LE64 positions in a 2^14-bit filter and the
+    # fact table is pruned by 3 broadcast LEFT-SEMI joins against the
+    # bounded position sets BEFORE the join shuffle materializes
+    # non-matching rows. False positives only pass extra rows to the
+    # exact join, so the result is IDENTICAL to the plain join — which
+    # is exactly what the oracle checks (the un-pruned SQL). Money sums
+    # ride the exact-cents integer path (q04's determinism contract).
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = joins.bloom_pruned_join(
+        orders, cust, "o_custkey", "c_custkey", n_hashes=3, n_bits=1 << 14
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4704,11 +4829,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x05_ngram_jaccard",
     "x06_minhash_lsh_neardup",
     "x07_simhash_neardup",
-    "x08_cosine_topk",
     "x09_ann_lsh_topk",
-    "x12_tfidf_keywords",
     "x13_fulltext_search",
-    "x21_rolling_time_window",
     "x25_session_stats",
 )
 
@@ -4772,7 +4894,18 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: x91), q33 z-score anomaly (x87's batch-drift gate — in-window —
 #: hash-checks the same z formula over the stats tier, and the Welford
 #: operator is t-tested; displaced by the twentieth r8 registration
-#: x92).
+#: x92), x08 brute-force cosine top-k (x09's ANN-LSH — in-window —
+#: runs the identical HALF_UP cosine + (cos desc, id) total-order
+#: contract over the same embeddings, and its verify rescore IS the
+#: brute dot product; recall tests pin LSH against the brute answer;
+#: displaced by the twenty-first r8 registration x93), x12 TF-IDF
+#: keywords (x13 full-text search — in-window — shares the tokenize +
+#: document-frequency posting machinery, and the jieba-fallback path is
+#: t-tested; displaced by the twenty-second r8 registration x94), x21
+#: rolling time window (q18 tumbling + x25 session stats keep
+#: event-time windowed aggregation in-window; the RANGE-frame rolling
+#: operator is t-tested; displaced by the twenty-third r8 registration
+#: x95).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -4799,9 +4932,12 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q31_percentile",
     "q32_rollup",
     "q33_zscore_anomaly",
+    "x08_cosine_topk",
     "x10_label_centroids",
     "x11_json_extract",
+    "x12_tfidf_keywords",
     "x14_case_route",
+    "x21_rolling_time_window",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the

@@ -1,0 +1,179 @@
+"""Quantile-synopsis, Count-Min, and Bloom-prune tiers (round 8).
+
+The quantile and CMS tiers follow the incremental-ring partials contract
+(stats_partials / kmv_partials): batch rows append, merges are integer
+algebra (bit-identical under any split), and — because counts are
+invertible, unlike KMV hashes or extrema — both support EXACT
+retraction. The Bloom-pruned join is the explicit semi-join-reduction
+pattern: false positives only pass extra rows to the exact join, so the
+result is identical to the plain join.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from deva_spark.operators import aggregates as agg
+from deva_spark.operators import joins
+
+
+def _rows(n=400):
+    # deterministic multimodal-ish values, 3 groups
+    return [
+        (i % 3, float((i * 7919) % 997) / 2.0 + (i % 3) * 50) for i in range(n)
+    ]
+
+
+def _exact_pct(vs, p):
+    # rank = ceil(p*n/100), 1-indexed over the sorted values
+    vs = sorted(vs)
+    rank = -(-p * len(vs) // 100)
+    return vs[rank - 1]
+
+
+def test_quantile_partials_merge_split_invariance_and_bound(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "k long, v double")
+    width = 25.0
+
+    def merged(n_batches):
+        parts = None
+        for b in range(n_batches):
+            p = df.filter(F.col("v").cast("long") % n_batches == b)
+            pp = p.transform(agg.quantile_partials("v", keys=["k"], width=width))
+            parts = pp if parts is None else parts.unionByName(pp)
+        return {
+            r.k: (r.n, r.p50, r.p90, r.p99)
+            for r in parts.transform(
+                agg.merge_quantile_partials(keys=["k"], width=width)
+            ).collect()
+        }
+
+    one = merged(1)
+    assert merged(3) == one
+    assert merged(5) == one
+    # estimate = lower bin edge: 0 <= exact - est < width
+    for k in (0, 1, 2):
+        vs = [v for kk, v in rows if kk == k]
+        n, p50, p90, p99 = one[k]
+        assert n == len(vs)
+        for p, est in ((50, p50), (90, p90), (99, p99)):
+            exact = _exact_pct(vs, p)
+            assert 0 <= exact - est < width, (k, p, est, exact)
+
+
+def test_quantile_partials_retraction_exact(spark):
+    # merge(partials(all) + retract(forgotten)) == merge(partials(survivors))
+    rows = _rows()
+    df = spark.createDataFrame(rows, "k long, v double")
+    forgotten = df.filter(F.col("v").cast("long") % 7 == 2)
+    survivors = df.filter(F.col("v").cast("long") % 7 != 2)
+    direct = survivors.transform(
+        agg.quantile_partials("v", keys=["k"])
+    ).transform(agg.merge_quantile_partials(keys=["k"]))
+    retracted = (
+        df.transform(agg.quantile_partials("v", keys=["k"]))
+        .unionByName(
+            forgotten.transform(agg.retract_quantile_partials("v", keys=["k"]))
+        )
+        .transform(agg.merge_quantile_partials(keys=["k"]))
+    )
+    key = lambda r: (r.k, r.n, r.p50, r.p90, r.p99)  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(
+        map(key, retracted.collect())
+    )
+
+
+def test_quantile_merge_plan_has_no_window(spark):
+    # the merge is hash-agg + in-array scan: no window function, no
+    # single-reducer stage
+    df = spark.createDataFrame(_rows(), "k long, v double")
+    out = df.transform(agg.quantile_partials("v", keys=["k"])).transform(
+        agg.merge_quantile_partials(keys=["k"])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cms_overestimates_and_merge_retract(spark):
+    rows = [(f"key{(i * 13) % 40}",) for i in range(2000)]
+    # plant a heavy hitter
+    rows += [("heavy",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    depth, width = 4, 256
+    sketch = df.transform(agg.cms_partials("k", depth, width)).transform(
+        agg.cms_merge_partials()
+    )
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est
+        for r in agg.cms_point_estimates(sketch, keys, "k", depth, width).collect()
+    }
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    # CMS never underestimates
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)
+    # the planted heavy hitter ranks first by estimate
+    assert max(est, key=est.get) == "heavy"
+    # eps*N bound: overestimate <= (e/width) * N at the ~1-e^-depth level;
+    # with deterministic data just assert the bound holds for every key
+    n_total = sum(exact.values())
+    bound = math.e / width * n_total
+    for k in exact:
+        assert est[k] - exact[k] <= bound + 1e-9, (k, est[k], exact[k])
+
+    # split-merge invariance: cells are integer sums
+    one = sorted((r.i, r.bucket, r.cnt) for r in sketch.collect())
+    parts = None
+    for b in range(3):
+        p = df.filter(F.length("k") % 3 == b).transform(
+            agg.cms_partials("k", depth, width)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    split = sorted(
+        (r.i, r.bucket, r.cnt)
+        for r in parts.transform(agg.cms_merge_partials()).collect()
+    )
+    assert split == one
+
+    # exact retraction: forget the heavy hitter entirely
+    forgotten = df.filter(F.col("k") == "heavy")
+    retracted = (
+        df.transform(agg.cms_partials("k", depth, width))
+        .unionByName(forgotten.transform(agg.cms_retract_partials("k", depth, width)))
+        .transform(agg.cms_merge_partials())
+    )
+    direct = df.filter(F.col("k") != "heavy").transform(
+        agg.cms_partials("k", depth, width)
+    ).transform(agg.cms_merge_partials())
+    assert sorted((r.i, r.bucket, r.cnt) for r in retracted.collect()) == sorted(
+        (r.i, r.bucket, r.cnt) for r in direct.collect()
+    )
+
+
+def test_bloom_pruned_join_identity_and_plan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    bloomed = joins.bloom_pruned_join(
+        orders, cust, "o_custkey", "c_custkey", n_hashes=3, n_bits=1 << 14
+    )
+    a = sorted(r.o_orderkey for r in plain.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in bloomed.select("o_orderkey").collect())
+    assert a == b
+    plan = bloomed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_drops_nonmatching_rows(spark):
+    # survivors of the prune alone: all matches kept, most non-matches
+    # dropped (false positives may let a few through — never the reverse)
+    big = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    small = spark.createDataFrame([(i * 100,) for i in range(10)], "k long")
+    out = joins.bloom_pruned_join(big, small, "k", "k", n_hashes=3, n_bits=1 << 14)
+    got = sorted(r[0] for r in out.select(big["k"]).collect())
+    assert got == [i * 100 for i in range(10)]
