@@ -694,3 +694,85 @@ def cms_point_estimates(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+def kmv_overlap(key: str, k: int = 64) -> Callable[[DataFrame], DataFrame]:
+    """Pairwise distinct-set OVERLAP estimates from KMV synopses — set
+    ALGEBRA on the distinct-count tier (the theta-sketch intersection
+    rule, Dasgupta et al. 2016, re-expressed on KMV): for groups A and B,
+    take the union synopsis U = k smallest of A ∪ B (θ = its k-th
+    smallest hash) and count c = |{h ∈ U : h ∈ A's synopsis AND h ∈ B's
+    synopsis}|. Soundness: A ⊆ A∪B means θ_A >= θ_U, so every
+    union-synopsis hash that belongs to A is necessarily within A's own
+    k smallest — membership tests against the synopses are exact.
+    Estimates: ``est_union`` by the usual KMV estimator and
+    ``est_inter = c * est_union div k`` (both EXACT when |A∪B| < k,
+    because then all three synopses are complete). Integer arithmetic
+    end to end except the final 4dp Jaccard division, so results are
+    bit-identical across engines and batch splits.
+
+    Input: a :func:`kmv_partials` table keyed by ``key`` (any number of
+    batch rows per group — synopses merge losslessly first). Output one
+    row per unordered group pair: ``<key>_a, <key>_b, est_union,
+    est_inter, jaccard``. The pair join carries only k-hash arrays per
+    group — synopsis-sized, never data-sized — which is the point:
+    cross-source overlap over a 100 TB corpus from metadata-sized
+    sketches, no re-scan."""
+    TWO64 = 18446744073709551616  # 2^64
+
+    def _t(partials: DataFrame) -> DataFrame:
+        merged = (
+            partials.select(key, F.explode("_hs").alias("_h"))
+            .distinct()
+            .groupBy(key)
+            .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs"))
+        )
+        a = merged.select(
+            F.col(key).alias(f"{key}_a"), F.col("_hs").alias("_ha")
+        )
+        b = merged.select(
+            F.col(key).alias(f"{key}_b"), F.col("_hs").alias("_hb")
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col(f"{key}_a") < F.col(f"{key}_b"), "inner"
+        )
+        u = pairs.withColumn(
+            "_u",
+            F.slice(F.sort_array(F.array_union("_ha", "_hb")), 1, k),
+        )
+        m = u.select(
+            f"{key}_a",
+            f"{key}_b",
+            F.size("_u").alias("_nu"),
+            F.try_element_at("_u", F.lit(k)).alias("_hk"),
+            F.size(
+                F.array_intersect(F.array_intersect("_u", "_ha"), "_hb")
+            ).alias("_c"),
+        )
+        e = m.withColumn(
+            "est_union",
+            F.when(F.col("_nu") < k, F.col("_nu").cast("bigint")).otherwise(
+                F.expr(
+                    f"cast(cast({k - 1} as decimal(38,0))"
+                    f" * cast({TWO64} as decimal(38,0)) div _hk as bigint)"
+                )
+            ),
+        )
+        est_i = F.when(F.col("_nu") < k, F.col("_c").cast("bigint")).otherwise(
+            F.expr(
+                "cast(cast(_c as decimal(38,0))"
+                f" * cast(est_union as decimal(38,0)) div {k} as bigint)"
+            )
+        )
+        return e.withColumn("est_inter", est_i).select(
+            f"{key}_a",
+            f"{key}_b",
+            "est_union",
+            "est_inter",
+            F.round(
+                F.col("est_inter").cast("double")
+                / F.col("est_union").cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+
+    return _t

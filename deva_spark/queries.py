@@ -4783,6 +4783,84 @@ def x95(spark, sf):
     )
 
 
+@query(
+    "x96_kmv_source_overlap",
+    r"""WITH words AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ), ex AS (
+          SELECT source,
+                 UNNEST(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4])) AS s
+          FROM words WHERE len(ws) >= 5
+        ), h AS (
+          SELECT DISTINCT source, CAST(md5_number_upper(s) AS HUGEINT) AS h
+          FROM ex
+        ), r AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h
+        ), syn AS (
+          SELECT source, list_sort(list(h)) AS hs
+          FROM r WHERE rn <= 64 GROUP BY 1
+        ), pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.hs AS ha, b.hs AS hb
+          FROM syn a JOIN syn b ON a.source < b.source
+        ), u AS (
+          SELECT source_a, source_b, ha, hb,
+                 list_sort(list_distinct(list_concat(ha, hb)))[1:64] AS uu
+          FROM pairs
+        ), m AS (
+          SELECT source_a, source_b, len(uu) AS nu, uu[64] AS hk,
+                 len(list_intersect(list_intersect(uu, ha), hb)) AS c
+          FROM u
+        ), e AS (
+          SELECT source_a, source_b, nu, c,
+                 CAST(CASE WHEN nu < 64 THEN nu
+                      ELSE (63 * CAST(18446744073709551616 AS HUGEINT)) // hk
+                      END AS BIGINT) AS est_union
+          FROM m
+        )
+        SELECT source_a, source_b, est_union,
+               CAST(CASE WHEN nu < 64 THEN c
+                    ELSE (CAST(c AS HUGEINT) * est_union) // 64
+                    END AS BIGINT) AS est_inter,
+               ROUND(CAST(CASE WHEN nu < 64 THEN c
+                          ELSE (CAST(c AS HUGEINT) * est_union) // 64
+                          END AS DOUBLE) / CAST(est_union AS DOUBLE), 4)
+                   AS jaccard
+        FROM e ORDER BY source_a, source_b""",
+)
+def x96(spark, sf):
+    # KMV set algebra — sketched cross-source vocabulary overlap
+    # (`aggregates.kmv_overlap`, the theta-sketch intersection rule on
+    # the KMV tier): per-(source, batch) synopses of the distinct 5-gram
+    # vocabulary append like any partials table, then ONE metadata-sized
+    # pair join over k-hash arrays estimates every pair's union /
+    # intersection / Jaccard — the sketched twin of x55's exact overlap
+    # matrix, answering the same question from synopses without
+    # re-scanning the corpus (the 100 TB cross-source comparison path).
+    # Integer estimator arithmetic end to end (exact below k), one final
+    # 4dp division — bit-identical cross-engine, which the oracle
+    # hash-checks by computing the identical sketch in SQL.
+    docs = _t(spark, sf, "documents")
+    ex = docs.select(
+        "source",
+        (F.col("doc_id") % 3).alias("_b"),
+        T.words(F.col("text")).alias("_ws"),
+    ).select(
+        "source",
+        "_b",
+        F.explode(
+            F.array_distinct(T.shingles_from_words(F.col("_ws"), n=5))
+        ).alias("_s"),
+    )
+    partials = ex.transform(agg.kmv_partials("_s", keys=["source", "_b"], k=64))
+    return partials.transform(agg.kmv_overlap("source", k=64))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4815,7 +4893,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # then the r06-green set, minus the ten deferrals below
     "q03_group_agg",
     "q06_dedup_first_seen",
-    "q08_inner_join",
     "q18_tumbling_time_window",
     "q19_rank_topk_per_key",
     "q20_lag_diff",
@@ -4905,13 +4982,18 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: rolling time window (q18 tumbling + x25 session stats keep
 #: event-time windowed aggregation in-window; the RANGE-frame rolling
 #: operator is t-tested; displaced by the twenty-third r8 registration
-#: x95).
+#: x95), q08 inner join (x95's bloom-pruned join — in-window — runs the
+#: IDENTICAL orders-customer inner join through the prune with an
+#: identical-result oracle, strictly stronger coverage of the same
+#: broadcast-join family; displaced by the twenty-fourth r8
+#: registration x96).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
     "q04_avg_min_max",
     "q05_distinct",
     "q07_consecutive_dedup",
+    "q08_inner_join",
     "q09_left_join_coalesce",
     "q10_semi_join",
     "q11_anti_join",

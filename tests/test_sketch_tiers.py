@@ -177,3 +177,52 @@ def test_bloom_prune_drops_nonmatching_rows(spark):
     out = joins.bloom_pruned_join(big, small, "k", "k", n_hashes=3, n_bits=1 << 14)
     got = sorted(r[0] for r in out.select(big["k"]).collect())
     assert got == [i * 100 for i in range(10)]
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    # below-k regime: all synopses complete, so union/intersection/
+    # jaccard are EXACT
+    rows = [("a", f"v{i}") for i in range(30)] + [
+        ("b", f"v{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "src string, v string")
+    out = (
+        df.transform(agg.kmv_partials("v", keys=["src"], k=64))
+        .transform(agg.kmv_overlap("src", k=64))
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src_a, r.src_b) == ("a", "b")
+    assert r.est_union == 50 and r.est_inter == 10
+    assert r.jaccard == 0.2
+
+
+def test_kmv_overlap_split_invariance_and_estimator_accuracy(spark):
+    # estimator regime: per-batch synopses merged == one-shot (the KMV
+    # lossless-merge argument extends to the pair estimates), and the
+    # union estimate lands within the ~1/sqrt(k) band of truth
+    rows = [("a", f"x{i}") for i in range(4000)] + [
+        ("b", f"x{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "src string, v string")
+
+    def overlap(n_batches):
+        parts = None
+        for b in range(n_batches):
+            p = df.filter(F.crc32(F.col("v")) % n_batches == b).withColumn(
+                "_b", F.lit(b)
+            )
+            pp = p.transform(agg.kmv_partials("v", keys=["src", "_b"], k=64))
+            parts = pp if parts is None else parts.unionByName(pp)
+        return [
+            (r.src_a, r.src_b, r.est_union, r.est_inter, r.jaccard)
+            for r in parts.transform(agg.kmv_overlap("src", k=64)).collect()
+        ]
+
+    one = overlap(1)
+    assert overlap(4) == one
+    (_, _, est_u, est_i, _) = one[0]
+    assert abs(est_u - 6000) / 6000 < 0.40
+    # intersection is noisier (c ~ k * 1/3); just require the right scale
+    assert 0 < est_i < 2 * 2000
