@@ -21,6 +21,73 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_share(
+    df: DataFrame, keys: Sequence[str], top: int = 20
+) -> DataFrame:
+    """Hot-key detector: the ``top`` heaviest key groups with their row
+    count and share of the table — the measurement that decides whether
+    a join needs :func:`salted_join` (AQE's skew-join split only fires
+    on sort-merge joins above its partition-size thresholds; a planned
+    mitigation wants the histogram up front). One aggregation plus a
+    1-row total broadcast-crossJoin (the established constant-frame
+    pattern); output is ``top`` rows — bounded metadata, never
+    data-sized."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), *keys)
+        .limit(top)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for the regime AQE and broadcast both miss:
+    the build side is too large to broadcast, and the probe side's key
+    distribution is hot (a handful of event types over 10^11 events, one
+    celebrity user) — a plain shuffle join sends every row of a hot key
+    to ONE reducer and the stage runs at straggler speed. Salting
+    restores the fan-out: each big-side row picks one of ``n_salts``
+    salts, the small side replicates once per salt, and the join runs on
+    ``(keys..., salt)`` — a hot key's rows now spread over ``n_salts``
+    reducers. Cost model: small side shuffles ``n_salts``x (its rows are
+    dim-sized by contract); the big side shuffles once, same as the
+    plain join.
+
+    Row-identical to ``big.join(small, on, how)``: every big row meets
+    exactly the one small replica carrying its salt, and that replica
+    holds ALL small rows for its keys — so inner multiplicity, left
+    null-extension, and semi/anti existence semantics are preserved
+    exactly (the oracle-checked contract). ``how`` is restricted to
+    big-side-preserving joins; right/full would multiply unmatched small
+    replicas and are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join preserves big-side semantics only (got how={how!r})"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicas = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_big.join(replicas, keys + ["_salt"], how)
+    return out.drop("_salt")
+
+
 def salted_group_agg(
     keys: Sequence[str],
     partials: dict[str, tuple[Column, Callable[[Column], Column]]],
