@@ -348,3 +348,108 @@ def weighted_sample_global(
     return merged.select(
         F.posexplode("_top").alias("_i", "_s")
     ).select("_s._row.*", (F.col("_i") + 1).cast("int").alias("rnk"))
+
+
+def es_sort_key(weight_col: str, id_col: str) -> "F.Column":
+    """The shared Efraimidis–Spirakis sort key: ``round(ln(u)/w, 10)``
+    with ``u`` drawn from the engine-portable md5-LE64 of the id — the
+    exact construction :func:`weighted_sample_topk` and the SQL oracles
+    use, factored out so batch partials and one-shot samples are
+    guaranteed to rank by the identical key."""
+    from deva_spark.operators.aggregates import md5_le64
+
+    u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 64)
+    )
+    return F.round(F.log(u) / F.col(weight_col), 10)
+
+
+def reservoir_partials(
+    k: int,
+    weight_col: str,
+    keys: Sequence[str],
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch WEIGHTED-RESERVOIR synopsis — the sampling tier of the
+    incremental-corpus ring (the x84/x85 contract on A-ES): each arrival
+    batch reduces to one row per group carrying the batch's top-``k``
+    rows by the deterministic E-S key as a bounded struct array. The
+    corpus-wide sample's every winner is necessarily within its own
+    batch's top-k (the KMV k-smallest argument, flipped to largest), so
+    batch synopses APPEND and :func:`merge_reservoir_partials` re-takes
+    the top-k over the union — BIT-IDENTICAL to the one-shot
+    :func:`weighted_sample_topk` over the whole corpus, because the key
+    is a pure function of the id (portable md5 draw, 10dp rounding, id
+    tie-break). Ids must be unique across batches (the ring's standing
+    arrival contract); ~k * 24 bytes per (batch, group) of state at any
+    corpus size. Partition-local row_number prune bounds the collect,
+    the kmv_partials shape."""
+    from pyspark.sql import Window
+
+    def _t(df: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        keyed = df.filter(F.col(weight_col) > 0).select(
+            *key_cols,
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+            es_sort_key(weight_col, id_col).alias("_sk"),
+        )
+        pw = Window.partitionBy(*key_cols, "_p").orderBy(
+            F.col("_sk").desc(), "_id"
+        )
+        part = (
+            keyed.withColumn("_p", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") <= k)
+        )
+        return part.groupBy(*key_cols).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_sk")).alias("_nk"),
+                            F.col("_id").alias("_id"),
+                            F.col("_w").alias("_w"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_rs")
+        )
+
+    return _t
+
+
+def merge_reservoir_partials(
+    k: int,
+    keys: Sequence[str],
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """Fold any set of :func:`reservoir_partials` rows into the exact
+    corpus-wide per-group weighted sample: explode the bounded synopsis
+    arrays (batches x k rows per group — synopsis-sized, never
+    corpus-sized), re-rank by the shared key, keep the top-k. Output
+    ``keys..., <id_col>, w, skey, rnk`` — the :func:`weighted_sample_topk`
+    surface, so oracles and consumers are interchangeable between the
+    one-shot and rollup routes."""
+    from pyspark.sql import Window
+
+    def _t(partials: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        rows = partials.select(
+            *key_cols, F.explode("_rs").alias("_s")
+        ).select(
+            *key_cols,
+            F.col("_s._id").alias(id_col),
+            F.col("_s._w").alias("w"),
+            (-F.col("_s._nk")).alias("skey"),
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("skey").desc(), id_col
+        )
+        return rows.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
+
+    return _t

@@ -4951,6 +4951,104 @@ def x98(spark, sf):
     )
 
 
+@query(
+    "x99_incremental_weighted_sample",
+    r"""WITH w AS (
+          SELECT source, doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ), h AS (
+          SELECT source, doc_id, w,
+                 ROUND(ln((CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                                     AS HUGEINT) AS DOUBLE) + 0.5)
+                          / 18446744073709551616.0) / w, 10) AS skey
+          FROM w WHERE w > 0
+        ), r AS (
+          SELECT source, doc_id, w, skey,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY skey DESC, doc_id) AS rn
+          FROM h
+        )
+        SELECT source, doc_id, w, skey, rn AS rnk
+        FROM r WHERE rn <= 12 ORDER BY source, rnk""",
+)
+def x99(spark, sf):
+    # Incremental WEIGHTED SAMPLING — the sampling tier of the
+    # incremental-corpus ring (`sampling.reservoir_partials` /
+    # `merge_reservoir_partials`): each arrival batch reduces to one
+    # bounded top-k synopsis row per source (the KMV k-smallest argument
+    # flipped to largest E-S keys), synopses append, and the merge
+    # re-ranks batches x k rows per group — BIT-IDENTICAL to the
+    # one-shot x70 sampler over the union corpus because the E-S key is
+    # a pure function of the id. The oracle is therefore the DIRECT
+    # one-shot SQL: the rollup path must land on exactly the sample a
+    # full-corpus pass computes, which is what makes weighted
+    # subsampling maintainable on a growing 100 TB corpus without
+    # rescans.
+    from deva_spark.operators.sampling import (
+        merge_reservoir_partials,
+        reservoir_partials,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("w")
+    )
+    parts = None
+    for b in range(3):  # three static arrival batches (the x84 shape)
+        p = docs.filter(F.col("doc_id") % 3 == b).transform(
+            reservoir_partials(12, "w", keys=["source"])
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return parts.transform(
+        merge_reservoir_partials(12, keys=["source"])
+    ).orderBy("source", "rnk")
+
+
+@query(
+    "x100_document_chunks",
+    r"""WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ws, len(ws) AS n FROM w
+        ), k AS (
+          SELECT doc_id, ws, n,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT)
+                 END AS nc
+          FROM c
+        ), e AS (
+          SELECT doc_id, ws, n, UNNEST(range(nc)) AS i FROM k
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               len(ws[CAST(i*48+1 AS BIGINT)
+                      : CAST(least(i*48+64, n) AS BIGINT)]) AS n_tokens,
+               array_to_string(ws[CAST(i*48+1 AS BIGINT)
+                                  : CAST(least(i*48+64, n) AS BIGINT)],
+                               ' ') AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id""",
+)
+def x100(spark, sf):
+    # Sliding-window document CHUNKING (`packing.chunk_documents`) — the
+    # complement of x46's sequence packing on the LONG side: docs over
+    # the context length split into 64-token windows stepping by 48 (16
+    # tokens of overlap so no span straddles a boundary unseen — the
+    # standard pretraining / RAG splitter). Pure column algebra
+    # (tokenize -> sequence of starts -> posexplode -> slice): no UDF
+    # and NO SHUFFLE — chunking pipelines row-locally inside the scan
+    # stage at any corpus size. The oracle hash-checks every chunk's
+    # exact text, so window arithmetic (starts, strides, short final
+    # windows) is bit-verified cross-engine.
+    from deva_spark.operators.packing import chunk_documents
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .transform(chunk_documents(max_tokens=64, overlap=16))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -4983,8 +5081,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # then the r06-green set, minus the ten deferrals below
     "q03_group_agg",
     "q06_dedup_first_seen",
-    "q18_tumbling_time_window",
-    "q19_rank_topk_per_key",
     "q20_lag_diff",
     "q35_sessionization",
     "x01_token_count",
@@ -5082,7 +5178,15 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: the deferral accounting, and x83's incremental exact dedup — r8-green
 #: with a NON-empty re-crawl batch — runs q34's digest anatomy end to
 #: end; displaced by the twenty-fifth and twenty-sixth r8 registrations
-#: x97/x98).
+#: x97/x98), q19 rank-topk-per-key (x99's oracle — in-window — runs the
+#: IDENTICAL row_number-over-(partition, order) anatomy as its final
+#: rank, and x90 keep-best — in-window, r8-green — is the same window
+#: family with a quality ordering; displaced by the twenty-seventh r8
+#: registration x99), q18 tumbling time window (q35 sessionization, x25
+#: session stats, and x53 hourly trending — all in-window — keep
+#: event-time bucketed aggregation covered, and x33's streaming tumbling
+#: twin hash-checks the same window oracle; displaced by the
+#: twenty-eighth r8 registration x100).
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q01_scan_project",
     "q02_filter",
@@ -5097,6 +5201,8 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "q13_positional_zip",
     "q16_sliding_window_avg",
     "q17_partition_chunks",
+    "q18_tumbling_time_window",
+    "q19_rank_topk_per_key",
     "q21_topk",
     "q22_slice",
     "q23_union",
