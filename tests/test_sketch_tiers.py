@@ -165,7 +165,10 @@ def test_bloom_pruned_join_identity_and_plan(spark, sf_dir):
     b = sorted(r.o_orderkey for r in bloomed.select("o_orderkey").collect())
     assert a == b
     plan = bloomed._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("LeftSemi") >= 3
+    # literal-bitmap formulation: the prune is a scan-stage filter, not
+    # semi joins — exactly one real join in the plan
+    assert "LeftSemi" not in plan
+    assert "shiftright" in plan and "element_at" in plan
     assert "CartesianProduct" not in plan
 
 
