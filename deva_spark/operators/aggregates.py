@@ -790,3 +790,109 @@ def kmv_overlap(key: str, k: int = 64) -> Callable[[DataFrame], DataFrame]:
         )
 
     return _t
+
+
+def histogram_partials(
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    keys: Sequence[str] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-batch fixed-GRID histogram partial — the distribution-shape
+    member of the mergeable-synopsis family (x84 moments, x85 distinct,
+    x93 quantiles, x94 frequencies): each arrival batch reduces to
+    ``<= n_buckets`` integer bucket-count rows per group, mergeable by
+    addition and exactly retractable by negation. Unlike
+    :func:`histogram_fixed_width` (one-shot, data-derived bounds), the
+    grid here is EXPLICIT ``[lo, hi]`` so every batch buckets against
+    the same edges whatever it contains (the z-order bounds-reuse
+    contract); out-of-range values clip to the edge buckets. Bucket
+    arithmetic is integer-exact given the fixed grid, so merged
+    histograms are bit-identical under any batch split."""
+    if not (hi > lo and n_buckets >= 1):
+        raise ValueError("require hi > lo and n_buckets >= 1")
+    width = (float(hi) - float(lo)) / n_buckets
+
+    def _t(df: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        v = F.col(value_col).cast("double")
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            ),
+        )
+        return (
+            df.select(*key_cols, bucket.alias("bucket"))
+            .groupBy(*key_cols, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _t
+
+
+def merge_histogram_partials(
+    keys: Sequence[str] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Fold histogram partial rows by integer addition per (group,
+    bucket) — bounded output, bit-identical under any split."""
+
+    def _t(partials: DataFrame) -> DataFrame:
+        return (
+            partials.groupBy(*keys, "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    return _t
+
+
+def psi_drift(
+    batch_hist: DataFrame,
+    history_hist: DataFrame,
+    keys: Sequence[str] = (),
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population Stability Index between an arrival batch's histogram
+    and the merged history's, per group — the DISTRIBUTION-shape drift
+    gate complementing x87's mean-shift z (a variance-preserving shape
+    change moves PSI but not the mean). Standard add-half smoothing
+    (``p = (cnt + 0.5) / (tot + n_buckets/2)``) keeps empty buckets
+    finite; buckets absent from BOTH sides contribute exactly 0, so the
+    sparse bucket-row representation is lossless. Everything here is
+    synopsis-sized: two bounded aggregates and one bucket-row join.
+    Output: ``keys..., psi`` (4dp), with the conventional reading
+    psi < 0.1 stable / 0.1-0.25 moderate / > 0.25 drifted."""
+    key_cols = list(keys)
+
+    def _tot(df: DataFrame, name: str) -> DataFrame:
+        if key_cols:
+            return df.groupBy(*key_cols).agg(F.sum("cnt").alias(name))
+        return df.agg(F.sum("cnt").alias(name))
+
+    b = batch_hist.select(*key_cols, "bucket", F.col("cnt").alias("_cb"))
+    h = history_hist.select(*key_cols, "bucket", F.col("cnt").alias("_ch"))
+    joined = b.join(h, key_cols + ["bucket"], "full_outer").select(
+        *key_cols,
+        "bucket",
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        F.coalesce("_ch", F.lit(0)).alias("_ch"),
+    )
+    tb = _tot(b.select(*key_cols, F.col("_cb").alias("cnt")), "_tb")
+    th = _tot(h.select(*key_cols, F.col("_ch").alias("cnt")), "_th")
+    if key_cols:
+        joined = joined.join(F.broadcast(tb), key_cols, "left").join(
+            F.broadcast(th), key_cols, "left"
+        )
+    else:
+        joined = joined.crossJoin(F.broadcast(tb)).crossJoin(F.broadcast(th))
+    half = n_buckets / 2.0
+    p = (F.col("_cb") + 0.5) / (F.coalesce(F.col("_tb"), F.lit(0)) + half)
+    q = (F.col("_ch") + 0.5) / (F.coalesce(F.col("_th"), F.lit(0)) + half)
+    term = (p - q) * F.log(p / q)
+    agg_cols = [F.round(F.sum(term), 4).alias("psi")]
+    if key_cols:
+        return joined.groupBy(*key_cols).agg(*agg_cols)
+    return joined.agg(*agg_cols)

@@ -238,6 +238,70 @@ def asof_latest(
     return _t
 
 
+def build_bloom_bitmap(
+    small: DataFrame,
+    key: str,
+    n_hashes: int = 3,
+    n_bits: int = 1 << 16,
+) -> list[int]:
+    """The bloom filter of ``small[key]`` as ``n_bits / 64`` packed
+    longs — a STAGEABLE artifact: 8 KB at the default geometry, a pure
+    function of the key set, so pipelines build it once (a benchmark
+    set, yesterday's digest table) and prune many scans against it via
+    :func:`bloom_prune`. One bounded aggregate; the driver receives
+    bytes fixed by geometry, never by data size."""
+    word_rows = (
+        small.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col(key), i, n_bits) for i in range(n_hashes)])
+            ).alias("b")
+        )
+        .groupBy(F.expr("b div 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(b % 64 as int)))"
+            ).alias("m")
+        )
+        .collect()
+    )
+    set_words = {r.w: r.m for r in word_rows}
+    return [set_words.get(w, 0) for w in range(n_bits >> 6)]
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: str,
+    bitmap: list[int],
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Drop rows whose key is definitely not in the set the ``bitmap``
+    encodes (no false negatives; false positives pass through, to be
+    resolved by whatever exact operation follows). The bitmap embeds as
+    a constant-folded array literal and the membership test is
+    scan-stage shift/mask algebra — zero joins, zero shuffles."""
+    n_bits = len(bitmap) << 6
+    pruned = df.withColumn("_bf_map", F.lit(bitmap))
+    probe_cols = []
+    for i in range(n_hashes):
+        pruned = pruned.withColumn(
+            f"_bf_p{i}", _bloom_pos(F.col(key), i, n_bits)
+        )
+        probe_cols.append(f"_bf_p{i}")
+    return pruned.filter(
+        " AND ".join(
+            f"(shiftright(element_at(_bf_map, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+            for p in probe_cols
+        )
+    ).drop("_bf_map", *probe_cols)
+
+
+def _bloom_pos(col: Column, i: int, n_bits: int) -> Column:
+    """xxhash64 probe position — internal pruning hash (never compared
+    cross-engine; see :func:`bloom_pruned_join` docstring)."""
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)).cast("int")
+
+
 def bloom_pruned_join(
     big: DataFrame,
     small: DataFrame,
@@ -286,38 +350,6 @@ def bloom_pruned_join(
             "bloom pruning drops big-side rows, so only joins that do "
             f"not preserve unmatched big rows are sound (got {how!r})"
         )
-
-    def _pos(col: Column, i: int) -> Column:
-        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)).cast("int")
-
-    n_words = n_bits >> 6
-    sk = F.col(small_key)
-    word_rows = (
-        small.select(
-            F.explode(
-                F.array(*[_pos(sk, i) for i in range(n_hashes)])
-            ).alias("b")
-        )
-        .groupBy(F.expr("b div 64").alias("w"))
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(cast(1 as bigint), cast(b % 64 as int)))"
-            ).alias("m")
-        )
-        .collect()
-    )
-    set_words = {r.w: r.m for r in word_rows}
-    bitmap = [set_words.get(w, 0) for w in range(n_words)]
-    pruned = big.withColumn("_bf_map", F.lit(bitmap))
-    probe_cols = []
-    for i in range(n_hashes):
-        pruned = pruned.withColumn(f"_bf_p{i}", _pos(F.col(big_key), i))
-        probe_cols.append(f"_bf_p{i}")
-    pruned = pruned.filter(
-        " AND ".join(
-            f"(shiftright(element_at(_bf_map, cast({p} div 64 as int) + 1),"
-            f" cast({p} % 64 as int)) & 1) = 1"
-            for p in probe_cols
-        )
-    ).drop("_bf_map", *probe_cols)
+    bitmap = build_bloom_bitmap(small, small_key, n_hashes, n_bits)
+    pruned = bloom_prune(big, big_key, bitmap, n_hashes)
     return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -139,3 +139,34 @@ def rowgroup_prune_stats(
                     break
             surviving += hit
     return surviving, total
+
+
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 12,
+    n_files: int = 4,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Append a batch to an existing z-ordered table ON THE ORIGINAL
+    GRID: the batch z-orders against the bounds :func:`write_zordered`
+    returned (values outside them clip to the curve's edge — legal, just
+    a fat edge cell), so new files have tight per-row-group min/max in
+    the same dimensions and scans keep pruning across old + new files
+    alike. Periodic restage (`write_zordered` over the whole table)
+    re-tightens a drifted grid — the same compaction story as IVF cell
+    appends and `compact_table`."""
+    mins = [bounds[c][0] for c in cols]
+    maxs = [bounds[c][1] for c in cols]
+    laid_out = (
+        df.withColumn("_z", zorder_code(cols, mins, maxs, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = laid_out.write.mode("append")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)

@@ -1,0 +1,176 @@
+"""Manifest-based snapshots: time travel for the staged operational
+tables (assignment tables, band/window/digest indexes, synopsis tables).
+
+The incremental-corpus ring appends to its staged projections and the
+governance ring rewrites them (retraction, keep-best) — at 100 TB both
+need the property a bare parquet directory cannot give: reading
+YESTERDAY's table while today's append/retract lands, auditing what an
+earlier resolution saw, and rolling a bad batch back without a restore
+job. Table formats (Iceberg/Delta) solve this with manifest files; this
+is the same idea at minimum viable size, with no new dependencies:
+
+  * data files are IMMUTABLE once written (each commit writes into its
+    own ``data/snap-<version>-<uuid>/`` directory — never into another
+    version's);
+  * a VERSION is a JSON manifest listing exactly the data directories
+    visible in it; manifests are written to a temp name and RENAMED into
+    place, so a version is either fully present or absent (single-file
+    rename — the only atomicity primitive this needs);
+  * readers resolve a manifest, then scan only its directories — a
+    reader holding version N is untouched by any later commit, append,
+    rollback, or expiry that keeps N.
+
+Rollback is NON-destructive (a new version that re-lists an old
+version's files), so audit history survives it; `expire_snapshots` is
+the explicit garbage collector, exactly like Iceberg's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:06d}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending. Ignores temp files (a crashed
+    commit leaves only a temp manifest, which is invisible here)."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = re.fullmatch(r"v(\d{6})\.json", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def commit_snapshot(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    note: str = "",
+) -> int:
+    """Write ``df`` as a new immutable data directory and commit a new
+    version. ``mode="append"``: the new version sees the previous
+    version's directories plus the new one (the arrival-batch shape —
+    index rows append). ``mode="overwrite"``: the new version sees ONLY
+    the new directory (the governance shape — retraction/keep-best
+    rewrites), while every older version still resolves its own files.
+    Returns the committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite (got {mode!r})")
+    versions = snapshot_versions(path)
+    prev = versions[-1] if versions else None
+    new_version = (prev + 1) if prev is not None else 1
+    data_dir = f"snap-{new_version:06d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
+    dirs = [data_dir]
+    if mode == "append" and prev is not None:
+        dirs = _read_manifest(path, prev)["data_dirs"] + dirs
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    manifest = {
+        "version": new_version,
+        "parent": prev,
+        "mode": mode,
+        "note": note,
+        "data_dirs": dirs,
+    }
+    tmp = os.path.join(
+        _manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, _manifest_path(path, new_version))
+    return new_version
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Scan a version (default: latest). The returned plan reads only
+    that version's directories — immune to concurrent commits."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    dirs = _read_manifest(path, v)["data_dirs"]
+    return spark.read.parquet(
+        *[os.path.join(path, "data", d) for d in dirs]
+    )
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """All committed manifests, ascending by version (the audit trail:
+    parent links, commit mode, note, visible directories)."""
+    return [_read_manifest(path, v) for v in snapshot_versions(path)]
+
+
+def rollback_snapshot(path: str, to_version: int, note: str = "") -> int:
+    """Commit a NEW version whose visible set is exactly
+    ``to_version``'s — a non-destructive undo (history keeps the bad
+    version for audit; `expire_snapshots` reclaims it later)."""
+    versions = snapshot_versions(path)
+    if to_version not in versions:
+        raise FileNotFoundError(f"version {to_version} not in {versions}")
+    prev = versions[-1]
+    new_version = prev + 1
+    manifest = {
+        "version": new_version,
+        "parent": prev,
+        "mode": "rollback",
+        "note": note or f"rollback to v{to_version}",
+        "data_dirs": list(_read_manifest(path, to_version)["data_dirs"]),
+    }
+    tmp = os.path.join(
+        _manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, _manifest_path(path, new_version))
+    return new_version
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions and DELETE data
+    directories no surviving version references — the explicit GC
+    (append-mode data dirs shared by surviving versions are kept).
+    Returns the expired version numbers."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(path)
+    expired = versions[:-keep_last]
+    if not expired:
+        return []
+    keep = versions[-keep_last:]
+    live = {d for v in keep for d in _read_manifest(path, v)["data_dirs"]}
+    dead = {
+        d
+        for v in expired
+        for d in _read_manifest(path, v)["data_dirs"]
+        if d not in live
+    }
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+    for d in dead:
+        shutil.rmtree(os.path.join(path, "data", d), ignore_errors=True)
+    return expired

@@ -1,0 +1,222 @@
+"""Operational-table maintenance ring: manifest snapshots (time travel
+for staged projections), mergeable histogram partials + PSI drift,
+z-order append on the original grid, stageable bloom bitmaps."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.operators import aggregates as agg
+from deva_spark.operators.joins import bloom_prune, build_bloom_bitmap
+from deva_spark.sources import snapshots as snap
+from deva_spark.sources.layout import (
+    append_zordered,
+    rowgroup_prune_stats,
+    write_zordered,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- snapshots
+
+
+def test_snapshot_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1 = spark.range(3).select(F.col("id").alias("k"))
+    d2 = spark.range(3, 5).select(F.col("id").alias("k"))
+    d3 = spark.range(100, 102).select(F.col("id").alias("k"))
+
+    v1 = snap.commit_snapshot(d1, path, mode="overwrite", note="day 0")
+    v2 = snap.commit_snapshot(d2, path, mode="append", note="day 1 batch")
+    v3 = snap.commit_snapshot(d3, path, mode="overwrite", note="rewrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    # a reader at any version sees exactly that version's rows — later
+    # commits never disturb it
+    assert _rows(snap.read_snapshot(spark, path, 1)) == [(0,), (1,), (2,)]
+    assert _rows(snap.read_snapshot(spark, path, 2)) == [
+        (0,), (1,), (2,), (3,), (4,),
+    ]
+    assert _rows(snap.read_snapshot(spark, path)) == [(100,), (101,)]
+
+    hist = snap.snapshot_history(path)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert hist[1]["parent"] == 1 and hist[1]["mode"] == "append"
+
+
+def test_snapshot_rollback_is_nondestructive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.range(2).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    snap.commit_snapshot(
+        spark.range(9, 10).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    v3 = snap.rollback_snapshot(path, to_version=1)
+    assert v3 == 3
+    assert _rows(snap.read_snapshot(spark, path)) == [(0,), (1,)]
+    # the rolled-back-over version is still readable (audit survives)
+    assert _rows(snap.read_snapshot(spark, path, 2)) == [(9,)]
+
+
+def test_snapshot_expire_gc_keeps_shared_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.range(2).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    snap.commit_snapshot(
+        spark.range(5, 6).select(F.col("id").alias("k")), path, "append"
+    )
+    snap.commit_snapshot(
+        spark.range(7, 8).select(F.col("id").alias("k")), path, "append"
+    )
+    expired = snap.expire_snapshots(path, keep_last=2)
+    assert expired == [1]
+    # v1's data dir is SHARED by v2/v3 (append lineage) -> must survive
+    assert _rows(snap.read_snapshot(spark, path, 2)) == [(0,), (1,), (5,)]
+    assert snap.snapshot_versions(path) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, path, 1)
+
+
+def test_snapshot_expire_gc_deletes_unreferenced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.range(2).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    snap.commit_snapshot(
+        spark.range(5, 6).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    n_dirs_before = len(os.listdir(os.path.join(path, "data")))
+    assert snap.expire_snapshots(path, keep_last=1) == [1]
+    n_dirs_after = len(os.listdir(os.path.join(path, "data")))
+    assert n_dirs_after == n_dirs_before - 1  # v1's dir reclaimed
+    assert _rows(snap.read_snapshot(spark, path)) == [(5,)]
+
+
+def test_snapshot_validates(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, path)
+    d = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        snap.commit_snapshot(d, path, mode="merge")
+    snap.commit_snapshot(d, path)
+    with pytest.raises(FileNotFoundError):
+        snap.rollback_snapshot(path, 9)
+
+
+# ------------------------------------------------- histogram partials + PSI
+
+
+def _hist(df, keys=("g",), lo=0.0, hi=100.0, n=10):
+    return df.transform(
+        agg.histogram_partials("v", lo, hi, n_buckets=n, keys=list(keys))
+    )
+
+
+def test_histogram_partials_merge_split_invariance(spark):
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.pmod(F.crc32(F.col("id").cast("string")), F.lit(100))).alias("v"),
+    )
+    one = _rows(_hist(df).transform(agg.merge_histogram_partials(["g"])))
+    parts = None
+    for b in range(4):
+        p = _hist(df.filter(F.col("id") % 4 == b))
+        parts = p if parts is None else parts.unionByName(p)
+    assert _rows(parts.transform(agg.merge_histogram_partials(["g"]))) == one
+    # clip: out-of-grid values land in edge buckets, never drop
+    edge = spark.createDataFrame(
+        [("a", -50.0), ("a", 1e9)], "g string, v double"
+    )
+    got = {r.bucket: r.cnt for r in _hist(edge).collect()}
+    assert got == {0: 1, 9: 1}
+
+
+def test_psi_flags_shape_change_not_just_mean(spark):
+    import random
+
+    random.seed(7)
+    # history: uniform over [0, 100); batch A: same distribution;
+    # batch B: same MEAN (50) but mass piled at the extremes
+    hist_rows = [("g", random.uniform(0, 100)) for _ in range(20_000)]
+    same_rows = [("g", random.uniform(0, 100)) for _ in range(5_000)]
+    bimodal_rows = [
+        ("g", random.uniform(0, 10) if i % 2 else random.uniform(90, 100))
+        for i in range(5_000)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v double")
+    h = _hist(mk(hist_rows)).transform(agg.merge_histogram_partials(["g"]))
+    psi_same = agg.psi_drift(_hist(mk(same_rows)), h, keys=["g"], n_buckets=10)
+    psi_shape = agg.psi_drift(
+        _hist(mk(bimodal_rows)), h, keys=["g"], n_buckets=10
+    )
+    assert psi_same.collect()[0].psi < 0.1
+    assert psi_shape.collect()[0].psi > 0.25
+    # the mean-shift z gate would NOT flag batch B: means agree within noise
+    mean_h = sum(v for _, v in hist_rows) / len(hist_rows)
+    mean_b = sum(v for _, v in bimodal_rows) / len(bimodal_rows)
+    assert abs(mean_h - mean_b) < 2.0
+
+
+def test_psi_never_seen_group_is_finite_and_large(spark):
+    h = _hist(
+        spark.createDataFrame([("a", float(i % 100)) for i in range(1000)],
+                              "g string, v double")
+    )
+    b = _hist(
+        spark.createDataFrame([("b", 5.0)] * 100, "g string, v double")
+    )
+    rows = {r.g: r.psi for r in agg.psi_drift(b, h, keys=["g"]).collect()}
+    assert math.isfinite(rows["b"]) and rows["b"] > 0.25
+
+
+# ------------------------------------------------------------ layout append
+
+
+def test_append_zordered_keeps_pruning_on_original_grid(spark, tmp_path):
+    def grid(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id"),
+            ((F.crc32(F.col("id").cast("string")) % 10_000) / 10_000.0).alias("x"),
+            ((F.crc32(F.concat(F.col("id").cast("string"), F.lit("y"))) % 10_000) / 10_000.0).alias("y"),
+        )
+
+    path = str(tmp_path / "z")
+    rg = 1 << 16
+    bounds = write_zordered(
+        grid(0, 200_000), path, ["x", "y"], bits=10, n_files=8, row_group_bytes=rg
+    )
+    base_rows = 200_000
+    append_zordered(
+        grid(1_000_000, 100_000), path, ["x", "y"], bounds,
+        bits=10, n_files=4, row_group_bytes=rg,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == base_rows + 100_000
+    surv, total = rowgroup_prune_stats(path, {"x": (0.4, 0.5), "y": (0.4, 0.5)})
+    # appended files are z-ordered on the same grid, so the whole table
+    # still prunes hard on a 1% box
+    assert surv / total < 0.2
+
+
+# --------------------------------------------------------- stageable bloom
+
+
+def test_bloom_bitmap_stages_and_prunes(spark):
+    small = spark.createDataFrame(
+        [(i * 100,) for i in range(10)], "k long"
+    )
+    bitmap = build_bloom_bitmap(small, "k", n_hashes=3, n_bits=1 << 14)
+    assert len(bitmap) == (1 << 14) >> 6
+    big = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    got = {r.k for r in bloom_prune(big, "k", bitmap, n_hashes=3).collect()}
+    member = {i * 100 for i in range(10) if i * 100 < 2_000}
+    assert member <= got  # zero false negatives
+    assert len(got) < 2_000  # and it actually prunes
