@@ -237,6 +237,47 @@ def main() -> None:
         agg.merge_stat_partials(keys=["lang"])
     ).orderBy("lang").show()
 
+    # 8. versioned state: the assignment table is an OPERATIONAL table,
+    #    so governance rewrites commit as manifest snapshots — the
+    #    retraction lands as v2, the pre-retraction state stays
+    #    readable for audit (what did resolution see on day 0?), a bad
+    #    batch rolls back non-destructively, and expire-GC reclaims
+    #    history on the operator's schedule, never implicitly.
+    from deva_spark.sources import snapshots as snap
+
+    assign_tbl = f"{work}/assignments_versioned"
+    snap.commit_snapshot(
+        spark.read.parquet(f"{work}/assignments_v1"),
+        assign_tbl, mode="overwrite", note="day-0 resolution",
+    )
+    snap.commit_snapshot(
+        assign2, assign_tbl, mode="overwrite", note="takedown retraction"
+    )
+    v_now = snap.snapshot_versions(assign_tbl)[-1]
+    audit_day0 = snap.read_snapshot(spark, assign_tbl, 1).count()
+    live = snap.read_snapshot(spark, assign_tbl).count()
+    print(f"assignment snapshots: v{v_now} live ({live} rows); "
+          f"day-0 audit view still readable ({audit_day0} rows)")
+
+    # 9. drift monitoring on arrival: the batch's token-length histogram
+    #    partial scores against the merged history BEFORE it appends —
+    #    PSI catches shape changes the mean-z gate (step 6) cannot.
+    hist_grid = dict(lo=0.0, hi=500.0, n_buckets=20)
+    hist_path = f"{work}/len_hist_partials"
+    docs.select("lang", T.token_count(F.col("text")).alias("v")).transform(
+        agg.histogram_partials("v", keys=["lang"], **hist_grid)
+    ).write.parquet(hist_path)
+    batch_hist = new_docs.select(
+        "lang", T.token_count(F.col("text")).alias("v")
+    ).transform(agg.histogram_partials("v", keys=["lang"], **hist_grid))
+    history = spark.read.parquet(hist_path).transform(
+        agg.merge_histogram_partials(["lang"])
+    )
+    print("arrival-batch PSI vs history (drift gate):")
+    agg.psi_drift(batch_hist, history, keys=["lang"],
+                  n_buckets=hist_grid["n_buckets"]).orderBy("lang").show()
+    batch_hist.write.mode("append").parquet(hist_path)  # then append
+
     new_idx.unpersist()
     shutil.rmtree(chunks, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
