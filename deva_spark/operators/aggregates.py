@@ -896,3 +896,42 @@ def psi_drift(
     if key_cols:
         return joined.groupBy(*key_cols).agg(*agg_cols)
     return joined.agg(*agg_cols)
+
+
+def kmv_sliding_distinct(
+    day_col: str,
+    window_days: int,
+    keys: Sequence[str] = (),
+    k: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """TRAILING-window distinct counts from a daily :func:`kmv_partials`
+    synopsis table — the rollup nobody can afford to recompute raw at
+    100 TB (distinct users over the trailing 7 days, every day): for
+    each day present, merge the synopses of ``[day - window_days + 1,
+    day]`` and estimate. Union-merge is KMV's native operation, so the
+    trailing estimate is BIT-IDENTICAL to a one-shot sketch over the
+    window's raw rows (the x85 argument per window position).
+
+    Shape: one range-band self-join of the SYNOPSIS table against its
+    own distinct days (days x window_days x k hash rows — synopsis-
+    sized), then the standard merge tail. Output: ``keys..., <day_col>,
+    est_distinct`` with one row per (group, day-in-table)."""
+
+    def _t(partials: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
+        banded = partials.join(
+            F.broadcast(days),
+            (F.col(day_col) <= F.col("_day_out"))
+            & (
+                F.col(day_col)
+                > F.date_sub(F.col("_day_out"), window_days)
+            ),
+            "inner",
+        )
+        merged = kmv_merge_partials(keys=key_cols + ["_day_out"], k=k)(
+            banded
+        )
+        return merged.withColumnRenamed("_day_out", day_col)
+
+    return _t

@@ -125,3 +125,36 @@ def test_chunking_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # row-local: pipelines inside the scan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    mx=st.integers(min_value=2, max_value=40),
+    ov_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_matches_python_reference(spark, n, mx, ov_frac):
+    import math
+
+    ov = min(int(mx * ov_frac), mx - 1)
+    stride = mx - ov
+    words = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in df.transform(chunk_documents(max_tokens=mx, overlap=ov)).collect()
+    )
+    nc = 1 if n <= mx else 1 + math.ceil((n - mx) / stride)
+    expected = sorted(
+        (
+            i,
+            len(words[i * stride : i * stride + mx]),
+            " ".join(words[i * stride : i * stride + mx]),
+        )
+        for i in range(nc)
+    )
+    assert got == expected

@@ -220,3 +220,40 @@ def test_bloom_bitmap_stages_and_prunes(spark):
     member = {i * 100 for i in range(10) if i * 100 < 2_000}
     assert member <= got  # zero false negatives
     assert len(got) < 2_000  # and it actually prunes
+
+
+# ------------------------------------------------------ sliding KMV rollup
+
+
+def test_kmv_sliding_distinct_equals_oneshot_per_window(spark):
+    # daily synopses merged over a trailing window == one-shot sketch
+    # over the window's raw rows, for EVERY window position
+    import datetime
+
+    rows = []
+    for d in range(6):
+        day = datetime.date(2024, 1, 1 + d)
+        for u in range(d * 40, d * 40 + 120):  # overlapping user ranges
+            rows.append(("click", day, u % 150))
+    df = spark.createDataFrame(rows, "t string, day date, uid long")
+    daily = df.transform(
+        agg.kmv_partials("uid", keys=["t", "day"], k=32)
+    )
+    got = {
+        (r.t, str(r.day)): r.est_distinct
+        for r in daily.transform(
+            agg.kmv_sliding_distinct("day", window_days=3, keys=["t"], k=32)
+        ).collect()
+    }
+    import datetime as dt
+
+    for d in range(6):
+        day = dt.date(2024, 1, 1 + d)
+        lo = dt.date(2024, 1, 1 + max(0, d - 2))
+        window_raw = df.filter(
+            (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(day))
+        )
+        expected = window_raw.transform(
+            agg.kmv_distinct("uid", keys=["t"], k=32)
+        ).collect()[0].est_distinct
+        assert got[("click", str(day))] == expected, f"day {day}"

@@ -73,6 +73,18 @@ HEAVY = [
     "x84_incremental_corpus_stats",
     "x85_kmv_rollup_distinct_users",
     "x86_incremental_shingle_overlap",
+    # r8 fourth-session tier. events/customer stay UNAMPLIFIED
+    # (symlinked sf0.1), so x93/x94/x97 measure the floor, not growth —
+    # recorded for trend continuity; x95/x96/x98/x99/x100 ride the
+    # amplified tables.
+    "x93_quantile_rollup",
+    "x94_cms_heavy_hitters",
+    "x95_bloom_pruned_join",
+    "x96_kmv_source_overlap",
+    "x97_salted_skew_join",
+    "x98_zorder_box_scan",
+    "x99_incremental_weighted_sample",
+    "x100_document_chunks",
 ]
 
 
