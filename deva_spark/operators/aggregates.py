@@ -935,3 +935,35 @@ def kmv_sliding_distinct(
         return merged.withColumnRenamed("_day_out", day_col)
 
     return _t
+
+
+def cms_sliding_merge(
+    day_col: str,
+    window_days: int,
+) -> Callable[[DataFrame], DataFrame]:
+    """TRAILING-window sketch per day from a daily :func:`cms_partials`
+    table — the frequency twin of :func:`kmv_sliding_distinct` (trailing
+    7-day heavy hitters, every day, without re-scanning a single raw
+    row): for each day present, sum the cell rows of ``[day -
+    window_days + 1, day]``. Cell addition is CMS's native merge, so
+    each window's sketch is bit-identical to one built over the window's
+    raw rows. One range-band self-join of cell rows against the distinct
+    days (days x window x depth x width rows — synopsis-sized). Output:
+    ``<day_col>, i, bucket, cnt`` — feed a day's slice to
+    :func:`cms_point_estimates` (or join days to probe all at once)."""
+
+    def _t(partials: DataFrame) -> DataFrame:
+        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
+        banded = partials.join(
+            F.broadcast(days),
+            (F.col(day_col) <= F.col("_day_out"))
+            & (F.col(day_col) > F.date_sub(F.col("_day_out"), window_days)),
+            "inner",
+        )
+        return (
+            banded.groupBy(F.col("_day_out").alias(day_col), "i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    return _t

@@ -257,3 +257,47 @@ def test_kmv_sliding_distinct_equals_oneshot_per_window(spark):
             agg.kmv_distinct("uid", keys=["t"], k=32)
         ).collect()[0].est_distinct
         assert got[("click", str(day))] == expected, f"day {day}"
+
+
+def test_cms_sliding_merge_equals_oneshot_per_window(spark):
+    import datetime as dt
+
+    depth, width = 4, 64
+    rows = []
+    for d in range(5):
+        day = dt.date(2024, 3, 1 + d)
+        rows += [("a", day)] * (10 * (d + 1)) + [("b", day)] * 7
+    df = spark.createDataFrame(rows, "k string, day date")
+    daily = df.transform(
+        agg.cms_partials("k", depth, width, keys=["day"])
+    )
+    sliding = daily.transform(agg.cms_sliding_merge("day", window_days=3))
+    keys = df.select("k").distinct()
+    for d in range(5):
+        day = dt.date(2024, 3, 1 + d)
+        lo = dt.date(2024, 3, 1 + max(0, d - 2))
+        win_sketch = sliding.filter(F.col("day") == F.lit(day)).select(
+            "i", "bucket", "cnt"
+        )
+        got = {
+            r.k: r.est
+            for r in agg.cms_point_estimates(
+                win_sketch, keys, "k", depth, width
+            ).collect()
+        }
+        raw = df.filter(
+            (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(day))
+        )
+        oneshot = raw.transform(agg.cms_partials("k", depth, width)).transform(
+            agg.cms_merge_partials()
+        )
+        expected = {
+            r.k: r.est
+            for r in agg.cms_point_estimates(
+                oneshot, keys, "k", depth, width
+            ).collect()
+        }
+        assert got == expected, f"day {day}"
+        # and at this tiny key count the estimates are exact
+        true_a = sum(10 * (x + 1) for x in range(max(0, d - 2), d + 1))
+        assert got["a"] == true_a
