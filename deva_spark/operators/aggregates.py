@@ -644,15 +644,23 @@ def cms_partials(
 
 
 def cms_retract_partials(
-    key_col: str, depth: int = 4, width: int = 512
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    keys: Sequence[str] = (),
 ) -> Callable[[DataFrame], DataFrame]:
     """NEGATIVE :func:`cms_partials` over rows being forgotten — cell
     counts are invertible integers, so one negated partial makes the
-    merged sketch bit-identical to one built over the survivors."""
-    base = cms_partials(key_col, depth, width)
+    merged sketch bit-identical to one built over the survivors.
+    ``keys`` mirrors :func:`cms_partials`: negated rows carry the same
+    group columns, so a keyed partials table (the staged
+    ``cms_day_cells``) retracts per group by plain append."""
+    base = cms_partials(key_col, depth, width, keys)
 
     def _t(df: DataFrame) -> DataFrame:
-        return base(df).select("i", "bucket", (-F.col("cnt")).alias("cnt"))
+        return base(df).select(
+            *keys, "i", "bucket", (-F.col("cnt")).alias("cnt")
+        )
 
     return _t
 

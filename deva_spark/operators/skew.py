@@ -115,3 +115,43 @@ def salted_group_agg(
         )
 
     return _t
+
+
+def auto_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.2,
+    sample_fraction: float = 0.05,
+    n_salts: int = 16,
+) -> tuple[DataFrame, str]:
+    """Measured join-strategy pick — the planning step :func:`key_share`
+    feeds, packaged: returns ``(joined, strategy)`` where strategy is
+
+      * ``"broadcast"`` when the small side's row count (one bounded
+        aggregate) fits ``broadcast_rows`` — the fact side never
+        shuffles;
+      * ``"salted"`` when a SAMPLE of the big side (``sample_fraction``,
+        deterministic seed) shows its heaviest key carrying more than
+        ``skew_share`` of rows — a plain shuffle join would serialize
+        that key on one reducer;
+      * ``"plain"`` otherwise — let AQE handle residual imbalance.
+
+    All three paths are ROW-IDENTICAL (broadcast/salted both preserve
+    join semantics exactly), so the choice is pure physics. The two
+    measurements are an O(1)-output count and a sampled key histogram —
+    the cost a planner pays once per pipeline, not per run, when the
+    caller caches the decision. At 100 TB the sampled histogram is the
+    only affordable skew probe; exact per-key counts are themselves a
+    shuffle of the fact table."""
+    keys = [on] if isinstance(on, str) else list(on)
+    small_n = small.count()
+    if small_n <= broadcast_rows:
+        return big.join(F.broadcast(small), keys, how), "broadcast"
+    sampled = big.sample(fraction=sample_fraction, seed=42)
+    top = key_share(sampled, keys, top=1).collect()
+    if top and top[0]["share"] is not None and top[0]["share"] > skew_share:
+        return salted_join(big, small, keys, n_salts=n_salts, how=how), "salted"
+    return big.join(small, keys, how), "plain"

@@ -229,3 +229,29 @@ def test_kmv_overlap_split_invariance_and_estimator_accuracy(spark):
     assert abs(est_u - 6000) / 6000 < 0.40
     # intersection is noisier (c ~ k * 1/3); just require the right scale
     assert 0 < est_i < 2 * 2000
+
+
+def test_cms_keyed_retraction_per_group(spark):
+    # forget one day from the keyed cell table by appending its negated
+    # partial — the merged sketch equals one built over the survivors
+    import datetime as dt
+
+    rows = [("a", dt.date(2024, 1, 1))] * 50 + [
+        ("a", dt.date(2024, 1, 2))
+    ] * 30 + [("b", dt.date(2024, 1, 2))] * 10
+    df = spark.createDataFrame(rows, "k string, day date")
+    daily = df.transform(agg.cms_partials("k", 4, 64, keys=["day"]))
+    forget = df.filter(F.col("day") == "2024-01-02")
+    neg = forget.transform(agg.cms_retract_partials("k", 4, 64, keys=["day"]))
+    merged = (
+        daily.unionByName(neg)
+        .transform(agg.cms_merge_partials())
+        .collect()
+    )
+    survivors = (
+        df.filter(F.col("day") != "2024-01-02")
+        .transform(agg.cms_partials("k", 4, 64))
+        .transform(agg.cms_merge_partials())
+        .collect()
+    )
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, survivors))

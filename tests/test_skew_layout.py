@@ -205,3 +205,30 @@ def test_x97_salted_equals_plain_on_events(spark, sf_dir):
     )
     got = Q.SPARK_QUERIES["x97_salted_skew_join"](spark, sf_dir)
     assert _sorted_rows(got) == _sorted_rows(plain.orderBy("user_id"))
+
+
+def test_auto_join_picks_and_matches_all_strategies(spark):
+    big, dim = _skewed_pair(spark)
+    expected = _sorted_rows(big.join(dim, "k", "inner"))
+
+    # tiny dim -> broadcast
+    out, strat = salted_auto(big, dim, broadcast_rows=1_000_000)
+    assert strat == "broadcast" and _sorted_rows(out) == expected
+
+    # dim "too big to broadcast" (forced) + hot key -> salted
+    out, strat = salted_auto(big, dim, broadcast_rows=1)
+    assert strat == "salted" and _sorted_rows(out) == expected
+
+    # uniform big side + unbroadcastable dim -> plain
+    uni = spark.range(10_000).select(
+        (F.col("id") % 8).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    exp_uni = _sorted_rows(uni.join(dim, "k", "inner"))
+    out, strat = salted_auto(uni, dim, broadcast_rows=1)
+    assert strat == "plain" and _sorted_rows(out) == exp_uni
+
+
+def salted_auto(big, dim, **kw):
+    from deva_spark.operators.skew import auto_join
+
+    return auto_join(big, dim, "k", sample_fraction=0.5, **kw)
