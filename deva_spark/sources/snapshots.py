@@ -174,3 +174,31 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     for d in dead:
         shutil.rmtree(os.path.join(path, "data", d), ignore_errors=True)
     return expired
+
+
+def snapshot_diff(
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> "DataFrame":
+    """Row-level diff between two versions keyed by ``key_cols``:
+    returns ``key_cols..., change`` with change in ``added | removed``
+    (a key present in both versions with different payload shows as
+    removed + added only if the payload is part of the key; pass the
+    full column list for full-row diff semantics). Two anti-joins over
+    the two versions' scans — the audit query behind every governance
+    review: what did the retraction actually remove, what did the batch
+    actually add."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, path, from_version).select(*key_cols)
+    b = read_snapshot(spark, path, to_version).select(*key_cols)
+    added = b.join(a, key_cols, "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = a.join(b, key_cols, "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

@@ -298,3 +298,27 @@ def foreach_http_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    fmt: str = "parquet",
+) -> None:
+    """Training-data export: exactly ``n_shards`` shard files with a
+    DETERMINISTIC row->shard assignment (``xxhash64(id) pmod n``), so a
+    re-export of the same curated corpus bit-reproduces the shard
+    membership whatever the cluster's partitioning did — the property a
+    training run resuming mid-epoch needs. One repartition shuffle on
+    the shard id; ``fmt`` is parquet (columnar, default) or json
+    (JSONL, one object per line — the interchange format most loaders
+    eat)."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be parquet|json (got {fmt!r})")
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    ).repartition(n_shards, "_shard")
+    writer = sharded.write.mode("overwrite").partitionBy("_shard")
+    (writer.parquet(path) if fmt == "parquet" else writer.json(path))

@@ -301,3 +301,59 @@ def test_cms_sliding_merge_equals_oneshot_per_window(spark):
         # and at this tiny key count the estimates are exact
         true_a = sum(10 * (x + 1) for x in range(max(0, d - 2), d + 1))
         assert got["a"] == true_a
+
+
+def test_snapshot_diff_added_removed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.createDataFrame([(1,), (2,), (3,)], "k long"), path, "overwrite"
+    )
+    snap.commit_snapshot(
+        spark.createDataFrame([(2,), (3,), (9,)], "k long"), path, "overwrite"
+    )
+    diff = {
+        (r.k, r.change)
+        for r in snap.snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert diff == {(9, "added"), (1, "removed")}
+
+
+def test_table_stats_collect_write_read(spark, tmp_path):
+    from deva_spark.plans import stats as ts
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", None if i % 4 == 0 else float(i)) for i in range(100)],
+        "id long, s string, v double",
+    )
+    df.write.parquet(path)
+    got = ts.write_table_stats(spark.read.parquet(path), path)
+    assert got["rows"] == 100
+    c = got["columns"]
+    assert c["id"]["nulls"] == 0 and c["v"]["nulls"] == 25
+    assert c["id"]["min"] == 0 and c["id"]["max"] == 99
+    # HLL NDV is approximate: within 10% on 100/5 distinct
+    assert abs(c["id"]["ndv"] - 100) <= 10
+    assert abs(c["s"]["ndv"] - 5) <= 1
+    back = ts.read_table_stats(path)
+    assert back["rows"] == 100 and "ndv" in back["columns"]["s"]
+    assert ts.read_table_stats(str(tmp_path / "nope")) is None
+
+
+def test_training_shards_deterministic_membership(spark, tmp_path):
+    from deva_spark.sources.writers import write_training_shards
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("payload")
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, p1, n_shards=8, id_col="doc_id")
+    write_training_shards(df.repartition(17), p2, n_shards=8, id_col="doc_id")
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    m1 = {(r.doc_id, r._shard) for r in r1.select("doc_id", "_shard").collect()}
+    m2 = {(r.doc_id, r._shard) for r in r2.select("doc_id", "_shard").collect()}
+    assert m1 == m2 and len(m1) == 1_000  # partitioning-invariant membership
+    assert r1.select("_shard").distinct().count() == 8
+    with pytest.raises(ValueError):
+        write_training_shards(df, p1, 4, "doc_id", fmt="csvx")
