@@ -363,3 +363,56 @@ def redact_pii(text: Column) -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def canonical_url(
+    url: Column,
+    drop_params: Sequence[str] = (
+        "fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref",
+    ),
+    drop_www: bool = False,
+) -> Column:
+    """Canonical form of an http(s) URL for crawl dedup — the key under
+    which two fetches of the same page collapse: lowercase scheme/host,
+    fragment stripped, default ports dropped (``:80``/``:443``), query
+    parameters SORTED with tracking params removed (``utm_*`` plus
+    ``drop_params``), trailing path slash trimmed (root path collapses
+    to empty, so ``http://a.com/`` == ``http://a.com``). Pure column
+    algebra over ``try_parse_url`` + array ops — whole-stage codegen, so
+    canonicalizing 10^11 crawl records pipelines inside the scan.
+    Non-URL input (no ``scheme://``) returns NULL — filter upstream or
+    coalesce to the raw string, caller's choice."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host0 = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = (
+        F.regexp_replace(host0, r"^www\.", "") if drop_www else host0
+    )
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path0 = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path0 == "/", "").otherwise(
+        F.regexp_replace(path0, r"/+$", "")
+    )
+    q0 = F.try_parse_url(u, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(q0, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.substring_index(p, "=", 1)).startswith("utm_")
+        & ~F.lower(F.substring_index(p, "=", 1)).isin(*drop_params),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & host.isNotNull() & (host != ""), rebuilt)

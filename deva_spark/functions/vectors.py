@@ -1069,3 +1069,143 @@ def semdedup_pairs(
         _cluster_pairs,
         "cluster_id long, keep_id long, prune_id long, cos double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011) — the ANN COMPRESSION
+# tier: IVF partitions the corpus, PQ shrinks what each cell stores. A
+# 64-dim float64 embedding (512 B) compresses to m one-byte codes (m=8:
+# 64x smaller), and search scores codes against a per-query distance
+# table without ever decompressing — the memory layout that makes
+# billion-vector ANN fit a cluster's RAM.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 2048,
+    iters: int = 5,
+) -> np.ndarray:
+    """Train the ``(m, n_codes, dim/m)`` PQ codebooks on a DETERMINISTIC
+    bounded sample (first ``train_rows`` vectors by id — the ivf_centers
+    seeding discipline): vectors L2-normalize (so inner-product ADC
+    approximates cosine), split into ``m`` subspaces, and each subspace
+    runs ``iters`` Lloyd steps from first-rows seeds, numpy on the
+    driver. Bounded by contract: quantizer training uses a fixed-size
+    sample at ANY corpus size (the standard practice — the codebook is
+    16-256 points per subspace; more data stops changing it), so the
+    driver holds ``train_rows x dim`` floats, never the corpus."""
+    rows = (
+        vectors.orderBy(id_col).limit(train_rows).select(vec_col).collect()
+    )
+    x = np.stack([np.array(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cb = sub[:n_codes].copy()  # deterministic first-rows seeds
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` small integer codes — one linear
+    mapInPandas pass, NO shuffle (encoding is row-local and pipelines
+    inside the scan); output ``(vec_id, codes array<int>)`` is the
+    compressed posting payload an IVF cell stores. Deterministic: ties
+    resolve to the lower code (stable argmin)."""
+    m, n_codes, dsub = codebooks.shape
+    books = codebooks
+
+    @pandas_udf(ArrayType(LongType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    ``m x n_codes`` inner-product table ON THE DRIVER (bounded by the
+    codebook geometry), every code row scores as ``sum_j table[j,
+    code_j]`` — table lookups, no decompression, no embedding ever
+    shuffled — and per-partition top-k + one bounded merge returns the
+    global top-k under the (score DESC, vec_id) total order (the
+    lsh_topk_onepass argument). Scores are the query-normalized inner
+    products of RECONSTRUCTED vectors, i.e. cosine up to quantization
+    error; 4dp HALF_UP rounding before ranking keeps the order
+    partition-invariant."""
+    m, n_codes, dsub = codebooks.shape
+    q = np.array(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    table = np.empty((m, n_codes))
+    for j in range(m):
+        table[j] = codebooks[j] @ q[j * dsub : (j + 1) * dsub]
+
+    @pandas_udf("double")
+    def _score(code_col: pd.Series) -> pd.Series:
+        c = np.stack(code_col.to_numpy()).astype(np.int64)
+        s = np.zeros(len(c))
+        for j in range(m):
+            s += table[j][c[:, j]]
+        # HALF_UP at 4dp, matching F.round/the oracle convention
+        return pd.Series(np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s))
+
+    from pyspark.sql import Window
+
+    scored = codes.select("vec_id", _score(F.col("codes")).alias("score"))
+    pw = Window.partitionBy("_p").orderBy(F.desc("score"), "vec_id")
+    part = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= k)
+        .select("vec_id", "score")
+    )
+    merged = part.groupBy().agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score")).alias("_ns"), "vec_id"))
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return merged.select(F.posexplode("_top").alias("_i", "_s")).select(
+        F.col("_s.vec_id").alias("vec_id"),
+        (-F.col("_s._ns")).alias("score"),
+        (F.col("_i") + 1).cast("int").alias("rnk"),
+    )

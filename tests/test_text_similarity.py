@@ -513,3 +513,84 @@ def test_incremental_cosine_neardup_matches_full_restricted(spark, emb):
         assert all(a >= T1 or b >= T1 for a, b in got)
     finally:
         base.unpersist()
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    from deva_spark.functions.text import canonical_url
+
+    variants = [
+        "HTTPS://Example.COM:443/a/?utm_source=tw&b=2&a=1#frag",
+        "https://example.com/a?a=1&b=2",
+        "https://example.com:443/a/?b=2&a=1&utm_campaign=x",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    got = {
+        r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == {"https://example.com/a?a=1&b=2"}  # all collapse to one
+
+    edge = spark.createDataFrame(
+        [
+            ("http://example.com:80/",),
+            ("http://example.com",),
+            ("https://a.b:8443/p?gclid=z&y=2",),  # non-default port kept
+            ("not a url",),
+        ],
+        "u string",
+    )
+    rows = [r.c for r in edge.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert rows[0] == rows[1] == "http://example.com"
+    assert rows[2] == "https://a.b:8443/p?y=2"
+    assert rows[3] is None
+
+    # drop_www merges the www alias; drop_params is caller-extendable
+    www = spark.createDataFrame(
+        [("https://www.example.com/x?ref=abc&k=1",)], "u string"
+    )
+    assert (
+        www.select(
+            canonical_url(F.col("u"), drop_www=True).alias("c")
+        ).collect()[0].c
+        == "https://example.com/x?k=1"
+    )
+
+
+def test_pq_roundtrip_recall_and_compression(spark, sf_dir=None):
+    # PQ codes over the synthetic embeddings: ADC top-10 must land most
+    # of brute-force cosine's top-10 (recall), codes must be m small
+    # ints (compression), and encode/search must be deterministic
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = V.pq_train(emb, m=8, n_codes=32, train_rows=1024)
+    assert books.shape[0] == 8 and books.shape[1] == 32
+    codes = V.pq_encode(emb, books)
+    first = codes.orderBy("vec_id").limit(5).collect()
+    assert all(len(r.codes) == 8 for r in first)
+    assert all(0 <= c < 32 for r in first for c in r.codes)
+    # determinism: a second encode pass yields identical codes
+    again = V.pq_encode(emb, books).orderBy("vec_id").limit(5).collect()
+    assert [list(r.codes) for r in again] == [list(r.codes) for r in first]
+
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    q = list(qrow.embedding)
+    got = [r.vec_id for r in V.pq_search(codes, books, q, k=10).collect()]
+    # exact cosine top-10 by numpy (independent reference)
+    all_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in all_rows])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in all_rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    qv = np.array(q) / max(np.linalg.norm(q), 1e-12)
+    sims = mat @ qv
+    order = np.lexsort((ids, -sims))[:10]
+    exact = list(ids[order])
+    # the query vector itself must rank first (its own code is nearest)
+    assert got[0] == qrow.vec_id
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, (recall, got, exact)
+    # partition invariance of the two-phase top-k
+    reshuffled = [
+        r.vec_id
+        for r in V.pq_search(codes.repartition(13), books, q, k=10).collect()
+    ]
+    assert reshuffled == got
