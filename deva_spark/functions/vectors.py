@@ -1209,3 +1209,175 @@ def pq_search(
         (-F.col("_s._ns")).alias("score"),
         (F.col("_i") + 1).cast("int").alias("rnk"),
     )
+
+
+def ivfpq_stage(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The full IVF-PQ layout (the billion-vector standard: IVF
+    partitions, PQ compresses what each cell stores): write the corpus
+    cell-partitioned like :func:`ivf_stage` but with ``m`` one-byte-ish
+    codes per vector INSTEAD of the embedding — at m=8 over 64-dim
+    float64 that is a 64x smaller posting payload, which is what lets
+    the whole index live in cluster RAM at 10^9+ vectors. Returns
+    (centers, codebooks); both also land in the ``_ivfpq_meta.json``
+    sidecar (the completion marker)."""
+    import json
+    import os
+
+    centers = ivf_centers(vectors, n_cells, id_col, vec_col)
+    books = pq_train(vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    nearest = _nearest_cell_udf(centers)
+    coded = pq_encode(vectors, books, id_col, vec_col)
+    staged = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            nearest(F.col(vec_col))[0].alias("cell"),
+        )
+        .join(coded, "vec_id")
+        .select("vec_id", "codes", "cell")
+    )
+    staged.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(
+            {
+                "centers": centers.tolist(),
+                "codebooks": books.tolist(),
+                "schema": staged.schema.json(),
+            },
+            f,
+        )
+    return centers, books
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_vectors: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """ADC top-k over an :func:`ivfpq_stage` table: probe cells resolve
+    on the driver (the ivf_search_staged pattern — queries are bounded
+    by contract), the scan partition-prunes to those cells and reads
+    CODES only, and one mapInPandas stage scores each cell's members
+    against the per-query ``m x n_codes`` distance tables — table
+    lookups, never a reconstruction, never an embedding shuffle. Output
+    (qid, vec_id, score, rnk); scores are quantized cosines (4dp
+    HALF_UP), self-matches excluded like the exact route.
+
+    ``rerank_vectors``: the raw embedding table — enables the standard
+    IVF-PQ-rerank tail: ADC keeps ``k * rerank_factor`` candidates per
+    query (still code-only), then ONLY those ≤ |Q|*k*factor rows join
+    their exact embeddings for a true-cosine rescore. The expensive
+    exact arithmetic touches a candidate set bounded by the query count,
+    never the corpus — quantization recall loss is bought back for a
+    constant-size join."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    centers = np.array(meta["centers"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.schema(StructType.fromJson(json.loads(meta["schema"])))
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, score double, rnk int"
+        )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qm = np.stack([np.array(r[1], dtype=np.float64) for r in qrows])
+    qunit = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qunit @ centers.T), axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for c in order.ravel()})
+    q_by_cell: dict[int, list[int]] = {}
+    for i in range(len(qids)):
+        for cell in order[i]:
+            q_by_cell.setdefault(int(cell), []).append(i)
+    # per-query ADC tables: (n_queries, m, n_codes) — bounded by geometry
+    qsub = np.stack(
+        [qunit[:, j * dsub : (j + 1) * dsub] for j in range(m)], axis=1
+    )
+    tables = np.einsum("qjd,jcd->qjc", qsub, books)
+
+    def _score(batches):
+        for pdf in batches:
+            out_q, out_v, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                idxs = q_by_cell.get(int(cell))
+                if not idxs:
+                    continue
+                c = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                vids = grp["vec_id"].to_numpy().astype(np.int64)
+                for qi in idxs:
+                    s = np.zeros(len(c))
+                    for j in range(m):
+                        s += tables[qi, j][c[:, j]]
+                    s = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
+                    mask = vids != qids[qi]
+                    s_, v_ = s[mask], vids[mask]
+                    top = np.lexsort((v_, -s_))[:k]
+                    out_q.extend([qids[qi]] * len(top))
+                    out_v.extend(v_[top])
+                    out_s.extend(s_[top])
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "score": out_s}
+            ).astype({"qid": "int64", "vec_id": "int64", "score": "float64"})
+
+    k_adc = k * rerank_factor if rerank_vectors is not None else k
+
+    cand = (
+        reader.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("cell", "vec_id", "codes")
+        .mapInPandas(_score, "qid long, vec_id long, score double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    ranked = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_adc)
+        .select("qid", "vec_id", "score", "rnk")
+    )
+    if rerank_vectors is None:
+        return ranked
+
+    q_lookup = {int(qids[i]): qunit[i] for i in range(len(qids))}
+
+    @pandas_udf("double")
+    def _exact_cos(qid_col: pd.Series, emb_col: pd.Series) -> pd.Series:
+        M = np.stack(emb_col.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        qs = np.stack([q_lookup[int(x)] for x in qid_col.to_numpy()])
+        raw = (qs * M).sum(axis=1)
+        return pd.Series(np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw))
+
+    exact = ranked.select("qid", "vec_id").join(
+        rerank_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")
+        ),
+        "vec_id",
+    )
+    rescored = exact.select(
+        "qid", "vec_id", _exact_cos(F.col("qid"), F.col("_e")).alias("score")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "score", "rnk")
+    )

@@ -594,3 +594,80 @@ def test_pq_roundtrip_recall_and_compression(spark, sf_dir=None):
         for r in V.pq_search(codes.repartition(13), books, q, k=10).collect()
     ]
     assert reshuffled == got
+
+
+def test_ivfpq_stage_and_search(spark, tmp_path):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    centers, books = V.ivfpq_stage(emb, path, n_cells=8, m=8, n_codes=32)
+    assert centers.shape[0] == 8 and books.shape == (8, 32, 8)
+    staged = spark.read.parquet(path)
+    # compressed postings: codes + cell only, NO embedding column
+    assert set(staged.columns) == {"vec_id", "codes", "cell"}
+
+    queries = emb.orderBy("vec_id").limit(3)
+    out = V.ivfpq_search(spark, path, queries, k=10, n_probe=8)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 3 and all(len(v) == 10 for v in by_q.values())
+
+    # recall vs exact cosine (self excluded) over the full corpus
+    all_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in all_rows])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in all_rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    recs = []
+    for qr in queries.collect():
+        qv = np.array(qr.embedding, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = mat @ qv
+        mask = ids != qr.vec_id
+        order = np.lexsort((ids[mask], -sims[mask]))[:10]
+        exact = set(ids[mask][order])
+        got = {r.vec_id for r in by_q[qr.vec_id]}
+        recs.append(len(got & exact) / 10)
+    assert sum(recs) / len(recs) >= 0.25, recs  # raw ADC: coarse m=8 codes
+
+    # partition invariance: ranks are a pure function of (score, vec_id)
+    again = V.ivfpq_search(spark, path, queries, k=10, n_probe=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    # the standard rerank tail: ADC shortlist (code-only) + exact rescore
+    # of a bounded candidate set buys the recall back
+    rr = V.ivfpq_search(
+        spark, path, queries, k=10, n_probe=8,
+        rerank_vectors=emb, rerank_factor=8,
+    ).collect()
+    by_q_rr = {}
+    for r in rr:
+        by_q_rr.setdefault(r.qid, set()).add(r.vec_id)
+    recs_rr = []
+    for qr in queries.collect():
+        qv = np.array(qr.embedding, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = mat @ qv
+        mask = ids != qr.vec_id
+        order = np.lexsort((ids[mask], -sims[mask]))[:10]
+        exact_ids = set(ids[mask][order])
+        recs_rr.append(len(by_q_rr[qr.vec_id] & exact_ids) / 10)
+    # this corpus is near-isotropic (true top-10 cosines ~0.29-0.37 vs a
+    # 0.32 p99 background — margins below the m=8 quantization noise), so
+    # absolute recall bounds stay loose; the rerank lift is the contract
+    assert sum(recs_rr) / len(recs_rr) >= 0.45, (recs, recs_rr)
+    assert sum(recs_rr) >= sum(recs)  # rerank never hurts on average
+
+    # strong-signal preservation: a query that IS a tiny perturbation of
+    # a corpus vector must retrieve its twin first, even from codes alone
+    import numpy.random as npr
+
+    rng = npr.default_rng(7)
+    twin_of = int(ids[42])
+    base = mat[ids == twin_of][0]
+    q2 = [float(v) for v in base + 0.01 * rng.standard_normal(base.shape)]
+    q2df = spark.createDataFrame([(999_999, q2)], "vec_id long, embedding array<double>")
+    top = V.ivfpq_search(spark, path, q2df, k=3, n_probe=8).collect()
+    assert top[0].vec_id == twin_of
