@@ -1381,3 +1381,41 @@ def ivfpq_search(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "score", "rnk")
     )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to an :func:`ivfpq_stage` layout without
+    retraining EITHER quantizer — the :func:`ivf_append` contract
+    extended to the compressed index: the batch assigns to the
+    EXISTING cells and encodes against the EXISTING codebooks (both
+    from the sidecar, the exact arithmetic the stage ran), then appends
+    inside the cell partition dirs. :func:`ivfpq_search` serves the
+    grown corpus immediately; restage on drift re-tightens both
+    quantizers at once (the z-order bounds / IVF-centers compaction
+    story)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    centers = np.array(meta["centers"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    nearest = _nearest_cell_udf(centers)
+    coded = pq_encode(new_vectors, books, id_col, vec_col)
+    (
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            nearest(F.col(vec_col))[0].alias("cell"),
+        )
+        .join(coded, "vec_id")
+        .select("vec_id", "codes", "cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )

@@ -671,3 +671,36 @@ def test_ivfpq_stage_and_search(spark, tmp_path):
     q2df = spark.createDataFrame([(999_999, q2)], "vec_id long, embedding array<double>")
     top = V.ivfpq_search(spark, path, q2df, k=3, n_probe=8).collect()
     assert top[0].vec_id == twin_of
+
+
+def test_ivfpq_append_serves_grown_corpus(spark, tmp_path):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 450)
+    new = emb.filter(F.col("vec_id") >= 450)
+    path = str(tmp_path / "ivfpq")
+    V.ivfpq_stage(old, path, n_cells=8, m=8, n_codes=32)
+    V.ivfpq_append(spark, path, new)
+    grown = spark.read.parquet(path)
+    assert grown.count() == emb.count()
+    # appended rows are encoded with the ORIGINAL codebooks (read back
+    # from the sidecar), not retrained ones
+    import json as _json
+
+    with open(f"{path}/_ivfpq_meta.json") as fh:
+        books0 = np.array(_json.load(fh)["codebooks"])
+    a = {r.vec_id: list(r.codes) for r in grown.filter("vec_id >= 450").collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in V.pq_encode(new, books0).collect()
+    }
+    assert a == b
+    # search sees the appended vectors: a query equal to an appended
+    # vector (tiny perturbation) retrieves it first
+    qrow = new.orderBy(F.desc("vec_id")).limit(1).collect()[0]
+    base = np.array(qrow.embedding, dtype=np.float64)
+    q = [float(v) for v in base + 0.005 * np.cos(np.arange(base.size))]
+    qdf = spark.createDataFrame([(888_888, q)], "vec_id long, embedding array<double>")
+    top = V.ivfpq_search(spark, path, qdf, k=3, n_probe=8).collect()
+    assert top[0].vec_id == qrow.vec_id
