@@ -112,7 +112,10 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
     dirs = _read_manifest(path, v)["data_dirs"]
-    return spark.read.parquet(
+    # mergeSchema: append-lineage versions may span a column addition
+    # (schema evolution); the merged read presents the union schema with
+    # NULLs for files written before the column existed
+    return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, "data", d) for d in dirs]
     )
 
@@ -202,3 +205,16 @@ def snapshot_diff(
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def compact_snapshots(spark, path: str, note: str = "compaction") -> int:
+    """Rewrite the CURRENT visible set as one fresh data directory and
+    commit it — the snapshot-table form of `writers.compact_table`: an
+    append-heavy lineage accumulates one directory per batch, and at
+    100 TB directory/file count (not bytes) throttles the scan planner.
+    History is untouched (old versions still resolve their own dirs
+    until `expire_snapshots` reclaims them); readers switch to the
+    compacted version atomically at its manifest rename."""
+    return commit_snapshot(
+        read_snapshot(spark, path), path, mode="overwrite", note=note
+    )

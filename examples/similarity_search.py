@@ -38,6 +38,20 @@ def main() -> None:
     print("Cosine top-3 (multi-table hyperplane LSH, approximate):")
     V.lsh_bucketed_topk(emb, qs, k=3).orderBy("qid", "rnk").show(9)
 
+    # the compressed end of the stack: IVF partitions the corpus, PQ
+    # shrinks each cell's payload to m one-byte-ish codes, ADC scores
+    # codes against a per-query distance table, and an exact-rerank tail
+    # over the bounded shortlist buys quantization recall back
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq"
+        V.ivfpq_stage(emb, path, n_cells=8, m=8, n_codes=32)
+        print("Cosine top-3 (IVF-PQ codes + exact rerank):")
+        V.ivfpq_search(
+            spark, path, qs, k=3, n_probe=4, rerank_vectors=emb
+        ).orderBy("qid", "rnk").show(9)
+
 
 if __name__ == "__main__":
     main()

@@ -357,3 +357,75 @@ def test_training_shards_deterministic_membership(spark, tmp_path):
     assert r1.select("_shard").distinct().count() == 8
     with pytest.raises(ValueError):
         write_training_shards(df, p1, 4, "doc_id", fmt="csvx")
+
+
+def test_snapshot_schema_evolution_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.createDataFrame([(1,), (2,)], "k long"), path, "overwrite"
+    )
+    # append a batch that ADDED a column: latest read presents the union
+    # schema, old files read NULL for the new column
+    snap.commit_snapshot(
+        spark.createDataFrame([(3, "x")], "k long, tag string"), path, "append"
+    )
+    latest = snap.read_snapshot(spark, path)
+    assert set(latest.columns) == {"k", "tag"}
+    got = {(r.k, r.tag) for r in latest.collect()}
+    assert got == {(1, None), (2, None), (3, "x")}
+    # v1 readers are untouched by the evolution
+    assert snap.read_snapshot(spark, path, 1).columns == ["k"]
+
+    # compaction: many append dirs -> one dir, rows identical, new version
+    import os
+
+    n_dirs_before = len(os.listdir(os.path.join(path, "data")))
+    v = snap.compact_snapshots(spark, path)
+    assert v == 3
+    manifest = snap.snapshot_history(path)[-1]
+    assert len(manifest["data_dirs"]) == 1 and n_dirs_before == 2
+    after = {(r.k, r.tag) for r in snap.read_snapshot(spark, path).collect()}
+    assert after == got
+
+
+def test_zorder_pruning_is_sound(spark, tmp_path):
+    # SOUNDNESS (the property the engine's skipping relies on): every row
+    # matching the box lives in a SURVIVING row group — pruned row groups
+    # contain no matches. Checked row-group-by-row-group with pyarrow.
+    import pyarrow.parquet as pq
+    import os
+
+    from deva_spark.sources.layout import write_zordered
+
+    def grid(n):
+        return spark.range(n).select(
+            F.col("id"),
+            ((F.crc32(F.col("id").cast("string")) % 1_000) / 1_000.0).alias("x"),
+            ((F.crc32(F.concat(F.col("id").cast("string"), F.lit("y"))) % 1_000) / 1_000.0).alias("y"),
+        )
+
+    path = str(tmp_path / "z")
+    write_zordered(grid(60_000), path, ["x", "y"], bits=8, n_files=4,
+                   row_group_bytes=1 << 16)
+    box = {"x": (0.2, 0.35), "y": (0.6, 0.8)}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, fname))
+        meta = pf.metadata
+        name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            survives = True
+            for col, (lo, hi) in box.items():
+                st = rg.column(name_to_idx[col]).statistics
+                if float(st.max) < lo or float(st.min) > hi:
+                    survives = False
+            if survives:
+                continue
+            tbl = pf.read_row_group(g).to_pandas()
+            in_box = (
+                (tbl["x"] >= box["x"][0]) & (tbl["x"] <= box["x"][1])
+                & (tbl["y"] >= box["y"][0]) & (tbl["y"] <= box["y"][1])
+            )
+            assert not in_box.any()  # a pruned row group holds no matches
