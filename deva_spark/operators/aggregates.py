@@ -975,3 +975,35 @@ def cms_sliding_merge(
         )
 
     return _t
+
+
+def quantile_sliding_merge(
+    day_col: str,
+    window_days: int,
+    keys: Sequence[str] = (),
+    width: float = 25.0,
+    pcts: Sequence[int] = (50, 90, 99),
+) -> Callable[[DataFrame], DataFrame]:
+    """TRAILING-window quantiles per day from a daily
+    :func:`quantile_partials` table — the third member of the sliding
+    rollup family (:func:`kmv_sliding_distinct`,
+    :func:`cms_sliding_merge`): latency p99 over the trailing N days,
+    every day, from synopsis rows alone. Same range-band self-join
+    against the distinct days, then the standard bin merge per
+    (keys, day). Output: ``keys..., <day_col>, n, p<pct>...``."""
+
+    def _t(partials: DataFrame) -> DataFrame:
+        key_cols = list(keys)
+        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
+        banded = partials.join(
+            F.broadcast(days),
+            (F.col(day_col) <= F.col("_day_out"))
+            & (F.col(day_col) > F.date_sub(F.col("_day_out"), window_days)),
+            "inner",
+        )
+        merged = merge_quantile_partials(
+            keys=key_cols + ["_day_out"], width=width, pcts=pcts
+        )(banded)
+        return merged.withColumnRenamed("_day_out", day_col)
+
+    return _t

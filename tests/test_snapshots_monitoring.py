@@ -429,3 +429,32 @@ def test_zorder_pruning_is_sound(spark, tmp_path):
                 & (tbl["y"] >= box["y"][0]) & (tbl["y"] <= box["y"][1])
             )
             assert not in_box.any()  # a pruned row group holds no matches
+
+
+def test_quantile_sliding_merge_equals_oneshot_per_window(spark):
+    import datetime as dt
+
+    rows = []
+    for d in range(5):
+        day = dt.date(2024, 5, 1 + d)
+        rows += [("svc", day, float((i * 37) % 200) + d * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+    daily = df.transform(
+        agg.quantile_partials("v", keys=["g", "day"], width=10.0)
+    )
+    got = {
+        str(r.day): (r.n, r.p50, r.p90, r.p99)
+        for r in daily.transform(
+            agg.quantile_sliding_merge("day", window_days=3, keys=["g"], width=10.0)
+        ).collect()
+    }
+    for d in range(5):
+        day = dt.date(2024, 5, 1 + d)
+        lo = dt.date(2024, 5, 1 + max(0, d - 2))
+        win = df.filter((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(day)))
+        exp = win.transform(
+            agg.quantile_partials("v", keys=["g"], width=10.0)
+        ).transform(
+            agg.merge_quantile_partials(keys=["g"], width=10.0)
+        ).collect()[0]
+        assert got[str(day)] == (exp.n, exp.p50, exp.p90, exp.p99), day
