@@ -232,3 +232,28 @@ def salted_auto(big, dim, **kw):
     from deva_spark.operators.skew import auto_join
 
     return auto_join(big, dim, "k", sample_fraction=0.5, **kw)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    big_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=60),
+    dim_keys=st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=12),
+    n_salts=st.integers(min_value=1, max_value=6),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_join_property_row_identical(spark, big_keys, dim_keys, n_salts, how):
+    # arbitrary key distributions INCLUDING duplicate dim keys (join
+    # multiplicity > 1), keys with no match on either side, empty dim
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big_keys)], "k int, v int"
+    )
+    dim = spark.createDataFrame(
+        [(k, i * 10) for i, k in enumerate(dim_keys)], "k int, w int"
+    ) if dim_keys else spark.createDataFrame([], "k int, w int")
+    plain = _sorted_rows(big.join(dim, "k", how))
+    salted = _sorted_rows(salted_join(big, dim, "k", n_salts=n_salts, how=how))
+    assert salted == plain
