@@ -328,3 +328,100 @@ def foreach_batch_collect(stream_df: DataFrame, transform, results: list) -> Non
 
     q = stream_df.writeStream.foreachBatch(_sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+EMB_SCHEMA = "vec_id long, embedding array<double>, label string"
+
+
+def stage_emb_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = 3,
+    min_id: int = 0,
+    out_dir: str | None = None,
+) -> str:
+    """Embedding-arrival staging (the stage_doc_chunks pattern on the
+    vector side): split ``embeddings`` rows with ``vec_id >= min_id``
+    into ``chunks`` files in vec_id order for file-stream replay."""
+    import time
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="deva_emb_stream_")
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= min_id
+    )
+    (
+        emb.repartitionByRange(chunks, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    t0 = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
+        os.rename(os.path.join(out_dir, name), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    return out_dir
+
+
+def emb_file_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over staged embedding chunks."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def streaming_cosine_pairs(
+    emb_stream: DataFrame, old_base: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """STREAMING twin of `vectors.incremental_cosine_neardup`'s
+    new-x-old side — the vector tier joins the streaming ring: each
+    micro-batch's bucket projection (norms + hyperplane signatures are
+    per-vector pure functions, so they compute INSIDE the batch with no
+    state) stream-static joins the staged corpus projection, and the
+    exact einsum rescore + threshold filter runs per candidate. The
+    join + rescore + filter are stateless; the only state is the pair
+    dedup (multi-table bucket collisions emit one pair per shared
+    table), and since each new id lives in exactly ONE micro-batch that
+    state never does cross-batch work — an operational deployment
+    evicts it per batch. Append-mode drains are batching-invariant by
+    construction. The new-x-new side needs genuine cross-batch pair
+    state; operationally it runs as the batch epilogue when the batch
+    appends to the staged projection (the x78 documented pattern)."""
+    from deva_spark.functions.vectors import _pair_cos_udf, neardup_base
+
+    nb = neardup_base(emb_stream)
+    new_k = nb.select(
+        F.col("vid").alias("nid"),
+        F.col("e").alias("ne"),
+        F.col("n").alias("nn"),
+        F.posexplode("bs").alias("t", "b"),
+    )
+    old_k = old_base.select(
+        F.col("vid").alias("oid"),
+        F.col("e").alias("oe"),
+        F.col("n").alias("on"),
+        F.posexplode("bs").alias("t", "b"),
+    )
+    pair_cos = _pair_cos_udf()
+    cand = (
+        new_k.join(old_k, ["t", "b"])
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+            F.round(
+                pair_cos(F.col("ne"), F.col("oe"))
+                / (F.col("nn") * F.col("on")),
+                4,
+            ).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # multi-table bucket collisions
+    )
+    return cand.filter(F.col("cos") >= threshold)

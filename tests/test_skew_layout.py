@@ -257,3 +257,38 @@ def test_salted_join_property_row_identical(spark, big_keys, dim_keys, n_salts, 
     plain = _sorted_rows(big.join(dim, "k", how))
     salted = _sorted_rows(salted_join(big, dim, "k", n_salts=n_salts, how=how))
     assert salted == plain
+
+
+def test_streaming_cosine_pairs_matches_batch_incremental(spark, sf_dir):
+    # the vector tier joins the streaming ring: an AvailableNow drain of
+    # the stream-static bucket join + rescore equals the batch
+    # incremental operator's new-x-old side, under any micro-batching
+    from deva_spark.functions import vectors as V
+    from deva_spark.session import read_table
+    from deva_spark.streaming import twin
+
+    cut = 450
+    emb = read_table(spark, sf_dir, "embeddings")
+    old_base = V.neardup_base(emb.filter(F.col("vec_id") < cut)).persist()
+    old_base.count()
+    thr = 0.3  # low bar so the tiny SF yields non-empty pairs
+
+    chunks = twin.stage_emb_chunks(spark, sf_dir, chunks=3, min_id=cut)
+    stream = twin.emb_file_stream(spark, chunks, files_per_trigger=1)
+    drained = twin.run_available_now(
+        twin.streaming_cosine_pairs(stream, old_base, threshold=thr),
+        "cos_twin_drain",
+        output_mode="append",
+    )
+    got = _sorted_rows(drained)
+
+    new_base = V.neardup_base(emb.filter(F.col("vec_id") >= cut)).persist()
+    new_base.count()
+    batch = V.incremental_cosine_neardup(new_base, old_base, threshold=thr)
+    # restrict to the new-x-old side (the streaming twin's scope)
+    expected = _sorted_rows(
+        batch.filter((F.col("id_a") < cut) & (F.col("id_b") >= cut))
+    )
+    assert got == expected and len(got) > 0
+    old_base.unpersist()
+    new_base.unpersist()
