@@ -67,6 +67,7 @@ def commit_snapshot(
     path: str,
     mode: str = "append",
     note: str = "",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit a new
     version. ``mode="append"``: the new version sees the previous
@@ -83,8 +84,28 @@ def commit_snapshot(
     data_dir = f"snap-{new_version:06d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
     dirs = [data_dir]
+    dir_stats: dict = {}
     if mode == "append" and prev is not None:
-        dirs = _read_manifest(path, prev)["data_dirs"] + dirs
+        prev_manifest = _read_manifest(path, prev)
+        dirs = prev_manifest["data_dirs"] + dirs
+        dir_stats.update(prev_manifest.get("dir_stats", {}))
+    if stats_cols:
+        # Iceberg-lite manifest stats: per-commit min/max per column (one
+        # bounded aggregate over the just-written directory) lets readers
+        # prune whole DIRECTORIES before any file is opened — the level
+        # above parquet row-group skipping, and the one that matters when
+        # an append lineage holds thousands of batch dirs
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        fresh = spark.read.parquet(os.path.join(path, "data", data_dir))
+        row = fresh.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"_mx_{c}") for c in stats_cols],
+        ).collect()[0]
+        dir_stats[data_dir] = {
+            c: [row[f"_mn_{c}"], row[f"_mx_{c}"]] for c in stats_cols
+        }
     os.makedirs(_manifest_dir(path), exist_ok=True)
     manifest = {
         "version": new_version,
@@ -92,6 +113,7 @@ def commit_snapshot(
         "mode": mode,
         "note": note,
         "data_dirs": dirs,
+        "dir_stats": dir_stats,
     }
     tmp = os.path.join(
         _manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json"
@@ -217,4 +239,47 @@ def compact_snapshots(spark, path: str, note: str = "compaction") -> int:
     compacted version atomically at its manifest rename."""
     return commit_snapshot(
         read_snapshot(spark, path), path, mode="overwrite", note=note
+    )
+
+
+def read_snapshot_pruned(
+    spark,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> "DataFrame":
+    """Version read with MANIFEST-LEVEL data skipping: directories whose
+    committed min/max stats (``commit_snapshot(stats_cols=...)``) fall
+    entirely outside every ``col: (lo, hi)`` band are dropped from the
+    scan before a single file opens — the directory-granularity layer
+    above parquet row-group skipping. Directories without stats always
+    survive (sound by construction: no stats, no pruning). The residual
+    filter still applies inside surviving dirs via the ordinary pushed
+    predicate the CALLER adds — this function only shrinks the file
+    listing."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    manifest = _read_manifest(path, v)
+    stats = manifest.get("dir_stats", {})
+    keep = []
+    for d in manifest["data_dirs"]:
+        st = stats.get(d)
+        hit = True
+        if st:
+            for col, (lo, hi) in bounds.items():
+                if col in st and st[col][0] is not None:
+                    mn, mx = st[col]
+                    if mx < lo or mn > hi:
+                        hit = False
+                        break
+        if hit:
+            keep.append(d)
+    if not keep:  # empty result with the right schema
+        return read_snapshot(spark, path, v).limit(0)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, "data", d) for d in keep]
     )

@@ -458,3 +458,31 @@ def test_quantile_sliding_merge_equals_oneshot_per_window(spark):
             agg.merge_quantile_partials(keys=["g"], width=10.0)
         ).collect()[0]
         assert got[str(day)] == (exp.n, exp.p50, exp.p90, exp.p99), day
+
+
+def test_manifest_level_data_skipping(spark, tmp_path):
+    # three appended batches with disjoint key ranges + committed stats:
+    # a banded read opens ONLY the matching directory's files
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        snap.commit_snapshot(
+            spark.range(lo, lo + 50).select(F.col("id").alias("k")),
+            path, mode="append" if lo else "overwrite",
+            stats_cols=["k"],
+        )
+    full = snap.read_snapshot(spark, path)
+    assert full.count() == 150
+    pruned = snap.read_snapshot_pruned(spark, path, {"k": (110, 120)})
+    # directory pruning: only batch #2's files are in the scan
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r.k for r in pruned.filter(F.col("k").between(110, 120)).collect())
+    assert got == list(range(110, 121))
+    # sound: a dir WITHOUT stats always survives
+    snap.commit_snapshot(
+        spark.range(300, 310).select(F.col("id").alias("k")), path, "append"
+    )
+    p2 = snap.read_snapshot_pruned(spark, path, {"k": (305, 306)})
+    assert {r.k for r in p2.filter(F.col("k").between(305, 306)).collect()} == {305, 306}
+    # no matching dir -> empty frame, right schema
+    p3 = snap.read_snapshot_pruned(spark, path, {"k": (9_999, 10_000)}, version=3)
+    assert p3.columns == ["k"] and p3.count() == 0
