@@ -416,3 +416,34 @@ def canonical_url(
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
     return F.when((scheme != "") & host.isNotNull() & (host != ""), rebuilt)
+
+
+def nfkc_fold(text: Column) -> Column:
+    """Unicode-robust dedup normalization: NFKC-normalize (fullwidth →
+    ASCII, ligatures split, compatibility forms folded), casefold, and
+    strip combining marks (NFD-decompose, drop Mn category) — so
+    "Ｃａｆé", "CAFÉ" and "café" all produce one dedup key. The
+    one text stage that genuinely needs Python (`unicodedata` is the
+    reference implementation of the tables; no JVM expression carries
+    them), so it is an Arrow pandas UDF — batch-columnar, the sanctioned
+    slow path, and only ever applied to the KEY side of a dedup (32-byte
+    digests downstream), never as a corpus rewrite."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFKC", t).casefold()
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", t)
+                if unicodedata.category(ch) != "Mn"
+            )
+
+        return s.map(one)
+
+    return _fold(text)

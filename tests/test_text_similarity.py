@@ -704,3 +704,26 @@ def test_ivfpq_append_serves_grown_corpus(spark, tmp_path):
     qdf = spark.createDataFrame([(888_888, q)], "vec_id long, embedding array<double>")
     top = V.ivfpq_search(spark, path, qdf, k=3, n_probe=8).collect()
     assert top[0].vec_id == qrow.vec_id
+
+
+def test_nfkc_fold_collapses_unicode_variants(spark):
+    variants = [
+        (1, "Ｃａｆé"),        # fullwidth Ｃａｆé
+        (2, "CAFÉ"),                        # CAFÉ
+        (3, "café"),                       # cafe + combining acute
+        (4, "café"),                        # café
+        (5, "completely different"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    out = {
+        r.doc_id: r.k
+        for r in df.select("doc_id", T.nfkc_fold(F.col("text")).alias("k")).collect()
+    }
+    assert out[1] == out[2] == out[3] == out[4] == "cafe"
+    assert out[5] != out[1] and out[6] is None
+    # composes with the digest key: one fingerprint per folded equivalence class
+    keys = df.select(
+        F.md5(T.nfkc_fold(F.col("text"))).alias("fp")
+    ).na.drop().distinct().count()
+    assert keys == 2
