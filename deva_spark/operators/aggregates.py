@@ -1007,3 +1007,25 @@ def quantile_sliding_merge(
         return merged.withColumnRenamed("_day_out", day_col)
 
     return _t
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """JOIN-CARDINALITY estimate from two Count-Min sketches (the
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2:
+    ``|A ⋈_k B| = Σ_k fA(k)·fB(k)``, estimated as ``min_i Σ_b
+    cntA[i,b]·cntB[i,b]`` — an OVERESTIMATE within ``eps·|A|·|B|``):
+    what a planner wants before committing to a shuffle join — will
+    this equi-join explode? — answered from two synopsis tables the
+    arrival pipeline already maintains, never by scanning either input.
+    One bounded cell join (<= depth*width rows per side) and a
+    ``depth``-row aggregate; output a single ``est_join_rows``."""
+    a = sketch_a.select("i", "bucket", F.col("cnt").alias("_ca"))
+    b = sketch_b.select("i", "bucket", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    return per_row.agg(F.min("_dot").alias("est_join_rows"))

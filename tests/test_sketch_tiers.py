@@ -255,3 +255,26 @@ def test_cms_keyed_retraction_per_group(spark):
         .collect()
     )
     assert sorted(map(tuple, merged)) == sorted(map(tuple, survivors))
+
+
+def test_cms_join_size_overestimates_and_is_tight(spark):
+    # planted multiplicities: key k appears (k+1) times in A and twice
+    # in B for even k -> true join size = sum over even k of 2*(k+1)
+    rows_a = [(f"k{k}",) for k in range(40) for _ in range(k + 1)]
+    rows_b = [(f"k{k}",) for k in range(0, 40, 2) for _ in range(2)]
+    A = spark.createDataFrame(rows_a, "k string")
+    B = spark.createDataFrame(rows_b, "k string")
+    truth = sum(2 * (k + 1) for k in range(0, 40, 2))
+    depth, width = 4, 256
+    sa = A.transform(agg.cms_partials("k", depth, width)).transform(
+        agg.cms_merge_partials()
+    )
+    sb = B.transform(agg.cms_partials("k", depth, width)).transform(
+        agg.cms_merge_partials()
+    )
+    est = agg.cms_join_size(sa, sb, depth).collect()[0].est_join_rows
+    # never underestimates; eps*|A|*|B| bound with eps = e/width
+    assert est >= truth
+    assert est - truth <= math.e / width * len(rows_a) * len(rows_b) + 1e-9
+    # and at this width it is tight (few collisions)
+    assert est <= truth * 1.2
