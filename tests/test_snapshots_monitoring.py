@@ -486,3 +486,31 @@ def test_manifest_level_data_skipping(spark, tmp_path):
     # no matching dir -> empty frame, right schema
     p3 = snap.read_snapshot_pruned(spark, path, {"k": (9_999, 10_000)}, version=3)
     assert p3.columns == ["k"] and p3.count() == 0
+
+
+def test_streaming_histogram_partials_equivalence(spark, sf_dir):
+    # histogram_partials is a plain algebraic aggregate (the stats/CMS
+    # argument), so the PSI gate's input runs directly on the doc file
+    # stream; complete-mode drain == batch bucket rows under any
+    # micro-batching — drift monitoring needs no batch/stream fork
+    from deva_spark.functions import text as T
+    from deva_spark.session import read_table
+    from deva_spark.streaming import twin
+
+    grid = dict(lo=0.0, hi=500.0, n_buckets=20)
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, min_id=0)
+    stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
+    drained = twin.run_available_now(
+        stream.select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.histogram_partials("v", keys=["lang"], **grid)),
+        "hist_twin_drain",
+        output_mode="complete",
+    )
+    batch = (
+        read_table(spark, sf_dir, "documents")
+        .select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.histogram_partials("v", keys=["lang"], **grid))
+    )
+    assert _rows(
+        drained.transform(agg.merge_histogram_partials(["lang"]))
+    ) == _rows(batch.transform(agg.merge_histogram_partials(["lang"])))
