@@ -114,8 +114,15 @@ def main() -> None:
         return wall, per_run
 
     # BASELINE.md contract: one untimed warm-up PASS (JVM JIT + codegen
-    # caches), then the median of n_runs timed passes.
-    run_pass()
+    # caches), then the median of n_runs timed passes. The warm-up also
+    # yields per-query times, which reorder the timed drains
+    # longest-first (LPT makespan heuristic): submitting the heavy
+    # queries first stops a 3 s query landing last on the 16-way pool
+    # and serializing the tail — a scheduling policy, not a measurement
+    # change (every query still runs, each engine gets its own LPT order
+    # from its own warm-up).
+    _, warm = run_pass()
+    names = sorted(names, key=lambda n: -warm.get(n, 0.0))
     walls: list[float] = []
     runs: list[dict[str, float]] = []
     for _ in range(n_runs):
@@ -163,7 +170,8 @@ def main() -> None:
                     list(pool.map(one, oracle_names))
             return round(time.perf_counter() - t0, 3), b_run
 
-        base_pass()  # same warm-up exclusion for the baseline engine
+        _, bwarm = base_pass()  # same warm-up exclusion + LPT reorder
+        oracle_names = sorted(oracle_names, key=lambda n: -bwarm.get(n, 0.0))
         base_walls: list[float] = []
         base_runs: list[dict[str, float]] = []
         for _ in range(n_runs):
