@@ -292,3 +292,44 @@ def test_streaming_cosine_pairs_matches_batch_incremental(spark, sf_dir):
     assert got == expected and len(got) > 0
     old_base.unpersist()
     new_base.unpersist()
+
+
+@given(
+    x0=st.floats(min_value=0.0, max_value=0.85),
+    y0=st.floats(min_value=0.0, max_value=0.85),
+    span=st.floats(min_value=0.02, max_value=0.15),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_soundness_random_boxes(spark, tmp_path_factory, x0, y0, span):
+    # randomized extension of the fixed-box soundness audit: for ANY box,
+    # pruned row groups contain no matching rows
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.getbasetemp() / "zs")
+    if not os.path.exists(path):
+        write_zordered(_grid_df(spark, 30_000), path, ["x", "y"], bits=8,
+                       n_files=4, row_group_bytes=1 << 16)
+    box = {"x": (x0, x0 + span), "y": (y0, y0 + span)}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, fname))
+        meta = pf.metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            pruned = any(
+                float(rg.column(idx[c]).statistics.max) < lo
+                or float(rg.column(idx[c]).statistics.min) > hi
+                for c, (lo, hi) in box.items()
+            )
+            if not pruned:
+                continue
+            t = pf.read_row_group(g).to_pandas()
+            hit = (
+                (t["x"] >= box["x"][0]) & (t["x"] <= box["x"][1])
+                & (t["y"] >= box["y"][0]) & (t["y"] <= box["y"][1])
+            )
+            assert not hit.any()

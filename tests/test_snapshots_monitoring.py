@@ -514,3 +514,29 @@ def test_streaming_histogram_partials_equivalence(spark, sf_dir):
     assert _rows(
         drained.transform(agg.merge_histogram_partials(["lang"]))
     ) == _rows(batch.transform(agg.merge_histogram_partials(["lang"])))
+
+
+def test_streaming_quantile_partials_equivalence(spark, sf_dir):
+    # quantile_partials is algebraic too: the sliding-quantile tier's
+    # input drains identically on the doc stream
+    from deva_spark.functions import text as T
+    from deva_spark.session import read_table
+    from deva_spark.streaming import twin
+
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=3, min_id=0)
+    stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
+    drained = twin.run_available_now(
+        stream.select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.quantile_partials("v", keys=["lang"], width=10.0)),
+        "quant_twin_drain",
+        output_mode="complete",
+    )
+    batch = (
+        read_table(spark, sf_dir, "documents")
+        .select("lang", T.token_count(F.col("text")).alias("v"))
+        .transform(agg.quantile_partials("v", keys=["lang"], width=10.0))
+    )
+    key = ["lang"]
+    assert _rows(
+        drained.transform(agg.merge_quantile_partials(keys=key, width=10.0))
+    ) == _rows(batch.transform(agg.merge_quantile_partials(keys=key, width=10.0)))
