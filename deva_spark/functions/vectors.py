@@ -979,9 +979,10 @@ def seed_cluster_assign(
     @pandas_udf(LongType())
     def _best_seed(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
-        cs = np.round(
-            (x @ sm.T) / (np.linalg.norm(x, axis=1, keepdims=True) * sm_norm), 6
-        )
+        raw = (x @ sm.T) / (np.linalg.norm(x, axis=1, keepdims=True) * sm_norm)
+        # HALF_UP, not np.round's half-to-even — keeps the argmax tie
+        # surface identical to the oracle's ROUND (vectors.py:261 idiom)
+        cs = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
         return pd.Series(seed_ids[np.argmax(cs, axis=1)])
 
     return vectors.select(
@@ -1053,7 +1054,9 @@ def semdedup_pairs(
         ids = ids[order]
         x = np.stack(pdf["e"].to_numpy())[order].astype(np.float64)
         n = x / np.linalg.norm(x, axis=1, keepdims=True)
-        s = np.round(n @ n.T, 4)
+        raw = n @ n.T
+        # HALF_UP to match DuckDB ROUND at the .00005 cosine boundary
+        s = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
         iu = np.triu_indices(len(ids), 1)
         keep = s[iu] >= threshold
         return pd.DataFrame(

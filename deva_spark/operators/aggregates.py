@@ -460,10 +460,16 @@ def batch_drift(
         "batch_cnt",
         "batch_mean",
         F.when(F.col("hist_var") > 0, z).alias("z"),
-        F.coalesce(
-            F.abs(F.when(F.col("hist_var") > 0, z)) >= F.lit(z_threshold),
-            F.lit(True),
-        ).alias("drifted"),
+        # three regimes (ADVICE r8 #5): no history at all -> drifted
+        # (appeared from nowhere); positive history variance -> the z
+        # gate; zero/undefined history variance (hist_cnt==1 or a
+        # constant-valued metric) -> drifted only when the batch mean
+        # actually MOVED — a constant group matching its constant must
+        # not alarm on every batch forever
+        F.when(F.col("hist_cnt").isNull(), F.lit(True))
+        .when(F.col("hist_var") > 0, F.abs(z) >= F.lit(z_threshold))
+        .otherwise(F.col("batch_mean") != F.col("hist_mean"))
+        .alias("drifted"),
     )
 
 def quantile_partials(
@@ -1023,9 +1029,18 @@ def cms_join_size(
     ``depth``-row aggregate; output a single ``est_join_rows``."""
     a = sketch_a.select("i", "bucket", F.col("cnt").alias("_ca"))
     b = sketch_b.select("i", "bucket", F.col("cnt").alias("_cb"))
-    per_row = (
+    spark = sketch_a.sparkSession
+    # left-join the full depth index: a depth row with ZERO overlapping
+    # occupied buckets has true dot product 0 — the tightest estimator
+    # row — and must not vanish from the min() (ADVICE r8 #3); with an
+    # empty sketch the estimate is exactly 0, not NULL
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("i"))
+    dots = (
         a.join(b, ["i", "bucket"])
         .groupBy("i")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    per_row = rows.join(dots, "i", "left").select(
+        F.coalesce(F.col("_dot"), F.lit(0).cast("long")).alias("_dot")
     )
     return per_row.agg(F.min("_dot").alias("est_join_rows"))

@@ -315,9 +315,10 @@ def bloom_pruned_join(
     the classic 100 TB shuffle-avoidance pattern (Bloom 1970; the
     runtime-filter idea behind Spark's
     ``spark.sql.optimizer.runtimeFilter.bloomFilter``, made explicit and
-    engine-portable): the small side's keys set ``n_hashes`` md5-LE64
-    bit positions in an ``n_bits`` filter; big-side rows whose key
-    misses ANY position cannot join and are dropped BEFORE the join
+    engine-portable): the small side's keys set ``n_hashes``
+    ``xxhash64(key, seed_i)`` bit positions in an ``n_bits`` filter;
+    big-side rows whose key misses ANY position cannot join and are
+    dropped by constant-folded shift/mask column algebra BEFORE the join
     shuffle ever materializes them. False positives only let extra rows
     through to the exact join — the result is IDENTICAL to the plain
     join for every ``how`` that doesn't preserve unmatched big rows

@@ -4385,7 +4385,10 @@ def x86(spark, sf):
           FROM b LEFT JOIN hf USING (lang)
         )
         SELECT lang, hist_cnt, hist_mean, batch_cnt, batch_mean, z,
-               COALESCE(ABS(z) >= 3.0, TRUE) AS drifted
+               CASE WHEN hist_cnt IS NULL THEN TRUE
+                    WHEN z IS NOT NULL THEN ABS(z) >= 3.0
+                    ELSE batch_mean <> hist_mean
+               END AS drifted
         FROM z ORDER BY lang""",
 )
 def x87(spark, sf):
@@ -4818,9 +4821,10 @@ def x94(spark, sf):
 def x95(spark, sf):
     # Bloom-pruned fact-dim join (`joins.bloom_pruned_join`) — the
     # explicit semi-join-reduction scale pattern: the selective dim
-    # side's keys set 3 md5-LE64 positions in a 2^14-bit filter and the
-    # fact table is pruned by 3 broadcast LEFT-SEMI joins against the
-    # bounded position sets BEFORE the join shuffle materializes
+    # side's keys set 3 xxhash64 positions in a 2^14-bit filter that
+    # embeds in the fact side's plan as a constant-folded packed-long
+    # array literal; membership is shift/mask column algebra evaluated
+    # inside the fact scan stage BEFORE the join shuffle materializes
     # non-matching rows. False positives only pass extra rows to the
     # exact join, so the result is IDENTICAL to the plain join — which
     # is exactly what the oracle checks (the un-pruned SQL). Money sums
@@ -4965,11 +4969,12 @@ def x98(spark, sf):
     # multiplicatively — a single-column sort would scan every row group
     # of the surviving quantity stripe. The relayout is row-identical to
     # the raw table (tests assert it, and the pyarrow footer audit
-    # proves the pruning), so the oracle is the plain SQL over raw
-    # lineitem; unstaged runs read the raw table directly — same answer
-    # by the relayout contract.
-    staged = staged_artifact_path(sf, "li_zorder")
-    src = spark.read.parquet(staged) if staged else _t(spark, sf, "lineitem")
+    # proves the pruning). The REGISTRY query reads the raw table
+    # unconditionally (VERDICT r8 #1: the staged/raw branch made the
+    # result environment-dependent between the driver's run and local
+    # runs); the relayout is exercised by tests/test_layout.py and by
+    # bench.py's staged panel, where pruning is the measured signal.
+    src = _t(spark, sf, "lineitem")
     return src.filter(
         F.col("l_quantity").between(10, 15)
         & F.col("l_extendedprice").between(20_000, 40_000)

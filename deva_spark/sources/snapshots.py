@@ -62,6 +62,26 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _commit_manifest(path: str, manifest: dict, version: int) -> bool:
+    """Atomically claim ``version`` for ``manifest``. Writes a temp file
+    then hard-links it to the final name — ``os.link`` fails with EEXIST
+    if another committer already claimed the version (POSIX ``rename``
+    would silently REPLACE it, losing that commit from the lineage).
+    Returns False on a lost race so the caller can retry with the next
+    version number (ADVICE r8 #1)."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 def commit_snapshot(
     df: DataFrame,
     path: str,
@@ -83,12 +103,7 @@ def commit_snapshot(
     new_version = (prev + 1) if prev is not None else 1
     data_dir = f"snap-{new_version:06d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
-    dirs = [data_dir]
-    dir_stats: dict = {}
-    if mode == "append" and prev is not None:
-        prev_manifest = _read_manifest(path, prev)
-        dirs = prev_manifest["data_dirs"] + dirs
-        dir_stats.update(prev_manifest.get("dir_stats", {}))
+    fresh_stats: dict = {}
     if stats_cols:
         # Iceberg-lite manifest stats: per-commit min/max per column (one
         # bounded aggregate over the just-written directory) lets readers
@@ -103,25 +118,32 @@ def commit_snapshot(
             *[F.min(c).alias(f"_mn_{c}") for c in stats_cols],
             *[F.max(c).alias(f"_mx_{c}") for c in stats_cols],
         ).collect()[0]
-        dir_stats[data_dir] = {
+        fresh_stats[data_dir] = {
             c: [row[f"_mn_{c}"], row[f"_mx_{c}"]] for c in stats_cols
         }
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-    manifest = {
-        "version": new_version,
-        "parent": prev,
-        "mode": mode,
-        "note": note,
-        "data_dirs": dirs,
-        "dir_stats": dir_stats,
-    }
-    tmp = os.path.join(
-        _manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json"
-    )
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(path, new_version))
-    return new_version
+    # claim loop: a racing committer that wins the exclusive-create makes
+    # us recompute the visible set against the NEW latest version and try
+    # the next number — both commits land, neither's rows vanish
+    while True:
+        dirs = [data_dir]
+        dir_stats = dict(fresh_stats)
+        if mode == "append" and prev is not None:
+            prev_manifest = _read_manifest(path, prev)
+            dirs = prev_manifest["data_dirs"] + dirs
+            dir_stats = {**prev_manifest.get("dir_stats", {}), **fresh_stats}
+        manifest = {
+            "version": new_version,
+            "parent": prev,
+            "mode": mode,
+            "note": note,
+            "data_dirs": dirs,
+            "dir_stats": dir_stats,
+        }
+        if _commit_manifest(path, manifest, new_version):
+            return new_version
+        versions = snapshot_versions(path)
+        prev = versions[-1] if versions else None
+        new_version = (prev + 1) if prev is not None else 1
 
 
 def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
@@ -155,22 +177,31 @@ def rollback_snapshot(path: str, to_version: int, note: str = "") -> int:
     versions = snapshot_versions(path)
     if to_version not in versions:
         raise FileNotFoundError(f"version {to_version} not in {versions}")
+    target = _read_manifest(path, to_version)
+    target_dirs = list(target["data_dirs"])
+    # carry dir_stats forward (restricted to the re-listed dirs) so a
+    # rollback does not silently disable manifest-level data skipping
+    # for every pre-rollback directory (ADVICE r8 #2)
+    target_stats = {
+        d: s
+        for d, s in target.get("dir_stats", {}).items()
+        if d in set(target_dirs)
+    }
     prev = versions[-1]
     new_version = prev + 1
-    manifest = {
-        "version": new_version,
-        "parent": prev,
-        "mode": "rollback",
-        "note": note or f"rollback to v{to_version}",
-        "data_dirs": list(_read_manifest(path, to_version)["data_dirs"]),
-    }
-    tmp = os.path.join(
-        _manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json"
-    )
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(path, new_version))
-    return new_version
+    while True:
+        manifest = {
+            "version": new_version,
+            "parent": prev,
+            "mode": "rollback",
+            "note": note or f"rollback to v{to_version}",
+            "data_dirs": target_dirs,
+            "dir_stats": target_stats,
+        }
+        if _commit_manifest(path, manifest, new_version):
+            return new_version
+        prev = snapshot_versions(path)[-1]
+        new_version = prev + 1
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
