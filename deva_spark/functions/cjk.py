@@ -6,11 +6,25 @@ Reference surface: the jieba Chinese analyzer wired into the Whoosh index
 
 Spark mapping (SURVEY §7.3 "hard parts"): a vectorized pandas UDF with a
 per-worker lazily-initialized tokenizer — the model loads once per
-executor process, not per row. jieba is not installed in this container,
-so the UDF degrades to a real (not stubbed) character-bigram tokenizer for
-Han runs — the standard CJK fallback — while Latin runs split on
-whitespace. The UDF signature, lazy-init pattern, and batch shape are what
-a jieba deployment would ship.
+executor process, not per row. Three analyzer tiers:
+
+1. **jieba**, when importable (not bundled in this container) — the
+   reference's exact segmenter.
+2. **Vendored dictionary FMM** (forward maximum matching — the classic
+   dictionary segmentation algorithm jieba itself falls back to for
+   out-of-model text): a ~200-word common-Chinese lexicon compiled into
+   this module, longest-match left-to-right, single-char tokens for
+   out-of-vocabulary runs. Always available; the default when jieba is
+   absent, so CJK search/keyword quality no longer degrades to raw
+   bigrams (VERDICT r8 missing #1).
+3. **Character bigrams** (:func:`cjk_bigram_tokens`) — the
+   engine-portable analyzer every CJK search stack ships as its
+   deterministic fallback. This tier is EXPLICIT, never automatic: its
+   output is reproducible in plain SQL, which is what the x104 oracle
+   hash-checks cross-engine.
+
+The UDF signature, lazy-init pattern, and Arrow batch shape are identical
+across tiers, so a jieba deployment swaps in without a plan change.
 """
 
 from __future__ import annotations
@@ -28,6 +42,39 @@ _HAN_RUN = re.compile(r"[一-鿿]+")
 _JIEBA = None
 _JIEBA_CHECKED = False
 
+#: Vendored mini-lexicon for the FMM segmenter: common modern-Chinese
+#: words (general public vocabulary) plus the data-engineering terms the
+#: synthetic corpus translation uses. Longest-match-first; extend via
+#: :func:`add_words`.
+_LEXICON_WORDS = (
+    # general common words
+    "我们 你们 他们 这个 那个 什么 可以 没有 知道 现在 时间 自己 一个 "
+    "因为 所以 但是 如果 就是 还是 已经 不是 大家 东西 工作 学习 生活 "
+    "问题 今天 明天 昨天 世界 中国 北京 上海 朋友 老师 学生 电话 手机 "
+    "电脑 网络 软件 硬件 公司 城市 国家 地方 开始 结束 喜欢 觉得 认为 "
+    "希望 需要 应该 能够 非常 特别 真的 很多 一些 这些 那些 之后 之前 "
+    "以后 以前 里面 外面 上面 下面 中间 旁边 附近 很快 "
+    # technical / data vocabulary (the x104 domain translations)
+    "数据 处理 数据库 引擎 中文 文本 分词 索引 搜索 查询 排序 扫描 "
+    "连接 哈希 聚合 订单 客户 零件 窗口 向量 火花 归并 重复 过滤 "
+    "过滤器 批处理 行项 数值 字段 键值 分组 分区 缓存 内存 磁盘 "
+    "文件 目录 计算 存储 模型 训练 推理 语言 编码 解码 算法 函数 "
+    "变量 常量 类型 对象 数组 列表 字典 集合 字符 字符串 整数 浮点"
+).split()
+
+#: word-length buckets, longest first (FMM tries 4,3,2 then singleton)
+_LEXICON: set[str] = set(_LEXICON_WORDS)
+_MAX_WORD = max(len(w) for w in _LEXICON)
+
+
+def add_words(words: list[str]) -> None:
+    """Extend the vendored lexicon (the jieba ``add_word`` analog). Call
+    before the UDF first runs on an executor — the lexicon is captured
+    into the UDF closure at module import on each worker."""
+    global _MAX_WORD
+    _LEXICON.update(w for w in words if w)
+    _MAX_WORD = max([_MAX_WORD] + [len(w) for w in words if w])
+
 
 def _get_jieba():
     global _JIEBA, _JIEBA_CHECKED
@@ -43,34 +90,74 @@ def _get_jieba():
     return _JIEBA
 
 
-def _tokenize_one(text: str) -> list[str]:
+def _fmm_segment(run: str) -> list[str]:
+    """Forward maximum matching over the vendored lexicon: at each
+    position take the LONGEST dictionary word; out-of-vocabulary chars
+    emit as singletons (the standard dictionary-segmentation contract —
+    deterministic, linear in the run length)."""
+    out: list[str] = []
+    i, n = 0, len(run)
+    while i < n:
+        for ln in range(min(_MAX_WORD, n - i), 1, -1):
+            cand = run[i : i + ln]
+            if cand in _LEXICON:
+                out.append(cand)
+                i += ln
+                break
+        else:
+            out.append(run[i])
+            i += 1
+    return out
+
+
+def _bigram_segment(run: str) -> list[str]:
+    """Character-bigram analyzer for one Han run (the engine-portable
+    twin: reproducible in SQL — see the x104 oracle)."""
+    if len(run) == 1:
+        return [run]
+    return [run[i : i + 2] for i in range(len(run) - 1)]
+
+
+def _tokenize_one(text: str, han_segment) -> list[str]:
     if text is None:
         return []
-    jieba = _get_jieba()
     out: list[str] = []
     pos = 0
     for m in _HAN_RUN.finditer(text):
         # latin/other segment before the Han run: whitespace tokens
         out.extend(text[pos : m.start()].split())
-        run = m.group(0)
-        if jieba is not None:  # pragma: no cover
-            out.extend(t for t in jieba.cut(run) if t.strip())
-        elif len(run) == 1:
-            out.append(run)
-        else:
-            # character-bigram fallback — the classic CJK analyzer
-            out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        out.extend(han_segment(m.group(0)))
         pos = m.end()
     out.extend(text[pos:].split())
     return out
 
 
+def _auto_segment(run: str) -> list[str]:
+    jieba = _get_jieba()
+    if jieba is not None:  # pragma: no cover
+        return [t for t in jieba.cut(run) if t.strip()]
+    return _fmm_segment(run)
+
+
 @pandas_udf(ArrayType(StringType()))
 def tokenize_cjk(texts: pd.Series) -> pd.Series:
-    """array<string> tokens: jieba segmentation when available, char
-    bigrams for Han runs otherwise; whitespace for everything else."""
-    return texts.map(_tokenize_one)
+    """array<string> tokens: jieba segmentation when available, the
+    vendored dictionary FMM otherwise; whitespace for non-Han spans."""
+    return texts.map(lambda t: _tokenize_one(t, _auto_segment))
+
+
+@pandas_udf(ArrayType(StringType()))
+def cjk_bigram_tokens(texts: pd.Series) -> pd.Series:
+    """array<string> tokens with Han runs analyzed as CHARACTER BIGRAMS
+    unconditionally (single Han char passes through) — the
+    deterministic cross-engine analyzer the x104 oracle mirrors in SQL;
+    whitespace tokens for non-Han spans."""
+    return texts.map(lambda t: _tokenize_one(t, _bigram_segment))
 
 
 def tokens(text_col: Column) -> Column:
     return tokenize_cjk(text_col)
+
+
+def bigram_tokens(text_col: Column) -> Column:
+    return cjk_bigram_tokens(text_col)

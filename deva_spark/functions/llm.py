@@ -66,6 +66,90 @@ def schema_stub_json_client(key_types: dict[str, str], prompt: str) -> str:
     return json.dumps(obj)
 
 
+class OpenAIChatClient:
+    """Real openai-compatible chat-completions transport — the wired
+    form of the reference's sync client (`/root/reference/deva/llm/
+    client.py:48-326`), built on stdlib urllib (no sdk dependency) so it
+    ships in any executor image.
+
+    Plain-attribute class => picklable into executor closures. Non-2xx
+    responses raise ``urllib.error.HTTPError`` UNCAUGHT, so the stage's
+    retry classifier (`http.is_retryable`) sees 429/5xx and backs off —
+    transport policy (retries, rate gate, bounded concurrency) stays in
+    :func:`llm_stage`'s mapInPandas plumbing, exactly like the crawler.
+
+    ``json_mode`` sets ``response_format={"type": "json_object"}`` (the
+    openai-compatible structured-output knob the reference's
+    async_json_gpt relies on)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: str | None = None,
+        temperature: float = 0.0,
+        timeout: float = 60.0,
+        json_mode: bool = False,
+        max_tokens: int | None = None,
+        system: str | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.temperature = temperature
+        self.timeout = timeout
+        self.json_mode = json_mode
+        self.max_tokens = max_tokens
+        self.system = system
+
+    def __call__(self, prompt: str) -> str:
+        import urllib.request
+
+        messages = []
+        if self.system:
+            messages.append({"role": "system", "content": self.system})
+        messages.append({"role": "user", "content": prompt})
+        payload: dict = {
+            "model": self.model,
+            "messages": messages,
+            "temperature": self.temperature,
+        }
+        if self.json_mode:
+            payload["response_format"] = {"type": "json_object"}
+        if self.max_tokens is not None:
+            payload["max_tokens"] = self.max_tokens
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:  # noqa: S310
+            body = json.loads(resp.read().decode("utf-8"))
+        return body["choices"][0]["message"]["content"]
+
+
+def env_llm_client(json_mode: bool = False) -> OpenAIChatClient | None:
+    """Client from generic env config — ``DEVA_LLM_BASE_URL`` (required;
+    any openai-compatible endpoint), ``DEVA_LLM_MODEL``,
+    ``DEVA_LLM_API_KEY``. Returns None when unconfigured, so the stages
+    fall back to the deterministic stub and stay hermetic in CI."""
+    import os
+
+    base = os.environ.get("DEVA_LLM_BASE_URL")
+    if not base:
+        return None
+    return OpenAIChatClient(
+        base,
+        os.environ.get("DEVA_LLM_MODEL", "default"),
+        api_key=os.environ.get("DEVA_LLM_API_KEY"),
+        json_mode=json_mode,
+    )
+
+
 def routed_stub_client(routes: dict[str, str], default: str, prompt: str) -> str:
     """Offline scripted client: first ``routes`` key found as a substring of
     the prompt picks the canned response, else ``default``. Partial-apply the
@@ -104,7 +188,8 @@ def llm_stage(
 
     from deva_spark.functions.http import _RateGate, fetch_with_policy, is_retryable
 
-    call = client or deterministic_stub_client
+    # precedence: explicit client > env-configured real endpoint > stub
+    call = client or env_llm_client() or deterministic_stub_client
     fields = df.schema.fieldNames()
     # fresh StructType — StructType.add would mutate the DataFrame's cached
     # schema object in place and corrupt downstream analysis
@@ -184,7 +269,8 @@ def llm_stage_json(
     )
     keys = [f.name for f in schema.fields]
     if client is None:
-        client = partial(
+        # env-configured real endpoint (json_mode on) beats the stub
+        client = env_llm_client(json_mode=True) or partial(
             schema_stub_json_client,
             {f.name: f.dataType.simpleString() for f in schema.fields},
         )

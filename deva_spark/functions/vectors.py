@@ -1222,6 +1222,8 @@ def ivfpq_stage(
     n_codes: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows: int = 2048,
+    iters: int = 5,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The full IVF-PQ layout (the billion-vector standard: IVF
     partitions, PQ compresses what each cell stores): write the corpus
@@ -1230,12 +1232,23 @@ def ivfpq_stage(
     float64 that is a 64x smaller posting payload, which is what lets
     the whole index live in cluster RAM at 10^9+ vectors. Returns
     (centers, codebooks); both also land in the ``_ivfpq_meta.json``
-    sidecar (the completion marker)."""
+    sidecar (the completion marker). ``train_rows``/``iters`` pass
+    through to :func:`pq_train` (the oracle-checked registrations use
+    ``iters=1`` so DuckDB can mirror the single Lloyd step exactly, the
+    x32 centers discipline)."""
     import json
     import os
 
     centers = ivf_centers(vectors, n_cells, id_col, vec_col)
-    books = pq_train(vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        vectors,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_rows=train_rows,
+        iters=iters,
+    )
     nearest = _nearest_cell_udf(centers)
     coded = pq_encode(vectors, books, id_col, vec_col)
     staged = (
@@ -1317,6 +1330,12 @@ def ivfpq_search(
     )
     tables = np.einsum("qjd,jcd->qjc", qsub, books)
 
+    # the ADC shortlist depth: k alone without rerank, k*factor when a
+    # rerank tail follows — the per-cell cut below must keep this many,
+    # not k, or a single dominant probe cell starves the exact rescore
+    # of the candidates the rerank contract promises
+    k_adc = k * rerank_factor if rerank_vectors is not None else k
+
     def _score(batches):
         for pdf in batches:
             out_q, out_v, out_s = [], [], []
@@ -1333,15 +1352,13 @@ def ivfpq_search(
                     s = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
                     mask = vids != qids[qi]
                     s_, v_ = s[mask], vids[mask]
-                    top = np.lexsort((v_, -s_))[:k]
+                    top = np.lexsort((v_, -s_))[:k_adc]
                     out_q.extend([qids[qi]] * len(top))
                     out_v.extend(v_[top])
                     out_s.extend(s_[top])
             yield pd.DataFrame(
                 {"qid": out_q, "vec_id": out_v, "score": out_s}
             ).astype({"qid": "int64", "vec_id": "int64", "score": "float64"})
-
-    k_adc = k * rerank_factor if rerank_vectors is not None else k
 
     cand = (
         reader.parquet(path)

@@ -365,9 +365,48 @@ def _stage_li_zorder(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
+def _stage_ivfpq16(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """x101/x102's IVF-PQ layout (`vectors.ivfpq_stage`): cell-partitioned
+    parquet of (vec_id, codes) + centers/codebooks sidecar. iters=1 /
+    n_codes=16 so the DuckDB oracle mirrors the quantizer training
+    exactly (one Lloyd step per subspace, the x32 discipline)."""
+    V.ivfpq_stage(
+        _t(spark, sf_dir, "embeddings"),
+        path,
+        n_cells=16,
+        m=8,
+        n_codes=16,
+        iters=1,
+    )
+
+
+def _stage_ivfpq_app(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """x103's appended IVF-PQ layout: stage on the pre-append corpus
+    (vec_id < 450 — both quantizers train on OLD data only), then
+    `ivfpq_append` the new batch against the frozen quantizers. The
+    append runs INSIDE staging so the artifact is immutable afterwards
+    (a query-time append would grow the table on every run); the
+    `_APPENDED` marker lands only after the append, so a half-staged
+    dir is never read."""
+    emb = _t(spark, sf_dir, "embeddings")
+    V.ivfpq_stage(
+        emb.filter(F.col("vec_id") < 450),
+        path,
+        n_cells=16,
+        m=8,
+        n_codes=16,
+        iters=1,
+    )
+    V.ivfpq_append(spark, path, emb.filter(F.col("vec_id") >= 450))
+    with open(_os.path.join(path, "_APPENDED"), "w") as fh:
+        fh.write("")
+
+
 ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
     "ivf16": _stage_ivf16,
     "li_zorder": _stage_li_zorder,
+    "ivfpq16": _stage_ivfpq16,
+    "ivfpq_app": _stage_ivfpq_app,
 }
 
 #: Which testdata file(s) key an artifact's cache-invalidation mtime
@@ -377,6 +416,8 @@ ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
 #: lineitem only, silently reusing a stale graph when orders changed).
 _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "ivf16": ("embeddings.parquet",),
+    "ivfpq16": ("embeddings.parquet",),
+    "ivfpq_app": ("embeddings.parquet",),
     "emb_base": ("embeddings.parquet",),
     "pr_edges": ("orders.parquet", "lineitem.parquet"),
     "li_zorder": ("lineitem.parquet",),
@@ -386,7 +427,11 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
 #: after the parquet (overwrite clears the dir first), so the sidecar —
 #: not _SUCCESS — is its completion marker.
-_ARTIFACT_MARKER = {"ivf16": "_ivf_centers.json"}
+_ARTIFACT_MARKER = {
+    "ivf16": "_ivf_centers.json",
+    "ivfpq16": "_ivfpq_meta.json",
+    "ivfpq_app": "_APPENDED",
+}
 
 
 def _artifact_path(sf_dir: str, name: str) -> str:
@@ -1851,11 +1896,13 @@ def _x23_oracle(
 @query("x23_cosine_neardup", None)  # oracle attached below (generated)
 def x23(spark, sf):
     # embedding-cosine near-dup tier of the dedup stack: LSH bucket
-    # self-join candidates + einsum rescore. The staged emb_base
-    # artifact (per-vector norms + bucket ids) feeds the joins when
-    # present; unstaged computes + persists it here.
-    staged = staged_artifact_path(sf, "emb_base")
-    base = spark.read.parquet(staged) if staged else None
+    # self-join candidates + einsum rescore. The emb_base projection
+    # (per-vector norms + bucket ids) always comes through the shared
+    # artifact tier — staged parquet when staged, eagerly-persisted
+    # session cache otherwise (VERDICT r8 #4: the private
+    # _NEARDUP_CACHE persist was re-raced under eviction pressure and
+    # made repeat timings nondeterministic).
+    base = _shared_artifact(spark, sf, "emb_base")
     return V.cosine_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.4, base=base
     )
@@ -4329,7 +4376,7 @@ def x85(spark, sf):
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE (c * 100 >= (na.n + nb.n - c) * 30
                OR greatest((c * 100) // na.n, (c * 100) // nb.n) >= 30)
-          AND (id_a >= 450 OR id_b >= 450)
+          AND (id_a % 10 = 0 OR id_b % 10 = 0)
         ORDER BY id_a, id_b""",
 )
 def x86(spark, sf):
@@ -4343,11 +4390,15 @@ def x86(spark, sf):
     # old x old pairs never recompute. Oracle = the full-corpus overlap
     # SQL (x65's CTEs + both criteria) restricted to batch-touching
     # pairs; parity test vs the full table in test_text_similarity.py.
-    threshold = 450
+    # The split is SCALE-INVARIANT (doc_id % 10 — a 10% arrival batch at
+    # every SF): the old `doc_id >= 450` cutoff degenerated to a
+    # 99%-of-corpus "batch" on the amplified bench tables, exhibiting
+    # the incremental design at its worst (VERDICT r8 #5).
+    batch_pred = F.col("doc_id") % 10 == 0
     idx = _shingle5_hashes(spark, sf).select("doc_id", "_sh")
     return mh.incremental_shingle_overlap(
-        idx.filter(F.col("doc_id") >= threshold),
-        idx.filter(F.col("doc_id") < threshold),
+        idx.filter(batch_pred),
+        idx.filter(~batch_pred),
         pct_threshold=30,
     )
 
@@ -4428,12 +4479,7 @@ def x88(spark, sf):
     # parity test vs cosine_neardup_pairs on the union
     # (test_incremental_cosine_neardup_matches_full_restricted).
     threshold = 450
-    staged = staged_artifact_path(sf, "emb_base")
-    base = (
-        spark.read.parquet(staged)
-        if staged
-        else V.neardup_base(_t(spark, sf, "embeddings"))
-    )
+    base = _shared_artifact(spark, sf, "emb_base")
     return V.incremental_cosine_neardup(
         base.filter(F.col("vid") >= threshold),
         base.filter(F.col("vid") < threshold),
@@ -5087,6 +5133,340 @@ def x100(spark, sf):
     )
 
 
+def _ivfpq_oracle(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 2048,
+    train_where: str = "",
+    rerank_factor: int | None = None,
+) -> str:
+    """DuckDB mirror of the FULL IVF-PQ pipeline (the _x32_oracle
+    discipline extended to the compressed index): IVF centers (seed pick
+    -> one Lloyd step -> re-normalize) exactly as x32; PQ codebooks per
+    subspace (first-``n_codes`` seeds from the first-``train_rows``
+    normalized sample, one Lloyd step, empty codes keep their seed);
+    every vector encodes by stable squared-L2 argmin; queries probe
+    ``n_probe`` cells and score candidates by the ADC table-lookup sum,
+    ROUND(...,4) before the (score DESC, vec_id) rank. With
+    ``rerank_factor`` the ADC top-(k*factor) shortlist is exactly
+    rescored (true cosine, 4dp) and re-ranked to k — the
+    quantization-recall buy-back tail of :func:`vectors.ivfpq_search`.
+    ``train_where`` restricts BOTH quantizers' training corpus (the
+    x103 append mirror: frozen quantizers from the old corpus, the
+    grown corpus assigned/encoded/searched)."""
+    dsub = 64 // m
+    k_adc = k * rerank_factor if rerank_factor else k
+    final = f"""adcr AS (
+          SELECT qid, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rnk
+          FROM adc)
+        SELECT qid, vec_id, score, rnk FROM adcr
+        WHERE rnk <= {k} ORDER BY qid, rnk"""
+    if rerank_factor:
+        final = f"""adcr AS (
+          SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS r
+          FROM adc
+        ), shortlist AS (
+          SELECT qid, vec_id FROM adcr WHERE r <= {k_adc}
+        ), ex AS (
+          SELECT s.qid, s.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                       i -> q.e[i] * v.e[i])) / (q.n * v.n), 4) AS score
+          FROM shortlist s
+          JOIN vec q ON q.vec_id = s.qid
+          JOIN vec v ON v.vec_id = s.vec_id
+        ), rr AS (
+          SELECT qid, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rnk
+          FROM ex)
+        SELECT qid, vec_id, score, rnk FROM rr
+        WHERE rnk <= {k} ORDER BY qid, rnk"""
+    return f"""WITH vec AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+          FROM embeddings
+        ), unit AS (
+          SELECT vec_id, list_transform(e, x -> x / n) AS u FROM vec
+        ), seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, u AS s
+          FROM unit {train_where} ORDER BY vec_id LIMIT {n_cells}
+        ), sim0 AS (
+          SELECT v.vec_id, sd.cell,
+                 list_sum(list_transform(range(1, 65),
+                      i -> v.u[i] * sd.s[i])) AS sim
+          FROM (SELECT * FROM unit {train_where}) v CROSS JOIN seeds sd
+        ), a0 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS r
+            FROM sim0) WHERE r = 1
+        ), lmean AS (
+          SELECT a0.cell, i, AVG(v.e[i]) AS m
+          FROM a0 JOIN vec v USING (vec_id), range(1, 65) t(i)
+          GROUP BY a0.cell, i
+        ), lcent AS (
+          SELECT cell, list(m ORDER BY i) AS c FROM lmean GROUP BY cell
+        ), cent AS (
+          SELECT sd.cell, COALESCE(lc.c, sd.s) AS c0
+          FROM seeds sd LEFT JOIN lcent lc USING (cell)
+        ), cnorm AS (
+          SELECT cell, list_transform(c0, x -> x /
+                 sqrt(list_sum(list_transform(c0, y -> y * y)))) AS c
+          FROM cent
+        ), simc AS (
+          SELECT v.vec_id, cn.cell,
+                 list_sum(list_transform(range(1, 65),
+                      i -> v.u[i] * cn.c[i])) AS sim
+          FROM unit v CROSS JOIN cnorm cn
+        ), ranked AS (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS r
+          FROM simc
+        ), members AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        probes AS (SELECT vec_id AS qid, cell FROM ranked
+                   WHERE r <= {n_probe} AND vec_id < 10),
+        tr AS (
+          SELECT vec_id, u FROM unit {train_where}
+          ORDER BY vec_id LIMIT {train_rows}
+        ), sub AS (
+          SELECT vec_id, j, list_slice(u, j * {dsub} + 1,
+                                       (j + 1) * {dsub}) AS s
+          FROM tr CROSS JOIN range(0, {m}) t(j)
+        ), pseeds AS (
+          SELECT j, rn - 1 AS code, s AS cb FROM (
+            SELECT j, s,
+                   ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+            FROM sub) WHERE rn <= {n_codes}
+        ), pd0 AS (
+          SELECT sv.vec_id, sv.j, ps.code,
+                 list_sum(list_transform(range(1, {dsub + 1}),
+                      i -> (sv.s[i] - ps.cb[i]) * (sv.s[i] - ps.cb[i]))) AS d2
+          FROM sub sv JOIN pseeds ps USING (j)
+        ), pa0 AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS r
+            FROM pd0) WHERE r = 1
+        ), pmean AS (
+          SELECT pa0.j, pa0.code, i, AVG(sv.s[i]) AS mv
+          FROM pa0 JOIN sub sv USING (vec_id, j), range(1, {dsub + 1}) t(i)
+          GROUP BY pa0.j, pa0.code, i
+        ), pcb1 AS (
+          SELECT j, code, list(mv ORDER BY i) AS cb
+          FROM pmean GROUP BY j, code
+        ), books AS (
+          SELECT ps.j, ps.code, COALESCE(p1.cb, ps.cb) AS cb
+          FROM pseeds ps LEFT JOIN pcb1 p1 USING (j, code)
+        ), allsub AS (
+          SELECT vec_id, j, list_slice(u, j * {dsub} + 1,
+                                       (j + 1) * {dsub}) AS s
+          FROM unit CROSS JOIN range(0, {m}) t(j)
+        ), encd AS (
+          SELECT a.vec_id, a.j, b.code,
+                 list_sum(list_transform(range(1, {dsub + 1}),
+                      i -> (a.s[i] - b.cb[i]) * (a.s[i] - b.cb[i]))) AS d2
+          FROM allsub a JOIN books b USING (j)
+        ), enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS r
+            FROM encd) WHERE r = 1
+        ), cand AS (
+          SELECT p.qid, mem.vec_id
+          FROM probes p JOIN members mem USING (cell)
+          WHERE mem.vec_id <> p.qid
+        ), qsub AS (
+          SELECT vec_id AS qid, j, s FROM allsub WHERE vec_id < 10
+        ), adc AS (
+          SELECT c.qid, c.vec_id,
+                 ROUND(SUM(list_sum(list_transform(range(1, {dsub + 1}),
+                       i -> q.s[i] * b.cb[i]))), 4) AS score
+          FROM cand c
+          JOIN enc e ON e.vec_id = c.vec_id
+          JOIN books b ON b.j = e.j AND b.code = e.code
+          JOIN qsub q ON q.qid = c.qid AND q.j = e.j
+          GROUP BY c.qid, c.vec_id
+        ), {final}"""
+
+
+@query("x101_ivfpq_adc_search", None)  # oracle attached below (generated)
+def x101(spark, sf):
+    # IVF-PQ ADC search (`vectors.ivfpq_stage` + `ivfpq_search`, Jégou
+    # et al. 2011) — the COMPRESSED ANN tier: the staged layout stores m
+    # small codes per vector instead of the embedding (the memory shape
+    # that fits 10^9+ vectors in cluster RAM), probes partition-prune to
+    # n_probe cells, and scoring is per-query table lookups over codes —
+    # no reconstruction, no embedding shuffle. Quantizers train with
+    # iters=1 / first-rows seeds so the DuckDB oracle mirrors the whole
+    # pipeline bit-for-bit (the x32 generated-oracle discipline); 4dp
+    # HALF_UP rounding + (score DESC, vec_id) rank pin cross-engine ties.
+    stage_artifacts(spark, sf, ["ivfpq16"])
+    path = staged_artifact_path(sf, "ivfpq16")
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    return V.ivfpq_search(spark, path, q, k=5, n_probe=4)
+
+
+ORACLE_SQL["x101_ivfpq_adc_search"] = _ivfpq_oracle()
+
+
+@query("x102_ivfpq_rerank_search", None)  # oracle attached below (generated)
+def x102(spark, sf):
+    # IVF-PQ + EXACT-RERANK tail — the standard recall buy-back: ADC
+    # keeps k*4 candidates per query (still code-only), then ONLY that
+    # bounded shortlist joins its raw embeddings for a true-cosine
+    # rescore and final top-k. The expensive exact arithmetic touches
+    # |Q|*k*4 rows however large the corpus — the 100 TB contract. The
+    # oracle mirrors ADC shortlist -> exact rescore -> re-rank exactly.
+    stage_artifacts(spark, sf, ["ivfpq16"])
+    path = staged_artifact_path(sf, "ivfpq16")
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return V.ivfpq_search(
+        spark, path, q, k=5, n_probe=4, rerank_vectors=emb, rerank_factor=4
+    )
+
+
+ORACLE_SQL["x102_ivfpq_rerank_search"] = _ivfpq_oracle(rerank_factor=4)
+
+
+@query("x103_ivfpq_append_search", None)  # oracle attached below (generated)
+def x103(spark, sf):
+    # IVF-PQ APPEND (`vectors.ivfpq_append`) — the no-retrain growth
+    # path of the compressed index (x79's contract extended to PQ):
+    # BOTH quantizers are frozen from the pre-append corpus (vec_id <
+    # 450); the new batch assigns to existing cells and encodes against
+    # existing codebooks, appending inside the cell partition dirs; the
+    # search serves the grown corpus immediately. The append runs at
+    # STAGING time so the artifact is immutable (a query-time append
+    # would grow the table every run). Oracle = the same pipeline with
+    # the training corpus restricted to vec_id < 450.
+    stage_artifacts(spark, sf, ["ivfpq_app"])
+    path = staged_artifact_path(sf, "ivfpq_app")
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    return V.ivfpq_search(spark, path, q, k=5, n_probe=4)
+
+
+ORACLE_SQL["x103_ivfpq_append_search"] = _ivfpq_oracle(
+    train_where="WHERE vec_id < 450"
+)
+
+
+#: Deterministic vocab -> Chinese translation for the x104 CJK exhibit
+#: (the synthetic corpus has no Han text, so the query SYNTHESIZES it the
+#: same way in both engines: per-word literal map, words joined with no
+#: separator — real Chinese has no spaces — so consecutive Han words form
+#: long runs and untranslated Latin words form mixed-segment boundaries).
+_CJK_TRANSLATIONS: dict[str, str] = {
+    "a": "一",
+    "agg": "聚合",
+    "batch": "批处理",
+    "big": "大",
+    "column": "列",
+    "customer": "客户",
+    "data": "数据",
+    "dup": "重复",
+    "fast": "快",
+    "filter": "过滤器",
+    "group": "分组",
+    "hash": "哈希",
+    "join": "连接",
+    "key": "键",
+    "line": "行项",
+    "merge": "归并",
+    "order": "订单",
+    "part": "零件",
+    "query": "查询",
+    "row": "行",
+    "scan": "扫描",
+    "slow": "慢",
+    "small": "小",
+    "sort": "排序",
+    # 'spark' and 'stream' stay Latin on purpose: they exercise the
+    # analyzer's mixed Han/Latin segment handling
+    "table": "表",
+    "the": "这个",
+    "value": "数值",
+    "vector": "向量",
+    "window": "窗口",
+}
+
+
+def _cjk_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{en}' THEN '{zh}'" for en, zh in _CJK_TRANSLATIONS.items()
+    )
+    return f"CASE w {whens} ELSE w END"
+
+
+@query(
+    "x104_cjk_bigram_token_freq",
+    rf"""WITH zh AS (
+          SELECT array_to_string(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   w -> {_cjk_case_sql()}), '') AS t
+          FROM documents WHERE lang = 'zh'
+        ), runs AS (
+          SELECT UNNEST(regexp_extract_all(t, '[一-鿿]+')) AS r FROM zh
+        ), han_tok AS (
+          SELECT UNNEST(CASE WHEN length(r) = 1 THEN [r]
+                 ELSE list_transform(range(1, length(r)),
+                      i -> substring(r, CAST(i AS INT), 2)) END) AS token
+          FROM runs
+        ), lat_tok AS (
+          SELECT UNNEST(list_filter(regexp_split_to_array(
+                   regexp_replace(t, '[一-鿿]+', ' ', 'g'), '\s+'),
+                   x -> x <> '')) AS token
+          FROM zh
+        ), tok AS (
+          SELECT token FROM han_tok UNION ALL SELECT token FROM lat_tok
+        )
+        SELECT token, COUNT(*) AS cnt FROM tok
+        GROUP BY 1 ORDER BY cnt DESC, token""",
+)
+def x104(spark, sf):
+    # CJK ANALYZER exhibit (`cjk.cjk_bigram_tokens` — the deterministic
+    # tier of the jieba/FMM/bigram analyzer stack behind the reference's
+    # ChineseAnalyzer, search.py:66-101): zh-lang docs translate to real
+    # Chinese via a fixed literal map (corpus has no Han text), words
+    # concatenate into space-free runs, and the bigram analyzer's exact
+    # token multiset hash-checks against the same analyzer written in
+    # SQL — Han runs as character bigrams (singleton for 1-char runs),
+    # non-Han segments whitespace-split. The jieba/FMM tiers share this
+    # UDF's signature and Han-run framing (t: test_coverage_ops cjk).
+    from deva_spark.functions.cjk import cjk_bigram_tokens
+
+    m = F.create_map(
+        *[F.lit(x) for kv in _CJK_TRANSLATIONS.items() for x in kv]
+    )
+    translated = F.concat_ws(
+        "",
+        F.transform(
+            T.words(F.trim(F.col("text"))),
+            lambda w: F.coalesce(F.element_at(m, w), w),
+        ),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang") == "zh")
+        .select(F.explode(cjk_bigram_tokens(translated)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -5096,136 +5476,30 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
-# registry reorders itself each round to put the queries with the OLDEST
-# green driver row first. Round-7 window (per docs/ROUND6_NOTES.md and
-# VERDICT r6 #1): lead with x65-x71 — the seven round-6 additions whose
-# only verification so far is the local gate — then the entries whose
-# latest driver row is r05, minus the eight named deferrals below
-# (x72, new this round, auto-appends via _new_this_round). Local
-# tooling (tools/check_correctness.py, bench.py) still runs every
-# entry, so nothing loses in-repo coverage.
+# registry reorders itself each round to put the queries that most need
+# a driver row first. Round-9 window (VERDICT r8 #1/#10): (a) the three
+# r8-RED rows x95/x97/x98 (hash-mismatch in the driver's run, green in
+# every local rerun — x98's env-dependent staged/raw branch is removed
+# this round); (b) the five queries whose implementation or oracle
+# CHANGED this round (x23/x88 shared-artifact routing, x66 HALF_UP
+# rounding, x86 scale-invariant split, x87 drift-gate semantics); (c)
+# the 36 entries round 8 deferred (the _DEFERRED_TO_NEXT promise); (d)
+# this round's new registrations x101+ (auto-append). Local tooling
+# (tools/check_correctness.py, bench.py) still runs every entry.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round-7's deferrals lead (their latest driver row is r06)
-    "x16_part_brand_stats",
-    "x17_supplier_by_nation",
-    "x18_lineitem_part_join",
-    "x26_histogram",
-    "x27_pivot_counts",
-    "x29_rolling_hash",
-    "x53_hourly_trending",
-    "x58_late_orders_by_priority",
-    # then the r06-green set, minus the ten deferrals below
-    "q03_group_agg",
-    "q06_dedup_first_seen",
-    "q20_lag_diff",
-    "q35_sessionization",
-    "x01_token_count",
-    "x02_lang_id",
-    "x03_quality_score",
-    "x04_fingerprint",
-    "x05_ngram_jaccard",
-    "x06_minhash_lsh_neardup",
-    "x07_simhash_neardup",
-    "x09_ann_lsh_topk",
-    "x13_fulltext_search",
-    "x25_session_stats",
-)
-
-#: Entries pushed to the round-9 window (48 pinned + this round's new
-#: registrations fill the 50). Recorded programmatically (ADVICE r6
-#: #4): tests/test_plan_shapes.py asserts window ∪ deferrals ∪
-#: r07-green rows == the whole registry, so a forgotten deferral fails
-#: CI instead of silently shipping unverified. Rationale per name
-#: (VERDICT r7 #1 prescribed the first eight; q04/q09 displaced by the
-#: two r8 registrations): q01/q02 scan-project/filter (every query
-#: exercises the scan path), q05 distinct (q34/x04 same shape), q22
-#: slice (t-tested), q25 string fns / q28 math fns (pure built-ins,
-#: t-tested), q29 explode (x56 shape), q30 frequencies (q03 shape),
-#: q04 avg/min/max (q03's group-agg shape, in-window), q09 left join
-#: coalesce (join family q08/q10/q11/q12 all in-window), q07
-#: consecutive-dedup (lag-over-keyed-window shape — q20 lag_diff stays
-#: in-window; displaced by the third r8 registration x75), q27
-#: date-trunc (x53 hourly-trending in-window exercises the same
-#: date_trunc bucketing; displaced by the fourth r8 registration x76),
-#: q23 union (set-op family q24a/q24b stays in-window; displaced by the
-#: fifth r8 registration x77), q21 global top-k (q19 rank-topk-per-key
-#: in-window shares the TakeOrderedAndProject shape, which is also
-#: plan-asserted; displaced by the sixth r8 registration x78), q13
-#: positional zip (two-phase global numbering is property-tested —
-#: test_global_positions_matches_sequential_numbering — and
-#: plan-audited; displaced by the seventh r8 registration x79), q11
-#: anti join and q26 regexp extract (both ZERO-ROW at driver SF —
-#: sf0.01 has no customers without orders and no digits in documents,
-#: so their driver rows verify only an agreed-empty result, the
-#: weakest check in the window; q10/q12 keep the semi/multiway join
-#: family in-window and x04's regexp_replace normalization plus
-#: t-tests cover the regexp path; displaced by the eighth and ninth
-#: r8 registrations x80/x81), q24a intersect (left-semi distinct shape
-#: — q24b keeps the set-op family in-window with the strictly rarer
-#: left-anti plan, and q10 semi-join covers leftsemi; displaced by the
-#: tenth r8 registration x82), x14 case-route (pure CASE WHEN column
-#: expression, t-tested in test_routing and shared with q14/q33 shapes;
-#: displaced by the eleventh r8 registration x83), q12 multiway join
-#: (chained inner joins — q08 inner and q10 semi keep the join family
-#: in-window and the chain is plan-audited; displaced by the twelfth
-#: r8 registration x84), x11 json-extract (get_json_object built-in,
-#: t-tested; displaced by the thirteenth r8 registration x85), q16
-#: sliding-window avg (the window-agg family keeps q18 tumbling, q20
-#: lag, x21 rolling-time in-window; q16 is t-tested; displaced by the
-#: fourteenth r8 registration x86), q17 partition-chunks (windowed
-#: chunking over the same keyed-window machinery as q18 tumbling,
-#: which stays in-window; t-tested; displaced by the fifteenth r8
-#: registration x87), x10 label centroids (per-label array-average —
-#: the q03 group-agg shape over vectors, t-tested in
-#: test_centroids_shape, and x66's cluster machinery exercises the
-#: same centroid arithmetic in-window; displaced by the sixteenth r8
-#: registration x88), q10 semi join (x83's incremental exact dedup —
-#: in-window — runs the same left-semi plan over staged digests, and
-#: q08 inner join keeps the join family in-window; q10 is t-tested and
-#: plan-audited; displaced by the seventeenth r8 registration x89),
-#: q31 percentile (exact windowed percentile, t-tested incl. the
-#: sketch twin; x26 histogram keeps distribution summarization
-#: in-window; displaced by the eighteenth r8 registration x90), q32
-#: rollup (grouping-sets built-in, t-tested; x26/x27 keep multi-group
-#: aggregation in-window; displaced by the nineteenth r8 registration
-#: x91), q33 z-score anomaly (x87's batch-drift gate — in-window —
-#: hash-checks the same z formula over the stats tier, and the Welford
-#: operator is t-tested; displaced by the twentieth r8 registration
-#: x92), x08 brute-force cosine top-k (x09's ANN-LSH — in-window —
-#: runs the identical HALF_UP cosine + (cos desc, id) total-order
-#: contract over the same embeddings, and its verify rescore IS the
-#: brute dot product; recall tests pin LSH against the brute answer;
-#: displaced by the twenty-first r8 registration x93), x12 TF-IDF
-#: keywords (x13 full-text search — in-window — shares the tokenize +
-#: document-frequency posting machinery, and the jieba-fallback path is
-#: t-tested; displaced by the twenty-second r8 registration x94), x21
-#: rolling time window (q18 tumbling + x25 session stats keep
-#: event-time windowed aggregation in-window; the RANGE-frame rolling
-#: operator is t-tested; displaced by the twenty-third r8 registration
-#: x95), q08 inner join (x95's bloom-pruned join — in-window — runs the
-#: IDENTICAL orders-customer inner join through the prune with an
-#: identical-result oracle, strictly stronger coverage of the same
-#: broadcast-join family; displaced by the twenty-fourth r8
-#: registration x96), q24b except + q34 exact-text-dedup (the two
-#: remaining ZERO-ROW-at-driver-SF rows — sf0.01 has no lineitem-only
-#: order keys in the except slice and no byte-exact duplicate texts, so
-#: both hash-check an empty frame; the q11/q26 weakest-row rationale.
-#: q24a intersect keeps the set-op family's non-empty representative in
-#: the deferral accounting, and x83's incremental exact dedup — r8-green
-#: with a NON-empty re-crawl batch — runs q34's digest anatomy end to
-#: end; displaced by the twenty-fifth and twenty-sixth r8 registrations
-#: x97/x98), q19 rank-topk-per-key (x99's oracle — in-window — runs the
-#: IDENTICAL row_number-over-(partition, order) anatomy as its final
-#: rank, and x90 keep-best — in-window, r8-green — is the same window
-#: family with a quality ordering; displaced by the twenty-seventh r8
-#: registration x99), q18 tumbling time window (q35 sessionization, x25
-#: session stats, and x53 hourly trending — all in-window — keep
-#: event-time bucketed aggregation covered, and x33's streaming tumbling
-#: twin hash-checks the same window oracle; displaced by the
-#: twenty-eighth r8 registration x100).
-_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    # the three r8-red rows lead (VERDICT r8 #1)
+    "x95_bloom_pruned_join",
+    "x97_salted_skew_join",
+    "x98_zorder_box_scan",
+    # changed implementation/oracle this round
+    "x23_cosine_neardup",
+    "x66_semdedup_prune",
+    "x86_incremental_shingle_overlap",
+    "x87_batch_drift_gate",
+    "x88_incremental_cosine_neardup",
+    # round-8's 36 deferrals, returning as promised
     "q01_scan_project",
     "q02_filter",
     "q04_avg_min_max",
@@ -5264,10 +5538,71 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x21_rolling_time_window",
 )
 
+#: Entries pushed to the round-10 window. Every name below carries a
+#: GREEN driver row from r05-r07 (the r08 window held the x73+ cohort
+#: plus the longest-stale tail, so these sat out r08 with their last
+#: verification 1-3 rounds old) and none changed implementation or
+#: oracle this round; tests/test_plan_shapes.py's window accounting
+#: (window ∪ deferrals ∪ r08-green == registry) fails CI if any entry
+#: silently drops out of all three sets. The r08-green cohort
+#: (x16-x18/x26/x27/x29/x53/x58, q03/q06/q20/q35, x01-x09/x13/x25,
+#: x73-x100 minus the five changed ones) needs no row this round.
+_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "q14_asof_combine_latest",
+    "q15_running_fold",
+    "x15_corpus_curation",
+    "x19_cube",
+    "x20_analytic_functions",
+    "x22_range_band_join",
+    "x24_asof_join",
+    "x28_bpe_tokens",
+    "x30_take_while",
+    "x31_ordered_pairs",
+    "x32_ivf_topk",
+    "x33_streaming_tumbling",
+    "x34_streaming_sessions",
+    "x35_streaming_running_sum",
+    "x36_streaming_zscore",
+    "x37_llm_json_extract",
+    "x38_stream_interval_join",
+    "x39_stratified_sample",
+    "x40_dataset_split",
+    "x41_dedup_clusters",
+    "x42_repetition_signals",
+    "x43_pii_redaction",
+    "x44_decontamination",
+    "x45_boilerplate",
+    "x46_sequence_packing",
+    "x47_mixture_rebalance",
+    "x48_int8_quantization",
+    "x49_streaming_first_seen",
+    "x50_prefix_dup_groups",
+    "x51_url_host_stats",
+    "x52_encoding_quality",
+    "x54_source_token_budget",
+    "x55_cross_source_overlap",
+    "x56_common_token_mass",
+    "x57_length_histogram",
+    "x59_customer_value_deciles",
+    "x60_kmv_distinct_users",
+    "x61_pagerank_two_steps",
+    "x62_top_p_token_mass",
+    "x63_streaming_trending",
+    "x64_event_transitions",
+    "x65_containment_pairs",
+    "x67_funnel_conversion",
+    "x68_retention_cohorts",
+    "x69_streaming_funnel",
+    "x70_weighted_sample",
+    "x71_streaming_retention",
+    "x72_global_weighted_sample",
+)
+
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 73  # x73+ = new in r8
+_NEW_MIN_ID = 101  # x101+ = new in r9
+
 
 
 def _query_num(name: str) -> int | None:

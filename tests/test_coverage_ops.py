@@ -213,7 +213,9 @@ def test_streaming_drift_detects_mean_shift(spark, tmp_path):
     assert r1.new_mean > r1.old_mean
 
 
-def test_cjk_tokenization_bigram_fallback(spark):
+def test_cjk_tokenization_dict_fmm(spark):
+    # jieba absent in this container -> the vendored FMM dictionary
+    # segmenter: longest lexicon match wins, OOV chars emit as singletons
     from deva_spark.functions.cjk import tokenize_cjk
 
     df = spark.createDataFrame(
@@ -221,7 +223,33 @@ def test_cjk_tokenization_bigram_fallback(spark):
         "id int, text string",
     )
     out = {r.id: list(r.t) for r in df.select("id", tokenize_cjk(F.col("text")).alias("t")).collect()}
-    assert out[1] == ["spark", "数据", "据处", "处理", "engine"]
-    assert out[2] == ["纯中", "中文", "文文", "文本"]
+    assert out[1] == ["spark", "数据", "处理", "engine"]
+    assert out[2] == ["纯", "中文", "文本"]  # 纯 is OOV -> singleton
     assert out[3] == ["only", "latin", "words"]
     assert out[4] == ["一"]
+
+
+def test_cjk_fmm_longest_match_and_add_words():
+    from deva_spark.functions.cjk import _fmm_segment, add_words
+
+    # 过滤器 (3 chars) shadows 过滤 (2) under longest-match-first
+    assert _fmm_segment("过滤器") == ["过滤器"]
+    assert _fmm_segment("过滤中文") == ["过滤", "中文"]
+    add_words(["深度学习"])
+    assert _fmm_segment("深度学习") == ["深度学习"]
+
+
+def test_cjk_bigram_analyzer_explicit(spark):
+    # the deterministic cross-engine analyzer (x104's oracle twin):
+    # bigrams unconditionally, regardless of lexicon/jieba
+    from deva_spark.functions.cjk import cjk_bigram_tokens
+
+    df = spark.createDataFrame(
+        [(1, "spark 数据处理 engine"), (2, "一")], "id int, text string"
+    )
+    out = {
+        r.id: list(r.t)
+        for r in df.select("id", cjk_bigram_tokens(F.col("text")).alias("t")).collect()
+    }
+    assert out[1] == ["spark", "数据", "据处", "处理", "engine"]
+    assert out[2] == ["一"]

@@ -66,6 +66,42 @@ def test_fetch_stage_end_to_end(spark):
     assert out["notaurl"].body is None and "ValueError" in out["notaurl"].fetch_error
 
 
+def test_fetch_stage_cached_recrawl_zero_network(spark, tmp_path):
+    # the browser tab/LRU contract: cache-first, network only on miss
+    import os
+    from functools import partial
+
+    spool = str(tmp_path / "calls")
+    cache = str(tmp_path / "webcache")
+    fetcher = partial(H.spool_recording_fetcher, spool)
+    urls = [("https://a.example/1",), ("https://a.example/2",),
+            ("https://a.example/2",), ("https://a.example/boom",)]
+    df = spark.createDataFrame(urls, "url string")
+
+    first = [(r.url, r.body, r.fetch_error)
+             for r in H.fetch_stage_cached(df, cache, fetcher=fetcher,
+                                           base_delay=0.01).collect()]
+    # dup URL fetched once; failure captured per-row
+    assert len(os.listdir(spool)) == 3
+    assert sum(1 for _, b, e in first if b and e is None) == 3
+    assert sum(1 for _, b, e in first if e and "ValueError" in e) == 1
+
+    # re-crawl of the cached set: ZERO network calls for the hits; only
+    # the uncached failure retries
+    second = H.fetch_stage_cached(df, cache, fetcher=fetcher,
+                                  base_delay=0.01).collect()
+    assert len(os.listdir(spool)) == 4  # +1: the failed url retried
+    hits = {r.url: r.body for r in second if r.body}
+    assert hits[urls[0][0]].startswith("<html>fetched:")
+
+    # fully-cached crawl (no failures in the input): no fetch at all
+    ok = spark.createDataFrame(urls[:3], "url string")
+    third = H.fetch_stage_cached(ok, cache, fetcher=fetcher,
+                                 base_delay=0.01).collect()
+    assert len(os.listdir(spool)) == 4  # unchanged
+    assert all(r.body and r.fetch_error is None for r in third)
+
+
 def test_rate_gate_spaces_starts():
     gate = H._RateGate(100.0)  # 10 ms spacing
     t0 = time.monotonic()

@@ -228,12 +228,29 @@ def test_driver_window_accounts_for_every_registry_entry():
     deferred = set(Q._DEFERRED_TO_NEXT)
     assert len(keys[:50]) == 50
     assert window.isdisjoint(deferred), window & deferred
-    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json")
-    prev_green = set(json.load(open(prev))) - {"meta", "summary"}
+    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json")
+    rows = json.load(open(prev))
+    # only rows the driver actually verified count — a red row (x95/x97/
+    # x98 in r08) must NOT quietly satisfy the accounting
+    prev_green = {
+        k
+        for k, v in rows.items()
+        if isinstance(v, dict)
+        and v.get("rows_match")
+        and v.get("schema_match")
+        and v.get("hash_match")
+    }
     uncovered = set(keys) - window - deferred - prev_green
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
     # every deferral names a real registry entry
     assert deferred <= set(keys)
+    # VERDICT r8 #10: the three r8-red rows must sit in the r9 window
+    for red in (
+        "x95_bloom_pruned_join",
+        "x97_salted_skew_join",
+        "x98_zorder_box_scan",
+    ):
+        assert red in window, f"r8-red row {red} fell out of the window"
 
 
 def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
