@@ -81,7 +81,7 @@ _SHARED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictio
 
 #: bump when any artifact builder's logic changes — stale staged parquet
 #: from an older definition must never satisfy a newer read
-_ARTIFACT_VERSION = 2  # v2: pr_edges carries outdeg (VERDICT r7 #4)
+_ARTIFACT_VERSION = 3  # v3: ivfpq_app split is scale-invariant (% 10)
 
 
 def _session_cache(spark: SparkSession) -> dict:
@@ -382,22 +382,25 @@ def _stage_ivfpq16(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def _stage_ivfpq_app(spark: SparkSession, sf_dir: str, path: str) -> None:
     """x103's appended IVF-PQ layout: stage on the pre-append corpus
-    (vec_id < 450 — both quantizers train on OLD data only), then
+    (vec_id % 10 != 0, a scale-invariant 90% — both quantizers train on
+    OLD data only), then
     `ivfpq_append` the new batch against the frozen quantizers. The
     append runs INSIDE staging so the artifact is immutable afterwards
     (a query-time append would grow the table on every run); the
     `_APPENDED` marker lands only after the append, so a half-staged
     dir is never read."""
     emb = _t(spark, sf_dir, "embeddings")
+    # scale-invariant 90/10 split (the x86 lesson: an absolute vec_id
+    # cutoff degenerates to a 99% "batch" on amplified bench tables)
     V.ivfpq_stage(
-        emb.filter(F.col("vec_id") < 450),
+        emb.filter(F.col("vec_id") % 10 != 0),
         path,
         n_cells=16,
         m=8,
         n_codes=16,
         iters=1,
     )
-    V.ivfpq_append(spark, path, emb.filter(F.col("vec_id") >= 450))
+    V.ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 10 == 0))
     with open(_os.path.join(path, "_APPENDED"), "w") as fh:
         fh.write("")
 
@@ -4469,26 +4472,27 @@ def x87(spark, sf):
 def x88(spark, sf):
     # Incremental SEMANTIC near-dup (`vectors.incremental_cosine_neardup`)
     # — the x77/x80/x82 contract on the embedding tier, the last
-    # detection tier to get its batch-incremental form: vectors with
-    # vec_id >= 450 simulate a NEW batch whose (table, bucket) keys join
-    # the existing corpus's staged bucket projection (`emb_base` IS the
-    # appendable index — norms and bucket signatures are per-vector
-    # functions) plus a batch self-join; old x old candidates never
-    # recompute, and the shared einsum rescore keeps the 4dp contract.
-    # Oracle = x23's generated SQL restricted to batch-touching pairs;
-    # parity test vs cosine_neardup_pairs on the union
+    # detection tier to get its batch-incremental form: a 10% arrival
+    # batch (vec_id % 10 — scale-invariant, the x86/x103 lesson) whose
+    # (table, bucket) keys join the existing corpus's staged bucket
+    # projection (`emb_base` IS the appendable index — norms and bucket
+    # signatures are per-vector functions) plus a batch self-join;
+    # old x old candidates never recompute, and the shared einsum
+    # rescore keeps the 4dp contract. Oracle = x23's generated SQL
+    # restricted to batch-touching pairs; parity test vs
+    # cosine_neardup_pairs on the union
     # (test_incremental_cosine_neardup_matches_full_restricted).
-    threshold = 450
+    batch_pred = F.col("vid") % 10 == 0
     base = _shared_artifact(spark, sf, "emb_base")
     return V.incremental_cosine_neardup(
-        base.filter(F.col("vid") >= threshold),
-        base.filter(F.col("vid") < threshold),
+        base.filter(batch_pred),
+        base.filter(~batch_pred),
         threshold=0.4,
     )
 
 
 ORACLE_SQL["x88_incremental_cosine_neardup"] = _x23_oracle(
-    restrict="AND (id_a >= 450 OR id_b >= 450)"
+    restrict="AND (id_a % 10 = 0 OR id_b % 10 = 0)"
 )
 
 
@@ -5345,13 +5349,14 @@ ORACLE_SQL["x102_ivfpq_rerank_search"] = _ivfpq_oracle(rerank_factor=4)
 def x103(spark, sf):
     # IVF-PQ APPEND (`vectors.ivfpq_append`) — the no-retrain growth
     # path of the compressed index (x79's contract extended to PQ):
-    # BOTH quantizers are frozen from the pre-append corpus (vec_id <
-    # 450); the new batch assigns to existing cells and encodes against
+    # BOTH quantizers are frozen from the pre-append corpus (the
+    # scale-invariant 90% with vec_id % 10 != 0); the new batch
+    # assigns to existing cells and encodes against
     # existing codebooks, appending inside the cell partition dirs; the
     # search serves the grown corpus immediately. The append runs at
     # STAGING time so the artifact is immutable (a query-time append
     # would grow the table every run). Oracle = the same pipeline with
-    # the training corpus restricted to vec_id < 450.
+    # the training corpus restricted to the pre-append 90%.
     stage_artifacts(spark, sf, ["ivfpq_app"])
     path = staged_artifact_path(sf, "ivfpq_app")
     q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
@@ -5359,7 +5364,7 @@ def x103(spark, sf):
 
 
 ORACLE_SQL["x103_ivfpq_append_search"] = _ivfpq_oracle(
-    train_where="WHERE vec_id < 450"
+    train_where="WHERE vec_id % 10 <> 0"
 )
 
 

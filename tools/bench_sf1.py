@@ -85,6 +85,16 @@ HEAVY = [
     "x98_zorder_box_scan",
     "x99_incremental_weighted_sample",
     "x100_document_chunks",
+    # r9 tier: IVF-PQ rides the amplified embeddings (the compressed
+    # index at 10x corpus), x104 the amplified documents, x105 the
+    # amplified lineitem through the staged Morton relayout; x106 is a
+    # floor row (events/customer unamplified).
+    "x101_ivfpq_adc_search",
+    "x102_ivfpq_rerank_search",
+    "x103_ivfpq_append_search",
+    "x104_cjk_bigram_token_freq",
+    "x105_zorder_staged_box_scan",
+    "x106_cms_join_size_estimate",
 ]
 
 
