@@ -625,19 +625,50 @@ def cms_partials(
     def _t(df: DataFrame) -> DataFrame:
         key_cols = list(keys)
         k = F.col(key_col).cast("string")
+        # hash in a PROJECT first, explode cheap ints after: inside a
+        # Generate(explode(array(...))) Catalyst does no subexpression
+        # elimination, so inlining md5_le64 there evaluated md5() 8x per
+        # substring x depth rows = 32 digests per input row (measured
+        # ~5.5 s over sf0.1 orders); projected columns CSE to one md5
+        # per depth row
+        def _bucket(i: int) -> Column:
+            if width & (width - 1) == 0 and width <= (1 << 31):
+                # power-of-two width: le64 % 2^w depends only on the LOW
+                # 32 bits, which in the little-endian recovery are the
+                # FIRST four md5 bytes — one 8-hex-char conv to BIGINT
+                # instead of the 16-char conv + DECIMAL(38,0) modulo
+                # (measured 1.6x cheaper; bit-identical buckets, and the
+                # oracle's HUGEINT % width agrees because 2^32 % width
+                # == 0)
+                hexcol = F.md5(F.concat(k, F.lit(f"#cms{i}")).cast("string"))
+                lo32 = F.conv(
+                    F.concat(
+                        *[
+                            F.substring(hexcol, 1 + 2 * b, 2)
+                            for b in range(3, -1, -1)
+                        ]
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                return (lo32 % width).cast("int")
+            return (md5_le64(F.concat(k, F.lit(f"#cms{i}"))) % width).cast(
+                "int"
+            )
+
+        hashed = df.select(
+            *key_cols, *[_bucket(i).alias(f"_b{i}") for i in range(depth)]
+        )
         cells = F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("i"),
-                    (md5_le64(F.concat(k, F.lit(f"#cms{i}"))) % width)
-                    .cast("int")
-                    .alias("bucket"),
+                    F.lit(i).alias("i"), F.col(f"_b{i}").alias("bucket")
                 )
                 for i in range(depth)
             ]
         )
         return (
-            df.select(*key_cols, F.explode(cells).alias("e"))
+            hashed.select(*key_cols, F.explode(cells).alias("e"))
             .groupBy(
                 *key_cols,
                 F.col("e.i").alias("i"),
@@ -1035,12 +1066,15 @@ def cms_join_size(
     # row — and must not vanish from the min() (ADVICE r8 #3); with an
     # empty sketch the estimate is exactly 0, not NULL
     rows = spark.range(depth).select(F.col("id").cast("int").alias("i"))
+    # both sketches are bounded by geometry (<= depth*width cells), so
+    # the cell join broadcasts — no shuffle anywhere past the two
+    # partial aggregations
     dots = (
-        a.join(b, ["i", "bucket"])
+        a.join(F.broadcast(b), ["i", "bucket"])
         .groupBy("i")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
     )
-    per_row = rows.join(dots, "i", "left").select(
+    per_row = rows.join(F.broadcast(dots), "i", "left").select(
         F.coalesce(F.col("_dot"), F.lit(0).cast("long")).alias("_dot")
     )
     return per_row.agg(F.min("_dot").alias("est_join_rows"))
