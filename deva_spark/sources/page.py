@@ -50,6 +50,7 @@ class PageServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, start: bool = True):
         self.data: dict[str, object] = {}
+        self._json: dict[str, Callable[[], object]] = {}
         self._views: dict[str, tuple[Callable[[], DataFrame], int]] = {}
         self._sse: dict[
             str, tuple[Callable[[str | None], tuple[list, str | None]], float]
@@ -101,6 +102,12 @@ class PageServer:
         fn = df if callable(df) else (lambda: df)
         self._views[name] = (fn, limit)
         return f"{self.url}/df/{name}"
+
+    def add_json(self, name: str, fn: Callable[[], object]) -> str:
+        """Serve ``fn()`` as JSON at ``/json/<name>`` — re-evaluated per
+        request (the live-status primitive the admin panel builds on)."""
+        self._json[name] = fn
+        return f"{self.url}/json/{name}"
 
     def add_sse(
         self,
@@ -157,6 +164,7 @@ def _make_handler(server: PageServer):
             if path == "/":
                 links = (
                     [f"<li><a href='/data'>data ({len(server.data)} keys)</a></li>"]
+                    + [f"<li><a href='/json/{n}'>json: {html.escape(n)}</a></li>" for n in server._json]
                     + [f"<li><a href='/df/{n}'>df: {html.escape(n)}</a></li>" for n in server._views]
                     + [f"<li><a href='/sse/{n}'>sse: {html.escape(n)}</a></li>" for n in server._sse]
                 )
@@ -165,6 +173,18 @@ def _make_handler(server: PageServer):
                      + "".join(links) + "</ul></body></html>").encode(),
                     "text/html; charset=utf-8",
                 )
+            elif path.startswith("/json/"):
+                name = path[len("/json/"):]
+                fn = server._json.get(name)
+                if fn is None:
+                    self._send(b"not found", "text/plain", 404)
+                    return
+                try:
+                    body = json.dumps(fn(), default=str).encode()
+                except Exception as e:  # surface callable errors
+                    self._send(f"error: {e}".encode(), "text/plain", 500)
+                    return
+                self._send(body, "application/json")
             elif path == "/data":
                 self._send(
                     json.dumps(server.data, default=str).encode(),
@@ -250,3 +270,81 @@ def NW(  # noqa: N802 — reference name
 
 
 _NAMED: dict[str, PageServer] = {}
+
+
+def admin_panel(
+    server: PageServer,
+    spark,
+    config=None,
+    sf_dir: str | None = None,
+) -> dict[str, str]:
+    """The reference admin panel's monitor/config/tables slice
+    (`/root/reference/deva/admin.py:1-673` — runtime monitor, config
+    registry view, table browser) as live JSON endpoints on a
+    :class:`PageServer` — the operational read surface without the
+    tornado UI layer (DEVIATIONS #15's rationale: stdlib serving,
+    bounded snapshots, never in the data plane):
+
+    - ``/json/runtime`` — Spark version/master/parallelism + active
+      STREAMING QUERIES (name, id, last progress rates) + cached-table
+      names: the monitor page.
+    - ``/json/config`` — the :class:`~deva_spark.sources.config
+      .ConfigStore` contents with sensitive values MASKED (the admin
+      config view never leaks credentials).
+    - ``/json/tables`` — catalog tables (name, database, isTemporary).
+    - ``/json/artifacts`` — staged-artifact status for ``sf_dir``
+      (which shared indexes exist on disk, the staging audit).
+
+    Returns name -> URL for everything registered."""
+
+    def runtime() -> dict:
+        sc = spark.sparkContext
+        streams = []
+        for q in spark.streams.active:
+            p = q.lastProgress or {}
+            streams.append(
+                {
+                    "name": q.name,
+                    "id": str(q.id),
+                    "active": q.isActive,
+                    "batchId": p.get("batchId"),
+                    "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+                }
+            )
+        return {
+            "version": spark.version,
+            "master": sc.master,
+            "defaultParallelism": sc.defaultParallelism,
+            "applicationId": sc.applicationId,
+            "streams": streams,
+        }
+
+    def tables() -> list[dict]:
+        return [
+            {
+                "name": t.name,
+                "database": t.namespace[0] if t.namespace else None,
+                "isTemporary": t.isTemporary,
+            }
+            for t in spark.catalog.listTables()
+        ]
+
+    out = {
+        "runtime": server.add_json("runtime", runtime),
+        "tables": server.add_json("tables", tables),
+    }
+    if config is not None:
+        out["config"] = server.add_json(
+            "config", lambda: config.get_all(mask_sensitive=True)
+        )
+    if sf_dir is not None:
+        from deva_spark import queries as Q
+
+        def artifacts() -> dict:
+            names = list(Q.ARTIFACT_BUILDERS) + list(Q.ARTIFACT_STAGERS)
+            return {
+                n: bool(Q.staged_artifact_path(sf_dir, n)) for n in names
+            }
+
+        out["artifacts"] = server.add_json("artifacts", artifacts)
+    return out

@@ -68,3 +68,59 @@ def test_sse_topic_tail(server, tmp_path):
     ]
     assert frames[:3] == ["event-0", "event-1", "event-2"]
     assert url.endswith("/sse/alerts")
+
+
+def test_json_endpoint_live(server):
+    state = {"n": 1}
+    server.add_json("counter", lambda: dict(state))
+    assert json.loads(_get(f"{server.url}/json/counter")) == {"n": 1}
+    state["n"] = 2  # re-evaluated per request (live view)
+    assert json.loads(_get(f"{server.url}/json/counter")) == {"n": 2}
+
+
+def test_admin_panel_runtime_config_tables(server, spark, tmp_path):
+    from deva_spark.sources.config import ConfigStore
+    from deva_spark.sources.page import admin_panel
+
+    cs = ConfigStore(str(tmp_path / "cfg.db"))
+    cs.update("llm", {"base_url": "http://h/v1", "api_key": "sk-secret-value"})
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "admin_panel_probe"
+    )
+    urls = admin_panel(server, spark, config=cs)
+    rt = json.loads(_get(urls["runtime"]))
+    assert rt["version"] == spark.version
+    assert rt["master"].startswith("local")
+    assert isinstance(rt["streams"], list)
+    cfg = json.loads(_get(urls["config"]))
+    assert cfg["llm.base_url"] == "http://h/v1"
+    assert "sk-secret-value" not in json.dumps(cfg)  # masked
+    tables = json.loads(_get(urls["tables"]))
+    assert any(t["name"] == "admin_panel_probe" for t in tables)
+
+
+def test_admin_panel_monitors_live_stream(server, spark, tmp_path):
+    from deva_spark.sources.page import admin_panel
+
+    urls = admin_panel(server, spark)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+        .writeStream.format("memory")
+        .queryName("admin_probe_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 15
+        names = []
+        while _t.time() < deadline:
+            rt = json.loads(_get(urls["runtime"]))
+            names = [s["name"] for s in rt["streams"]]
+            if "admin_probe_stream" in names:
+                break
+            _t.sleep(0.3)
+        assert "admin_probe_stream" in names
+    finally:
+        stream.stop()
