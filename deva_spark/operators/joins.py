@@ -310,6 +310,7 @@ def bloom_pruned_join(
     n_hashes: int = 3,
     n_bits: int = 1 << 16,
     how: str = "inner",
+    bitmap: list[int] | None = None,
 ) -> DataFrame:
     """Join with an explicit BLOOM semi-join reduction of the big side —
     the classic 100 TB shuffle-avoidance pattern (Bloom 1970; the
@@ -351,6 +352,7 @@ def bloom_pruned_join(
             "bloom pruning drops big-side rows, so only joins that do "
             f"not preserve unmatched big rows are sound (got {how!r})"
         )
-    bitmap = build_bloom_bitmap(small, small_key, n_hashes, n_bits)
+    if bitmap is None:
+        bitmap = build_bloom_bitmap(small, small_key, n_hashes, n_bits)
     pruned = bloom_prune(big, big_key, bitmap, n_hashes)
     return pruned.join(small, pruned[big_key] == small[small_key], how)
