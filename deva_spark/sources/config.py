@@ -164,3 +164,39 @@ def missing_llm_config(store: ConfigStore, namespace: str = "llm") -> list[str]:
     scheduling an annotation stage."""
     ns = store.namespace(namespace)
     return [k for k in ("base_url", "model", "api_key") if not ns.get(k)]
+
+
+def dtalk_config(store: ConfigStore, namespace: str = "dtalk") -> dict[str, Any]:
+    """The ``dtalk`` namespace (reference ``config.get('dtalk.*')`` —
+    webhook + signing secret) ready to splat into
+    :func:`~deva_spark.sources.endpoints.webhook_sink`:
+    ``webhook_sink(df, **dtalk_config(store))``."""
+    return {
+        "webhook": store.get(f"{namespace}.webhook"),
+        "secret": store.get(f"{namespace}.secret"),
+    }
+
+
+def mail_config(store: ConfigStore, namespace: str = "mail") -> dict[str, Any]:
+    """The ``mail`` namespace (host/port/user/password/sender) — the
+    SMTP transport preflight for
+    :func:`~deva_spark.sources.endpoints.mail_sink` callers."""
+    # per-key store.get (not namespace()) so the DEVA_MAIL_* env
+    # override applies even to keys never stored in the db
+    g = lambda k, d=None: store.get(f"{namespace}.{k}", d)  # noqa: E731
+    return {
+        "host": g("host"),
+        "port": int(g("port", 465)),
+        "user": g("user"),
+        "password": g("password"),
+        "sender": g("sender") or g("user"),
+    }
+
+
+def missing_config(
+    store: ConfigStore, namespace: str, required: list[str]
+) -> list[str]:
+    """Generic preflight: which required keys are absent from a
+    namespace (the ``get_missing_*_config`` family generalized)."""
+    ns = store.namespace(namespace)
+    return [k for k in required if not ns.get(k)]

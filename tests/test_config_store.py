@@ -65,3 +65,29 @@ def test_llm_client_handoff(tmp_path):
     assert client is not None
     assert client.base_url == "http://127.0.0.1:1/v1"
     assert client.model == "m1" and client.api_key == "k"
+
+
+def test_endpoint_namespace_handoffs(tmp_path, monkeypatch):
+    from deva_spark.sources.config import (
+        dtalk_config,
+        mail_config,
+        missing_config,
+    )
+
+    cs = ConfigStore(str(tmp_path / "cfg.db"))
+    cs.update("dtalk", {"webhook": "https://d.example/hook", "secret": "s1"})
+    assert dtalk_config(cs) == {
+        "webhook": "https://d.example/hook",
+        "secret": "s1",
+    }
+    cs.update("mail", {"host": "smtp.example.com", "user": "u@example.com",
+                       "password": "pw"})
+    mc = mail_config(cs)
+    assert mc["host"] == "smtp.example.com"
+    assert mc["port"] == 465  # default
+    assert mc["sender"] == "u@example.com"  # falls back to user
+    assert missing_config(cs, "mail", ["host", "user", "password"]) == []
+    assert missing_config(cs, "dtalk", ["webhook", "keywords"]) == ["keywords"]
+    # env override reaches the namespace reader
+    monkeypatch.setenv("DEVA_MAIL_PORT", "587")
+    assert mail_config(cs)["port"] == 587
