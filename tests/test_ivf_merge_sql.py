@@ -252,3 +252,36 @@ def test_ivf_retract_noop_forget(spark, sf_dir, tmp_path):
     fg = spark.createDataFrame([(999999,)], "vec_id long")
     assert V.ivf_retract(spark, path, fg) == 0
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivfpq_staged_partition_pruning_and_codes_only_scan(spark, sf_dir, tmp_path):
+    # the compressed index keeps the IVF layout's two scale contracts:
+    # (a) probes prune on the cell PARTITION column, (b) the scan reads
+    # CODES only — embeddings never leave the stage boundary
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    V.ivfpq_stage(emb, path, n_cells=8, m=8, n_codes=16, iters=1)
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 3]))
+        .select("vec_id", "codes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [" in scan
+    assert "cell" in scan.split("PartitionFilters:")[1]
+    assert "embedding" not in scan  # codes-only payload
+    # full-probe ADC ranking is self-consistent with the rerank route's
+    # shortlist contract: rerank(k, factor) top ids come from ADC top k*f
+    q = emb.filter(F.col("vec_id") < 3)
+    adc = V.ivfpq_search(spark, path, q, k=12, n_probe=8).collect()
+    rr = V.ivfpq_search(
+        spark, path, q, k=3, n_probe=8, rerank_vectors=emb, rerank_factor=4
+    ).collect()
+    adc_by_q = {}
+    for r in adc:
+        adc_by_q.setdefault(r.qid, []).append(r.vec_id)
+    for r in rr:
+        assert r.vec_id in adc_by_q[r.qid][:12]  # shortlist = ADC top k*4
