@@ -730,3 +730,66 @@ def test_incremental_exact_dups_matches_python(spark, texts, cut_frac):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- round 9
+
+_HAN = "数据处理引擎中文文本分词索引搜索查询排序扫描连接哈希聚合订单客户零件窗口向量火花纯深度学习"
+
+
+@given(
+    st.text(alphabet=_HAN, min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_fmm_segmentation_is_a_lossless_cover(run):
+    # dictionary segmentation must partition the run: concatenating the
+    # tokens reproduces the input exactly, every token non-empty
+    from deva_spark.functions.cjk import _fmm_segment
+
+    toks = _fmm_segment(run)
+    assert all(toks)
+    assert "".join(toks) == run
+
+
+@given(st.text(alphabet=_HAN, min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_bigram_segmentation_count_invariant(run):
+    from deva_spark.functions.cjk import _bigram_segment
+
+    toks = _bigram_segment(run)
+    assert len(toks) == max(len(run) - 1, 1)
+    assert all(len(t) == (1 if len(run) == 1 else 2) for t in toks)
+    # every bigram is a substring at its position (sliding cover)
+    for i, t in enumerate(toks):
+        assert run[i : i + len(t)] == t
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll",), max_codepoint=0x7A
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.recursive(
+            st.none()
+            | st.booleans()
+            | st.integers(min_value=-(2**31), max_value=2**31)
+            | st.text(max_size=20),
+            lambda children: st.lists(children, max_size=3),
+            max_leaves=5,
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_config_store_roundtrips_arbitrary_json(tmp_path_factory, kv):
+    from deva_spark.sources.config import ConfigStore
+
+    cs = ConfigStore(str(tmp_path_factory.mktemp("cfg") / "c.db"))
+    for k, v in kv.items():
+        cs.set(f"ns.{k}", v)
+    for k, v in kv.items():
+        assert cs.get(f"ns.{k}") == v
