@@ -90,17 +90,17 @@ def _get_jieba():
     return _JIEBA
 
 
-def _fmm_segment(run: str) -> list[str]:
-    """Forward maximum matching over the vendored lexicon: at each
-    position take the LONGEST dictionary word; out-of-vocabulary chars
-    emit as singletons (the standard dictionary-segmentation contract —
+def _fmm(run: str, lexicon: frozenset, max_word: int) -> list[str]:
+    """Forward maximum matching over ``lexicon``: at each position take
+    the LONGEST dictionary word; out-of-vocabulary chars emit as
+    singletons (the standard dictionary-segmentation contract —
     deterministic, linear in the run length)."""
     out: list[str] = []
     i, n = 0, len(run)
     while i < n:
-        for ln in range(min(_MAX_WORD, n - i), 1, -1):
+        for ln in range(min(max_word, n - i), 1, -1):
             cand = run[i : i + ln]
-            if cand in _LEXICON:
+            if cand in lexicon:
                 out.append(cand)
                 i += ln
                 break
@@ -108,6 +108,11 @@ def _fmm_segment(run: str) -> list[str]:
             out.append(run[i])
             i += 1
     return out
+
+
+def _fmm_segment(run: str) -> list[str]:
+    """Driver-side FMM over the CURRENT module lexicon."""
+    return _fmm(run, frozenset(_LEXICON), _MAX_WORD)
 
 
 def _bigram_segment(run: str) -> list[str]:
@@ -132,18 +137,30 @@ def _tokenize_one(text: str, han_segment) -> list[str]:
     return out
 
 
-def _auto_segment(run: str) -> list[str]:
-    jieba = _get_jieba()
-    if jieba is not None:  # pragma: no cover
-        return [t for t in jieba.cut(run) if t.strip()]
-    return _fmm_segment(run)
-
-
-@pandas_udf(ArrayType(StringType()))
-def tokenize_cjk(texts: pd.Series) -> pd.Series:
+def tokenize_cjk(text_col: Column) -> Column:
     """array<string> tokens: jieba segmentation when available, the
-    vendored dictionary FMM otherwise; whitespace for non-Han spans."""
-    return texts.map(lambda t: _tokenize_one(t, _auto_segment))
+    vendored dictionary FMM otherwise; whitespace for non-Han spans.
+
+    A FACTORY, not a static UDF: the lexicon snapshot (including any
+    :func:`add_words` extensions) is captured into the UDF closure HERE
+    and pickled to the executors — a module-level UDF would be rebuilt
+    by each worker's fresh import of this module, silently dropping
+    driver-side ``add_words`` (the jieba ``add_word`` contract would
+    break with no error)."""
+    lexicon = frozenset(_LEXICON)
+    max_word = _MAX_WORD
+
+    def _segment(run: str) -> list[str]:
+        jieba = _get_jieba()
+        if jieba is not None:  # pragma: no cover
+            return [t for t in jieba.cut(run) if t.strip()]
+        return _fmm(run, lexicon, max_word)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _tokenize_one(t, _segment))
+
+    return _tok(text_col)
 
 
 @pandas_udf(ArrayType(StringType()))

@@ -203,7 +203,11 @@ def fetch_stage_cached(
     The cache table is append-only parquet; racing crawls can land
     duplicate hash rows, deduped at read (same discipline as
     llm_stage_cached). At 100 TB the cache join is a hash join on
-    16-byte digests — bodies shuffle only for the miss set."""
+    16-byte digests — bodies shuffle only for the miss set.
+
+    ``keep_runs`` (in ``fetch_kwargs``, default 3): miss fetches
+    materialize once into a ``<cache>_runs/<id>`` dir (they feed two
+    consumers); only the newest ``keep_runs`` run dirs are kept."""
     spark = df.sparkSession
 
     def read_cache() -> DataFrame:
@@ -213,7 +217,13 @@ def fetch_stage_cached(
             c = spark.createDataFrame([], "_uh string, _cbody string")
         return c.dropDuplicates(["_uh"])
 
-    hashed = df.withColumn("_uh", F.md5(F.col(url_col)))
+    # md5(NULL) is NULL and NULL join keys never match — a NULL-url row
+    # would lose its captured fetch error at the re-join and be re-tried
+    # on every crawl; hash a sentinel instead so the row flows through
+    # the same paths (the fetcher itself reports the bad input per-row)
+    hashed = df.withColumn(
+        "_uh", F.md5(F.coalesce(F.col(url_col), F.lit("<null-url>")))
+    )
     joined = hashed.join(read_cache(), "_uh", "left")
     misses = (
         joined.filter(F.col("_cbody").isNull())
@@ -222,6 +232,7 @@ def fetch_stage_cached(
     )
     if misses.take(1):
         import os
+        import shutil
         import uuid
 
         # materialize the miss fetches EXACTLY ONCE: the result feeds two
@@ -229,7 +240,20 @@ def fetch_stage_cached(
         # re-run the network stage per consumer. The run dir doubles as
         # the crawl audit trail (llm_stage_cached has one consumer, so it
         # writes the cache directly; here the single write is the run).
-        run_path = os.path.join(f"{cache_path}_runs", uuid.uuid4().hex[:12])
+        # Bounded: keep the newest `keep_runs` run dirs — a recurring
+        # crawl with one permanently-failing URL would otherwise grow a
+        # new full-bodies dir per invocation forever. Pruned dirs belong
+        # to PRIOR invocations whose returned plans are long consumed.
+        keep_runs = int(fetch_kwargs.pop("keep_runs", 3))
+        runs_root = f"{cache_path}_runs"
+        if os.path.isdir(runs_root):
+            old = sorted(
+                (os.path.join(runs_root, d) for d in os.listdir(runs_root)),
+                key=os.path.getmtime,
+            )
+            for d in old[: max(0, len(old) - (keep_runs - 1))]:
+                shutil.rmtree(d, ignore_errors=True)
+        run_path = os.path.join(runs_root, uuid.uuid4().hex[:12])
         fetch_stage(
             misses, url_col, "_fbody", "_ferr", fetcher, **fetch_kwargs
         ).write.parquet(run_path)

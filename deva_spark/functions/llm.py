@@ -188,8 +188,13 @@ def llm_stage(
 
     from deva_spark.functions.http import _RateGate, fetch_with_policy, is_retryable
 
-    # precedence: explicit client > env-configured real endpoint > stub
-    call = client or env_llm_client() or deterministic_stub_client
+    # explicit client, else the deterministic stub. The env-configured
+    # real endpoint is NEVER an implicit default: oracle-paired registry
+    # queries call this with client=None, and an ambient DEVA_LLM_* var
+    # silently flipping them onto a paid endpoint would make their
+    # results environment-dependent (the x98 defect class, VERDICT r8
+    # #1). Pipelines opt in explicitly: client=env_llm_client().
+    call = client or deterministic_stub_client
     fields = df.schema.fieldNames()
     # fresh StructType — StructType.add would mutate the DataFrame's cached
     # schema object in place and corrupt downstream analysis
@@ -269,8 +274,10 @@ def llm_stage_json(
     )
     keys = [f.name for f in schema.fields]
     if client is None:
-        # env-configured real endpoint (json_mode on) beats the stub
-        client = env_llm_client(json_mode=True) or partial(
+        # deterministic stub only — see llm_stage: the env endpoint is
+        # explicit opt-in (client=env_llm_client(json_mode=True)), never
+        # an ambient default under a hash-checked registry query
+        client = partial(
             schema_stub_json_client,
             {f.name: f.dataType.simpleString() for f in schema.fields},
         )

@@ -120,9 +120,12 @@ def _build_shingle5_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc DISTINCT 5-gram counts ``(doc_id, n)`` — the bounded size
     table the incremental overlap tier reads instead of re-aggregating
     the full shingle index (sizes are per-doc constants, so the table
-    appends with the index — the `old_sizes=` contract)."""
+    appends with the index — the `old_sizes=` contract). Derives from
+    the shared shingle5 artifact tier, so staging both pays the corpus
+    tokenize+explode ONCE (staged parquet or the persisted session
+    cache), never a second raw-documents pass."""
     return (
-        _build_shingle5_hashes(spark, sf_dir)
+        _shared_artifact(spark, sf_dir, "shingle5")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

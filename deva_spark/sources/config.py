@@ -22,6 +22,7 @@ JSON-encoded so types round-trip.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sqlite3
@@ -71,10 +72,19 @@ class ConfigStore:
                 "(path TEXT PRIMARY KEY, value TEXT NOT NULL)"
             )
 
-    def _conn(self) -> sqlite3.Connection:
+    @contextlib.contextmanager
+    def _conn(self):
+        # connect-per-op keeps the store fork/thread-safe; the explicit
+        # close matters — sqlite's context manager only commits, so a
+        # bare `with connect()` leaks the fd (and WAL -wal/-shm handles)
+        # until GC on every call
         c = sqlite3.connect(self.path, timeout=30.0)
-        c.execute("PRAGMA journal_mode=WAL")
-        return c
+        try:
+            c.execute("PRAGMA journal_mode=WAL")
+            with c:  # transaction: commit on success, rollback on error
+                yield c
+        finally:
+            c.close()
 
     def _env_key(self, path: str) -> str:
         return f"{self.env_prefix}_{path.replace('.', '_').upper()}"
@@ -146,15 +156,18 @@ def llm_client_from_config(store: ConfigStore, namespace: str = "llm"):
     ``base_url`` is unset so callers fall back to the env/stub chain."""
     from deva_spark.functions.llm import OpenAIChatClient
 
-    ns = store.namespace(namespace)
-    base = ns.get("base_url") or store.get(f"{namespace}.base_url")
+    # per-key store.get, not namespace(): env-only keys (DEVA_LLM_MODEL
+    # set, nothing stored) must resolve too — namespace() can only apply
+    # overrides to keys that exist in the db
+    g = lambda k, d=None: store.get(f"{namespace}.{k}", d)  # noqa: E731
+    base = g("base_url")
     if not base:
         return None
     return OpenAIChatClient(
         base,
-        ns.get("model", "default"),
-        api_key=ns.get("api_key"),
-        temperature=float(ns.get("temperature", 0.0)),
+        g("model", "default"),
+        api_key=g("api_key"),
+        temperature=float(g("temperature", 0.0)),
     )
 
 
@@ -162,8 +175,11 @@ def missing_llm_config(store: ConfigStore, namespace: str = "llm") -> list[str]:
     """Which required llm keys are absent (reference
     ``get_missing_llm_config``) — the preflight a pipeline runs before
     scheduling an annotation stage."""
-    ns = store.namespace(namespace)
-    return [k for k in ("base_url", "model", "api_key") if not ns.get(k)]
+    return [
+        k
+        for k in ("base_url", "model", "api_key")
+        if not store.get(f"{namespace}.{k}")
+    ]
 
 
 def dtalk_config(store: ConfigStore, namespace: str = "dtalk") -> dict[str, Any]:
@@ -198,5 +214,4 @@ def missing_config(
 ) -> list[str]:
     """Generic preflight: which required keys are absent from a
     namespace (the ``get_missing_*_config`` family generalized)."""
-    ns = store.namespace(namespace)
-    return [k for k in required if not ns.get(k)]
+    return [k for k in required if not store.get(f"{namespace}.{k}")]

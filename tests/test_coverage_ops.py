@@ -239,6 +239,20 @@ def test_cjk_fmm_longest_match_and_add_words():
     assert _fmm_segment("深度学习") == ["深度学习"]
 
 
+def test_cjk_add_words_reaches_executors(spark):
+    # the factory captures the lexicon snapshot into the UDF closure, so
+    # a driver-side add_words survives the worker's fresh module import
+    from deva_spark.functions import cjk
+
+    try:
+        cjk.add_words(["机器学习"])
+        df = spark.createDataFrame([(1, "机器学习引擎")], "id int, text string")
+        out = df.select(cjk.tokenize_cjk(F.col("text")).alias("t")).collect()
+        assert list(out[0].t) == ["机器学习", "引擎"]
+    finally:
+        cjk._LEXICON.discard("机器学习")
+
+
 def test_cjk_bigram_analyzer_explicit(spark):
     # the deterministic cross-engine analyzer (x104's oracle twin):
     # bigrams unconditionally, regardless of lexicon/jieba

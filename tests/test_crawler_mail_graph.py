@@ -101,6 +101,21 @@ def test_fetch_stage_cached_recrawl_zero_network(spark, tmp_path):
     assert len(os.listdir(spool)) == 4  # unchanged
     assert all(r.body and r.fetch_error is None for r in third)
 
+    # a NULL url must surface its per-row error (md5(NULL) would make a
+    # NULL join key and silently drop the captured error)
+    withnull = spark.createDataFrame(
+        [("https://a.example/1",), (None,)], "url string"
+    )
+    rows = {r.url: r for r in H.fetch_stage_cached(
+        withnull, cache, fetcher=fetcher, base_delay=0.01).collect()}
+    assert rows["https://a.example/1"].body  # still a cache hit
+    assert rows[None].body is None and rows[None].fetch_error
+
+    # run dirs are pruned to keep_runs (several crawls above, each with
+    # an uncached failure, created one run dir apiece)
+    runs_root = cache + "_runs"
+    assert len(os.listdir(runs_root)) <= 3
+
 
 def test_rate_gate_spaces_starts():
     gate = H._RateGate(100.0)  # 10 ms spacing

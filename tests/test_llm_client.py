@@ -104,13 +104,29 @@ def test_openai_client_json_mode(spark, chat_server):
 
 
 def test_env_llm_client_wiring(spark, chat_server, monkeypatch):
+    # env config is EXPLICIT opt-in (client=env_llm_client()) — never an
+    # ambient default, so oracle-paired queries with client=None can't
+    # silently flip onto a paid endpoint
     monkeypatch.setenv("DEVA_LLM_BASE_URL", chat_server)
     monkeypatch.setenv("DEVA_LLM_MODEL", "env-model")
     monkeypatch.delenv("DEVA_LLM_API_KEY", raising=False)
     df = spark.createDataFrame([("via env",)], "prompt string")
-    out = llm.llm_stage(df, base_delay=0.01).collect()[0]
+    out = llm.llm_stage(
+        df, client=llm.env_llm_client(), base_delay=0.01
+    ).collect()[0]
     assert out.completion == "echo:via env"
     assert any(r["body"]["model"] == "env-model" for r in _ChatHandler.requests)
+
+
+def test_llm_stage_default_stays_stub_even_with_env_set(spark, chat_server, monkeypatch):
+    # registry queries call with client=None: DEVA_LLM_* must NOT change
+    # their results (the x98 env-dependence defect class)
+    monkeypatch.setenv("DEVA_LLM_BASE_URL", chat_server)
+    before = len(_ChatHandler.requests)
+    df = spark.createDataFrame([("p1",)], "prompt string")
+    out = llm.llm_stage(df).collect()[0]
+    assert out.completion.startswith("stub:")
+    assert len(_ChatHandler.requests) == before  # zero network calls
 
 
 def test_env_llm_client_absent_falls_back_to_stub(spark, monkeypatch):
