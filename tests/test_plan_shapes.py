@@ -266,10 +266,16 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         spark,
         sf_dir,
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
-         "shingle5", "shingle5_src", "simhash_fps", "emb_base", "ivf16",
+         "shingle5", "shingle5_sizes", "shingle5_src", "simhash_fps",
+         "emb_base", "ivf16", "ivfpq16", "ivfpq_app", "li_zorder",
          "subwin8g", "subpos8", "subpos8g", "dup_assign450", "dup_assign"],
     )
     for name in (
+        "x101_ivfpq_adc_search",
+        "x102_ivfpq_rerank_search",
+        "x103_ivfpq_append_search",
+        "x105_zorder_staged_box_scan",
+        "x86_incremental_shingle_overlap",
         "x15_corpus_curation",
         "x89_retract_clusters",
         "x90_keep_best_per_cluster",
