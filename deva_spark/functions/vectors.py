@@ -403,6 +403,58 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_grouped(
+    base: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Bucket-local formulation of :func:`cosine_neardup_pairs` over a
+    precomputed ``(vid, e, n, bs)`` base — identical results, different
+    shuffle shape: instead of materializing the candidate PAIR set and
+    joining each pair back to two embedding rows (the pair join ships
+    ~2 x dim doubles PER PAIR — the dominant cost once buckets grow),
+    every (table, bucket) group computes its pairwise cosines LOCALLY
+    with one numpy gram per group (the semdedup_pairs shape), emits only
+    qualifying pairs, and a global DISTINCT collapses pairs that
+    collide in several tables (the cosine is a pure function of the two
+    vectors, so every table computes the identical rounded double).
+
+    Shuffle inventory: each vector ships once per table
+    (n_tables x dim doubles per VECTOR, not per pair) + the bounded
+    qualifying-pair set. 4dp HALF_UP before the threshold keeps the
+    cross-engine contract; (id_a < id_b) ordering matches the pair-join
+    route exactly (parity-tested)."""
+    exploded = base.select(
+        "vid", "e", F.posexplode("bs").alias("t", "b")
+    )
+
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(pdf["e"].to_numpy())[order].astype(np.float64)
+        u = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        raw = u @ u.T
+        s = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+        iu = np.triu_indices(len(ids), 1)
+        keep = s[iu] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "cos": s[iu][keep],
+            }
+        )
+
+    return (
+        exploded.groupBy("t", "b")
+        .applyInPandas(_bucket_pairs, "id_a long, id_b long, cos double")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def incremental_cosine_neardup(
     new_base: DataFrame,
     old_base: DataFrame,

@@ -727,3 +727,32 @@ def test_nfkc_fold_collapses_unicode_variants(spark):
         F.md5(T.nfkc_fold(F.col("text"))).alias("fp")
     ).na.drop().distinct().count()
     assert keys == 2
+
+
+def test_cosine_neardup_grouped_matches_pair_join_route(spark):
+    # the bucket-local gram formulation must be BIT-IDENTICAL to the
+    # candidate-pair-join route (same rounded doubles, same pair set) —
+    # x23 rides the grouped route on this contract
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base_v = rng.randn(40, 64)
+    rows = []
+    for i in range(40):
+        rows.append((i, base_v[i].tolist()))
+        # planted near-dups: small perturbations collide in buckets
+        if i % 5 == 0:
+            rows.append((100 + i, (base_v[i] + 0.01 * rng.randn(64)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = V.neardup_base(emb).persist()
+    base.count()
+    try:
+        old = sorted(
+            map(tuple, V.cosine_neardup_pairs(emb, threshold=0.3, base=base).collect())
+        )
+        new = sorted(
+            map(tuple, V.cosine_neardup_pairs_grouped(base, threshold=0.3).collect())
+        )
+        assert old == new and len(old) > 0
+    finally:
+        base.unpersist()
