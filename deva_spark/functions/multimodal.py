@@ -53,9 +53,44 @@ def png_dimensions(content: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """REAL header parse: walk the JPEG marker stream to the first
+    frame header (SOF0-SOF15, excluding DHT/DAC/RST) and read
+    height/width — no decoder, bounded by the header segment sizes.
+    JPEG is the dominant format of any web-scale image corpus, so the
+    metadata pass must handle it without a codec dependency."""
+    if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(content)
+    while i + 3 < n:
+        if content[i] != 0xFF:
+            return None  # marker desync — corrupt stream
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = _struct.unpack(">H", content[i + 2 : i + 4])[0]
+        # SOFn frame headers: C0-CF except C4 (DHT), C8 (JPG ext), CC (DAC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = _struct.unpack(">HH", content[i + 5 : i + 9])
+            return int(w), int(h)
+        if marker == 0xDA:  # start of scan — no frame header seen
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def extract_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Populate metadata from payload headers (PNG today; other container
-    formats slot in beside it). Runs as one Arrow batch pass."""
+    """Populate metadata from payload headers (PNG/JPEG/WAV today; other
+    container formats slot in beside them). Runs as one Arrow batch
+    pass."""
     out_schema = df.schema
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -64,10 +99,14 @@ def extract_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             for content, meta in zip(pdf[content_col], pdf["meta"]):
                 m = dict(meta) if meta is not None else {}
                 dims = png_dimensions(content)
+                jdims = jpeg_dimensions(content)
                 wav = wav_info(content)
                 if dims:
                     m["width"], m["height"] = dims
                     m["mime"] = "image/png"
+                elif jdims:
+                    m["width"], m["height"] = jdims
+                    m["mime"] = "image/jpeg"
                 elif wav:
                     m["sample_rate"], _nch, m["n_frames"] = wav
                     m["mime"] = "audio/wav"

@@ -319,3 +319,40 @@ def test_default_video_decoder_dispatches_gif(spark):
     clip_full = mm.decode_gif(gif)
     pooled = clip_full.reshape(4, 4, 3, 4, 3, 3).mean(axis=(2, 4, 5)).reshape(4, 16)
     assert np.allclose(out.features, pooled.mean(axis=0), atol=1e-5)
+
+
+def _mini_jpeg(w: int, h: int, sof: int = 0xC0) -> bytes:
+    import struct
+
+    return (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0\x00\x04JF"  # APP0, len 4
+        + b"\xff\xc4\x00\x05\x00\x00\x00"  # DHT (must be skipped, not SOF)
+        + bytes([0xFF, sof])
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + b"\x01\x11\x00"  # one component
+    )
+
+
+def test_jpeg_dimensions_marker_walk():
+    from deva_spark.functions.multimodal import jpeg_dimensions
+
+    assert jpeg_dimensions(_mini_jpeg(320, 256)) == (320, 256)
+    # progressive (SOF2) parses the same frame header
+    assert jpeg_dimensions(_mini_jpeg(64, 48, sof=0xC2)) == (64, 48)
+    # non-JPEG, truncated, and marker-desync inputs return None
+    assert jpeg_dimensions(b"\x89PNG\r\n\x1a\n") is None
+    assert jpeg_dimensions(_mini_jpeg(320, 256)[:8]) is None
+    assert jpeg_dimensions(b"\xff\xd8junk") is None
+    assert jpeg_dimensions(None) is None
+
+
+def test_extract_meta_jpeg(spark):
+    from deva_spark.functions.multimodal import extract_meta, media_table
+
+    df = media_table(
+        spark, [(1, "image", bytearray(_mini_jpeg(100, 60)), None)]
+    )
+    row = extract_meta(df).collect()[0]
+    assert row.meta.width == 100 and row.meta.height == 60
+    assert row.meta.mime == "image/jpeg"
