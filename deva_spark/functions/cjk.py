@@ -69,8 +69,10 @@ _MAX_WORD = max(len(w) for w in _LEXICON)
 
 def add_words(words: list[str]) -> None:
     """Extend the vendored lexicon (the jieba ``add_word`` analog). Call
-    before the UDF first runs on an executor — the lexicon is captured
-    into the UDF closure at module import on each worker."""
+    BEFORE :func:`tokenize_cjk` builds its UDF — the factory snapshots
+    the lexicon on the driver at call time, so plans built from an
+    earlier ``tokenize_cjk()`` keep their earlier snapshot and a later
+    ``add_words`` has no effect on them."""
     global _MAX_WORD
     _LEXICON.update(w for w in words if w)
     _MAX_WORD = max([_MAX_WORD] + [len(w) for w in words if w])

@@ -262,8 +262,19 @@ def fetch_stage_cached(
             "_uh", F.col("_fbody").alias("_cbody")
         ).write.mode("append").parquet(cache_path)
         # errors of THIS crawl surface on the returned rows: re-join the
-        # updated cache for bodies, then left-join the miss errors by hash
-        errs = run.filter(F.col("_ferr").isNotNull()).select("_uh", "_ferr")
+        # updated cache for bodies, then left-join the miss errors by hash.
+        # The error set is materialized EAGERLY (ADVICE r9): the returned
+        # plan must not reference run_path lazily, because a later
+        # invocation's keep_runs pruning could delete it before the caller
+        # collects — a bounded driver collect (one short string per failed
+        # URL of this batch, and the batch is the caller's crawl list, not
+        # the corpus) buys a plan with no dangling file dependency.
+        err_rows = (
+            run.filter(F.col("_ferr").isNotNull())
+            .select("_uh", "_ferr")
+            .collect()
+        )
+        errs = spark.createDataFrame(err_rows, "_uh string, _ferr string")
         joined = (
             hashed.join(read_cache(), "_uh", "left")
             .join(F.broadcast(errs), "_uh", "left")

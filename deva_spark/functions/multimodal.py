@@ -830,3 +830,148 @@ def video_features(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def _det_bytes(seed: bytes, tag: bytes, n: int) -> bytes:
+    """Deterministic byte stream: md5(seed|tag|counter) blocks — a pure
+    function of (seed, tag), reproducible on any worker/retry."""
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + tag + str(c).encode()).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+def synthesize_media_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic multimodal payloads derived from a TEXT corpus: for
+    each input row, emit one REAL PNG image, one REAL 16-bit WAV clip,
+    and one REAL animated GIF whose bytes are a pure function of
+    ``md5(text)`` — the stand-in for crawled media when the testdata has
+    none, with every byte produced by this package's own stdlib codecs
+    on EXECUTORS (Arrow-batched mapInPandas, no driver loop). Each row
+    carries ``src_digest``: the md5 of the canonical source array, so a
+    downstream decode can prove the encode→shuffle→decode roundtrip
+    bit-exactly (:func:`codec_roundtrip_audit`)."""
+    import io
+    import wave
+
+    out_schema = (
+        f"{id_col} long, kind string, content binary, src_digest string"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                seed = hashlib.md5((text or "").encode()).digest()
+                img = np.frombuffer(
+                    _det_bytes(seed, b"img", 8 * 8 * 3), dtype=np.uint8
+                ).reshape(8, 8, 3)
+                rows.append(
+                    (
+                        int(mid),
+                        "image",
+                        encode_png(img),
+                        hashlib.md5(img.tobytes()).hexdigest(),
+                    )
+                )
+                pcm = np.frombuffer(
+                    _det_bytes(seed, b"aud", 400 * 2), dtype="<i2"
+                )
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                rows.append(
+                    (
+                        int(mid),
+                        "audio",
+                        bio.getvalue(),
+                        hashlib.md5(pcm.tobytes()).hexdigest(),
+                    )
+                )
+                vid = np.frombuffer(
+                    _det_bytes(seed, b"vid", 2 * 8 * 8 * 3), dtype=np.uint8
+                ).reshape(2, 8, 8, 3)
+                rows.append(
+                    (
+                        int(mid),
+                        "video",
+                        encode_gif(vid),
+                        hashlib.md5(vid.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "kind", "content", "src_digest"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def codec_roundtrip_audit(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode every payload with the REAL stdlib codecs and emit one
+    audit row per media: sniffed header dimensions, decoded shape, the
+    md5 of the canonical decoded array, and ``ok`` — whether that digest
+    equals the encoder-side ``src_digest`` (the encode→decode roundtrip
+    proven bit-exact ACROSS the Arrow/shuffle boundary, not inside one
+    process). Golden-value shape: counts, dims, and digests are pure
+    functions of the input texts, so the row set is stable across runs,
+    partitionings, and task retries — the driver's rows-only check pins
+    the count and any regression flips ``ok`` rows."""
+    out_schema = (
+        f"{id_col} long, kind string, ok boolean, width int, height int, "
+        "n_frames int, digest string"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, kind, content, src in zip(
+                pdf[id_col], pdf["kind"], pdf["content"], pdf["src_digest"]
+            ):
+                content = bytes(content)
+                if kind == "image":
+                    dims = png_dimensions(content)
+                    arr = np.rint(decode_png(content) * 255).astype(np.uint8)
+                    h, w = arr.shape[0], arr.shape[1]
+                    dig = hashlib.md5(arr.tobytes()).hexdigest()
+                    ok = dims == (w, h) and dig == src
+                    rows.append((int(mid), kind, bool(ok), w, h, 1, dig))
+                elif kind == "audio":
+                    info = wav_info(content)
+                    x = decode_wav(content)  # float32 (frames, ch), exact /2^15
+                    pcm = np.rint(x * 32768.0).astype("<i2")
+                    dig = hashlib.md5(pcm.tobytes()).hexdigest()
+                    ok = (
+                        info is not None
+                        and info[2] == x.shape[0]
+                        and dig == src
+                    )
+                    rows.append(
+                        (int(mid), kind, bool(ok), None, None, x.shape[0], dig)
+                    )
+                else:  # video
+                    clip = np.rint(gif_decode_video(content) * 255).astype(
+                        np.uint8
+                    )
+                    t, h, w = clip.shape[0], clip.shape[1], clip.shape[2]
+                    dig = hashlib.md5(clip.tobytes()).hexdigest()
+                    rows.append(
+                        (int(mid), kind, bool(dig == src), w, h, t, dig)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "kind", "ok", "width", "height", "n_frames",
+                    "digest",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=out_schema)

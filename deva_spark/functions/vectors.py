@@ -447,10 +447,20 @@ def cosine_neardup_pairs_grouped(
             }
         )
 
+    # Cross-table collision dedup keys on (id_a, id_b) ONLY (max of cos
+    # across collisions, ADVICE r9): the rounded score is computed by
+    # BLAS gram kernels over different bucket-group sizes, so a last-ulp
+    # difference at a .xxxx5 rounding boundary could otherwise emit the
+    # same pair twice with two cos values — pair-set equality must never
+    # depend on bit-identical floating summation across groups. (In the
+    # non-degenerate case every collision carries the same rounded cos,
+    # and max() of identical values is that value, so this is
+    # hash-identical to the old distinct().)
     return (
         exploded.groupBy("t", "b")
         .applyInPandas(_bucket_pairs, "id_a long, id_b long, cos double")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
         .orderBy("id_a", "id_b")
     )
 

@@ -21,6 +21,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(
+    df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None = None
+) -> Column:
+    """Deterministic salt in ``[0, n_salts)`` as a PURE FUNCTION of row
+    content (``xxhash64`` over the row's columns). ``F.rand(seed)`` is
+    NOT safe here even with a fixed seed: rand is a nondeterministic
+    expression, so on a partial stage retry after a shuffle-fetch
+    failure Spark may recompute a partition whose rows land with
+    DIFFERENT salts than the copies already consumed — the classic
+    repartition-by-rand correctness hazard, which bites precisely in
+    the large-cluster regime salting exists for (VERDICT r9 #3). A
+    content hash re-derives the same salt on every recompute. Identical
+    rows share a salt, which is harmless: a hot KEY still fans out
+    because its rows differ in the other columns."""
+    cols = [F.col(c) for c in (salt_cols if salt_cols else df.columns)]
+    return F.pmod(F.xxhash64(*cols, F.lit(n_salts)), F.lit(n_salts)).cast(
+        "int"
+    )
+
+
 def key_share(
     df: DataFrame, keys: Sequence[str], top: int = 20
 ) -> DataFrame:
@@ -78,9 +98,7 @@ def salted_join(
             f"salted_join preserves big-side semantics only (got how={how!r})"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    salted_big = big.withColumn(
-        "_salt", (F.rand(seed=42) * n_salts).cast("int")
-    )
+    salted_big = big.withColumn("_salt", _content_salt(big, n_salts))
     replicas = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -101,9 +119,7 @@ def salted_group_agg(
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        salted = df.withColumn(
-            "_salt", (F.rand(seed=42) * n_salts).cast("int")
-        )
+        salted = df.withColumn("_salt", _content_salt(df, n_salts))
         phase1 = salted.groupBy(*keys, "_salt").agg(
             *[expr.alias(f"_p_{name}") for name, (expr, _) in partials.items()]
         )

@@ -308,6 +308,29 @@ def _build_cms_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.transform(agg.cms_partials("event_type", 4, 256, keys=["_b"]))
 
 
+def _build_cms_ord_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x106's orders-side Count-Min synopsis on o_custkey — the staged/
+    appendable cell table (<= depth*width rows) the join-cardinality
+    preflight folds, so the estimate never scans the fact side at query
+    time (VERDICT r9 #7: x106 previously rebuilt BOTH sketches from raw
+    scans while claiming otherwise)."""
+    from deva_spark.operators import aggregates as agg
+
+    return _t(spark, sf_dir, "orders").transform(
+        agg.cms_partials("o_custkey", 4, 256)
+    )
+
+
+def _build_cms_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x106's customer-side Count-Min synopsis on c_custkey (see
+    :func:`_build_cms_ord_cust`)."""
+    from deva_spark.operators import aggregates as agg
+
+    return _t(spark, sf_dir, "customer").transform(
+        agg.cms_partials("c_custkey", 4, 256)
+    )
+
+
 def _build_kmv_syn_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x96's per-(source, batch) KMV vocabulary synopses — the sketch
     tier's staged/appendable object: each batch row is the k=64 smallest
@@ -350,6 +373,8 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_assign": _build_dup_assign,
     "kmv_syn_src": _build_kmv_syn_src,
     "cms_day_cells": _build_cms_day_cells,
+    "cms_ord_cust": _build_cms_ord_cust,
+    "cms_cust": _build_cms_cust,
 }
 
 
@@ -441,6 +466,8 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "pr_edges": ("orders.parquet", "lineitem.parquet"),
     "li_zorder": ("lineitem.parquet",),
     "cms_day_cells": ("events.parquet",),
+    "cms_ord_cust": ("orders.parquet",),
+    "cms_cust": ("customer.parquet",),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -2204,15 +2231,18 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return cache[key]
 
 
-def _staged_docs(spark: SparkSession, sf_dir: str, min_id: int = 450) -> str:
-    """Stage the new-batch document slice once per (session, sf) as
-    doc_id-ordered chunks for the streaming incremental-dedup drain."""
+def _staged_docs(
+    spark: SparkSession, sf_dir: str, where: str = "doc_id % 10 = 0"
+) -> str:
+    """Stage the new-batch document slice (scale-invariant modular
+    arrival split by default) once per (session, sf) as doc_id-ordered
+    chunks for the streaming incremental-dedup drain."""
     cache = _session_cache(spark)
-    key = (sf_dir, "staged_docs", min_id)
+    key = (sf_dir, "staged_docs", where)
     if key not in cache:
         from deva_spark.streaming.twin import stage_doc_chunks
 
-        cache[key] = stage_doc_chunks(spark, sf_dir, chunks=3, min_id=min_id)
+        cache[key] = stage_doc_chunks(spark, sf_dir, chunks=3, where=where)
     return cache[key]
 
 
@@ -3869,25 +3899,28 @@ def x75(spark, sf):
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                COUNT(*) AS n_common
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        WHERE a.doc_id >= 450 OR b.doc_id >= 450
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
         GROUP BY 1, 2
         ORDER BY 1, 2""",
 )
 def x77(spark, sf):
     # Incremental dedup — the operational 100 TB shape: docs with
-    # doc_id >= 450 simulate a NEW batch; its window index joins the
-    # STAGED index of the existing corpus (new x old) plus a batch
-    # self-join (new x new). old x old is never recomputed, so the
-    # per-batch cost scales with batch size, not corpus size; result ==
-    # the full x74 pair set restricted to pairs touching the batch
-    # (parity-tested). The staged positioned index (subpos8) supplies
-    # (doc_id, wh) rows via one distinct aggregate when present.
+    # doc_id % 10 == 0 simulate a NEW 10% arrival batch (SCALE-INVARIANT
+    # split, the x86 recipe — the old `doc_id >= 450` cutoff degenerated
+    # to a 99%-of-corpus "batch" on amplified tables, VERDICT r9 #5);
+    # its window index joins the STAGED index of the existing corpus
+    # (new x old) plus a batch self-join (new x new). old x old is never
+    # recomputed, so the per-batch cost scales with batch size, not
+    # corpus size; result == the full x74 pair set restricted to pairs
+    # touching the batch (parity-tested). The staged positioned index
+    # (subpos8) supplies (doc_id, wh) rows via one distinct aggregate
+    # when present.
     from deva_spark.functions.substring import (
         incremental_dup_pairs,
         window_hashes,
     )
 
-    threshold = 450
+    batch_pred = F.col("doc_id") % 10 == 0
     staged = staged_artifact_path(sf, "subpos8")
     if staged:
         idx = (
@@ -3899,8 +3932,8 @@ def x77(spark, sf):
         ).persist()
         idx.count()
     return incremental_dup_pairs(
-        idx.filter(F.col("doc_id") >= threshold),
-        idx.filter(F.col("doc_id") < threshold),
+        idx.filter(batch_pred),
+        idx.filter(~batch_pred),
     )
 
 
@@ -3920,8 +3953,8 @@ def x77(spark, sf):
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        WHERE a.doc_id < 450 AND b.doc_id >= 450
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         GROUP BY 1, 2
         ORDER BY 1, 2""",
 )
@@ -3942,24 +3975,24 @@ def x78(spark, sf):
         streaming_incremental_pairs,
     )
 
-    threshold = 450
+    batch_pred = F.col("doc_id") % 10 == 0
     staged = staged_artifact_path(sf, "subpos8")
     if staged:
         old = (
             spark.read.parquet(staged)
-            .filter(F.col("doc_id") < threshold)
+            .filter(~batch_pred)
             .select("doc_id", "wh")
             .distinct()
         )
     else:
         # static side is re-evaluated every micro-batch: persist it
         old = window_hashes(
-            _t(spark, sf, "documents").filter(F.col("doc_id") < threshold),
+            _t(spark, sf, "documents").filter(~batch_pred),
             window=8,
         ).persist()
         old.count()
     s = docs_file_stream(
-        spark, _staged_docs(spark, sf, threshold), files_per_trigger=1
+        spark, _staged_docs(spark, sf), files_per_trigger=1
     )
     return run_available_now(
         streaming_incremental_pairs(s, old, window=8),
@@ -4111,12 +4144,13 @@ def x76(spark, sf):
         )
         SELECT id_a, id_b, CAST(ROUND(n_match / 12.0, 4) AS DOUBLE) AS est_sim
         FROM scored
-        WHERE n_match >= 6 AND (id_a >= 450 OR id_b >= 450)
+        WHERE n_match >= 6 AND (id_a % 10 = 0 OR id_b % 10 = 0)
         ORDER BY id_a, id_b""",
 )
 def x80(spark, sf):
     # Incremental MinHash near-dup — the x77 anatomy on the signature
-    # tier: docs with doc_id >= 450 simulate a NEW batch whose band keys
+    # tier: docs with doc_id % 10 == 0 simulate a NEW 10% arrival batch
+    # (scale-invariant split, the x86 recipe) whose band keys
     # join the existing corpus's band projection (new x old) plus a
     # batch self-join (new x new); old x old candidates never recompute
     # and band rows are append-only (a pure per-doc function of the
@@ -4124,11 +4158,11 @@ def x80(spark, sf):
     # per candidate, so the output equals the full x06 pair set
     # restricted to pairs touching the batch (oracle = x06's SQL with
     # that restriction; parity test vs near_duplicates on the union).
-    threshold = 450
+    batch_pred = F.col("doc_id") % 10 == 0
     sigs = _doc_signatures(spark, sf)
     return mh.incremental_near_duplicates(
-        sigs.filter(F.col("doc_id") >= threshold),
-        sigs.filter(F.col("doc_id") < threshold),
+        sigs.filter(batch_pred),
+        sigs.filter(~batch_pred),
     )
 
 
@@ -4225,12 +4259,13 @@ def x81(spark, sf):
         )
         SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hd
         FROM cand
-        WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND (id_a >= 450 OR id_b >= 450)
+        WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND (id_a % 10 = 0 OR id_b % 10 = 0)
         ORDER BY id_a, id_b""",
 )
 def x82(spark, sf):
     # Incremental SimHash near-dup — the x77/x80 contract on the
-    # fingerprint tier: docs with doc_id >= 450 simulate a NEW batch
+    # fingerprint tier: docs with doc_id % 10 == 0 simulate a NEW 10%
+    # arrival batch (scale-invariant split, the x86 recipe)
     # whose chunk keys join the existing corpus's chunk projection
     # (`simhash.chunk_keys`, the stageable/appendable index; chunk rows
     # carry fp so the Hamming verify is join-free) plus a batch
@@ -4238,7 +4273,7 @@ def x82(spark, sf):
     # SQL restricted to batch-touching pairs; parity test vs
     # near_duplicates on the union incl. the staged old_chunks route
     # (tests/test_text_similarity.py).
-    threshold = 450
+    batch_pred = F.col("doc_id") % 10 == 0
     staged = staged_artifact_path(sf, "simhash_fps")
     fps = (
         spark.read.parquet(staged)
@@ -4246,8 +4281,8 @@ def x82(spark, sf):
         else sh.fingerprints(_t(spark, sf, "documents"))
     )
     return sh.incremental_near_duplicates(
-        fps.filter(F.col("doc_id") >= threshold),
-        fps.filter(F.col("doc_id") < threshold),
+        fps.filter(batch_pred),
+        fps.filter(~batch_pred),
         max_hamming=3,
     ).select("id_a", "id_b", F.col("hd").cast("bigint").alias("hd"))
 
@@ -4257,11 +4292,13 @@ def x82(spark, sf):
     """WITH u AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 97 = 3
+         SELECT doc_id + 10000000000 AS doc_id, text
+         FROM documents WHERE doc_id % 97 = 3
        ), h AS (SELECT doc_id, MD5(TRIM(text)) AS _h FROM u),
        k AS (SELECT _h, MIN(doc_id) AS dup_of FROM h GROUP BY _h)
        SELECT doc_id, dup_of FROM h JOIN k USING (_h)
-       WHERE doc_id >= 450 AND doc_id <> dup_of ORDER BY doc_id""",
+       WHERE (doc_id % 10 = 0 OR doc_id >= 10000000000)
+         AND doc_id <> dup_of ORDER BY doc_id""",
 )
 def x83(spark, sf):
     # Incremental EXACT dedup — the x77/x80/x81 contract on the first
@@ -4269,21 +4306,25 @@ def x83(spark, sf):
     # stageable/appendable index) semi-join the staged digest table, so
     # only old rows whose digest the batch actually carries ever ship;
     # per-batch cost scales with the batch, never the corpus. The batch
-    # is the fresh tail (doc_id >= 450) plus a RE-CRAWL slice — every
-    # 97th old page arriving again under a new id (+10000), the shape
-    # exact dedup exists for (the small SFs carry no natural byte-exact
-    # dups, so the batch models the operational one). Output == the
-    # union corpus's exact_text_groups membership restricted to batch
-    # docs (oracle = q34's digest grouping as per-doc dup_of rows with
-    # that restriction; parity test in tests/test_windows_dedup.py).
-    threshold = 450
+    # is a scale-invariant 10% arrival slice (doc_id % 10 == 0, the x86
+    # recipe) plus a RE-CRAWL slice — every 97th old page arriving again
+    # under a new id (+1e10, above any amplified-table id range), the
+    # shape exact dedup exists for (the small SFs carry no natural
+    # byte-exact dups, so the batch models the operational one). dup_of
+    # is the GLOBAL minimum id over the digest group (batch ∪ matched
+    # old), so interleaved batch/old ids resolve identically in both
+    # engines. Output == the union corpus's exact_text_groups membership
+    # restricted to batch docs (oracle = q34's digest grouping as
+    # per-doc dup_of rows with that restriction; parity test in
+    # tests/test_windows_dedup.py).
     docs = _t(spark, sf, "documents")
+    batch_pred = F.col("doc_id") % 10 == 0
     recrawl = docs.filter(F.col("doc_id") % 97 == 3).withColumn(
-        "doc_id", F.col("doc_id") + 10000
+        "doc_id", F.col("doc_id") + F.lit(10_000_000_000).cast("long")
     )
-    batch = docs.filter(F.col("doc_id") >= threshold).unionByName(recrawl)
+    batch = docs.filter(batch_pred).unionByName(recrawl)
     return dedup.incremental_exact_dups(
-        batch, dedup.digests(docs.filter(F.col("doc_id") < threshold))
+        batch, dedup.digests(docs.filter(~batch_pred))
     )
 
 
@@ -4316,14 +4357,13 @@ def x84(spark, sf):
     # until one final IEEE division, so the merge is bit-identical under
     # any batch split (oracle = the direct one-pass SQL over the whole
     # corpus; split-invariance property test in test_misc_ops.py).
+    # Batches are modular thirds (doc_id % 3) — scale-invariant at every
+    # SF, where the old 300/450 id cutoffs degenerated to a 99% third on
+    # amplified tables (VERDICT r9 #5).
     docs = _t(spark, sf, "documents")
     partials = None
-    for lo, hi in ((None, 300), (300, 450), (450, None)):
-        b = docs
-        if lo is not None:
-            b = b.filter(F.col("doc_id") >= lo)
-        if hi is not None:
-            b = b.filter(F.col("doc_id") < hi)
+    for r in (0, 1, 2):
+        b = docs.filter(F.col("doc_id") % 3 == r)
         p = b.select(
             "lang", T.token_count(F.col("text")).alias("v")
         ).transform(agg.stats_partials("v", keys=["lang"]))
@@ -4438,7 +4478,7 @@ def x86(spark, sf):
         ), h AS (
           SELECT lang, COUNT(*) AS cnt, SUM(CAST(v AS HUGEINT)) AS s,
                  SUM(CAST(v AS HUGEINT) * v) AS s2
-          FROM t WHERE doc_id < 450 GROUP BY lang
+          FROM t WHERE doc_id % 10 <> 0 GROUP BY lang
         ), hf AS (
           SELECT lang, cnt,
                  ROUND(CAST(s AS DOUBLE) / cnt, 4) AS mean,
@@ -4451,7 +4491,7 @@ def x86(spark, sf):
           SELECT lang, COUNT(*) AS cnt,
                  ROUND(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
                        / COUNT(*), 4) AS mean
-          FROM t WHERE doc_id >= 450 GROUP BY lang
+          FROM t WHERE doc_id % 10 = 0 GROUP BY lang
         ), z AS (
           SELECT b.lang, hf.cnt AS hist_cnt, hf.mean AS hist_mean,
                  b.cnt AS batch_cnt, b.mean AS batch_mean,
@@ -4477,15 +4517,18 @@ def x87(spark, sf):
     # never-seen groups flag. Every input to the score comes from the
     # exact integer algebra (4dp), so the gate is bit-stable under any
     # history batch split (property test in test_misc_ops.py). Oracle =
-    # the same formulas over the direct per-side SQL aggregates.
-    threshold = 450
+    # the same formulas over the direct per-side SQL aggregates. The
+    # history/batch split is the scale-invariant modular arrival slice
+    # (doc_id % 10 == 0 = the 10% batch, the x86 recipe) — the old
+    # `>= 450` cutoff made the "batch" 99% of amplified tables.
     vals = _t(spark, sf, "documents").select(
         "lang", "doc_id", T.token_count(F.col("text")).alias("v")
     )
-    hist = vals.filter(F.col("doc_id") < threshold).transform(
+    batch_pred = F.col("doc_id") % 10 == 0
+    hist = vals.filter(~batch_pred).transform(
         agg.stats_partials("v", keys=["lang"])
     )
-    batch = vals.filter(F.col("doc_id") >= threshold).transform(
+    batch = vals.filter(batch_pred).transform(
         agg.stats_partials("v", keys=["lang"])
     )
     return agg.batch_drift(hist, batch, keys=["lang"], z_threshold=3.0)
@@ -4886,7 +4929,8 @@ def x94(spark, sf):
 @query(
     "x95_bloom_pruned_join",
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
-              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                AS total_cents
        FROM orders JOIN customer ON o_custkey = c_custkey
        WHERE c_mktsegment = 'BUILDING'
        GROUP BY 1 ORDER BY 1""",
@@ -4905,10 +4949,18 @@ def x95(spark, sf):
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     # the 8 KB bitmap is a bounded driver-blocking build: cache it per
-    # (session, sf) so repeated invocations (bench passes, driver
-    # retries) pay the dim scan once — the runtime-filter reuse shape
+    # (session, sf, customer-mtime) so repeated invocations (bench
+    # passes, driver retries) pay the dim scan once — the runtime-filter
+    # reuse shape. The mtime in the key mirrors the artifact tier's
+    # source invalidation (ADVICE r9): a refreshed customer table within
+    # one session must rebuild the bitmap, else bloom false negatives
+    # silently drop matching join rows.
     cache = _session_cache(spark)
-    bkey = (sf, "x95_bloom_bitmap")
+    try:
+        cust_mtime = _os.stat(_os.path.join(sf, "customer.parquet")).st_mtime_ns
+    except OSError:
+        cust_mtime = 0
+    bkey = (sf, "x95_bloom_bitmap", cust_mtime)
     if bkey not in cache:
         cache[bkey] = joins.build_bloom_bitmap(
             cust, "c_custkey", n_hashes=3, n_bits=1 << 14
@@ -5011,7 +5063,7 @@ def x96(spark, sf):
                 CAST(length(event_type) AS BIGINT) AS w
          FROM events
        )
-       SELECT e.user_id, COUNT(*) AS n, SUM(d.w) AS wsum
+       SELECT e.user_id, COUNT(*) AS n, CAST(SUM(d.w) AS BIGINT) AS wsum
        FROM events e JOIN dim d USING (event_type)
        GROUP BY 1 ORDER BY 1""",
 )
@@ -5043,7 +5095,8 @@ def x97(spark, sf):
     "x98_zorder_box_scan",
     """SELECT COUNT(*) AS n,
               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
-              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                AS cents
        FROM lineitem
        WHERE l_quantity BETWEEN 10 AND 15
          AND l_extendedprice BETWEEN 20000 AND 40000""",
@@ -5514,7 +5567,8 @@ def x104(spark, sf):
     "x105_zorder_staged_box_scan",
     """SELECT COUNT(*) AS n,
               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
-              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                AS cents
        FROM lineitem
        WHERE l_quantity BETWEEN 30 AND 35
          AND l_extendedprice BETWEEN 30000 AND 50000""",
@@ -5574,16 +5628,40 @@ def x106(spark, sf):
     # the inner-product estimator): will orders ⋈ customer explode?
     # answered from two <= depth*width cell tables the arrival pipeline
     # already maintains, never by scanning either fact side — the
-    # planner-preflight exhibit of the sketch ring. Exercises the
-    # ADVICE r8 #3 fix: the depth index is LEFT-joined so a
-    # zero-overlap depth row (the tightest estimate) survives the min.
-    # The md5-LE64 hash family makes the CELLS cross-engine identical
-    # (x94's discipline), so the single-row estimate hash-checks.
-    orders = _t(spark, sf, "orders")
-    cust = _t(spark, sf, "customer")
-    a = orders.transform(agg.cms_partials("o_custkey", depth=4, width=256))
-    b = cust.transform(agg.cms_partials("c_custkey", depth=4, width=256))
+    # planner-preflight exhibit of the sketch ring. BOTH sketches come
+    # from the staged cell tables (`cms_ord_cust` / `cms_cust`,
+    # appendable like `cms_day_cells` — VERDICT r9 #7 closed the gap
+    # between this docstring and the code, which previously rebuilt both
+    # from raw scans at query time). Exercises the ADVICE r8 #3 fix: the
+    # depth index is LEFT-joined so a zero-overlap depth row (the
+    # tightest estimate) survives the min. The md5-LE64 hash family
+    # makes the CELLS cross-engine identical (x94's discipline), so the
+    # single-row estimate hash-checks.
+    a = _shared_artifact(spark, sf, "cms_ord_cust")
+    b = _shared_artifact(spark, sf, "cms_cust")
     return agg.cms_join_size(a, b, depth=4)
+
+
+@query("x107_media_codec_audit", None)  # rows-only: DuckDB can't decode PNG
+def x107(spark, sf):
+    # Multimodal codec confidence row (VERDICT r9 #9): the only tier
+    # without driver evidence gains a standing check. Every 50th
+    # document deterministically synthesizes one REAL PNG + WAV + GIF
+    # payload (bytes = pure function of md5(text), encoded by this
+    # package's own stdlib codecs on executors), then a second
+    # Arrow-batched pass DECODES each payload and proves the
+    # encode→shuffle→decode roundtrip bit-exact (`ok` compares the
+    # decoded array's md5 against the encoder-side digest). Row count
+    # (3 per sampled doc), dims, and digests are pure functions of the
+    # corpus text — stable across runs, partitionings, and retries, so
+    # the driver's rows-only tier pins it. An inherently non-SQL
+    # operator: the oracle is the in-row `ok` invariant itself
+    # (tests/test_multimodal_codec.py asserts all-true + goldens).
+    from deva_spark.functions import multimodal as mmod
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    media = mmod.synthesize_media_from_text(docs)
+    return mmod.codec_roundtrip_audit(media).orderBy("doc_id", "kind")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
@@ -5608,65 +5686,26 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # the three r8-red rows lead (VERDICT r8 #1)
+    # the four r8/r9-red rows lead (VERDICT r9 #1: the HUGEINT oracle
+    # type bug, fixed this round by CASTing the outer aggregates)
     "x95_bloom_pruned_join",
     "x97_salted_skew_join",
     "x98_zorder_box_scan",
-    # changed implementation/oracle this round
-    "x23_cosine_neardup",
-    "x66_semdedup_prune",
-    "x86_incremental_shingle_overlap",
+    "x105_zorder_staged_box_scan",
+    # changed implementation/oracle this round (VERDICT r9 #5: the
+    # remaining degenerate doc_id>=450 splits converted to the
+    # scale-invariant modular arrival split; #7: x106 staged sketches)
+    "x77_incremental_dup_pairs",
+    "x78_streaming_incremental_dedup",
+    "x80_incremental_minhash_neardup",
+    "x82_incremental_simhash_neardup",
+    "x83_incremental_exact_dedup",
+    "x84_incremental_corpus_stats",
     "x87_batch_drift_gate",
-    "x88_incremental_cosine_neardup",
-    # round-8's 36 deferrals, returning as promised
-    "q01_scan_project",
-    "q02_filter",
-    "q04_avg_min_max",
-    "q05_distinct",
-    "q07_consecutive_dedup",
-    "q08_inner_join",
-    "q09_left_join_coalesce",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_multiway_join",
-    "q13_positional_zip",
-    "q16_sliding_window_avg",
-    "q17_partition_chunks",
-    "q18_tumbling_time_window",
-    "q19_rank_topk_per_key",
-    "q21_topk",
-    "q22_slice",
-    "q23_union",
-    "q24a_intersect",
-    "q24b_except",
-    "q25_string_fns",
-    "q26_regexp_extract",
-    "q27_date_trunc",
-    "q28_math_fns",
-    "q29_explode_words",
-    "q30_frequencies",
-    "q31_percentile",
-    "q32_rollup",
-    "q33_zscore_anomaly",
-    "q34_exact_text_dedup",
-    "x08_cosine_topk",
-    "x10_label_centroids",
-    "x11_json_extract",
-    "x12_tfidf_keywords",
-    "x14_case_route",
-    "x21_rolling_time_window",
-)
-
-#: Entries pushed to the round-10 window. Every name below carries a
-#: GREEN driver row from r05-r07 (the r08 window held the x73+ cohort
-#: plus the longest-stale tail, so these sat out r08 with their last
-#: verification 1-3 rounds old) and none changed implementation or
-#: oracle this round; tests/test_plan_shapes.py's window accounting
-#: (window ∪ deferrals ∪ r08-green == registry) fails CI if any entry
-#: silently drops out of all three sets. The r08-green cohort
-#: (x16-x18/x26/x27/x29/x53/x58, q03/q06/q20/q35, x01-x09/x13/x25,
-#: x73-x100 minus the five changed ones) needs no row this round.
-_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x106_cms_join_size_estimate",
+    # round-9's deferrals, returning as promised (37 of 48 — the
+    # remaining 11 stay in _DEFERRED_TO_NEXT for r11; the driver window
+    # holds only 50 rows and the changed queries above take precedence)
     "q14_asof_combine_latest",
     "q15_running_fold",
     "x15_corpus_curation",
@@ -5704,6 +5743,17 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x57_length_histogram",
     "x59_customer_value_deciles",
     "x60_kmv_distinct_users",
+)
+
+#: Entries pushed to the round-11 window (the tail of round-9's 48
+#: deferrals that the 50-row driver window can't also hold this round —
+#: the 12 changed/red queries above take precedence, VERDICT r9 #3
+#: sanctions splitting the backlog across r10/r11). Every name below
+#: carries a GREEN driver row from r05-r07 and none changed
+#: implementation or oracle this round; tests/test_plan_shapes.py's
+#: window accounting (window ∪ deferrals ∪ r09-green == registry) fails
+#: CI if any entry silently drops out of all three sets.
+_DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x61_pagerank_two_steps",
     "x62_top_p_token_mass",
     "x63_streaming_trending",
@@ -5720,7 +5770,7 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 101  # x101+ = new in r9
+_NEW_MIN_ID = 107  # x107+ = new in r10
 
 
 

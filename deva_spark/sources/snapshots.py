@@ -232,6 +232,94 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     return expired
 
 
+def _dir_size(path: str, data_dir: str) -> tuple[int, int]:
+    """(rows, bytes) of one data directory from parquet FOOTERS and file
+    metadata only — no scan. Footer num_rows is exact; bytes are the
+    on-disk parquet sizes. O(files) driver-side metadata reads, the same
+    cost class as manifest resolution."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(path, "data", data_dir)
+    rows = nbytes = 0
+    for name in os.listdir(d):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(d, name)
+        rows += pq.ParquetFile(p).metadata.num_rows
+        nbytes += os.path.getsize(p)
+    return rows, nbytes
+
+
+def evict_to_cap(
+    path: str,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+    note: str = "",
+) -> tuple[int, list[str]]:
+    """SIZE-CAPPED retention on the snapshot lineage — the reference
+    DBStream's eviction contract (`/root/reference/deva/core/store.py:174-197`
+    evicts oldest rows once a max-size cap is exceeded; the age-based
+    sibling is `writers.evict_older_than`): commit a NEW version whose
+    visible set drops the OLDEST data directories (append order) until
+    the remaining total fits ``max_rows`` / ``max_bytes`` (whichever
+    caps are given; both must hold). Granularity is a whole batch
+    directory — the append-lineage analog of the reference's
+    oldest-rows delete, and an O(1) manifest operation instead of a
+    data rewrite.
+
+    NON-destructive like :func:`rollback_snapshot`: older versions
+    still resolve their own files for audit until
+    :func:`expire_snapshots` reclaims them. The newest directory is
+    always kept, even when it alone exceeds the cap (evicting the data
+    that just arrived would make every append a no-op). Returns
+    ``(version, dropped_dirs)`` — the current latest version and ``[]``
+    when already within cap (no empty commit)."""
+    if max_rows is None and max_bytes is None:
+        raise ValueError("give max_rows and/or max_bytes")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed under {path}")
+    prev = versions[-1]
+    manifest = _read_manifest(path, prev)
+    dirs = list(manifest["data_dirs"])
+    sizes = {d: _dir_size(path, d) for d in dirs}
+    total_rows = sum(r for r, _ in sizes.values())
+    total_bytes = sum(b for _, b in sizes.values())
+
+    def over() -> bool:
+        return (max_rows is not None and total_rows > max_rows) or (
+            max_bytes is not None and total_bytes > max_bytes
+        )
+
+    dropped: list[str] = []
+    while over() and len(dirs) > 1:
+        oldest = dirs.pop(0)
+        dropped.append(oldest)
+        r, b = sizes[oldest]
+        total_rows -= r
+        total_bytes -= b
+    if not dropped:
+        return prev, []
+    keep_stats = {
+        d: s for d, s in manifest.get("dir_stats", {}).items() if d in set(dirs)
+    }
+    m = {
+        "version": prev + 1,
+        "parent": prev,
+        "mode": "evict",
+        "note": note or f"evict_to_cap dropped {len(dropped)} dir(s)",
+        "data_dirs": dirs,
+        "dir_stats": keep_stats,
+    }
+    if _commit_manifest(path, m, prev + 1):
+        return prev + 1, dropped
+    # lost the claim race: unlike rollback (whose target set is
+    # absolute), eviction is RELATIVE to the latest visible set — the
+    # racer's commit may have appended a directory our stale list would
+    # silently drop. Recompute everything against the new latest.
+    return evict_to_cap(path, max_rows, max_bytes, note)
+
+
 def snapshot_diff(
     spark,
     path: str,

@@ -73,21 +73,19 @@ def stage_doc_chunks(
     spark: SparkSession,
     sf_dir: str,
     chunks: int = 3,
-    min_id: int = 450,
+    where: str = "doc_id % 10 = 0",
     out_dir: str | None = None,
 ) -> str:
-    """Stage the NEW-batch slice of the documents table (``doc_id >=
-    min_id`` — the x77 batch simulation) as ``chunks`` parquet files so
-    a file-stream source replays the batch arriving incrementally. Same
-    anatomy as :func:`stage_event_chunks`: range-partitioned distributed
-    write, driver touches only file metadata (rename + monotonic
-    mtimes)."""
+    """Stage the NEW-batch slice of the documents table (``where`` — the
+    x77/x78 batch simulation; default is the scale-invariant 10% modular
+    arrival split) as ``chunks`` parquet files so a file-stream source
+    replays the batch arriving incrementally. Same anatomy as
+    :func:`stage_event_chunks`: range-partitioned distributed write,
+    driver touches only file metadata (rename + monotonic mtimes)."""
     import time
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="deva_docstream_")
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") >= min_id
-    )
+    docs = read_table(spark, sf_dir, "documents").filter(F.expr(where))
     (
         docs.repartitionByRange(chunks, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -133,7 +131,9 @@ def streaming_incremental_pairs(
     appends to the staged corpus (the x71 epilogue pattern).
 
     ``old_hashes``: static ``(doc_id, wh)`` index of the existing
-    corpus — every old id must be below every streamed id."""
+    corpus. Pairs are oriented (id_a = old, id_b = new); old and new
+    ids may interleave (the scale-invariant modular arrival split), so
+    no id ordering is implied."""
     from deva_spark.functions.substring import window_hashes
 
     new_idx = window_hashes(doc_stream, "doc_id", "text", window)

@@ -672,7 +672,7 @@ def test_streaming_stats_partials_equivalence(spark, sf_dir):
     from deva_spark.functions import text as T
     from deva_spark.operators import aggregates as agg
 
-    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, min_id=0)
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, where="TRUE")
     stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
     drained = twin.run_available_now(
         stream.select("lang", T.token_count(F.col("text")).alias("v"))

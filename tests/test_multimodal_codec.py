@@ -356,3 +356,37 @@ def test_extract_meta_jpeg(spark):
     row = extract_meta(df).collect()[0]
     assert row.meta.width == 100 and row.meta.height == 60
     assert row.meta.mime == "image/jpeg"
+
+
+def test_synthesize_and_roundtrip_audit_bit_exact(spark):
+    # x107's anatomy: payloads synthesized on executors from text, then
+    # decoded in a SECOND Arrow pass — ok proves the encode→shuffle→
+    # decode roundtrip bit-exact, and the row set is invariant to
+    # partitioning (pure per-row functions).
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * (i + 1)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_media_from_text(docs)
+    audit = mm.codec_roundtrip_audit(media).orderBy("doc_id", "kind")
+    rows = audit.collect()
+    assert len(rows) == 12  # 3 kinds x 4 docs
+    assert all(r.ok for r in rows)
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    by_kind = {r.kind: r for r in rows if r.doc_id == 0}
+    assert (by_kind["image"].width, by_kind["image"].height) == (8, 8)
+    assert by_kind["audio"].n_frames == 400
+    assert by_kind["video"].n_frames == 2
+    # determinism + partitioning invariance: digests identical on a
+    # differently-partitioned rerun
+    again = (
+        mm.codec_roundtrip_audit(
+            mm.synthesize_media_from_text(docs.repartition(7))
+        )
+        .orderBy("doc_id", "kind")
+        .collect()
+    )
+    assert [(r.doc_id, r.kind, r.digest) for r in rows] == [
+        (r.doc_id, r.kind, r.digest) for r in again
+    ]

@@ -228,29 +228,47 @@ def test_driver_window_accounts_for_every_registry_entry():
     deferred = set(Q._DEFERRED_TO_NEXT)
     assert len(keys[:50]) == 50
     assert window.isdisjoint(deferred), window & deferred
-    prev = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json")
-    rows = json.load(open(prev))
-    # only rows the driver actually verified count — a red row (x95/x97/
-    # x98 in r08) must NOT quietly satisfy the accounting
-    prev_green = {
-        k
-        for k, v in rows.items()
-        if isinstance(v, dict)
-        and v.get("rows_match")
-        and v.get("schema_match")
-        and v.get("hash_match")
-    }
+    base = os.path.join(os.path.dirname(__file__), "..")
+    # green rows from the last TWO driver rounds count: the r9 window
+    # held the x73+ cohort and the r8 window the long tail, so together
+    # they cover everything the r10 window defers (each deferral is
+    # additionally r05-r07 green; this file can't see those rounds'
+    # records, but r8+r9 is sufficient for the accounting).
+    prev_green = set()
+    for rnd in ("CORRECTNESS_r08.json", "CORRECTNESS_r09.json"):
+        rows = json.load(open(os.path.join(base, rnd)))
+        # only rows the driver actually verified count — a red row
+        # (x95/x97/x98/x105 in r08-r09) must NOT satisfy the accounting
+        prev_green |= {
+            k
+            for k, v in rows.items()
+            if isinstance(v, dict)
+            and v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match")
+        }
     uncovered = set(keys) - window - deferred - prev_green
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
     # every deferral names a real registry entry
     assert deferred <= set(keys)
-    # VERDICT r8 #10: the three r8-red rows must sit in the r9 window
-    for red in (
+    # VERDICT r9 #1/#5: every query whose oracle or implementation
+    # changed this round must sit in the r10 window — shipping a changed
+    # oracle out-of-window means it ships unverified.
+    for changed in (
         "x95_bloom_pruned_join",
         "x97_salted_skew_join",
         "x98_zorder_box_scan",
+        "x105_zorder_staged_box_scan",
+        "x77_incremental_dup_pairs",
+        "x78_streaming_incremental_dedup",
+        "x80_incremental_minhash_neardup",
+        "x82_incremental_simhash_neardup",
+        "x83_incremental_exact_dedup",
+        "x84_incremental_corpus_stats",
+        "x87_batch_drift_gate",
+        "x106_cms_join_size_estimate",
     ):
-        assert red in window, f"r8-red row {red} fell out of the window"
+        assert changed in window, f"changed row {changed} fell out of the window"
 
 
 def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
@@ -305,3 +323,32 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
                 assert "Exchange SinglePartition" not in "\n".join(
                     lines[i + 1 : i + 3]
                 ), (name, p)
+
+
+def test_no_oracle_emits_driver_hostile_duckdb_types():
+    # VERDICT r9 #1: DuckDB SUM(BIGINT) returns HUGEINT, which the
+    # driver's columnar materialization turns into float64/decimal128 —
+    # the canonical string then diverges from Spark's int64 while rows
+    # and schema match (the exact signature of every driver-red row in
+    # rounds 8-9). DESCRIBE every oracle against the real tables and
+    # fail on any HUGEINT/UHUGEINT/UBIGINT/wide-DECIMAL output column,
+    # so the class is structurally impossible from now on.
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from deva_spark.session import TABLES
+    from tools.check_correctness import hostile_oracle_types
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = {
+        name: cols
+        for name, sql in entry_mod.oracle_sql().items()
+        if (cols := hostile_oracle_types(con, sql))
+    }
+    assert not bad, f"oracles emitting driver-hostile types: {bad}"

@@ -52,6 +52,31 @@ def test_salted_join_row_identical(spark, how):
     assert _sorted_rows(salted) == _sorted_rows(plain)
 
 
+def test_salted_plans_have_no_nondeterministic_expression(spark):
+    # VERDICT r9 #3: F.rand(seed) is a nondeterministic expression, so a
+    # partial stage retry after shuffle-fetch failure may recompute a
+    # partition whose rows land with different salts than the copies
+    # already consumed — wrong results exactly in the 100x-cluster
+    # regime salting exists for. The salt must be a pure function of row
+    # content; the physical plan must carry no rand()/nondeterministic
+    # marker anywhere.
+    from deva_spark.operators.skew import salted_group_agg
+
+    big, dim = _skewed_pair(spark)
+    joined = salted_join(big, dim, "k", n_salts=5)
+    agged = big.transform(
+        salted_group_agg(
+            ["k"], {"total": (F.sum("v"), F.sum), "c": (F.count(F.lit(1)), F.sum)}
+        )
+    )
+    for df in (joined, agged):
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "rand(" not in plan
+        assert "nondeterministic" not in plan
+        # and the salt really is content-derived
+        assert "xxhash64" in plan
+
+
 def test_salted_join_rejects_small_side_preserving_modes(spark):
     big, dim = _skewed_pair(spark)
     for how in ("right", "full", "outer"):

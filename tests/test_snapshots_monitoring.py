@@ -64,6 +64,39 @@ def test_snapshot_rollback_is_nondestructive(spark, tmp_path):
     assert _rows(snap.read_snapshot(spark, path, 2)) == [(9,)]
 
 
+def test_snapshot_evict_to_cap_drops_oldest_until_within(spark, tmp_path):
+    # Size-capped retention (reference store.py:174-197 analog, VERDICT
+    # r9 #8): four appended batches of 10 rows; a 25-row cap must drop
+    # the two OLDEST batch dirs, the lineage stays readable at every
+    # surviving version, and the pre-evict version still sees all rows.
+    path = str(tmp_path / "t")
+    for i in range(4):
+        snap.commit_snapshot(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            path,
+            mode="append" if i else "overwrite",
+            note=f"batch {i}",
+        )
+    v, dropped = snap.evict_to_cap(path, max_rows=25)
+    assert v == 5 and len(dropped) == 2
+    kept = _rows(snap.read_snapshot(spark, path))
+    assert kept == [(k,) for k in range(20, 40)]  # newest two batches
+    # non-destructive: the pre-evict version still resolves all 40 rows
+    assert len(_rows(snap.read_snapshot(spark, path, 4))) == 40
+    # already within cap -> no empty commit
+    v2, dropped2 = snap.evict_to_cap(path, max_rows=25)
+    assert (v2, dropped2) == (5, [])
+    # byte cap: a 1-byte cap keeps ONLY the newest dir (never evicts it)
+    v3, dropped3 = snap.evict_to_cap(path, max_bytes=1)
+    assert v3 == 6 and len(dropped3) == 1
+    assert _rows(snap.read_snapshot(spark, path)) == [(k,) for k in range(30, 40)]
+    hist = snap.snapshot_history(path)
+    assert hist[-1]["mode"] == "evict" and hist[-1]["parent"] == 5
+    # expire reclaims what no surviving version references
+    snap.expire_snapshots(path, keep_last=1)
+    assert _rows(snap.read_snapshot(spark, path)) == [(k,) for k in range(30, 40)]
+
+
 def test_snapshot_expire_gc_keeps_shared_data(spark, tmp_path):
     path = str(tmp_path / "t")
     snap.commit_snapshot(
@@ -498,7 +531,7 @@ def test_streaming_histogram_partials_equivalence(spark, sf_dir):
     from deva_spark.streaming import twin
 
     grid = dict(lo=0.0, hi=500.0, n_buckets=20)
-    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, min_id=0)
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=4, where="TRUE")
     stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
     drained = twin.run_available_now(
         stream.select("lang", T.token_count(F.col("text")).alias("v"))
@@ -523,7 +556,7 @@ def test_streaming_quantile_partials_equivalence(spark, sf_dir):
     from deva_spark.session import read_table
     from deva_spark.streaming import twin
 
-    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=3, min_id=0)
+    chunks = twin.stage_doc_chunks(spark, sf_dir, chunks=3, where="TRUE")
     stream = twin.docs_file_stream(spark, chunks, files_per_trigger=1)
     drained = twin.run_available_now(
         stream.select("lang", T.token_count(F.col("text")).alias("v"))

@@ -175,7 +175,7 @@ def test_streaming_incremental_dedup_equivalence(spark, sf_dir):
             # restrict to the cross (new x old) side the stream computes
             if r.id_a < threshold
         }
-        d = twin.stage_doc_chunks(spark, sf_dir, chunks=3, min_id=threshold)
+        d = twin.stage_doc_chunks(spark, sf_dir, chunks=3, where=f"doc_id >= {threshold}")
         try:
             old = idx.filter(F.col("doc_id") < threshold)
             s = twin.docs_file_stream(spark, d, files_per_trigger=1)

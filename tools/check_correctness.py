@@ -13,10 +13,29 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import math
+import re
 import sys
 import time
 
 import duckdb
+
+#: DuckDB result types the driver's columnar materialization mangles:
+#: HUGEINT/UHUGEINT become float64 via ``.df()`` (or decimal128 via
+#: ``.arrow()``), so the canonical string diverges from Spark's int64
+#: even when every value is equal — the proven root cause of the only
+#: driver-red rows in rounds 8-9 (VERDICT r9 "What's wrong" #1). Any
+#: oracle emitting one of these is a FAIL here regardless of values.
+_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT")
+
+
+def hostile_oracle_types(con, sql: str) -> list[str]:
+    """Columns of ``sql`` whose DuckDB type the driver can't hash stably."""
+    out = []
+    for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+        m = re.match(r"DECIMAL\((\d+)", typ)
+        if typ in _HOSTILE_TYPES or (m and int(m.group(1)) > 18):
+            out.append(f"{col}: {typ}")
+    return out
 
 sys.path.insert(0, ".")
 
@@ -79,6 +98,12 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
+            hostile = hostile_oracle_types(con, oracles[name])
+            if hostile:
+                print(f"FAIL  {name}: oracle emits driver-hostile types {hostile} "
+                      "(CAST the outer aggregate to BIGINT)")
+                failures.append(name)
+                continue
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
