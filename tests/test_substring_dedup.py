@@ -509,3 +509,44 @@ def test_longest_common_run_grouped_route_parity(spark):
             assert full[pair] >= rw
     finally:
         groups.unpersist()
+
+
+def test_pruned_dup_window_index_route_matches_full(spark):
+    # subwin8d (VERDICT r9 #6): the >=2-doc prune drops only whs that
+    # cannot form a pair, so incremental_dup_pairs over the pruned index
+    # must equal the full-index result for ANY batch split.
+    import string
+
+    from deva_spark.functions.substring import (
+        incremental_dup_pairs,
+        window_hashes,
+    )
+
+    random.seed(11)
+    words = ["".join(random.choices(string.ascii_lowercase, k=4)) for _ in range(60)]
+    texts = []
+    for i in range(20):
+        body = random.choices(words, k=30)
+        if i % 5 == 0 and i:  # plant shared 12-word spans
+            body[3:15] = texts[0].split()[3:15]
+        texts.append(" ".join(body))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = window_hashes(docs, window=8).persist()
+    idx.count()
+    cnt = idx.groupBy("wh").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    pruned = idx.join(cnt.select("wh"), "wh")
+    bp = F.col("doc_id") % 10 == 0
+    full = sorted(
+        tuple(r)
+        for r in incremental_dup_pairs(idx.filter(bp), idx.filter(~bp)).collect()
+    )
+    slim = sorted(
+        tuple(r)
+        for r in incremental_dup_pairs(
+            pruned.filter(bp), pruned.filter(~bp)
+        ).collect()
+    )
+    assert full == slim and len(full) > 0
+    idx.unpersist()
