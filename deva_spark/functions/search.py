@@ -138,3 +138,66 @@ def keywords_tfidf(
         .filter(F.col("rnk") <= top_n)
         .select("doc_id", "term", F.round("w", 6).alias("w"), "rnk")
     )
+
+
+def index_commit(
+    docs_batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cjk: bool = False,
+    note: str = "",
+) -> int:
+    """INCREMENTAL index maintenance — the reference IndexStream indexes
+    per arriving event (`/root/reference/deva/search.py:121-161`, Whoosh
+    `update_document` inside the stream callback); re-expressed Spark-
+    first, the standing index is a SNAPSHOT LINEAGE of posting batches:
+    each arrival batch's postings (a pure per-doc function — exactly
+    :func:`build_index` rows) append as one immutable snapshot version,
+    so the index grows per batch with NO rebuild, concurrent readers
+    keep their version, and a bad batch rolls back non-destructively
+    (`sources.snapshots`). Returns the committed version.
+
+    Doc ids must be new to the index (the append contract shared by
+    every staged per-doc tier); re-crawled docs retract first
+    (:func:`index_retract`), then re-commit — Whoosh's update_document
+    = delete + add, same two steps.
+
+    Scale shape: one batch-sized tokenize+groupBy per commit; search and
+    doc-frequency read the merged lineage, whose per-term slices a
+    bucketed layout would prune (the build_index docstring's contract).
+    """
+    from deva_spark.sources.snapshots import commit_snapshot, snapshot_versions
+
+    postings = build_index(docs_batch, id_col, text_col, cjk=cjk)
+    mode = "append" if snapshot_versions(path) else "overwrite"
+    return commit_snapshot(
+        postings, path, mode=mode, note=note or "index batch append"
+    )
+
+
+def index_retract(
+    spark, path: str, forget: DataFrame, note: str = ""
+) -> int:
+    """Remove a forget-list's docs from the standing index: postings are
+    per-doc pure, so retraction is EXACTLY the anti-join contract
+    (`operators.dedup.retract_rows`) committed as an overwrite version —
+    readers at older versions still see the pre-retraction index, and
+    `expire_snapshots` reclaims it on the governance schedule. Bounded
+    forget batch by contract (broadcast anti-join, one index scan)."""
+    from deva_spark.operators.dedup import retract_rows
+    from deva_spark.sources.snapshots import commit_snapshot, read_snapshot
+
+    current = read_snapshot(spark, path)
+    kept = retract_rows(current, forget, id_col="doc_id")
+    return commit_snapshot(
+        kept, path, mode="overwrite", note=note or "index retraction"
+    )
+
+
+def read_index(spark, path: str, version: int | None = None) -> DataFrame:
+    """The standing posting table at ``version`` (default latest) — feed
+    it to :func:`search` / :func:`keywords_tfidf` / :func:`doc_freq`."""
+    from deva_spark.sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, path, version)

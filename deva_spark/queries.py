@@ -298,17 +298,22 @@ def _build_subwin8d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.join(dup, "wh").coalesce(8)
 
 
-def _build_dup_assign450(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_dup_assign_old(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x81's staged PRE-BATCH cluster assignment: canonical assignments
-    over the old corpus's (doc_id < 450) own pair set — what a previous
-    resolution run left behind. Pair membership is a pure function of
-    the two docs, so filtering the full staged pair set to old x old
-    reproduces exactly the pair set the old corpus alone would yield."""
+    over the old corpus's (doc_id % 10 != 0 — the scale-invariant
+    modular arrival split, replacing the degenerate `< 450` cutoff; the
+    artifact RENAME is the split-dependent invalidation the x86 recipe
+    calls for) own pair set — what a previous resolution run left
+    behind. Pair membership is a pure function of the two docs, so
+    filtering the full staged pair set to old x old reproduces exactly
+    the pair set the old corpus alone would yield."""
     from deva_spark.operators import graphs
 
     pairs = _jaccard_pairs(spark, sf_dir)
     return graphs.canonical_assignments(
-        pairs.filter((F.col("id_a") < 450) & (F.col("id_b") < 450)).select(
+        pairs.filter(
+            (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+        ).select(
             "id_a", "id_b"
         )
     )
@@ -400,7 +405,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subpos8": _build_subpos8,
     "subpos8g": _build_subpos8g,
     "subwin8d": _build_subwin8d,
-    "dup_assign450": _build_dup_assign450,
+    "dup_assign_old": _build_dup_assign_old,
     "dup_assign": _build_dup_assign,
     "kmv_syn_src": _build_kmv_syn_src,
     "cms_day_cells": _build_cms_day_cells,
@@ -1929,9 +1934,9 @@ def _x23_oracle(
     """DuckDB twin of the LSH-prefiltered cosine near-dup pair join: same
     deterministic planes, same bucket self-join, same sequential-fold
     exact rescore (list_sum == left-to-right fold). ``restrict``: extra
-    predicate on the final pair set — the r9 x88 registration passes
-    the batch-touching restriction (``"AND (id_a >= 450 OR id_b >=
-    450)"``, the x80/x82 recipe on vectors)."""
+    predicate on the final pair set — the x88 registration passes the
+    batch-touching restriction (``"AND (id_a % 10 = 0 OR id_b % 10 =
+    0)"``, the modular-arrival recipe on vectors)."""
     from deva_spark.functions.vectors import deterministic_planes
 
     planes = deterministic_planes(dim, n_planes * n_tables)
@@ -4247,29 +4252,28 @@ def x80(spark, sf):
 def x81(spark, sf):
     # Incremental cluster resolution — x77/x80's contract on the LAST
     # mile of the dedup funnel: the staged pre-batch assignment table
-    # (docs < 450, its rows read as diameter-<=2 star edges) merges with
-    # the batch-touching pair set (x77's restriction of the shared
+    # (old docs = doc_id % 10 != 0, the scale-invariant modular split;
+    # its rows read as diameter-<=2 star edges) merges with the
+    # batch-touching pair set (x77's restriction of the shared
     # jaccard_pairs edges); old x old pairs are never re-detected and
     # the pair history never replays. Output == the full x41 resolution
-    # over the union corpus (same oracle SQL), including the case where
-    # one new edge bridges two previously-distinct old clusters and the
-    # whole cluster relabels.
+    # over the union corpus (same oracle SQL — the result is
+    # SPLIT-INVARIANT, so this oracle needed no change), including the
+    # case where one new edge bridges two previously-distinct old
+    # clusters and the whole cluster relabels.
     from deva_spark.operators import graphs
 
-    threshold = 450
+    batch_a = F.col("id_a") % 10 == 0
+    batch_b = F.col("id_b") % 10 == 0
     pairs = _jaccard_pairs(spark, sf)
-    staged = staged_artifact_path(sf, "dup_assign450")
+    staged = staged_artifact_path(sf, "dup_assign_old")
     if staged:
         old_assign = spark.read.parquet(staged)
     else:
         old_assign = graphs.canonical_assignments(
-            pairs.filter(
-                (F.col("id_a") < threshold) & (F.col("id_b") < threshold)
-            ).select("id_a", "id_b")
+            pairs.filter(~batch_a & ~batch_b).select("id_a", "id_b")
         )
-    new_pairs = pairs.filter(
-        (F.col("id_a") >= threshold) | (F.col("id_b") >= threshold)
-    ).select("id_a", "id_b")
+    new_pairs = pairs.filter(batch_a | batch_b).select("id_a", "id_b")
     return graphs.incremental_canonical_assignments(old_assign, new_pairs)
 
 

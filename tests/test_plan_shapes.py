@@ -287,7 +287,7 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
          "shingle5", "shingle5_sizes", "shingle5_src", "simhash_fps",
          "emb_base", "ivf16", "ivfpq16", "ivfpq_app", "li_zorder",
          "subwin8g", "subpos8", "subpos8g", "subwin8d",
-         "dup_assign450", "dup_assign"],
+         "dup_assign_old", "dup_assign"],
     )
     for name in (
         "x101_ivfpq_adc_search",
