@@ -444,6 +444,7 @@ def incremental_shingle_overlap(
     id_col: str = "doc_id",
     sh_col: str = "_sh",
     old_sizes: DataFrame | None = None,
+    new_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental EXACT-overlap dedup — the x77/x80/x82 contract on the
     shingle-set tier, serving both resemblance (Jaccard, the
@@ -472,7 +473,12 @@ def incremental_shingle_overlap(
     (``writers.write_bucketed``) so each batch's lookup join shuffles
     only the batch side. ``old_sizes``: a staged per-doc size table
     (itself appendable — sizes are per-doc constants); when omitted the
-    old index is re-aggregated for sizes of matched docs.
+    old index is re-aggregated for sizes of matched docs. ``new_sizes``:
+    the batch's per-doc sizes from the same staged table — REQUIRED when
+    the passed indexes are the >= 2-doc PRUNED projection (the subwin8d
+    move: a shingle held by one doc can never pair, so pruning leaves
+    |A∩B| exact, but per-doc sizes must then come from the FULL index,
+    not the pruned rows).
     """
     n = new_index.select(
         F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
@@ -500,13 +506,17 @@ def incremental_shingle_overlap(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    new_sizes = n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    nsz = (
+        new_sizes.select("doc_id", "n")
+        if new_sizes is not None
+        else n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     osz = (
         old_sizes.select("doc_id", "n")
         if old_sizes is not None
         else o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     )
-    sizes = new_sizes.unionByName(osz)
+    sizes = nsz.unionByName(osz)
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     u = F.col("na") + F.col("nb") - F.col("common")

@@ -298,6 +298,24 @@ def _build_subwin8d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.join(dup, "wh").coalesce(8)
 
 
+def _build_shingle5d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x86's PAIR-FORMING shingle index: ``(doc_id, _sh)`` restricted to
+    5-gram hashes held by >= 2 documents — the subwin8d prune on the
+    shingle tier. A shingle held by one doc can never form an overlap
+    pair, so |A∩B| over the pruned index is exact; per-doc SIZES must
+    then come from the full-index `shingle5_sizes` table (the
+    `new_sizes`/`old_sizes` contract of incremental_shingle_overlap).
+    Same append-plus-count-2-promotion maintenance shape as subwin8d."""
+    idx = _shared_artifact(spark, sf_dir, "shingle5").select("doc_id", "_sh")
+    dup = (
+        idx.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_sh")
+    )
+    return idx.join(dup, "_sh").coalesce(8)
+
+
 def _build_dup_assign_old(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x81's staged PRE-BATCH cluster assignment: canonical assignments
     over the old corpus's (doc_id % 10 != 0 — the scale-invariant
@@ -405,6 +423,7 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subpos8": _build_subpos8,
     "subpos8g": _build_subpos8g,
     "subwin8d": _build_subwin8d,
+    "shingle5d": _build_shingle5d,
     "dup_assign_old": _build_dup_assign_old,
     "dup_assign": _build_dup_assign,
     "kmv_syn_src": _build_kmv_syn_src,
@@ -4503,11 +4522,24 @@ def x86(spark, sf):
     # 99%-of-corpus "batch" on the amplified bench tables, exhibiting
     # the incremental design at its worst (VERDICT r8 #5).
     batch_pred = F.col("doc_id") % 10 == 0
-    idx = _shingle5_hashes(spark, sf).select("doc_id", "_sh")
     # staged per-doc size table (appendable — sizes are per-doc
     # constants): the old side's sizes come from the bounded synopsis
     # instead of a second full-index aggregation
     sizes = _shared_artifact(spark, sf, "shingle5_sizes")
+    pruned = staged_artifact_path(sf, "shingle5d")
+    if pruned:
+        # the >= 2-doc pruned projection: |A∩B| identical by
+        # construction; BOTH sides' sizes then come from the full-index
+        # synopsis (the new_sizes contract)
+        idx = spark.read.parquet(pruned)
+        return mh.incremental_shingle_overlap(
+            idx.filter(batch_pred),
+            idx.filter(~batch_pred),
+            pct_threshold=30,
+            old_sizes=sizes.filter(~batch_pred),
+            new_sizes=sizes.filter(batch_pred),
+        )
+    idx = _shingle5_hashes(spark, sf).select("doc_id", "_sh")
     return mh.incremental_shingle_overlap(
         idx.filter(batch_pred),
         idx.filter(~batch_pred),
@@ -5721,14 +5753,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries that most need
-# a driver row first. Round-9 window (VERDICT r8 #1/#10): (a) the three
-# r8-RED rows x95/x97/x98 (hash-mismatch in the driver's run, green in
-# every local rerun — x98's env-dependent staged/raw branch is removed
-# this round); (b) the five queries whose implementation or oracle
-# CHANGED this round (x23/x88 shared-artifact routing, x66 HALF_UP
-# rounding, x86 scale-invariant split, x87 drift-gate semantics); (c)
-# the 36 entries round 8 deferred (the _DEFERRED_TO_NEXT promise); (d)
-# this round's new registrations x101+ (auto-append). Local tooling
+# a driver row first. Round-10 window (VERDICT r9 #1/#3/#5): (a) the
+# four red rows x95/x97/x98/x105 (the HUGEINT oracle type bug, CAST
+# this round); (b) the queries whose implementation or oracle CHANGED
+# this round (x77/x78/x80/x82/x83/x84/x87 modular arrival splits, x106
+# staged sketches); (c) 37 of round 9's 48 deferrals — the remaining
+# 11 stay deferred to r11 (the window can't hold all 48 plus the
+# changed rows; splitting the backlog is the sanctioned move); (d)
+# this round's new registrations x107+ (auto-append). Local tooling
 # (tools/check_correctness.py, bench.py) still runs every entry.
 # ---------------------------------------------------------------------------
 

@@ -442,6 +442,25 @@ def test_incremental_shingle_overlap_matches_full_restricted(spark, docs):
         assert as_map(
             mh.incremental_shingle_overlap(new, old, old_sizes=osz)
         ) == expected
+        # the >= 2-doc PRUNED index (shingle5d route): |A∩B| identical
+        # by construction; sizes for BOTH sides must come from the FULL
+        # index (the new_sizes contract — pruned rows undercount |A|)
+        cnt = (
+            idx.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c >= 2")
+            .select("_sh")
+        )
+        slim = idx.join(cnt, "_sh")
+        full_sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        assert as_map(
+            mh.incremental_shingle_overlap(
+                slim.filter(F.col("doc_id") >= T1),
+                slim.filter(F.col("doc_id") < T1),
+                old_sizes=full_sizes.filter(F.col("doc_id") < T1),
+                new_sizes=full_sizes.filter(F.col("doc_id") >= T1),
+            )
+        ) == expected
     finally:
         idx.unpersist()
 
