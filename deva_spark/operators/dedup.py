@@ -98,7 +98,22 @@ def incremental_exact_dups(
     with the surviving (global minimum) id; equals the union corpus's
     :func:`exact_text_groups` membership restricted to new docs
     (parity-tested). Doc ids must be disjoint from the old corpus."""
-    nd = digests(new_docs, text_col, id_col)
+    return incremental_exact_dups_from_digests(
+        digests(new_docs, text_col, id_col), old_digests
+    )
+
+
+def incremental_exact_dups_from_digests(
+    new_digests: DataFrame, old_digests: DataFrame
+) -> DataFrame:
+    """:func:`incremental_exact_dups` when the batch's digests are
+    ALREADY staged rows — the operational fast path: a corpus that
+    maintains its digest table (the appendable per-doc index) never
+    re-hashes text at dedup time; both sides are slices of the staged
+    table. dup_of is the GLOBAL minimum id over the digest group
+    (batch ∪ matched old), so interleaved batch/old ids resolve
+    consistently."""
+    nd = new_digests.select("doc_id", "_h")
     matched_old = old_digests.select("doc_id", "_h").join(
         nd.select("_h").distinct(), "_h"
     )

@@ -361,6 +361,40 @@ def _build_cms_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.transform(agg.cms_partials("event_type", 4, 256, keys=["_b"]))
 
 
+def _build_doc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x83's staged digest table ``(doc_id, _h)`` — the exact-dedup
+    tier's appendable per-doc index (`dedup.digests`), materialized so
+    the incremental query joins staged rows instead of re-hashing text
+    at query time (the docstring's 'staged digest table', now real)."""
+    from deva_spark.operators import dedup as _dd
+
+    return _dd.digests(_t(spark, sf_dir, "documents"))
+
+
+def _build_kmv_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x85's per-(event_type, day) KMV user synopses — the distinct-count
+    tier's staged/appendable object (one k=64 smallest-hash row set per
+    group-day); the rollup estimate folds these cell rows alone."""
+    from deva_spark.operators import aggregates as agg
+
+    ev = _t(spark, sf_dir, "events").withColumn("_day", F.to_date("ts"))
+    return ev.transform(
+        agg.kmv_partials("user_id", keys=["event_type", "_day"], k=64)
+    )
+
+
+def _build_quant_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x93's per-(event_type, day) quantile bin counts — the
+    order-statistics tier's staged/appendable object; merge folds any
+    batch set into p50/p90/p99 without re-scanning events."""
+    from deva_spark.operators import aggregates as agg
+
+    ev = _t(spark, sf_dir, "events").withColumn("_day", F.to_date("ts"))
+    return ev.transform(
+        agg.quantile_partials("value", keys=["event_type", "_day"], width=25.0)
+    )
+
+
 def _build_cms_ord_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x106's orders-side Count-Min synopsis on o_custkey — the staged/
     appendable cell table (<= depth*width rows) the join-cardinality
@@ -430,6 +464,9 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_day_cells": _build_cms_day_cells,
     "cms_ord_cust": _build_cms_ord_cust,
     "cms_cust": _build_cms_cust,
+    "doc_digests": _build_doc_digests,
+    "kmv_day_users": _build_kmv_day_users,
+    "quant_day_cells": _build_quant_day_cells,
 }
 
 
@@ -523,6 +560,8 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "cms_day_cells": ("events.parquet",),
     "cms_ord_cust": ("orders.parquet",),
     "cms_cust": ("customer.parquet",),
+    "kmv_day_users": ("events.parquet",),
+    "quant_day_cells": ("events.parquet",),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written
@@ -4383,8 +4422,21 @@ def x83(spark, sf):
     # restricted to batch docs (oracle = q34's digest grouping as
     # per-doc dup_of rows with that restriction; parity test in
     # tests/test_windows_dedup.py).
-    docs = _t(spark, sf, "documents")
     batch_pred = F.col("doc_id") % 10 == 0
+    staged = staged_artifact_path(sf, "doc_digests")
+    if staged:
+        # the staged digest table IS the index: the batch's digests are
+        # slices of it (a re-crawl carries the same trimmed text, hence
+        # the same digest, under its new id) — no text re-hash at all
+        dg = spark.read.parquet(staged)
+        recrawl_dg = dg.filter(F.col("doc_id") % 97 == 3).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000_000).cast("long")
+        )
+        batch_dg = dg.filter(batch_pred).unionByName(recrawl_dg)
+        return dedup.incremental_exact_dups_from_digests(
+            batch_dg, dg.filter(~batch_pred)
+        )
+    docs = _t(spark, sf, "documents")
     recrawl = docs.filter(F.col("doc_id") % 97 == 3).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000_000).cast("long")
     )
@@ -4469,10 +4521,14 @@ def x85(spark, sf):
     # smallest, so the rollup estimate is BIT-IDENTICAL to the one-shot
     # x60 sketch over the whole corpus (same oracle SQL; integer
     # arithmetic end to end).
-    ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
-    partials = ev.transform(
-        agg.kmv_partials("user_id", keys=["event_type", "_day"], k=64)
-    )
+    staged = staged_artifact_path(sf, "kmv_day_users")
+    if staged:
+        partials = spark.read.parquet(staged)
+    else:
+        ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
+        partials = ev.transform(
+            agg.kmv_partials("user_id", keys=["event_type", "_day"], k=64)
+        )
     return partials.transform(agg.kmv_merge_partials(keys=["event_type"], k=64))
 
 
@@ -4950,10 +5006,16 @@ def x93(spark, sf):
     # (`retract_quantile_partials`) — the property double-based sketches
     # (t-digest/GK) cannot offer. The Spark route proves the rollup
     # path: per-day partials union then merge == the direct compute.
-    ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
-    partials = ev.transform(
-        agg.quantile_partials("value", keys=["event_type", "_day"], width=25.0)
-    ).drop("_day")
+    staged = staged_artifact_path(sf, "quant_day_cells")
+    if staged:
+        partials = spark.read.parquet(staged).drop("_day")
+    else:
+        ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
+        partials = ev.transform(
+            agg.quantile_partials(
+                "value", keys=["event_type", "_day"], width=25.0
+            )
+        ).drop("_day")
     return partials.transform(
         agg.merge_quantile_partials(keys=["event_type"], width=25.0, pcts=(50, 90, 99))
     )
