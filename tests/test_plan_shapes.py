@@ -286,8 +286,9 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         ["doc_sigs", "doc_stats", "neardup_pairs", "pr_edges",
          "shingle5", "shingle5_sizes", "shingle5_src", "simhash_fps",
          "emb_base", "ivf16", "ivfpq16", "ivfpq_app", "li_zorder",
-         "subwin8g", "subpos8", "subpos8g", "subwin8d",
-         "dup_assign_old", "dup_assign"],
+         "subwin8g", "subpos8", "subpos8g", "subwin8d", "shingle5d",
+         "dup_assign_old", "dup_assign", "doc_digests",
+         "kmv_day_users", "quant_day_cells"],
     )
     for name in (
         "x101_ivfpq_adc_search",
@@ -310,6 +311,9 @@ def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):
         "x76_remove_duplicate_runs",
         "x77_incremental_dup_pairs",
         "x81_incremental_dedup_clusters",
+        "x83_incremental_exact_dedup",
+        "x85_kmv_rollup_distinct_users",
+        "x93_quantile_rollup",
     ):
         p = (
             Q.SPARK_QUERIES[name](spark, sf_dir)
