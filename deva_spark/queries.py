@@ -4107,20 +4107,25 @@ def x78(spark, sf):
     )
 
 
-def _staged_ivf_append(spark: SparkSession, sf_dir: str, min_id: int) -> str:
+def _staged_ivf_append(
+    spark: SparkSession, sf_dir: str, batch_where: str = "vec_id % 10 = 0"
+) -> str:
     """Session-scoped IVF layout built INCREMENTALLY: stage the old
-    corpus (vec_id < min_id — centers train on it alone), then append
-    the new batch with `ivf_append` (old centers, no retrain). The dir
-    is what a growing 100 TB vector store looks like between restages."""
+    corpus (NOT ``batch_where`` — centers train on it alone), then
+    append the new batch with `ivf_append` (old centers, no retrain).
+    The batch is the scale-invariant modular arrival slice (the x86
+    recipe; the old ``vec_id >= 450`` cutoff left a 1% training corpus
+    on amplified tables). The dir is what a growing 100 TB vector store
+    looks like between restages."""
     cache = _session_cache(spark)
-    key = (sf_dir, "ivf_append", min_id)
+    key = (sf_dir, "ivf_append", batch_where)
     if key not in cache:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="deva_ivf_inc_")
         emb = _t(spark, sf_dir, "embeddings")
-        V.ivf_stage(emb.filter(F.col("vec_id") < min_id), path)
-        V.ivf_append(spark, path, emb.filter(F.col("vec_id") >= min_id))
+        V.ivf_stage(emb.filter(~F.expr(batch_where)), path)
+        V.ivf_append(spark, path, emb.filter(F.expr(batch_where)))
         cache[key] = path
     return cache[key]
 
@@ -4128,22 +4133,24 @@ def _staged_ivf_append(spark: SparkSession, sf_dir: str, min_id: int) -> str:
 @query("x79_ivf_append_search", None)  # oracle attached below (generated)
 def x79(spark, sf):
     # Incremental ANN (x77's contract on the vector side): vectors with
-    # vec_id >= 450 simulate a batch appended AFTER staging — ivf_append
-    # assigns them to the EXISTING cells (old-corpus centers, no
-    # retrain) and appends inside the cell partitions; the identical
-    # ivf_search_staged plan then serves the grown corpus (partition
-    # pruning + one matmul mapInPandas, no rebuild). The generated
-    # oracle mirrors the whole pipeline with center training restricted
-    # to the pre-append corpus — appended vectors DO appear in the
-    # results, proving the append is live.
+    # vec_id % 10 == 0 simulate a 10% batch appended AFTER staging (the
+    # scale-invariant modular split — the last absolute cutoff in the
+    # registry, converted in r10) — ivf_append assigns them to the
+    # EXISTING cells (old-corpus centers, no retrain) and appends
+    # inside the cell partitions; the identical ivf_search_staged plan
+    # then serves the grown corpus (partition pruning + one matmul
+    # mapInPandas, no rebuild). The generated oracle mirrors the whole
+    # pipeline with center training restricted to the pre-append corpus
+    # — appended vectors DO appear in the results, proving the append
+    # is live.
     q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
     return V.ivf_search_staged(
-        spark, _staged_ivf_append(spark, sf, 450), q, k=5, n_probe=4
+        spark, _staged_ivf_append(spark, sf), q, k=5, n_probe=4
     )
 
 
 ORACLE_SQL["x79_ivf_append_search"] = _x32_oracle(
-    train_where="WHERE vec_id < 450"
+    train_where="WHERE vec_id % 10 <> 0"
 )
 
 
@@ -5838,6 +5845,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # scale-invariant modular arrival split; #7: x106 staged sketches)
     "x77_incremental_dup_pairs",
     "x78_streaming_incremental_dedup",
+    "x79_ivf_append_search",
     "x80_incremental_minhash_neardup",
     "x82_incremental_simhash_neardup",
     "x83_incremental_exact_dedup",
@@ -5883,7 +5891,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x56_common_token_mass",
     "x57_length_histogram",
     "x59_customer_value_deciles",
-    "x60_kmv_distinct_users",
 )
 
 #: Entries pushed to the round-11 window (the tail of round-9's 48
@@ -5895,6 +5902,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: window accounting (window ∪ deferrals ∪ r09-green == registry) fails
 #: CI if any entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x60_kmv_distinct_users",
     "x61_pagerank_two_steps",
     "x62_top_p_token_mass",
     "x63_streaming_trending",

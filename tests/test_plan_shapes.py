@@ -261,6 +261,7 @@ def test_driver_window_accounts_for_every_registry_entry():
         "x105_zorder_staged_box_scan",
         "x77_incremental_dup_pairs",
         "x78_streaming_incremental_dedup",
+        "x79_ivf_append_search",
         "x80_incremental_minhash_neardup",
         "x82_incremental_simhash_neardup",
         "x83_incremental_exact_dedup",
