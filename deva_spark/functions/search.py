@@ -167,12 +167,13 @@ def index_commit(
     doc-frequency read the merged lineage, whose per-term slices a
     bucketed layout would prune (the build_index docstring's contract).
     """
-    from deva_spark.sources.snapshots import commit_snapshot, snapshot_versions
+    from deva_spark.sources.snapshots import commit_snapshot
 
     postings = build_index(docs_batch, id_col, text_col, cjk=cjk)
-    mode = "append" if snapshot_versions(path) else "overwrite"
+    # mode="append" on an empty lineage already yields a first version
+    # seeing exactly this directory, so no first-commit special case
     return commit_snapshot(
-        postings, path, mode=mode, note=note or "index batch append"
+        postings, path, mode="append", note=note or "index batch append"
     )
 
 

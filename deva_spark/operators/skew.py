@@ -32,10 +32,28 @@ def _content_salt(
     DIFFERENT salts than the copies already consumed — the classic
     repartition-by-rand correctness hazard, which bites precisely in
     the large-cluster regime salting exists for (VERDICT r9 #3). A
-    content hash re-derives the same salt on every recompute. Identical
-    rows share a salt, which is harmless: a hot KEY still fans out
-    because its rows differ in the other columns."""
-    cols = [F.col(c) for c in (salt_cols if salt_cols else df.columns)]
+    content hash re-derives the same salt on every recompute.
+
+    Caveats (ADVICE r10 review): MapType columns are excluded
+    automatically (xxhash64 rejects them); and rows that are
+    BYTE-IDENTICAL share a salt, so a hot key whose rows carry no
+    distinguishing column (a fully-denormalized duplicate blob) will
+    not fan out — pass ``salt_cols`` naming a high-cardinality column
+    (an event id, an offset) or add one upstream. Fact tables with any
+    per-row identifier (events has ``event_id``) fan out fully."""
+    if salt_cols:
+        cols = [F.col(c) for c in salt_cols]
+    else:
+        cols = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ]
+        if not cols:
+            raise ValueError(
+                "no hashable columns for the content salt (all MapType) — "
+                "pass salt_cols"
+            )
     return F.pmod(F.xxhash64(*cols, F.lit(n_salts)), F.lit(n_salts)).cast(
         "int"
     )
@@ -72,6 +90,7 @@ def salted_join(
     on: str | Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join for the regime AQE and broadcast both miss:
     the build side is too large to broadcast, and the probe side's key
@@ -98,7 +117,9 @@ def salted_join(
             f"salted_join preserves big-side semantics only (got how={how!r})"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    salted_big = big.withColumn("_salt", _content_salt(big, n_salts))
+    salted_big = big.withColumn(
+        "_salt", _content_salt(big, n_salts, salt_cols)
+    )
     replicas = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -110,6 +131,7 @@ def salted_group_agg(
     keys: Sequence[str],
     partials: dict[str, tuple[Column, Callable[[Column], Column]]],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Two-phase aggregation: phase 1 groups by (keys..., salt) — a hot key
     fans out over ``n_salts`` reducers — phase 2 combines partials by keys.
@@ -119,7 +141,9 @@ def salted_group_agg(
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        salted = df.withColumn("_salt", _content_salt(df, n_salts))
+        salted = df.withColumn(
+            "_salt", _content_salt(df, n_salts, salt_cols)
+        )
         phase1 = salted.groupBy(*keys, "_salt").agg(
             *[expr.alias(f"_p_{name}") for name, (expr, _) in partials.items()]
         )

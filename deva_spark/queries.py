@@ -268,52 +268,51 @@ def _build_subpos8g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return position_groups(_t(spark, sf_dir, "documents"), window=8)
 
 
+def _pruned_pair_index(idx: DataFrame, key: str) -> DataFrame:
+    """The PAIR-FORMING prune shared by the flat per-doc indexes: keep
+    only ``key`` values held by >= 2 documents. A hash held by one doc
+    can never form a dup pair, and that unique bulk is ~90% of the
+    index at sf1, so the incremental pair joins read ~10x fewer rows
+    with a result identical by construction (VERDICT r9 #6).
+    Maintenance contract at 100 TB: the batch appends its rows and a
+    standing key-count synopsis merges per batch; keys newly reaching
+    count 2 promote their rows — the same append-plus-promotion shape
+    as subpos8g's group rewrite. The coalesce keeps the staged table
+    from being 32 near-empty files whose open/footer overhead dominates
+    the timed read (at corpus scale a staging job sizes output files
+    with maxRecordsPerFile instead; this tier is synopsis-small)."""
+    dup = (
+        idx.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select(key)
+    )
+    return idx.join(dup, key).coalesce(8)
+
+
 def _build_subwin8d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x77/x78's PAIR-FORMING flat window index: distinct ``(doc_id,
-    wh)`` restricted to window hashes held by >= 2 documents — the
-    subpos8g prune applied to the flat join index. A wh held by one doc
-    can never form a dup pair, and that unique-window bulk is ~90% of
-    the index at sf1 (2.36M -> 215k rows), so the incremental pair join
-    reads ~10x fewer rows (measured 2.0s -> 0.8s warm; VERDICT r9 #6).
-    Derives from the staged subpos8 tier (one distinct + one count
-    aggregate — no second corpus tokenize). Maintenance contract at
-    100 TB: the batch appends its rows and a standing wh-count synopsis
-    merges per batch; whs newly reaching count 2 promote their rows —
-    the same append-plus-promotion shape as subpos8g's group rewrite."""
+    """x77/x78's pair-forming flat window index: distinct ``(doc_id,
+    wh)`` restricted by :func:`_pruned_pair_index` (2.36M -> 215k rows
+    at sf1; measured 2.0s -> 0.8s warm). Derives from the staged
+    subpos8 tier — one distinct + one count aggregate, no second
+    corpus tokenize."""
     idx = (
         _shared_artifact(spark, sf_dir, "subpos8")
         .select("doc_id", "wh")
         .distinct()
     )
-    dup = (
-        idx.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("wh")
-    )
-    # the prune leaves ~10% of the index: coalesce so the staged table
-    # isn't 32 near-empty files whose open/footer overhead dominates the
-    # timed read (at corpus scale a staging job sizes output files with
-    # maxRecordsPerFile instead; this tier is synopsis-small)
-    return idx.join(dup, "wh").coalesce(8)
+    return _pruned_pair_index(idx, "wh")
 
 
 def _build_shingle5d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x86's PAIR-FORMING shingle index: ``(doc_id, _sh)`` restricted to
-    5-gram hashes held by >= 2 documents — the subwin8d prune on the
-    shingle tier. A shingle held by one doc can never form an overlap
-    pair, so |A∩B| over the pruned index is exact; per-doc SIZES must
-    then come from the full-index `shingle5_sizes` table (the
-    `new_sizes`/`old_sizes` contract of incremental_shingle_overlap).
-    Same append-plus-count-2-promotion maintenance shape as subwin8d."""
+    """x86's pair-forming shingle index: ``(doc_id, _sh)`` restricted by
+    :func:`_pruned_pair_index`. |A∩B| over the pruned index is exact
+    (every shared shingle is held by >= 2 docs by definition); per-doc
+    SIZES must then come from the full-index `shingle5_sizes` table
+    (the `new_sizes`/`old_sizes` contract of
+    incremental_shingle_overlap)."""
     idx = _shared_artifact(spark, sf_dir, "shingle5").select("doc_id", "_sh")
-    dup = (
-        idx.groupBy("_sh")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("_sh")
-    )
-    return idx.join(dup, "_sh").coalesce(8)
+    return _pruned_pair_index(idx, "_sh")
 
 
 def _build_dup_assign_old(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5825,10 +5824,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # a driver row first. Round-10 window (VERDICT r9 #1/#3/#5): (a) the
 # four red rows x95/x97/x98/x105 (the HUGEINT oracle type bug, CAST
 # this round); (b) the queries whose implementation or oracle CHANGED
-# this round (x77/x78/x80/x82/x83/x84/x87 modular arrival splits, x106
-# staged sketches); (c) 37 of round 9's 48 deferrals — the remaining
-# 11 stay deferred to r11 (the window can't hold all 48 plus the
-# changed rows; splitting the backlog is the sanctioned move); (d)
+# this round (x77/x78/x79/x80/x82/x83/x84/x87 modular arrival splits,
+# x106 staged sketches); (c) 36 of round 9's 48 deferrals — the
+# remaining 12 stay deferred to r11 (the window can't hold all 48 plus
+# the changed rows; splitting the backlog is the sanctioned move); (d)
 # this round's new registrations x107+ (auto-append). Local tooling
 # (tools/check_correctness.py, bench.py) still runs every entry.
 # ---------------------------------------------------------------------------
@@ -5840,9 +5839,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x97_salted_skew_join",
     "x98_zorder_box_scan",
     "x105_zorder_staged_box_scan",
-    # changed implementation/oracle this round (VERDICT r9 #5: the
-    # remaining degenerate doc_id>=450 splits converted to the
-    # scale-invariant modular arrival split; #7: x106 staged sketches)
+    # changed implementation/oracle this round (VERDICT r9 #5: ALL
+    # remaining degenerate >=450 splits converted to the
+    # scale-invariant modular arrival split, including x79's IVF train
+    # set; #7: x106 staged sketches)
     "x77_incremental_dup_pairs",
     "x78_streaming_incremental_dedup",
     "x79_ivf_append_search",
@@ -5852,8 +5852,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x84_incremental_corpus_stats",
     "x87_batch_drift_gate",
     "x106_cms_join_size_estimate",
-    # round-9's deferrals, returning as promised (37 of 48 — the
-    # remaining 11 stay in _DEFERRED_TO_NEXT for r11; the driver window
+    # round-9's deferrals, returning as promised (36 of 48 — the
+    # remaining 12 stay in _DEFERRED_TO_NEXT for r11; the driver window
     # holds only 50 rows and the changed queries above take precedence)
     "q14_asof_combine_latest",
     "q15_running_fold",
@@ -5895,7 +5895,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 
 #: Entries pushed to the round-11 window (the tail of round-9's 48
 #: deferrals that the 50-row driver window can't also hold this round —
-#: the 12 changed/red queries above take precedence, VERDICT r9 #3
+#: the 13 changed/red queries above take precedence, VERDICT r9 #3
 #: sanctions splitting the backlog across r10/r11). Every name below
 #: carries a GREEN driver row from r05-r07 and none changed
 #: implementation or oracle this round; tests/test_plan_shapes.py's
