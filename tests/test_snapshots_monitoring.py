@@ -652,3 +652,39 @@ def test_rollback_carries_dir_stats(spark, tmp_path):
     )
     m4 = snap._read_manifest(path, v4)
     assert set(stats1) <= set(m4["dir_stats"])
+
+
+def test_snapshot_evict_to_cap_lost_race_recomputes(spark, tmp_path, monkeypatch):
+    # A racer's commit may append a directory between our manifest read
+    # and our claim; eviction is RELATIVE to the latest visible set, so
+    # the retry must recompute against the racer's commit instead of
+    # shipping a stale dirs list that silently drops the new batch.
+    path = str(tmp_path / "t")
+    for i in range(3):
+        snap.commit_snapshot(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    real_commit = snap._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(p, manifest, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # the racer lands a fourth batch and claims our version
+            snap.commit_snapshot(
+                spark.range(100, 110).select(F.col("id").alias("k")),
+                p,
+                mode="append",
+            )
+            return False  # our original claim lost
+        return real_commit(p, manifest, version)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    v, dropped = snap.evict_to_cap(path, max_rows=25)
+    # the racer committed v4 (40 rows incl. its batch); our retry must
+    # see it: cap 25 over [b0,b1,b2,b100] -> drop the two oldest
+    assert v == 5 and len(dropped) == 2
+    kept = _rows(snap.read_snapshot(spark, path))
+    assert kept == [(k,) for k in list(range(20, 30)) + list(range(100, 110))]
