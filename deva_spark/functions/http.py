@@ -268,10 +268,13 @@ def fetch_stage_cached(
         # invocation's keep_runs pruning could delete it before the caller
         # collects — a bounded driver collect (one short string per failed
         # URL of this batch, and the batch is the caller's crawl list, not
-        # the corpus) buys a plan with no dangling file dependency.
+        # the corpus) buys a plan with no dangling file dependency. Each
+        # _ferr is TRUNCATED before the collect (ADVICE r10): a fetcher
+        # that stuffs a response body into its exception message must not
+        # turn a high-failure crawl into a driver-memory hazard.
         err_rows = (
             run.filter(F.col("_ferr").isNotNull())
-            .select("_uh", "_ferr")
+            .select("_uh", F.substring("_ferr", 1, 512).alias("_ferr"))
             .collect()
         )
         errs = spark.createDataFrame(err_rows, "_uh string, _ferr string")

@@ -843,8 +843,26 @@ def _det_bytes(seed: bytes, tag: bytes, n: int) -> bytes:
     return bytes(out[:n])
 
 
+def synthesized_dims(seed: bytes) -> dict[str, tuple[int, ...]]:
+    """Per-doc media geometry derived from the first six bytes of
+    ``md5(text)`` — shared by :func:`synthesize_media_from_text`
+    (``vary_dims=True``) and the x107 DuckDB oracle, which recomputes the
+    same arithmetic from ``md5(text)``'s hex (queries.py x107). Keeping
+    the mapping in one visible place is what makes the cross-engine
+    check honest: the oracle predicts what the DECODER must sniff out of
+    the real PNG/WAV/GIF headers."""
+    return {
+        "image": (4 + seed[0] % 5, 4 + seed[1] % 5),  # (w, h) in 4..8
+        "audio": (256 + (seed[2] % 8) * 32,),  # samples, multiple of 8
+        "video": (4 + seed[4] % 5, 4 + seed[5] % 5, 2 + seed[3] % 3),
+    }
+
+
 def synthesize_media_from_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vary_dims: bool = False,
 ) -> DataFrame:
     """Deterministic multimodal payloads derived from a TEXT corpus: for
     each input row, emit one REAL PNG image, one REAL 16-bit WAV clip,
@@ -854,7 +872,10 @@ def synthesize_media_from_text(
     on EXECUTORS (Arrow-batched mapInPandas, no driver loop). Each row
     carries ``src_digest``: the md5 of the canonical source array, so a
     downstream decode can prove the encode→shuffle→decode roundtrip
-    bit-exactly (:func:`codec_roundtrip_audit`)."""
+    bit-exactly (:func:`codec_roundtrip_audit`). With ``vary_dims`` the
+    geometry itself varies per doc via :func:`synthesized_dims`, making
+    the decoded header dims a NON-constant pure function of ``md5(text)``
+    that an external SQL oracle can recompute (VERDICT r10 #1)."""
     import io
     import wave
 
@@ -867,9 +888,17 @@ def synthesize_media_from_text(
             rows = []
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 seed = hashlib.md5((text or "").encode()).digest()
+                if vary_dims:
+                    geo = synthesized_dims(seed)
+                    (iw, ih), (ns,), (vw, vh, vt) = (
+                        geo["image"], geo["audio"], geo["video"],
+                    )
+                else:
+                    iw = ih = vw = vh = 8
+                    ns, vt = 400, 2
                 img = np.frombuffer(
-                    _det_bytes(seed, b"img", 8 * 8 * 3), dtype=np.uint8
-                ).reshape(8, 8, 3)
+                    _det_bytes(seed, b"img", iw * ih * 3), dtype=np.uint8
+                ).reshape(ih, iw, 3)
                 rows.append(
                     (
                         int(mid),
@@ -879,7 +908,7 @@ def synthesize_media_from_text(
                     )
                 )
                 pcm = np.frombuffer(
-                    _det_bytes(seed, b"aud", 400 * 2), dtype="<i2"
+                    _det_bytes(seed, b"aud", ns * 2), dtype="<i2"
                 )
                 bio = io.BytesIO()
                 with wave.open(bio, "wb") as w:
@@ -896,8 +925,8 @@ def synthesize_media_from_text(
                     )
                 )
                 vid = np.frombuffer(
-                    _det_bytes(seed, b"vid", 2 * 8 * 8 * 3), dtype=np.uint8
-                ).reshape(2, 8, 8, 3)
+                    _det_bytes(seed, b"vid", vt * vh * vw * 3), dtype=np.uint8
+                ).reshape(vt, vh, vw, 3)
                 rows.append(
                     (
                         int(mid),

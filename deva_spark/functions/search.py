@@ -185,14 +185,38 @@ def index_retract(
     (`operators.dedup.retract_rows`) committed as an overwrite version —
     readers at older versions still see the pre-retraction index, and
     `expire_snapshots` reclaims it on the governance schedule. Bounded
-    forget batch by contract (broadcast anti-join, one index scan)."""
-    from deva_spark.operators.dedup import retract_rows
-    from deva_spark.sources.snapshots import commit_snapshot, read_snapshot
+    forget batch by contract (broadcast anti-join, one index scan).
 
-    current = read_snapshot(spark, path)
-    kept = retract_rows(current, forget, id_col="doc_id")
-    return commit_snapshot(
-        kept, path, mode="overwrite", note=note or "index retraction"
+    Retraction is a read-modify-REWRITE, so the commit is conditional on
+    the version it read (``require_parent`` — ADVICE r10): a concurrent
+    ``index_commit`` append landing between the read and the manifest
+    claim raises a conflict instead of vanishing from the new latest,
+    and the loop recomputes the anti-join against the racer's version."""
+    from deva_spark.operators.dedup import retract_rows
+    from deva_spark.sources.snapshots import (
+        SnapshotConflictError,
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    for _attempt in range(20):
+        versions = snapshot_versions(path)
+        seen = versions[-1] if versions else None
+        current = read_snapshot(spark, path, seen)
+        kept = retract_rows(current, forget, id_col="doc_id")
+        try:
+            return commit_snapshot(
+                kept,
+                path,
+                mode="overwrite",
+                note=note or "index retraction",
+                require_parent=seen,
+            )
+        except SnapshotConflictError:
+            continue
+    raise RuntimeError(
+        f"index_retract lost 20 consecutive commit races under {path}"
     )
 
 

@@ -48,13 +48,22 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     queries is broadcast (small Q); every candidate partition scores its
-    rows against all queries, then a per-query top-k window. Output:
-    (qid, vec_id, cos, rnk) with cos rounded to 4dp before ranking so the
-    ordering is reproducible across engines.
+    rows against all queries, then a TWO-PHASE top-k (VERDICT r10 #3):
+    phase 1 ranks within (qid, salt) where salt = xxhash64(vec_id) %
+    ``salt_buckets`` — |Q| x salt_buckets reducers, each seeing ~1/salt
+    of one query's candidates — and keeps k per bucket; phase 2 ranks
+    the surviving |Q| x salt_buckets x k rows per qid. Exact by
+    construction (the global top-k per qid is contained in the union of
+    per-bucket top-k; the (cos desc, vec_id) key is a total order), and
+    the per-reducer row volume no longer scales with the corpus under a
+    fixed query count. Output: (qid, vec_id, cos, rnk) with cos rounded
+    to 4dp before ranking so the ordering is reproducible across
+    engines.
     """
     # Norms are precomputed per vector (not per pair): the pairwise stage
     # then does ONE fold per pair instead of three.
@@ -81,9 +90,22 @@ def brute_force_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    local = (
+        scored.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salt_buckets)),
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "cos", "rnk")
     )

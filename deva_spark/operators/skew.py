@@ -34,25 +34,39 @@ def _content_salt(
     the large-cluster regime salting exists for (VERDICT r9 #3). A
     content hash re-derives the same salt on every recompute.
 
-    Caveats (ADVICE r10 review): MapType columns are excluded
-    automatically (xxhash64 rejects them); and rows that are
-    BYTE-IDENTICAL share a salt, so a hot key whose rows carry no
-    distinguishing column (a fully-denormalized duplicate blob) will
-    not fan out — pass ``salt_cols`` naming a high-cardinality column
-    (an event id, an offset) or add one upstream. Fact tables with any
-    per-row identifier (events has ``event_id``) fan out fully."""
+    Caveats (ADVICE r10 review): columns containing a MapType anywhere
+    in their type tree are excluded automatically (xxhash64 rejects
+    maps, including one nested inside an array or struct — ADVICE r11);
+    and rows that are BYTE-IDENTICAL share a salt, so a hot key whose
+    rows carry no distinguishing column (a fully-denormalized duplicate
+    blob) will not fan out — pass ``salt_cols`` naming a
+    high-cardinality column (an event id, an offset) or add one
+    upstream. Fact tables with any per-row identifier (events has
+    ``event_id``) fan out fully."""
+
+    def _has_map(dt) -> bool:
+        from pyspark.sql import types as sqlt
+
+        if isinstance(dt, sqlt.MapType):
+            return True
+        if isinstance(dt, sqlt.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, sqlt.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     if salt_cols:
         cols = [F.col(c) for c in salt_cols]
     else:
         cols = [
             F.col(f.name)
             for f in df.schema.fields
-            if not f.dataType.typeName().startswith("map")
+            if not _has_map(f.dataType)
         ]
         if not cols:
             raise ValueError(
-                "no hashable columns for the content salt (all MapType) — "
-                "pass salt_cols"
+                "no hashable columns for the content salt (all contain "
+                "MapType) — pass salt_cols"
             )
     return F.pmod(F.xxhash64(*cols, F.lit(n_salts)), F.lit(n_salts)).cast(
         "int"

@@ -277,17 +277,19 @@ def _pruned_pair_index(idx: DataFrame, key: str) -> DataFrame:
     Maintenance contract at 100 TB: the batch appends its rows and a
     standing key-count synopsis merges per batch; keys newly reaching
     count 2 promote their rows — the same append-plus-promotion shape
-    as subpos8g's group rewrite. The coalesce keeps the staged table
-    from being 32 near-empty files whose open/footer overhead dominates
-    the timed read (at corpus scale a staging job sizes output files
-    with maxRecordsPerFile instead; this tier is synopsis-small)."""
+    as subpos8g's group rewrite. File-count shaping (keeping the staged
+    table from being 32 near-empty files whose open/footer overhead
+    dominates the timed read) happens at STAGING-WRITE time via
+    ``ARTIFACT_WRITE_PARTITIONS`` — not here: a ``coalesce`` in the
+    logical plan propagates upward and collapses this count aggregate
+    and join to 8 tasks on the inline-fallback route (ADVICE r10)."""
     dup = (
         idx.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
         .select(key)
     )
-    return idx.join(dup, key).coalesce(8)
+    return idx.join(dup, key)
 
 
 def _build_subwin8d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +470,18 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quant_day_cells": _build_quant_day_cells,
 }
 
+#: Staging-WRITE file-count shaping (ADVICE r10): these synopsis-small
+#: artifacts would otherwise stage as 32 near-empty files whose
+#: open/footer overhead dominates the timed read. The repartition lives
+#: HERE — applied only on the write path in ``stage_artifacts`` — so the
+#: in-session fallback plan keeps full parallelism (a ``coalesce`` in
+#: the builder would propagate into the pair joins). At corpus scale the
+#: equivalent knob is ``maxRecordsPerFile`` on the staging job.
+ARTIFACT_WRITE_PARTITIONS: dict[str, int] = {
+    "subwin8d": 8,
+    "shingle5d": 8,
+}
+
 
 def _stage_ivf16(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Cell-partitioned IVF table + centers sidecar (x32's 100 TB
@@ -629,9 +643,13 @@ def stage_artifacts(
         if name in ARTIFACT_STAGERS:
             ARTIFACT_STAGERS[name](spark, sf_dir, _artifact_path(sf_dir, name))
         else:
-            ARTIFACT_BUILDERS[name](spark, sf_dir).write.mode(
-                "overwrite"
-            ).parquet(_artifact_path(sf_dir, name))
+            built = ARTIFACT_BUILDERS[name](spark, sf_dir)
+            nparts = ARTIFACT_WRITE_PARTITIONS.get(name)
+            if nparts:
+                built = built.repartition(nparts)
+            built.write.mode("overwrite").parquet(
+                _artifact_path(sf_dir, name)
+            )
         took[name] = round(_time.perf_counter() - t0, 3)
     return took
 
@@ -5789,26 +5807,67 @@ def x106(spark, sf):
     return agg.cms_join_size(a, b, depth=4)
 
 
-@query("x107_media_codec_audit", None)  # rows-only: DuckDB can't decode PNG
+def _md5_byte_sql(i: int) -> str:
+    """DuckDB expression for byte ``i`` of ``md5(text)`` (column ``h``
+    holds the hex digest): two nibble lookups — mirrors Python's
+    ``hashlib.md5(text).digest()[i]``."""
+    hi, lo = 2 * i + 1, 2 * i + 2
+    nib = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    return f"(({nib.format(p=hi)}) * 16 + ({nib.format(p=lo)}))"
+
+
+_X107_ORACLE = f"""WITH d AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h
+  FROM documents WHERE doc_id % 50 = 0
+), b AS (
+  SELECT doc_id,
+         {_md5_byte_sql(0)} AS b0, {_md5_byte_sql(1)} AS b1,
+         {_md5_byte_sql(2)} AS b2, {_md5_byte_sql(3)} AS b3,
+         {_md5_byte_sql(4)} AS b4, {_md5_byte_sql(5)} AS b5
+  FROM d
+)
+SELECT doc_id, 'image' AS kind, TRUE AS ok,
+       CAST(4 + b0 % 5 AS INT) AS width, CAST(4 + b1 % 5 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM b
+UNION ALL
+SELECT doc_id, 'audio', TRUE, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(256 + (b2 % 8) * 32 AS INT)
+FROM b
+UNION ALL
+SELECT doc_id, 'video', TRUE, CAST(4 + b4 % 5 AS INT),
+       CAST(4 + b5 % 5 AS INT), CAST(2 + b3 % 3 AS INT)
+FROM b
+ORDER BY doc_id, kind"""
+
+
+@query("x107_media_codec_audit", _X107_ORACLE)
 def x107(spark, sf):
-    # Multimodal codec confidence row (VERDICT r9 #9): the only tier
-    # without driver evidence gains a standing check. Every 50th
-    # document deterministically synthesizes one REAL PNG + WAV + GIF
-    # payload (bytes = pure function of md5(text), encoded by this
-    # package's own stdlib codecs on executors), then a second
-    # Arrow-batched pass DECODES each payload and proves the
-    # encode→shuffle→decode roundtrip bit-exact (`ok` compares the
-    # decoded array's md5 against the encoder-side digest). Row count
-    # (3 per sampled doc), dims, and digests are pure functions of the
-    # corpus text — stable across runs, partitionings, and retries, so
-    # the driver's rows-only tier pins it. An inherently non-SQL
-    # operator: the oracle is the in-row `ok` invariant itself
-    # (tests/test_multimodal_codec.py asserts all-true + goldens).
+    # Multimodal codec confidence row (VERDICT r9 #9, oracle per VERDICT
+    # r10 #1): every 50th document deterministically synthesizes one
+    # REAL PNG + WAV + GIF payload (bytes AND geometry = pure functions
+    # of md5(text) — `synthesized_dims`, encoded by this package's own
+    # stdlib codecs on executors), then a second Arrow-batched pass
+    # DECODES each payload and proves the encode→shuffle→decode
+    # roundtrip bit-exact (`ok` compares the decoded array's md5 against
+    # the encoder-side digest; tests/test_multimodal_codec.py also pins
+    # the digests themselves). The driver-checked columns are the
+    # SQL-derivable subset: the oracle recomputes each payload's
+    # per-doc geometry from md5(text) hex arithmetic and asserts
+    # `TRUE AS ok` — so the hash check fails if any header the decoder
+    # sniffed out of the real codec bytes disagrees with the arithmetic,
+    # or if any roundtrip breaks. (Payload md5 digests stay
+    # pytest-golden only: DuckDB's md5() has no BLOB overload, so the
+    # binary digest chain is not SQL-expressible.)
     from deva_spark.functions import multimodal as mmod
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
-    media = mmod.synthesize_media_from_text(docs)
-    return mmod.codec_roundtrip_audit(media).orderBy("doc_id", "kind")
+    media = mmod.synthesize_media_from_text(docs, vary_dims=True)
+    return (
+        mmod.codec_roundtrip_audit(media)
+        .select("doc_id", "kind", "ok", "width", "height", "n_frames")
+        .orderBy("doc_id", "kind")
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -82,12 +82,22 @@ def _commit_manifest(path: str, manifest: dict, version: int) -> bool:
         os.remove(tmp)
 
 
+class SnapshotConflictError(RuntimeError):
+    """A ``require_parent`` commit lost its claim race: the latest
+    version moved past the one the caller's DataFrame was computed
+    against. The caller recomputes against the new latest and retries —
+    the Iceberg-style optimistic-concurrency contract for REWRITE
+    commits, whose payload (unlike an append's) is a function of the
+    version it read."""
+
+
 def commit_snapshot(
     df: DataFrame,
     path: str,
     mode: str = "append",
     note: str = "",
     stats_cols: list[str] | None = None,
+    require_parent: int | None | bool = False,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit a new
     version. ``mode="append"``: the new version sees the previous
@@ -95,9 +105,19 @@ def commit_snapshot(
     index rows append). ``mode="overwrite"``: the new version sees ONLY
     the new directory (the governance shape — retraction/keep-best
     rewrites), while every older version still resolves its own files.
-    Returns the committed version number."""
+    Returns the committed version number.
+
+    ``require_parent`` (pass a version number, or ``None`` for "the
+    lineage must still be empty") makes the commit CONDITIONAL on the
+    latest version still being that value at claim time: a lost race
+    raises :class:`SnapshotConflictError` after removing the orphaned
+    data directory, instead of silently committing a payload computed
+    against a superseded version (ADVICE r10 — the index_retract
+    read→anti-join→overwrite window). Appends of NEW rows don't need it;
+    every read-modify-rewrite does."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite (got {mode!r})")
+    guarded = require_parent is not False
     versions = snapshot_versions(path)
     prev = versions[-1] if versions else None
     new_version = (prev + 1) if prev is not None else 1
@@ -123,8 +143,20 @@ def commit_snapshot(
         }
     # claim loop: a racing committer that wins the exclusive-create makes
     # us recompute the visible set against the NEW latest version and try
-    # the next number — both commits land, neither's rows vanish
+    # the next number — both commits land, neither's rows vanish. Under
+    # ``require_parent`` the retry is NOT taken: the payload was computed
+    # against the superseded version, so the caller must recompute.
     while True:
+        if guarded and prev != require_parent:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(path, "data", data_dir), ignore_errors=True
+            )
+            raise SnapshotConflictError(
+                f"latest version is {prev}, expected {require_parent} "
+                f"under {path}"
+            )
         dirs = [data_dir]
         dir_stats = dict(fresh_stats)
         if mode == "append" and prev is not None:
@@ -276,48 +308,55 @@ def evict_to_cap(
     when already within cap (no empty commit)."""
     if max_rows is None and max_bytes is None:
         raise ValueError("give max_rows and/or max_bytes")
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshots committed under {path}")
-    prev = versions[-1]
-    manifest = _read_manifest(path, prev)
-    dirs = list(manifest["data_dirs"])
-    sizes = {d: _dir_size(path, d) for d in dirs}
-    total_rows = sum(r for r, _ in sizes.values())
-    total_bytes = sum(b for _, b in sizes.values())
+    # Claim-retry LOOP (not recursion — ADVICE r10: sustained contention
+    # must not exhaust the interpreter stack, and each retry legitimately
+    # re-reads footers because eviction is RELATIVE to the latest visible
+    # set: the racer's commit may have appended a directory a stale list
+    # would silently drop). Bounded: a maintenance job that loses this
+    # many consecutive races should surface, not spin.
+    for _attempt in range(20):
+        versions = snapshot_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots committed under {path}")
+        prev = versions[-1]
+        manifest = _read_manifest(path, prev)
+        dirs = list(manifest["data_dirs"])
+        sizes = {d: _dir_size(path, d) for d in dirs}
+        total_rows = sum(r for r, _ in sizes.values())
+        total_bytes = sum(b for _, b in sizes.values())
 
-    def over() -> bool:
-        return (max_rows is not None and total_rows > max_rows) or (
-            max_bytes is not None and total_bytes > max_bytes
-        )
+        def over() -> bool:
+            return (max_rows is not None and total_rows > max_rows) or (
+                max_bytes is not None and total_bytes > max_bytes
+            )
 
-    dropped: list[str] = []
-    while over() and len(dirs) > 1:
-        oldest = dirs.pop(0)
-        dropped.append(oldest)
-        r, b = sizes[oldest]
-        total_rows -= r
-        total_bytes -= b
-    if not dropped:
-        return prev, []
-    keep_stats = {
-        d: s for d, s in manifest.get("dir_stats", {}).items() if d in set(dirs)
-    }
-    m = {
-        "version": prev + 1,
-        "parent": prev,
-        "mode": "evict",
-        "note": note or f"evict_to_cap dropped {len(dropped)} dir(s)",
-        "data_dirs": dirs,
-        "dir_stats": keep_stats,
-    }
-    if _commit_manifest(path, m, prev + 1):
-        return prev + 1, dropped
-    # lost the claim race: unlike rollback (whose target set is
-    # absolute), eviction is RELATIVE to the latest visible set — the
-    # racer's commit may have appended a directory our stale list would
-    # silently drop. Recompute everything against the new latest.
-    return evict_to_cap(path, max_rows, max_bytes, note)
+        dropped: list[str] = []
+        while over() and len(dirs) > 1:
+            oldest = dirs.pop(0)
+            dropped.append(oldest)
+            r, b = sizes[oldest]
+            total_rows -= r
+            total_bytes -= b
+        if not dropped:
+            return prev, []
+        keep_stats = {
+            d: s
+            for d, s in manifest.get("dir_stats", {}).items()
+            if d in set(dirs)
+        }
+        m = {
+            "version": prev + 1,
+            "parent": prev,
+            "mode": "evict",
+            "note": note or f"evict_to_cap dropped {len(dropped)} dir(s)",
+            "data_dirs": dirs,
+            "dir_stats": keep_stats,
+        }
+        if _commit_manifest(path, m, prev + 1):
+            return prev + 1, dropped
+    raise RuntimeError(
+        f"evict_to_cap lost 20 consecutive commit races under {path}"
+    )
 
 
 def snapshot_diff(

@@ -312,3 +312,42 @@ def test_incremental_index_commit_retract_time_travel(spark, tmp_path):
         r.doc_id
         for r in search.read_index(spark, path, 2).select("doc_id").distinct().collect()
     } == {1, 2, 3, 4}
+
+
+def test_index_retract_concurrent_append_not_dropped(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r10 (medium): an index_commit append landing between
+    # index_retract's read and its manifest claim must survive into the
+    # new latest — the conditional commit detects the moved parent and
+    # the retraction recomputes against the racer's version.
+    from deva_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "ftidx")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    search.index_commit(mk([(1, "spark engine"), (2, "table scan")]), path)
+    real_commit = snap._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(p, manifest, version):
+        if not state["raced"] and manifest["mode"] == "overwrite":
+            state["raced"] = True
+            # a concurrent arrival batch indexes doc 3 and wins the claim
+            search.index_commit(mk([(3, "spark streaming")]), p)
+            return False
+        return real_commit(p, manifest, version)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    v = search.index_retract(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert state["raced"]
+    latest = {
+        r.doc_id
+        for r in search.read_index(spark, path, v)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    # doc 1 retracted AND the racer's doc 3 present — neither lost
+    assert latest == {2, 3}

@@ -390,3 +390,34 @@ def test_synthesize_and_roundtrip_audit_bit_exact(spark):
     assert [(r.doc_id, r.kind, r.digest) for r in rows] == [
         (r.doc_id, r.kind, r.digest) for r in again
     ]
+
+
+def test_synthesize_vary_dims_matches_arithmetic(spark):
+    # x107's oracle contract (VERDICT r10 #1): with vary_dims the
+    # geometry the DECODER sniffs out of the real PNG/WAV/GIF headers
+    # must equal the md5-hex arithmetic a SQL oracle recomputes.
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    audit = mm.codec_roundtrip_audit(
+        mm.synthesize_media_from_text(docs, vary_dims=True)
+    ).collect()
+    assert len(audit) == 18 and all(r.ok for r in audit)
+    for r in audit:
+        seed = hashlib.md5(
+            (f"doc body {r.doc_id} " * (r.doc_id + 1)).encode()
+        ).digest()
+        geo = mm.synthesized_dims(seed)
+        if r.kind == "image":
+            assert (r.width, r.height, r.n_frames) == (*geo["image"], 1)
+        elif r.kind == "audio":
+            assert (r.width, r.height) == (None, None)
+            assert r.n_frames == geo["audio"][0]
+        else:
+            assert (r.width, r.height, r.n_frames) == geo["video"]
+    # dims genuinely vary across the corpus (a constant would make the
+    # oracle vacuous)
+    assert len({(r.width, r.height) for r in audit if r.kind == "image"}) > 1

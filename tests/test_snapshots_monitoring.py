@@ -688,3 +688,98 @@ def test_snapshot_evict_to_cap_lost_race_recomputes(spark, tmp_path, monkeypatch
     assert v == 5 and len(dropped) == 2
     kept = _rows(snap.read_snapshot(spark, path))
     assert kept == [(k,) for k in list(range(20, 30)) + list(range(100, 110))]
+
+
+def test_snapshot_evict_to_cap_two_lost_races_no_recursion(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r10: the lost-race retry is now a bounded LOOP — two
+    # consecutive racers must both be absorbed (recursion would also
+    # pass here, but the 20-attempt cap below would not exist; the
+    # sustained-contention test is the RuntimeError branch).
+    path = str(tmp_path / "t")
+    for i in range(3):
+        snap.commit_snapshot(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    real_commit = snap._commit_manifest
+    state = {"races": 0}
+
+    def racing_commit(p, manifest, version):
+        if state["races"] < 2:
+            state["races"] += 1
+            base = 100 * state["races"]
+            snap.commit_snapshot(
+                spark.range(base, base + 10).select(F.col("id").alias("k")),
+                p,
+                mode="append",
+            )
+            return False
+        return real_commit(p, manifest, version)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    v, dropped = snap.evict_to_cap(path, max_rows=25)
+    # racers committed v4 (+100s) and v5 (+200s); the final recompute
+    # sees 50 rows across 5 dirs and drops the three oldest
+    assert v == 6 and len(dropped) == 3
+    kept = _rows(snap.read_snapshot(spark, path))
+    assert kept == [
+        (k,) for k in list(range(100, 110)) + list(range(200, 210))
+    ]
+    assert state["races"] == 2
+
+
+def test_snapshot_evict_to_cap_sustained_contention_raises(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    snap.commit_snapshot(
+        spark.range(0, 10).select(F.col("id").alias("k")), path
+    )
+    snap.commit_snapshot(
+        spark.range(10, 20).select(F.col("id").alias("k")),
+        path,
+        mode="append",
+    )
+    monkeypatch.setattr(snap, "_commit_manifest", lambda *a: False)
+    with pytest.raises(RuntimeError, match="20 consecutive"):
+        snap.evict_to_cap(path, max_rows=5)
+
+
+def test_commit_snapshot_require_parent_conflict(spark, tmp_path):
+    # The optimistic-concurrency guard behind index_retract (ADVICE
+    # r10): a rewrite conditional on the version it read must abort —
+    # and clean up its orphan data dir — when the latest moved.
+    path = str(tmp_path / "t")
+    v1 = snap.commit_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("k")), path
+    )
+    v2 = snap.commit_snapshot(
+        spark.range(5, 10).select(F.col("id").alias("k")),
+        path,
+        mode="append",
+    )
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.commit_snapshot(
+            spark.range(100, 101).select(F.col("id").alias("k")),
+            path,
+            mode="overwrite",
+            require_parent=v1,
+        )
+    # lineage untouched, and the aborted commit's data dir is gone
+    assert snap.snapshot_versions(path) == [v1, v2]
+    data_dirs = set(os.listdir(os.path.join(path, "data")))
+    manifest_dirs = set(snap._read_manifest(path, v2)["data_dirs"]) | set(
+        snap._read_manifest(path, v1)["data_dirs"]
+    )
+    assert data_dirs == manifest_dirs
+    # matching parent commits fine
+    v3 = snap.commit_snapshot(
+        spark.range(100, 101).select(F.col("id").alias("k")),
+        path,
+        mode="overwrite",
+        require_parent=v2,
+    )
+    assert v3 == 3 and _rows(snap.read_snapshot(spark, path)) == [(100,)]
