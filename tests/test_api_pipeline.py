@@ -293,3 +293,29 @@ def test_event_stream_fluent_api(spark):
     assert sorted(r.x for r in flat.df.collect()) == [10, 20, 30, 40]
     got = es.filter(F.col("k") == 2).sink(lambda rows: [r.s for r in rows])
     assert got == ["b"]
+
+
+def test_frame_sampling_real_avi(spark):
+    # frame_sample extracts REAL frames from stdlib-decodable containers:
+    # sampled AVI frames come back as standalone PNGs decoding to the
+    # exact source pixels (r11 de-stub)
+    import numpy as np
+
+    clip = np.random.default_rng(11).integers(
+        0, 256, size=(5, 6, 6, 3), dtype=np.uint8
+    )
+    rows = [
+        (
+            9,
+            "video",
+            bytearray(mm.encode_avi(clip)),
+            (6, 6, 5, None, "video/x-msvideo"),
+        )
+    ]
+    out = mm.frame_sample(mm.media_table(spark, rows), every_n=2).collect()
+    assert [(r.media_id, r.frame_index) for r in out] == [
+        (9, 0), (9, 2), (9, 4),
+    ]
+    for r in out:
+        arr = np.rint(mm.decode_png(bytes(r.frame)) * 255).astype(np.uint8)
+        assert np.array_equal(arr, clip[r.frame_index])

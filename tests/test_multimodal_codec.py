@@ -421,3 +421,113 @@ def test_synthesize_vary_dims_matches_arithmetic(spark):
     # dims genuinely vary across the corpus (a constant would make the
     # oracle vacuous)
     assert len({(r.width, r.height) for r in audit if r.kind == "image"}) > 1
+
+
+def test_avi_dib_roundtrip_bit_exact():
+    # VERDICT r10 #6: real synthesized AVI roundtrip — RIFF walk +
+    # bottom-up padded BGR rows back to the exact source array.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for t, h, w in [(3, 6, 7), (2, 4, 4), (1, 5, 9), (4, 8, 8)]:
+        clip = rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+        avi = mm.encode_avi(clip, fps=12)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        assert mm.avi_info(avi) == (w, h, t)
+        assert np.array_equal(mm.decode_avi(avi), clip)
+        assert mm.avi_frame_dims(avi) == [(w, h)] * t
+        capped = mm.avi_decode_video(avi, 2)
+        assert capped.shape[0] == min(2, t) and capped.dtype == np.float32
+
+
+def test_avi_mjpeg_structural_parse():
+    # MJPEG streams: container walk + per-frame dims via the JPEG header
+    # reader; pixel decode stays injected (guard clause raises).
+    import pytest as _pytest
+
+    jpegs = [_mini_jpeg(32, 24), _mini_jpeg(32, 24)]
+    avi = mm.encode_avi(jpegs, fps=5, width=32, height=24)
+    assert mm.avi_info(avi) == (32, 24, 2)
+    assert mm.avi_frame_dims(avi) == [(32, 24), (32, 24)]
+    parsed = mm._avi_parse(avi)
+    assert parsed["handler"] == "MJPG" and parsed["frames"] == jpegs
+    with _pytest.raises(NotImplementedError):
+        mm.decode_avi(avi)
+
+
+def test_avi_rejects_non_avi():
+    import pytest as _pytest
+
+    assert mm.avi_info(b"\x89PNG\r\n\x1a\n") is None
+    assert mm.avi_info(b"") is None
+    assert mm.avi_info(b"RIFF\x04\x00\x00\x00WAVE") is None
+    with _pytest.raises(ValueError):
+        mm.decode_avi(b"GIF89a")
+
+
+def test_default_video_decoder_dispatches_avi():
+    import numpy as np
+
+    clip = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3) % 251
+    dec = mm.default_video_decoder()
+    out = dec(mm.encode_avi(clip), 0)
+    assert np.array_equal(np.rint(out * 255).astype(np.uint8), clip)
+
+
+def test_video_features_over_real_avi(spark):
+    # the features stage runs on REAL decoded AVI pixels end-to-end
+    import numpy as np
+
+    clip = np.random.default_rng(3).integers(
+        0, 256, size=(4, 8, 8, 3), dtype=np.uint8
+    )
+    df = media_table_rows(spark, clip)
+    out = mm.video_features(df, decoder=mm.default_video_decoder()).collect()
+    assert len(out) == 1 and len(out[0].features) == 16
+    # expected: decode -> every 2nd frame -> 4x4 mean pool -> temporal mean
+    sub = (clip.astype(np.float32) / 255.0)[::2]
+    pooled = sub.reshape(2, 4, 2, 4, 2, 3).mean(axis=(2, 4, 5)).mean(axis=0)
+    assert np.allclose(out[0].features, pooled.ravel(), atol=1e-6)
+
+
+def media_table_rows(spark, clip):
+    import numpy as np
+
+    avi = mm.encode_avi(clip)
+    return mm.media_table(
+        spark,
+        [
+            (
+                1,
+                "video",
+                bytearray(avi),
+                (
+                    int(clip.shape[2]),
+                    int(clip.shape[1]),
+                    int(clip.shape[0]),
+                    None,
+                    "video/x-msvideo",
+                ),
+            )
+        ],
+    )
+
+
+def test_synthesize_avi_audit_matches_arithmetic(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * (i + 1)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    audit = mm.avi_roundtrip_audit(
+        mm.synthesize_avi_from_text(docs)
+    ).collect()
+    assert len(audit) == 5 and all(r.ok for r in audit)
+    for r in audit:
+        seed = hashlib.md5(
+            (f"doc body {r.doc_id} " * (r.doc_id + 1)).encode()
+        ).digest()
+        assert (r.width, r.height, r.n_frames) == mm.synthesized_dims(seed)[
+            "video"
+        ]

@@ -172,6 +172,24 @@ def test_prefix_dup_partial_aggregation(plans):
     assert p.count("HashAggregate") >= 2
 
 
+def test_cosine_topk_two_phase_rank(plans):
+    # VERDICT r10 #3: the exact brute-force ANN baseline must pre-reduce
+    # with a per-(qid, _salt) local top-k BEFORE the per-qid window —
+    # otherwise each of |queries| reducers receives a full-corpus
+    # candidate partition, capping parallelism at |queries| and growing
+    # per-reducer volume linearly with the corpus. Two Window nodes, the
+    # inner one salted, is the structural signature of the fix.
+    import re
+
+    p = plans("x08_cosine_topk")
+    wins = [ln for ln in p.splitlines() if re.search(r"\bWindow\b", ln)]
+    assert len(wins) >= 2, f"expected two-phase rank, got {wins}"
+    assert any("_salt" in ln for ln in wins), wins
+    # and the final (qid-only) window consumes the salted pre-reduction,
+    # not the raw scored set: the _r1 <= k filter sits between them
+    assert "_r1" in p
+
+
 def test_no_single_reducer_window_or_cartesian_anywhere(spark, sf_dir):
     # Whole-registry audit: with the small-input cutover disabled (the
     # 100 TB configuration), NO batch query may compile to a window fed
@@ -229,16 +247,16 @@ def test_driver_window_accounts_for_every_registry_entry():
     assert len(keys[:50]) == 50
     assert window.isdisjoint(deferred), window & deferred
     base = os.path.join(os.path.dirname(__file__), "..")
-    # green rows from the last TWO driver rounds count: the r9 window
-    # held the x73+ cohort and the r8 window the long tail, so together
-    # they cover everything the r10 window defers (each deferral is
-    # additionally r05-r07 green; this file can't see those rounds'
-    # records, but r8+r9 is sufficient for the accounting).
+    # green rows from the last TWO driver rounds count: the r10 window
+    # held the changed/red cohort + 36 r9 deferrals and the r9 window
+    # the x73+ cohort, so together they cover everything the r11 window
+    # defers (each deferral is additionally r08 green; this file keys on
+    # the two most recent rounds only).
     prev_green = set()
-    for rnd in ("CORRECTNESS_r08.json", "CORRECTNESS_r09.json"):
+    for rnd in ("CORRECTNESS_r09.json", "CORRECTNESS_r10.json"):
         rows = json.load(open(os.path.join(base, rnd)))
         # only rows the driver actually verified count — a red row
-        # (x95/x97/x98/x105 in r08-r09) must NOT satisfy the accounting
+        # (x107's no_oracle in r10) must NOT satisfy the accounting
         prev_green |= {
             k
             for k, v in rows.items()
@@ -251,23 +269,15 @@ def test_driver_window_accounts_for_every_registry_entry():
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
     # every deferral names a real registry entry
     assert deferred <= set(keys)
-    # VERDICT r9 #1/#5: every query whose oracle or implementation
-    # changed this round must sit in the r10 window — shipping a changed
-    # oracle out-of-window means it ships unverified.
+    # VERDICT r10 #1/#3 + ADVICE r10: every query whose oracle or
+    # implementation changed this round must sit in the r11 window —
+    # shipping a changed oracle out-of-window means it ships unverified.
     for changed in (
-        "x95_bloom_pruned_join",
-        "x97_salted_skew_join",
-        "x98_zorder_box_scan",
-        "x105_zorder_staged_box_scan",
-        "x77_incremental_dup_pairs",
-        "x78_streaming_incremental_dedup",
-        "x79_ivf_append_search",
-        "x80_incremental_minhash_neardup",
-        "x82_incremental_simhash_neardup",
-        "x83_incremental_exact_dedup",
-        "x84_incremental_corpus_stats",
-        "x87_batch_drift_gate",
-        "x106_cms_join_size_estimate",
+        "x107_media_codec_audit",  # real DuckDB oracle replaces no_oracle
+        "x08_cosine_topk",  # two-phase (qid, salt) top-k
+        "x77_incremental_dup_pairs",  # subwin8d shaping moved to write
+        "x86_incremental_shingle_overlap",  # shingle5d shaping moved
+        "x108_video_avi_audit",  # new this round (AVI de-stub)
     ):
         assert changed in window, f"changed row {changed} fell out of the window"
 
