@@ -268,6 +268,15 @@ def weighted_sample_topk(
     bounded merge) — an empty partition list here would be a
     single-reducer window, which this module's scale contract forbids.
 
+    The ranking itself is TWO-PHASE (the x08 pattern, r11): a handful of
+    groups (5 sources) would otherwise each pull their full corpus slice
+    through one reducer — per-key volume scaling with the corpus while
+    key count stays constant. Phase 1 ranks within
+    ``(group_cols…, _salt)`` where ``_salt = pmod(xxhash64(id), 32)``
+    and keeps k per bucket; phase 2 ranks the surviving ``32 × k`` rows
+    per group. Exact: the per-group top-k is contained in the union of
+    per-bucket top-k, and ``(skey DESC, id)`` is a total order.
+
     Output: the input columns + ``skey`` (the rounded key) + ``rnk``.
     """
     if not group_cols:
@@ -285,10 +294,21 @@ def weighted_sample_topk(
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
         "skey", F.round(F.log(u) / F.col(weight_col), 10)
     )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
+    local = (
+        keyed.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("skey").desc(), F.col(id_col)
     )
-    return keyed.withColumn("rnk", F.row_number().over(w)).filter(
+    return local.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
 

@@ -81,6 +81,7 @@ def global_positions(
     out: str = "_rn",
     buckets: int | None = None,
     bounds: str = "width",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Scale-safe global 1-based row numbering by ``order`` — the two-phase
     alternative to ``row_number().over(Window.orderBy(...))`` (which moves
@@ -114,31 +115,58 @@ def global_positions(
     A constant leading column degrades to one bucket, the inherently
     sequential case; same fallback when the leading column has no
     numeric image.
+
+    ``group_cols`` (r11) numbers rows WITHIN each group instead of
+    globally — the scale-safe replacement for
+    ``row_number().over(Window.partitionBy(group).orderBy(...))`` when
+    the group count is a handful unrelated to the configured parallelism
+    (per-source percentiles: 5 sources would mean 5 corpus-sized
+    reducers). Buckets shard each group's numbering the same way; counts
+    and offsets are computed per (group, bucket); the offset join stays
+    metadata-sized (groups × buckets rows, broadcast).
     """
     spark = df.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
+    gcols = list(group_cols)
     small_cap = int(
         spark.conf.get(SMALL_INPUT_BYTES_CONF, str(SMALL_INPUT_BYTES_DEFAULT))
     )
     if small_cap > 0:
         est = _estimated_bytes(df)
         if est is not None and est <= small_cap:
-            w = Window.orderBy(*order)
+            w = Window.partitionBy(*gcols).orderBy(*order)
             return df.withColumn(out, F.row_number().over(w).cast("bigint"))
     d = _range_bucketed(df, order, buckets, bounds)
-    counts = d.groupBy("_gb").agg(F.count(F.lit(1)).alias("_c"))
+    counts = d.groupBy(*gcols, "_gb").agg(F.count(F.lit(1)).alias("_c"))
+    same_group = [
+        F.col(f"_cb.{g}").eqNullSafe(F.col(f"_ca.{g}")) for g in gcols
+    ]
     offs = (
         counts.alias("_ca")
-        .join(counts.alias("_cb"), F.col("_cb._gb") < F.col("_ca._gb"), "left")
-        .groupBy(F.col("_ca._gb").alias("_gb"))
+        .join(
+            counts.alias("_cb"),
+            _and_all(same_group + [F.col("_cb._gb") < F.col("_ca._gb")]),
+            "left",
+        )
+        .groupBy(
+            *[F.col(f"_ca.{g}").alias(g) for g in gcols],
+            F.col("_ca._gb").alias("_gb"),
+        )
         .agg(F.coalesce(F.sum(F.col("_cb._c")), F.lit(0)).alias("_off"))
     )
-    w = Window.partitionBy("_gb").orderBy(*order)
+    w = Window.partitionBy(*gcols, "_gb").orderBy(*order)
     return (
-        d.join(F.broadcast(offs), "_gb")
+        d.join(F.broadcast(offs), [*gcols, "_gb"])
         .withColumn(out, (F.row_number().over(w) + F.col("_off")).cast("bigint"))
         .drop("_gb", "_off")
     )
+
+
+def _and_all(conds: Sequence[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 def _range_bucketed(

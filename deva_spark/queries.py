@@ -3055,22 +3055,28 @@ def x53(spark, sf):
 )
 def x54(spark, sf):
     # Token-budget report per source: exact discrete percentiles via
-    # position selection (rank over a per-source window) — identical
-    # integer semantics on both engines, no interpolating percentile.
+    # position selection — identical integer semantics on both engines,
+    # no interpolating percentile. Positions come from the grouped
+    # two-phase numbering (`windows.global_positions(group_cols=...)`,
+    # r11): a plain per-source rank window would pull each source's full
+    # corpus slice through ONE reducer (5 sources = 5 corpus-sized
+    # reducers at any scale); the two-phase path range-buckets within
+    # each source and adds broadcast offsets. The per-source count rides
+    # a groupBy + broadcast join, not a count-over window, for the same
+    # reason.
+    from deva_spark.operators.windows import global_positions
+
     docs = _t(spark, sf, "documents")
     tok = docs.select(
         "source",
         "doc_id",
         F.size(T.words(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    wc = Window.partitionBy("source")
-    r = tok.select(
-        "source",
-        "n_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    r = global_positions(
+        tok, order=("n_tokens", "doc_id"), out="rn", group_cols=("source",)
     )
+    n_by_src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r = r.join(F.broadcast(n_by_src), "source")
     med_pos = F.expr("(n + 1) div 2")  # exact integer div — no float round
     p90_pos = F.expr("(9 * n + 9) div 10")
     return r.groupBy("source").agg(
@@ -5919,9 +5925,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # r10 `no_oracle` red row, now carrying a real md5-arithmetic DuckDB
 # oracle), x08 (two-phase top-k), x77/x86 (their pruned pair-forming
 # artifacts' file shaping moved from the logical plan to staging-write
-# time); (b) ALL 12 remaining r9 deferrals (x60-x72 tail), emptying the
-# r10 backlog as promised; (c) the longest-stale green rows — 33 of the
-# 37 whose latest driver row is r8; the other 4 defer to r12 (the
+# time), x54 (grouped two-phase numbering; x70 — also changed via the
+# salted weighted_sample_topk — returns with the deferrals); (b) ALL 12
+# remaining r9 deferrals (x60-x72 tail), emptying the r10 backlog as
+# promised; (c) the longest-stale green rows — 32 of the
+# 37 whose latest driver row is r8; the other 5 defer to r12 (the
 # window holds 50); (d) this round's new registrations x108+
 # (auto-append). Local tooling (tools/check_correctness.py, bench.py)
 # still runs every entry.
@@ -5934,6 +5942,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x08_cosine_topk",
     "x77_incremental_dup_pairs",
     "x86_incremental_shingle_overlap",
+    "x54_source_token_budget",
     # round-9's final 12 deferrals, returning as promised (VERDICT r10
     # #2 — the r10 backlog is now empty)
     "x60_kmv_distinct_users",
@@ -5948,8 +5957,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x70_weighted_sample",
     "x71_streaming_retention",
     "x72_global_weighted_sample",
-    # the longest-stale green rows (latest driver row r8) — 33 of 37;
-    # the remaining 4 are this round's _DEFERRED_TO_NEXT
+    # the longest-stale green rows (latest driver row r8) — 32 of 37;
+    # the remaining 5 are this round's _DEFERRED_TO_NEXT
     "q03_group_agg",
     "q06_dedup_first_seen",
     "q20_lag_diff",
@@ -5967,7 +5976,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x16_part_brand_stats",
     "x17_supplier_by_nation",
     "x18_lineitem_part_join",
-    "x25_session_stats",
     "x58_late_orders_by_priority",
     "x73_merge_intervals",
     "x74_substring_dup_pairs",
@@ -5995,6 +6003,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: accounting (window ∪ deferrals ∪ r09/r10-green == registry) fails CI
 #: if any entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x25_session_stats",
     "x26_histogram",
     "x27_pivot_counts",
     "x29_rolling_hash",

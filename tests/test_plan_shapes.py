@@ -232,6 +232,98 @@ def test_no_single_reducer_window_or_cartesian_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+#: Columns that make a rank window's per-key volume safe at corpus
+#: scale: per-row-ish identifiers (cardinality grows with the data) or
+#: shard/salt columns introduced exactly to bound per-reducer volume.
+_HIGH_CARD_OR_SHARD = {
+    "doc_id", "vec_id", "event_id", "user_id", "o_orderkey", "l_orderkey",
+    "c_custkey", "s_suppkey", "p_partkey", "id_a", "id_b", "cluster_id",
+    "fp", "wh", "_sh", "_uh", "_salt", "_gb", "_p", "_b", "term", "w",
+}
+
+#: Rank windows partitioned ONLY by bounded-cardinality keys that are
+#: nonetheless scale-safe because their INPUT is bounded by construction
+#: — each entry names why. Adding a new low-cardinality rank window
+#: means either salting it (the x08/x70 two-phase pattern), grouping the
+#: numbering (x54's global_positions group_cols), or justifying it here.
+_BOUNDED_INPUT_RANK_WINDOWS = {
+    # final phase of the salted two-phase top-k: input already reduced
+    # to <= salt_buckets x k rows per qid / per source
+    ("x08_cosine_topk", ("qid",)),
+    ("x70_weighted_sample", ("source",)),
+    # ANN scale paths: candidates pre-pruned to probed LSH buckets / IVF
+    # cells before ranking; a deployment sizes n_cells with the corpus
+    # (cells ~ sqrt(N)) so per-qid candidate volume stays bounded
+    ("x09_ann_lsh_topk", ("qid",)),
+    ("x32_ivf_topk", ("qid",)),
+    ("x79_ivf_append_search", ("qid",)),
+    ("x101_ivfpq_adc_search", ("qid",)),
+    ("x102_ivfpq_rerank_search", ("qid",)),
+    ("x103_ivfpq_append_search", ("qid",)),
+    # merge phase over per-batch synopses (bounded rows per source by
+    # the reservoir contract), not over the corpus
+    ("x99_incremental_weighted_sample", ("source",)),
+}
+
+
+def test_rank_windows_partition_on_high_cardinality_or_salted_keys(
+    spark, sf_dir
+):
+    # VERDICT r10 #3 (audit extension): a row_number/rank window whose
+    # partition keys are all LOW-cardinality (a handful of sources or
+    # query ids) ships each key's full input through one reducer — fine
+    # at sf0.01, a parallelism cap of |keys| at 100 TB. Every rank
+    # window in every batch registry plan must partition on at least one
+    # high-cardinality or shard column, or carry a bounded-input
+    # justification in _BOUNDED_INPUT_RANK_WINDOWS. Runs with the
+    # small-input cutover disabled so the scale paths are the ones
+    # audited.
+    import re
+
+    streaming = {
+        "x33_streaming_tumbling", "x34_streaming_sessions",
+        "x35_streaming_running_sum", "x36_streaming_zscore",
+        "x38_stream_interval_join", "x49_streaming_first_seen",
+        "x63_streaming_trending", "x69_streaming_funnel",
+        "x71_streaming_retention", "x78_streaming_incremental_dedup",
+    }
+    pat = re.compile(r"Window \[(.*?)\], \[([^\]]*)\], \[")
+    prev = spark.conf.get("spark.deva.positional.smallInputBytes", None)
+    spark.conf.set("spark.deva.positional.smallInputBytes", "0")
+    offenders = []
+    try:
+        for name, fn in Q.SPARK_QUERIES.items():
+            if name in streaming:
+                continue
+            p = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            for m in pat.finditer(p):
+                exprs, parts = m.group(1), m.group(2)
+                if not re.search(r"row_number|rank\(\)|dense_rank", exprs):
+                    continue
+                cols = tuple(
+                    sorted(set(re.findall(r"(\w+)#\d+", parts)))
+                )
+                if set(cols) & _HIGH_CARD_OR_SHARD:
+                    continue
+                if (name, cols) in _BOUNDED_INPUT_RANK_WINDOWS:
+                    continue
+                offenders.append((name, cols))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.deva.positional.smallInputBytes")
+        else:
+            spark.conf.set("spark.deva.positional.smallInputBytes", prev)
+    assert not offenders, (
+        f"rank windows on low-cardinality keys without justification: "
+        f"{offenders}"
+    )
+
+
 def test_driver_window_accounts_for_every_registry_entry():
     # ADVICE r6 #4: deferrals are recorded programmatically. Every
     # registry entry must be (a) inside the 50-row driver window this
@@ -277,6 +369,8 @@ def test_driver_window_accounts_for_every_registry_entry():
         "x08_cosine_topk",  # two-phase (qid, salt) top-k
         "x77_incremental_dup_pairs",  # subwin8d shaping moved to write
         "x86_incremental_shingle_overlap",  # shingle5d shaping moved
+        "x54_source_token_budget",  # grouped two-phase numbering
+        "x70_weighted_sample",  # salted two-phase weighted top-k
         "x108_video_avi_audit",  # new this round (AVI de-stub)
     ):
         assert changed in window, f"changed row {changed} fell out of the window"

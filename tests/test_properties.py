@@ -793,3 +793,74 @@ def test_config_store_roundtrips_arbitrary_json(tmp_path_factory, kv):
         cs.set(f"ns.{k}", v)
     for k, v in kv.items():
         assert cs.get(f"ns.{k}") == v
+
+
+@given(pairs=events, parts=st.integers(min_value=1, max_value=5),
+       buckets=st.integers(min_value=1, max_value=7))
+@SLOW
+def test_global_positions_grouped_matches_per_group_numbering(
+    spark, pairs, parts, buckets
+):
+    # r11: group_cols numbers WITHIN each group — must equal enumerate()
+    # of each group's totally-ordered rows for any partitioning/buckets.
+    # Scale path forced (cutover zeroed).
+    df = to_df(spark, pairs, parts).withColumn(
+        "grp", F.pmod(F.col("event_id"), F.lit(3))
+    )
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        got = {
+            r.event_id: (r.grp, r.rn)
+            for r in windows.global_positions(
+                df,
+                ("value", "event_id"),
+                out="rn",
+                buckets=buckets,
+                group_cols=("grp",),
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
+    expected = {}
+    for g in (0, 1, 2):
+        members = [i for i in range(len(pairs)) if i % 3 == g]
+        members.sort(key=lambda i: (float(pairs[i][1]), i))
+        for pos, eid in enumerate(members):
+            expected[eid] = (g, pos + 1)
+    assert got == expected
+
+
+def test_weighted_sample_topk_two_phase_matches_naive_window(spark):
+    # r11: the salted two-phase per-group top-k must equal the naive
+    # single per-group rank window row-for-row.
+    from pyspark.sql import Window
+
+    from deva_spark.operators.aggregates import md5_le64
+    from deva_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, f"s{i % 4}", float(1 + (i * 7) % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = sorted(
+        (r.source, r.doc_id, r.rnk)
+        for r in weighted_sample_topk(
+            df, k=9, weight_col="w", group_cols=("source",)
+        ).collect()
+    )
+    u = (md5_le64(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 64)
+    )
+    naive = (
+        df.filter(F.col("w") > 0)
+        .withColumn("skey", F.round(F.log(u) / F.col("w"), 10))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("skey").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 9)
+    )
+    want = sorted((r.source, r.doc_id, r.rnk) for r in naive.collect())
+    assert got == want
