@@ -208,12 +208,15 @@ def top_p_by_group(
     order on weight ties depends on partition layout, and the kept set
     silently changes between runs (the repo determinism contract).
 
-    Scale shape: two windows partitioned by ``keys`` (one running sum,
-    one group total) — no global window, no shuffle beyond the one
-    hash-partition on the group keys.
+    Scale shape (r11): the running sum rides
+    :func:`~deva_spark.operators.windows.global_running_sum` with
+    ``group_cols=keys`` — a plain per-key cumulative window would pull
+    each group's full slice through one reducer (per-key volume scaling
+    with the corpus while the group count stays a handful); the group
+    total rides a groupBy + broadcast join instead of a whole-partition
+    window for the same reason. DESC order via a negated numeric image
+    of the weight (the x59 pattern).
     """
-    from pyspark.sql import Window
-
     if not order_tiebreak:
         raise ValueError(
             "top_p_by_group requires order_tiebreak: a unique tiebreak "
@@ -222,16 +225,18 @@ def top_p_by_group(
         )
 
     def _t(df: DataFrame) -> DataFrame:
-        order = [F.desc(weight_col), F.asc(order_tiebreak)]
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        wt = Window.partitionBy(*keys)
-        r = df.withColumn("_cum", F.sum(weight_col).over(w)).withColumn(
-            "_tot", F.sum(weight_col).over(wt)
-        )
+        from deva_spark.operators.windows import global_running_sum
+
+        d = df.withColumn("_negw", -F.col(weight_col))
+        r = global_running_sum(
+            d,
+            weight_col,
+            order=["_negw", order_tiebreak],
+            out="_cum",
+            group_cols=list(keys),
+        ).drop("_negw")
+        tot = df.groupBy(*keys).agg(F.sum(weight_col).alias("_tot"))
+        r = r.join(F.broadcast(tot), list(keys))
         return r.filter(
             (F.col("_cum") - F.col(weight_col)) * 100
             < F.col("_tot") * F.lit(int(p_pct))

@@ -5925,11 +5925,12 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # r10 `no_oracle` red row, now carrying a real md5-arithmetic DuckDB
 # oracle), x08 (two-phase top-k), x77/x86 (their pruned pair-forming
 # artifacts' file shaping moved from the logical plan to staging-write
-# time), x54 (grouped two-phase numbering; x70 — also changed via the
-# salted weighted_sample_topk — returns with the deferrals); (b) ALL 12
-# remaining r9 deferrals (x60-x72 tail), emptying the r10 backlog as
-# promised; (c) the longest-stale green rows — 32 of the
-# 37 whose latest driver row is r8; the other 5 defer to r12 (the
+# time), x54 (grouped two-phase numbering), x62 (grouped running sum;
+# x70 — also changed via the salted weighted_sample_topk — returns with
+# the deferrals); (b) ALL 12 remaining r9 deferrals (x60-x72 tail),
+# emptying the r10 backlog as promised; (c) the longest-stale green
+# rows — 31 of the
+# 37 whose latest driver row is r8; the other 6 defer to r12 (the
 # window holds 50); (d) this round's new registrations x108+
 # (auto-append). Local tooling (tools/check_correctness.py, bench.py)
 # still runs every entry.
@@ -5943,6 +5944,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x77_incremental_dup_pairs",
     "x86_incremental_shingle_overlap",
     "x54_source_token_budget",
+    "x62_top_p_token_mass",
     # round-9's final 12 deferrals, returning as promised (VERDICT r10
     # #2 — the r10 backlog is now empty)
     "x60_kmv_distinct_users",
@@ -5957,8 +5959,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x70_weighted_sample",
     "x71_streaming_retention",
     "x72_global_weighted_sample",
-    # the longest-stale green rows (latest driver row r8) — 32 of 37;
-    # the remaining 5 are this round's _DEFERRED_TO_NEXT
+    # the longest-stale green rows (latest driver row r8) — 31 of 37;
+    # the remaining 6 are this round's _DEFERRED_TO_NEXT
     "q03_group_agg",
     "q06_dedup_first_seen",
     "q20_lag_diff",
@@ -5975,7 +5977,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x13_fulltext_search",
     "x16_part_brand_stats",
     "x17_supplier_by_nation",
-    "x18_lineitem_part_join",
     "x58_late_orders_by_priority",
     "x73_merge_intervals",
     "x74_substring_dup_pairs",
@@ -6003,6 +6004,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: accounting (window ∪ deferrals ∪ r09/r10-green == registry) fails CI
 #: if any entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
+    "x18_lineitem_part_join",
     "x25_session_stats",
     "x26_histogram",
     "x27_pivot_counts",

@@ -370,6 +370,7 @@ def test_driver_window_accounts_for_every_registry_entry():
         "x77_incremental_dup_pairs",  # subwin8d shaping moved to write
         "x86_incremental_shingle_overlap",  # shingle5d shaping moved
         "x54_source_token_budget",  # grouped two-phase numbering
+        "x62_top_p_token_mass",  # grouped two-phase running sum
         "x70_weighted_sample",  # salted two-phase weighted top-k
         "x108_video_avi_audit",  # new this round (AVI de-stub)
     ):

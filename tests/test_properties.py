@@ -864,3 +864,42 @@ def test_weighted_sample_topk_two_phase_matches_naive_window(spark):
     )
     want = sorted((r.source, r.doc_id, r.rnk) for r in naive.collect())
     assert got == want
+
+
+@given(pairs=events, parts=st.integers(min_value=1, max_value=5),
+       buckets=st.integers(min_value=1, max_value=7))
+@SLOW
+def test_global_running_sum_grouped_matches_python(spark, pairs, parts, buckets):
+    # r11: grouped two-phase prefix sum == python cumsum over each
+    # group's totally-ordered rows, any partitioning/buckets, scale path
+    # forced.
+    df = to_df(spark, pairs, parts).withColumn(
+        "grp", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        got = {
+            r.event_id: (r.grp, r.cum)
+            for r in windows.global_running_sum(
+                df,
+                "value",
+                order=("value", "event_id"),
+                out="cum",
+                buckets=buckets,
+                group_cols=("grp",),
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
+    expected = {}
+    for g in (0, 1):
+        members = [i for i in range(len(pairs)) if i % 2 == g]
+        members.sort(key=lambda i: (float(pairs[i][1]), i))
+        run = 0.0
+        for eid in members:
+            run += float(pairs[eid][1])
+            expected[eid] = (g, run)
+    assert set(got) == set(expected)
+    for eid in got:
+        assert got[eid][0] == expected[eid][0]
+        assert abs(got[eid][1] - expected[eid][1]) < 1e-6, eid
