@@ -16,13 +16,15 @@ extension (BASELINE.json north star). Design:
     PIL when installed (covers JPEG etc.), falling back to the built-in
     PNG codec. ALSO REAL: WAV/PCM audio decode (stdlib ``wave``: 8/16/32-bit
     int PCM → float32 in [-1, 1]) with pooled per-segment RMS features.
-    ALSO REAL (r11): video via pure-stdlib container codecs — animated
-    GIF (LZW encode/decode) and AVI/RIFF with uncompressed BI_RGB frames
-    (:func:`encode_avi`/:func:`decode_avi`, bit-exact roundtrip), plus
-    structural MJPEG-AVI parsing (frame blobs + per-frame dims through
-    the JPEG header reader). STILL INJECTED: pixel decode for
-    entropy-coded codecs (JPEG frames, H.264 …) — ffmpeg when present,
-    else the deterministic :func:`fake_decode_video` keeps the Spark-side
+    ALSO REAL (r11): video via package-own container AND entropy codecs
+    — animated GIF (LZW encode/decode), AVI/RIFF with uncompressed
+    BI_RGB frames (:func:`encode_avi`/:func:`decode_avi`, bit-exact
+    roundtrip), and MJPEG-AVI through the pure-numpy baseline JPEG
+    encoder/decoder (`functions.jpeg`: 4:4:4, Annex K tables, byte
+    stuffing, restart handling — lossy but deterministic). STILL
+    INJECTED: codecs that genuinely need external libraries (H.264 …,
+    chroma-subsampled/progressive JPEG) — ffmpeg when present, else the
+    deterministic :func:`fake_decode_video` keeps the Spark-side
     plumbing testable, and :func:`raise_not_implemented` remains for
     callers that must fail loudly without a real codec.
 """
@@ -226,7 +228,8 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Default REAL image decoder: PIL when installed (JPEG/PNG/WebP/...),
-    otherwise the built-in pure-stdlib PNG codec."""
+    otherwise the built-in pure-stdlib codecs — PNG, or baseline JPEG
+    (`functions.jpeg`, r11) when the payload leads with the JPEG SOI."""
     try:
         import io
 
@@ -234,6 +237,10 @@ def decode_image(content: bytes) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(content))).astype(np.float32) / 255.0
     except ImportError:
+        if content[:2] == b"\xff\xd8":
+            from deva_spark.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(content).astype(np.float32) / 255.0
         return decode_png(content)
 
 
@@ -805,28 +812,45 @@ def encode_avi(
     fps: int = 10,
     width: int | None = None,
     height: int | None = None,
+    codec: str = "dib",
+    quality: int = 90,
 ) -> bytes:
-    """Encode an AVI clip. Pass a ``(T, H, W, 3)`` uint8 RGB array for an
-    uncompressed BI_RGB ('DIB ') stream — bottom-up BGR rows padded to 4
-    bytes, the layout every AVI reader speaks — or a list of JPEG blobs
-    (plus ``width``/``height``) for an MJPEG stream. Pure stdlib."""
+    """Encode an AVI clip. Pass a ``(T, H, W, 3)`` uint8 RGB array —
+    written as an uncompressed BI_RGB ('DIB ') stream by default
+    (bottom-up BGR rows padded to 4 bytes, the layout every AVI reader
+    speaks) or, with ``codec="mjpg"``, as an MJPEG stream whose frames
+    are baseline JPEGs from the package-own codec (`functions.jpeg`,
+    r11). A list of pre-encoded JPEG blobs (plus ``width``/``height``)
+    also builds an MJPEG stream. Pure stdlib + numpy."""
     if isinstance(frames, np.ndarray):
         if frames.ndim != 4 or frames.shape[3] != 3:
             raise ValueError(f"expected (T, H, W, 3) uint8, got {frames.shape}")
         t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
-        handler, compression = b"DIB ", 0
-        row_pad = (-(w * 3)) % 4
-        payloads = []
-        for f in frames.astype(np.uint8):
-            bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channel order
-            if row_pad:
-                rows = b"".join(
-                    r.tobytes() + b"\x00" * row_pad for r in bgr
-                )
-            else:
-                rows = bgr.tobytes()
-            payloads.append(rows)
-        chunk_id = b"00db"
+        if codec.lower() == "mjpg":
+            from deva_spark.functions.jpeg import encode_jpeg
+
+            handler = b"MJPG"
+            compression = _struct.unpack("<I", b"MJPG")[0]
+            payloads = [
+                encode_jpeg(f, quality=quality) for f in frames.astype(np.uint8)
+            ]
+            chunk_id = b"00dc"
+        elif codec.lower() == "dib":
+            handler, compression = b"DIB ", 0
+            row_pad = (-(w * 3)) % 4
+            payloads = []
+            for f in frames.astype(np.uint8):
+                bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+                if row_pad:
+                    rows = b"".join(
+                        r.tobytes() + b"\x00" * row_pad for r in bgr
+                    )
+                else:
+                    rows = bgr.tobytes()
+                payloads.append(rows)
+            chunk_id = b"00db"
+        else:
+            raise ValueError(f"codec must be dib|mjpg (got {codec!r})")
     else:
         if width is None or height is None:
             raise ValueError("MJPEG encode needs explicit width/height")
@@ -922,10 +946,9 @@ def avi_info(content: bytes) -> tuple[int, int, int] | None:
 
 
 def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
-    """Per-frame dimensions of an MJPEG AVI via the existing JPEG header
-    reader (one entry per '00dc' chunk); DIB streams return the header
-    dims for every frame. Structural audit surface for streams whose
-    pixels need an injected codec."""
+    """Per-frame dimensions of an MJPEG AVI via the JPEG header reader
+    (one entry per '00dc' chunk — no pixel decode, the metadata tier);
+    DIB streams return the header dims for every frame."""
     m = _avi_parse(content)
     if m["handler"] == "MJPG":
         return [jpeg_dimensions(f) for f in m["frames"]]
@@ -933,15 +956,21 @@ def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
 
 
 def decode_avi(content: bytes) -> np.ndarray:
-    """Decode an uncompressed BI_RGB AVI to ``(T, H, W, 3)`` uint8 RGB —
-    the exact inverse of :func:`encode_avi`'s array form. MJPEG streams
-    raise ``NotImplementedError`` (JPEG entropy decode needs a real
-    codec; extract blobs with :func:`_avi_parse` and inject one)."""
+    """Decode an AVI to ``(T, H, W, 3)`` uint8 RGB. Uncompressed BI_RGB
+    streams invert :func:`encode_avi`'s DIB form bit-exactly; MJPEG
+    streams decode each frame through the package-own baseline JPEG
+    codec (`functions.jpeg`, r11 — lossy-but-deterministic pixels;
+    subsampled/progressive frames raise ``NotImplementedError`` there,
+    the external-codec boundary)."""
     m = _avi_parse(content)
     if m["handler"] == "MJPG":
-        raise NotImplementedError(
-            "MJPEG AVI needs an injected JPEG decoder; only the container "
-            "parse (avi_frame_dims / _avi_parse) is stdlib"
+        from deva_spark.functions.jpeg import decode_jpeg
+
+        frames = [decode_jpeg(f) for f in m["frames"]]
+        return (
+            np.stack(frames)
+            if frames
+            else np.zeros((0, m["height"], m["width"], 3), dtype=np.uint8)
         )
     w, h = m["width"], m["height"]
     stride = w * 3 + ((-(w * 3)) % 4)
@@ -1153,13 +1182,23 @@ def synthesize_media_from_text(
 
 
 def synthesize_avi_from_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    codec: str = "dib",
+    quality: int = 90,
 ) -> DataFrame:
-    """One REAL uncompressed AVI clip per input row, geometry and pixels
-    pure functions of ``md5(text)`` (:func:`synthesized_dims`'s video
-    entry — the same arithmetic the x108 DuckDB oracle recomputes), the
-    AVI twin of :func:`synthesize_media_from_text` proving the RIFF/DIB
-    codec on executor-shaped Arrow batches."""
+    """One REAL AVI clip per input row, geometry and pixels pure
+    functions of ``md5(text)`` (:func:`synthesized_dims`'s video entry —
+    the same arithmetic the x108/x109 DuckDB oracles recompute), the AVI
+    twin of :func:`synthesize_media_from_text`. ``codec="dib"`` proves
+    the RIFF/BI_RGB container bit-exactly; ``codec="mjpg"`` runs the
+    package-own baseline JPEG entropy codec per frame. ``src_digest`` is
+    the md5 of the DECODED clip computed on the ENCODING executor — for
+    DIB that equals the source digest (lossless); for MJPEG it pins the
+    deterministic lossy pixels, so a downstream decode on another worker
+    proves the whole entropy pipeline is platform- and
+    partitioning-invariant."""
     out_schema = f"{id_col} long, content binary, src_digest string"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1172,11 +1211,12 @@ def synthesize_avi_from_text(
                     _det_bytes(seed, b"avi", vt * vh * vw * 3),
                     dtype=np.uint8,
                 ).reshape(vt, vh, vw, 3)
+                avi = encode_avi(clip, codec=codec, quality=quality)
                 rows.append(
                     (
                         int(mid),
-                        encode_avi(clip),
-                        hashlib.md5(clip.tobytes()).hexdigest(),
+                        avi,
+                        hashlib.md5(decode_avi(avi).tobytes()).hexdigest(),
                     )
                 )
             yield pd.DataFrame(

@@ -5910,6 +5910,26 @@ def x108(spark, sf):
     return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
 
 
+@query("x109_mjpeg_avi_audit", _X108_ORACLE)
+def x109(spark, sf):
+    # ENTROPY-CODED video tier (r11): same synthesized clips as x108 but
+    # carried as MJPEG — every frame runs the package-own baseline JPEG
+    # encoder on the synthesizing executor and the matching decoder
+    # after the Arrow boundary (`functions.jpeg`: DCT, Annex K tables,
+    # Huffman, byte stuffing — no libjpeg/PIL/ffmpeg anywhere). JPEG is
+    # lossy, so `ok` compares the decoded pixels' md5 against the digest
+    # the ENCODER computed from its own decode — proving the full
+    # entropy pipeline is platform- and partitioning-invariant — while
+    # header dims (sniffed from the real SOF0 frame headers through the
+    # RIFF walk) hash-check against the same md5(text) arithmetic oracle
+    # as x108 (the geometry is codec-independent).
+    from deva_spark.functions import multimodal as mmod
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    media = mmod.synthesize_avi_from_text(docs, codec="mjpg", quality=90)
+    return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -5929,8 +5949,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # x70 — also changed via the salted weighted_sample_topk — returns with
 # the deferrals); (b) ALL 12 remaining r9 deferrals (x60-x72 tail),
 # emptying the r10 backlog as promised; (c) the longest-stale green
-# rows — 31 of the
-# 37 whose latest driver row is r8; the other 6 defer to r12 (the
+# rows — 30 of the
+# 37 whose latest driver row is r8; the other 7 defer to r12 (the
 # window holds 50); (d) this round's new registrations x108+
 # (auto-append). Local tooling (tools/check_correctness.py, bench.py)
 # still runs every entry.
@@ -5959,8 +5979,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x70_weighted_sample",
     "x71_streaming_retention",
     "x72_global_weighted_sample",
-    # the longest-stale green rows (latest driver row r8) — 31 of 37;
-    # the remaining 6 are this round's _DEFERRED_TO_NEXT
+    # the longest-stale green rows (latest driver row r8) — 30 of 37;
+    # the remaining 7 are this round's _DEFERRED_TO_NEXT
     "q03_group_agg",
     "q06_dedup_first_seen",
     "q20_lag_diff",
@@ -5978,7 +5998,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x16_part_brand_stats",
     "x17_supplier_by_nation",
     "x58_late_orders_by_priority",
-    "x73_merge_intervals",
     "x74_substring_dup_pairs",
     "x75_longest_common_run",
     "x76_remove_duplicate_runs",
@@ -6005,6 +6024,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: if any entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x18_lineitem_part_join",
+    "x73_merge_intervals",
     "x25_session_stats",
     "x26_histogram",
     "x27_pivot_counts",

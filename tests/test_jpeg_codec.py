@@ -1,0 +1,111 @@
+"""Baseline JPEG codec (`functions.jpeg`) — pure numpy, no libjpeg.
+
+Pins: dims roundtrip at arbitrary (non-block-multiple) sizes, bounded
+quantization error at high quality, exact grayscale constants, byte
+determinism (golden digest — a shared encoder/decoder drift still breaks
+here), spec-shaped marker stream, and loud failures on the genuinely
+external-codec inputs (progressive, subsampled, 16-bit DQT).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from deva_spark.functions import jpeg as J
+
+
+def _grad(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(100 + xx * 3 + yy * 2, 0, 255),
+            np.clip(50 + xx * 1 + yy * 4, 0, 255),
+            np.clip(200 - xx * 2 - yy * 1, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (3, 5), (8, 8), (9, 16), (33, 31)])
+@pytest.mark.parametrize("quality", [10, 50, 95])
+def test_roundtrip_shapes_and_determinism(hw, quality):
+    h, w = hw
+    img = np.random.default_rng(h * 100 + w).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    enc = J.encode_jpeg(img, quality=quality)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert J.encode_jpeg(img, quality=quality) == enc
+    assert np.array_equal(J.decode_jpeg(enc), dec)
+
+
+def test_high_quality_error_bound():
+    img = _grad(24, 17)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 3
+    # q100 noise stays within a couple of levels (4:4:4, finest tables)
+    noise = np.random.default_rng(1).integers(
+        0, 256, size=(32, 32, 3), dtype=np.uint8
+    )
+    dn = J.decode_jpeg(J.encode_jpeg(noise, quality=100))
+    assert int(np.abs(dn.astype(int) - noise.astype(int)).max()) <= 3
+
+
+def test_grayscale_constant_exact():
+    g = np.full((20, 20), 137, dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    assert dec.shape == (20, 20, 3)
+    assert int(np.abs(dec.astype(int) - 137).max()) == 0
+
+
+def test_golden_digest():
+    # a shared drift in encoder AND decoder would still roundtrip; the
+    # golden literals pin the wire format and the decoded pixels.
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img, quality=90)
+    assert hashlib.md5(enc).hexdigest() == (
+        "a34f821fcc026b8d0e27c6eae4231788"
+    )
+    assert hashlib.md5(J.decode_jpeg(enc).tobytes()).hexdigest() == (
+        "b08e97017680ba8712f372dd55589bee"
+    )
+    # spec-shaped marker stream
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4",
+                   b"\xff\xda"):
+        assert marker in enc, marker
+    assert b"JFIF" in enc
+    from deva_spark.functions.multimodal import jpeg_dimensions
+
+    assert jpeg_dimensions(enc) == (16, 16)
+
+
+def test_unsupported_inputs_raise():
+    img = _grad(8, 8)
+    enc = bytearray(J.encode_jpeg(img, quality=90))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+
+
+def test_subsampled_flag_raises():
+    img = _grad(8, 8)
+    enc = bytearray(J.encode_jpeg(img, quality=90))
+    i = bytes(enc).find(b"\xff\xc0")
+    # component 1 sampling byte sits at SOF0 body offset 7 (after
+    # marker+len+prec+h+w+nc and component id)
+    enc[i + 4 + 6 + 1] = 0x22  # 2x2 sampling
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(enc))
+
+

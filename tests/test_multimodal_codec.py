@@ -442,7 +442,8 @@ def test_avi_dib_roundtrip_bit_exact():
 
 def test_avi_mjpeg_structural_parse():
     # MJPEG streams: container walk + per-frame dims via the JPEG header
-    # reader; pixel decode stays injected (guard clause raises).
+    # reader (no pixel decode); header-only fake frames fail pixel
+    # decode loudly (truncated scan), while the container parse is fine.
     import pytest as _pytest
 
     jpegs = [_mini_jpeg(32, 24), _mini_jpeg(32, 24)]
@@ -451,8 +452,36 @@ def test_avi_mjpeg_structural_parse():
     assert mm.avi_frame_dims(avi) == [(32, 24), (32, 24)]
     parsed = mm._avi_parse(avi)
     assert parsed["handler"] == "MJPG" and parsed["frames"] == jpegs
-    with _pytest.raises(NotImplementedError):
-        mm.decode_avi(avi)
+    with _pytest.raises(ValueError):
+        mm.decode_avi(avi)  # header-only fakes carry no scan data
+
+
+def test_avi_mjpeg_real_roundtrip():
+    # r11: MJPEG-AVI decodes end-to-end through the package-own baseline
+    # JPEG codec — lossy but deterministic, dims exact.
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    clip = rng.integers(0, 256, size=(3, 16, 24, 3), dtype=np.uint8)
+    avi = mm.encode_avi(clip, fps=8, codec="mjpg", quality=100)
+    parsed = mm._avi_parse(avi)
+    assert parsed["handler"] == "MJPG"
+    assert mm.avi_info(avi) == (24, 16, 3)
+    assert mm.avi_frame_dims(avi) == [(24, 16)] * 3
+    dec = mm.decode_avi(avi)
+    assert dec.shape == clip.shape and dec.dtype == np.uint8
+    # quantization error bounded at q100 4:4:4 (all-ones tables: only
+    # DCT/color-space rounding survives)
+    assert int(np.abs(dec.astype(int) - clip.astype(int)).max()) <= 4
+    # deterministic: decode twice, encode twice
+    assert np.array_equal(dec, mm.decode_avi(avi))
+    assert mm.encode_avi(clip, fps=8, codec="mjpg", quality=100) == avi
+    # the dispatcher routes it too
+    out = mm.default_video_decoder()(avi, 2)
+    assert out.shape == (2, 16, 24, 3)
+    # q90 stays lossy-but-deterministic (the x109 configuration)
+    avi90 = mm.encode_avi(clip, fps=8, codec="mjpg", quality=90)
+    assert np.array_equal(mm.decode_avi(avi90), mm.decode_avi(avi90))
 
 
 def test_avi_rejects_non_avi():

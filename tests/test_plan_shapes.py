@@ -373,6 +373,7 @@ def test_driver_window_accounts_for_every_registry_entry():
         "x62_top_p_token_mass",  # grouped two-phase running sum
         "x70_weighted_sample",  # salted two-phase weighted top-k
         "x108_video_avi_audit",  # new this round (AVI de-stub)
+        "x109_mjpeg_avi_audit",  # new this round (baseline JPEG codec)
     ):
         assert changed in window, f"changed row {changed} fell out of the window"
 
