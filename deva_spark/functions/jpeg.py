@@ -225,6 +225,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     h, w, ncomp = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("JPEG dimensions are 16-bit (max 65535)")
     a = arr.astype(np.float64)
     if ncomp == 3:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
@@ -369,6 +371,8 @@ class _BitReader:
     def read_bit(self) -> int:
         if self.n == 0:
             self._fill()
+            if self.n == 0:  # _fill stopped at an unexpected RST marker
+                raise ValueError("scan data ended at a restart marker")
         self.n -= 1
         return (self.acc >> self.n) & 1
 

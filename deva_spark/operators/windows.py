@@ -156,7 +156,7 @@ def global_positions(
     )
     w = Window.partitionBy(*gcols, "_gb").orderBy(*order)
     return (
-        d.join(F.broadcast(offs), [*gcols, "_gb"])
+        _join_offsets(d, offs, gcols)
         .withColumn(out, (F.row_number().over(w) + F.col("_off")).cast("bigint"))
         .drop("_gb", "_off")
     )
@@ -167,6 +167,26 @@ def _and_all(conds: Sequence[Column]) -> Column:
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def _join_offsets(d: DataFrame, offs: DataFrame, gcols: list[str]) -> DataFrame:
+    """Attach the broadcast ``_off`` column per (group, bucket). The
+    group-key equality is NULL-SAFE (``<=>``): a name-based equi-join
+    would silently DROP every row whose group value is NULL — they have
+    a legitimate offset row of their own (groupBy keeps the null
+    group)."""
+    if not gcols:
+        return d.join(F.broadcast(offs), ["_gb"])
+    renames = {g: f"_og_{g}" for g in gcols}
+    o = offs
+    for g, og in renames.items():
+        o = o.withColumnRenamed(g, og)
+    o = o.withColumnRenamed("_gb", "_ogb")
+    cond = _and_all(
+        [F.col(g).eqNullSafe(F.col(og)) for g, og in renames.items()]
+        + [F.col("_gb") == F.col("_ogb")]
+    )
+    return d.join(F.broadcast(o), cond).drop("_ogb", *renames.values())
 
 
 def global_running_sum(
@@ -232,7 +252,7 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.join(F.broadcast(offs), [*gcols, "_gb"])
+        _join_offsets(d, offs, gcols)
         .withColumn(out, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_gb", "_off")
     )

@@ -903,3 +903,35 @@ def test_global_running_sum_grouped_matches_python(spark, pairs, parts, buckets)
     for eid in got:
         assert got[eid][0] == expected[eid][0]
         assert abs(got[eid][1] - expected[eid][1]) < 1e-6, eid
+
+
+def test_grouped_two_phase_keeps_null_groups(spark):
+    # r11 review: the offset re-join is NULL-SAFE — rows whose group
+    # value is NULL must keep their own numbering/prefix sums, not be
+    # silently dropped by an equi-join on the group key.
+    rows = [(i, None if i % 3 == 0 else f"s{i % 3}", float(i % 7 + 1))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        pos = windows.global_positions(
+            df, order=("v", "id"), out="rn", buckets=4, group_cols=("grp",)
+        ).collect()
+        run = windows.global_running_sum(
+            df, "v", order=("v", "id"), out="cum", buckets=4,
+            group_cols=("grp",),
+        ).collect()
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
+    assert len(pos) == 60 and len(run) == 60  # nothing dropped
+    for g in (None, "s1", "s2"):
+        members = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (r[2], r[0])
+        )
+        got_rn = {r.id: r.rn for r in pos if r.grp == g}
+        assert got_rn == {m[0]: i + 1 for i, m in enumerate(members)}
+        got_cum = {r.id: r.cum for r in run if r.grp == g}
+        acc = 0.0
+        for m in members:
+            acc += m[2]
+            assert abs(got_cum[m[0]] - acc) < 1e-9
