@@ -5924,8 +5924,17 @@ def x109(spark, sf):
     # RIFF walk) hash-check against the same md5(text) arithmetic oracle
     # as x108 (the geometry is codec-independent).
     from deva_spark.functions import multimodal as mmod
+    from deva_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    # spread the sampled docs before the JPEG stages: a single-file
+    # corpus arrives as ONE split and the entropy codec is the rare
+    # python stage heavy enough that the small exchange pays for itself
+    # (measured sf0.1 sequential: 1.71 s -> 1.20 s; identity on a wide
+    # 100 TB scan). x107/x108 skip this — their per-row codec work is
+    # cheap numpy and the exchange measured as a net loss there.
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    )
     media = mmod.synthesize_avi_from_text(docs, codec="mjpg", quality=90)
     return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
 
