@@ -90,6 +90,21 @@ def brute_force_topk(
     )
     from pyspark.sql import Window
 
+    from deva_spark.operators.windows import small_input
+
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    if small_input(vectors):
+        # adaptive cutover (the global_positions discipline): below the
+        # small-input threshold the candidate side fits one reducer per
+        # qid comfortably and the salt phase is pure overhead; plan
+        # tests zero the threshold to audit the scale shape
+        return (
+            scored.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "vec_id", "cos", "rnk")
+        )
     w1 = Window.partitionBy("qid", "_salt").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
@@ -100,9 +115,6 @@ def brute_force_topk(
         )
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
-    )
-    w2 = Window.partitionBy("qid").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
     )
     return (
         local.withColumn("rnk", F.row_number().over(w2))

@@ -280,7 +280,11 @@ def weighted_sample_topk(
     ``(group_cols…, _salt)`` where ``_salt = pmod(xxhash64(id), 32)``
     and keeps k per bucket; phase 2 ranks the surviving ``32 × k`` rows
     per group. Exact: the per-group top-k is contained in the union of
-    per-bucket top-k, and ``(skey DESC, id)`` is a total order.
+    per-bucket top-k, and ``(skey DESC, id)`` is a total order. Same
+    adaptive cutover as ``windows.global_positions``: at or below the
+    small-input threshold the extra phase costs more than it buys and a
+    plain per-group window runs instead (the plan audit zeroes the
+    threshold to check the scale shape).
 
     Output: the input columns + ``skey`` (the rounded key) + ``rnk``.
     """
@@ -292,6 +296,7 @@ def weighted_sample_topk(
     from pyspark.sql import Window
 
     from deva_spark.operators.aggregates import md5_le64
+    from deva_spark.operators.windows import small_input
 
     u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 64)
@@ -299,6 +304,13 @@ def weighted_sample_topk(
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
         "skey", F.round(F.log(u) / F.col(weight_col), 10)
     )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
+    if small_input(df):
+        return keyed.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
         F.col("skey").desc(), F.col(id_col)
     )
@@ -309,9 +321,6 @@ def weighted_sample_topk(
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
         .drop("_salt", "_r1")
-    )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col("skey").desc(), F.col(id_col)
     )
     return local.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k

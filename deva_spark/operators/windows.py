@@ -75,6 +75,24 @@ def _estimated_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def small_input(df: DataFrame) -> bool:
+    """The shared adaptive-cutover predicate: True when Catalyst's size
+    estimate for ``df`` is at or below the small-input threshold, so a
+    plain window beats the two-phase machinery (one reducer over
+    <= 128 MiB is cheaper than the bounds/offset stages). ``0`` in
+    ``spark.deva.positional.smallInputBytes`` disables the cutover —
+    plan tests do this to audit the scale path."""
+    small_cap = int(
+        df.sparkSession.conf.get(
+            SMALL_INPUT_BYTES_CONF, str(SMALL_INPUT_BYTES_DEFAULT)
+        )
+    )
+    if small_cap <= 0:
+        return False
+    est = _estimated_bytes(df)
+    return est is not None and est <= small_cap
+
+
 def global_positions(
     df: DataFrame,
     order: Sequence[str] = EVENT_ORDER,

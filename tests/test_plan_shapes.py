@@ -172,16 +172,29 @@ def test_prefix_dup_partial_aggregation(plans):
     assert p.count("HashAggregate") >= 2
 
 
-def test_cosine_topk_two_phase_rank(plans):
+def test_cosine_topk_two_phase_rank(spark, sf_dir):
     # VERDICT r10 #3: the exact brute-force ANN baseline must pre-reduce
     # with a per-(qid, _salt) local top-k BEFORE the per-qid window —
     # otherwise each of |queries| reducers receives a full-corpus
     # candidate partition, capping parallelism at |queries| and growing
     # per-reducer volume linearly with the corpus. Two Window nodes, the
-    # inner one salted, is the structural signature of the fix.
+    # inner one salted, is the structural signature of the fix. The
+    # small-input cutover (test scale would otherwise take the plain
+    # window, correctly) is zeroed to audit the SCALE path.
     import re
 
-    p = plans("x08_cosine_topk")
+    from deva_spark.operators.windows import SMALL_INPUT_BYTES_CONF
+
+    spark.conf.set(SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        p = (
+            Q.SPARK_QUERIES["x08_cosine_topk"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset(SMALL_INPUT_BYTES_CONF)
     wins = [ln for ln in p.splitlines() if re.search(r"\bWindow\b", ln)]
     assert len(wins) >= 2, f"expected two-phase rank, got {wins}"
     assert any("_salt" in ln for ln in wins), wins
