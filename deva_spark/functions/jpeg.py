@@ -116,13 +116,16 @@ _AC_CHROMA_SPEC = (
 )
 
 #: zigzag scan order: _ZIGZAG[i] = flat raster index of the i-th zigzag
-#: coefficient.
+#: coefficient. T.81 figure 5: the scan starts (0,0) -> (0,1) -> (1,0),
+#: i.e. EVEN diagonals run bottom-left -> top-right (row descending),
+#: odd diagonals top-right -> bottom-left — matching libjpeg's
+#: jpeg_natural_order [0, 1, 8, 16, 9, 2, 3, 10, ...].
 def _zigzag_order() -> np.ndarray:
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
         key=lambda rc: (
             rc[0] + rc[1],
-            rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+            rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
         ),
     )
     return np.array([r * 8 + c for r, c in order], dtype=np.int64)
@@ -337,13 +340,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing; stops at any non-RST marker."""
+    unstuffing; stops at any non-RST marker. Padding past the end of the
+    real scan data is BOUNDED: the encoder byte-aligns with at most 7
+    pad bits, so consuming more than 7 synthetic bits means the scan was
+    truncated — raise instead of fabricating zero-run MCUs (the
+    deterministic-decode contract is correct pixels or a loud error)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.real_bits = 0  # bits buffered from actual scan bytes
+        self.read_bits_total = 0
 
     def _fill(self) -> None:
         d = self.data
@@ -367,12 +376,16 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.n += 8
+            self.real_bits += 8
 
     def read_bit(self) -> int:
         if self.n == 0:
             self._fill()
             if self.n == 0:  # _fill stopped at an unexpected RST marker
                 raise ValueError("scan data ended at a restart marker")
+        self.read_bits_total += 1
+        if self.read_bits_total > self.real_bits + 7:
+            raise ValueError("truncated entropy-coded segment")
         self.n -= 1
         return (self.acc >> self.n) & 1
 
@@ -467,6 +480,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK etc.); inject an external "
+                    "decoder"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -489,11 +507,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tabs = []
+            fh, fw, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (partial-component scans)"
+                )
+            # T.81: both the Huffman-table assignment AND the MCU
+            # interleave follow the SOS header's component order, which
+            # may differ from SOF order — resolve each Cs selector to
+            # its frame plane index and decode in SOS order
+            fidx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            scan_order = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                scan_tabs.append((cs, tdta >> 4, tdta & 0x0F))
-            fh, fw, comps = frame
+                if cs not in fidx:
+                    raise ValueError(f"SOS selects unknown component {cs}")
+                scan_order.append((fidx[cs], tdta >> 4, tdta & 0x0F))
             bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
             n_mcu = bh * bw_
             out_planes = [
@@ -505,8 +534,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 if restart_interval and m and m % restart_interval == 0:
                     br.sync_rst()
                     prev_dc = [0] * len(comps)
-                for ci in range(len(comps)):
-                    td, ta = scan_tabs[ci][1], scan_tabs[ci][2]
+                for ci, td, ta in scan_order:
                     zz = out_planes[ci][m]
                     ssss = _read_symbol(br, huff[(0, td)])
                     diff = _extend(br.read_bits(ssss), ssss)

@@ -409,8 +409,8 @@ def frame_sample(
                         content[:4] == b"RIFF" and content[8:12] == b"AVI "
                     ):
                         clip = decode_avi(content)
-                except (ValueError, NotImplementedError):
-                    clip = None  # MJPEG etc. -> placeholder path
+                except (ValueError, NotImplementedError, _struct.error):
+                    clip = None  # undecodable/corrupt -> placeholder path
                 for i in range(0, n, every_n):
                     if clip is not None and i < clip.shape[0]:
                         payload = encode_png(clip[i])
@@ -874,7 +874,8 @@ def encode_avi(
         1_000_000 // max(int(fps), 1),  # dwMicroSecPerFrame
         buf_size * max(int(fps), 1),  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX absent; 0x10 = WASCAPTUREFILE-ish ok
+        0,  # dwFlags: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        # must NOT be advertised — a strict reader would seek the index
         t, 0, 1, buf_size, w, h, 0, 0, 0, 0,
     )
     strh = (
@@ -1212,13 +1213,16 @@ def synthesize_avi_from_text(
                     dtype=np.uint8,
                 ).reshape(vt, vh, vw, 3)
                 avi = encode_avi(clip, codec=codec, quality=quality)
-                rows.append(
-                    (
-                        int(mid),
-                        avi,
-                        hashlib.md5(decode_avi(avi).tobytes()).hexdigest(),
-                    )
+                # DIB roundtrips bit-exactly (pinned by
+                # test_avi_dib_roundtrip_bit_exact), so its digest needs
+                # no re-decode; the decode-based digest is load-bearing
+                # only for the lossy mjpg path
+                digest = (
+                    hashlib.md5(clip.tobytes()).hexdigest()
+                    if codec.lower() == "dib"
+                    else hashlib.md5(decode_avi(avi).tobytes()).hexdigest()
                 )
+                rows.append((int(mid), avi, digest))
             yield pd.DataFrame(
                 rows, columns=[id_col, "content", "src_digest"]
             )

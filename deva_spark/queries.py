@@ -3453,7 +3453,10 @@ def x62(spark, sf):
     # noise. Boundary test is integer cross-multiplied (no float p*total).
     # A doc is kept iff the mass BEFORE it is still under the cap, so
     # exactly one doc straddles the boundary — deterministic under the
-    # (n_tokens DESC, doc_id) total order; per-source windows only.
+    # (n_tokens DESC, doc_id) total order. Scale shape (r11): the
+    # running mass rides top_p_by_group's grouped two-phase
+    # global_running_sum + a broadcast per-source total — never a
+    # whole-source window (5 sources = 5 corpus-sized reducers).
     from deva_spark.operators.sampling import top_p_by_group
 
     tok = _t(spark, sf, "documents").select(
@@ -5958,8 +5961,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # x70 — also changed via the salted weighted_sample_topk — returns with
 # the deferrals); (b) ALL 12 remaining r9 deferrals (x60-x72 tail),
 # emptying the r10 backlog as promised; (c) the longest-stale green
-# rows — 30 of the
-# 37 whose latest driver row is r8; the other 7 defer to r12 (the
+# rows — 31 of the
+# 37 whose latest driver row is r8; the other 6 defer to r12 (the
 # window holds 50); (d) this round's new registrations x108+
 # (auto-append). Local tooling (tools/check_correctness.py, bench.py)
 # still runs every entry.
@@ -5978,7 +5981,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # #2 — the r10 backlog is now empty)
     "x60_kmv_distinct_users",
     "x61_pagerank_two_steps",
-    "x62_top_p_token_mass",
     "x63_streaming_trending",
     "x64_event_transitions",
     "x65_containment_pairs",
@@ -5988,8 +5990,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x70_weighted_sample",
     "x71_streaming_retention",
     "x72_global_weighted_sample",
-    # the longest-stale green rows (latest driver row r8) — 30 of 37;
-    # the remaining 7 are this round's _DEFERRED_TO_NEXT
+    # the longest-stale green rows (latest driver row r8) — 31 of 37;
+    # the remaining 6 are this round's _DEFERRED_TO_NEXT
     "q03_group_agg",
     "q06_dedup_first_seen",
     "q20_lag_diff",
@@ -6007,6 +6009,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x16_part_brand_stats",
     "x17_supplier_by_nation",
     "x58_late_orders_by_priority",
+    "x73_merge_intervals",
     "x74_substring_dup_pairs",
     "x75_longest_common_run",
     "x76_remove_duplicate_runs",
@@ -6033,7 +6036,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
 #: if any entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x18_lineitem_part_join",
-    "x73_merge_intervals",
     "x25_session_stats",
     "x26_histogram",
     "x27_pivot_counts",

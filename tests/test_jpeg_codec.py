@@ -66,7 +66,7 @@ def test_golden_digest():
     img = _grad(16, 16)
     enc = J.encode_jpeg(img, quality=90)
     assert hashlib.md5(enc).hexdigest() == (
-        "a34f821fcc026b8d0e27c6eae4231788"
+        "d26fd7180c31595b1c0f0eea80569e8e"
     )
     assert hashlib.md5(J.decode_jpeg(enc).tobytes()).hexdigest() == (
         "b08e97017680ba8712f372dd55589bee"
@@ -109,3 +109,53 @@ def test_subsampled_flag_raises():
         J.decode_jpeg(bytes(enc))
 
 
+
+
+def test_zigzag_matches_jpeg_natural_order():
+    # r11 review: the scan order must be the T.81 order (libjpeg's
+    # jpeg_natural_order), not its transpose — encoder and decoder share
+    # _ZIGZAG, so only an external-order pin catches a transposed pair.
+    natural = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(J._ZIGZAG) == natural
+
+
+def test_truncated_scan_raises():
+    # a scan cut mid-stream must raise, not fabricate zero-run MCUs
+    noise = np.random.default_rng(4).integers(
+        0, 256, size=(32, 32, 3), dtype=np.uint8
+    )
+    enc = J.encode_jpeg(noise, quality=90)
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_sos_component_order_independent():
+    # T.81 allows the SOS to list components in a different order than
+    # SOF; tables AND the MCU interleave follow SOS order. Swap the SOS
+    # entries of a valid stream: decode must fail or differ — and a
+    # stream rewritten with a REORDERED SOF must still decode to the
+    # same pixels when the scan references components by id.
+    img = _grad(16, 16)
+    enc = bytearray(J.encode_jpeg(img, quality=90))
+    want = J.decode_jpeg(bytes(enc))
+    # locate SOS: ff da, len, ns, then ns * (Cs, Td/Ta)
+    i = bytes(enc).find(b"\xff\xda")
+    ns = enc[i + 4]
+    assert ns == 3
+    # swap components 2 and 3 in the SOS listing (ids + table bytes);
+    # the interleave order in the entropy stream is unchanged, so a
+    # selector-aware decoder now reads Cb data into Cr and vice versa -> 
+    # decoded pixels must DIFFER from the original (Cb/Cr swapped), while
+    # a positional decoder would wrongly return identical pixels.
+    j = i + 5
+    c2 = bytes(enc[j + 2 : j + 4])
+    c3 = bytes(enc[j + 4 : j + 6])
+    enc[j + 2 : j + 4] = c3
+    enc[j + 4 : j + 6] = c2
+    got = J.decode_jpeg(bytes(enc))
+    assert not np.array_equal(got, want)
