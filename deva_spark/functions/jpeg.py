@@ -8,9 +8,9 @@ genuinely need external libraries (H.264 etc.).
 Scope (honest):
   * ENCODE: baseline sequential DCT, 4:4:4 (no chroma subsampling),
     ITU-T T.81 Annex K quantization + Huffman tables scaled by the IJG
-    quality curve, byte stuffing, no restart markers. Deterministic —
-    same array, same bytes, any platform (integer quantization over an
-    exact float DCT).
+    quality curve, byte stuffing, optional DRI/RSTm restart markers.
+    Deterministic — same array, same bytes, any platform (integer
+    quantization over an exact float DCT).
   * DECODE: baseline sequential (SOF0), any component count 1 or 3,
     4:4:4 only (subsampled or progressive inputs raise
     ``NotImplementedError`` — external-codec territory), arbitrary DHT/
@@ -190,6 +190,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-pad) then emit RSTm — written RAW, not through
+        ``write``: restart markers are the one 0xFF sequence that must
+        NOT be byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(SSSS category, offset bits) for a DC diff / AC coefficient."""
@@ -218,9 +227,15 @@ def _encode_blocks(
     return list(flat), qz
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode an ``(H, W, 3)`` uint8 RGB array (or ``(H, W)`` grayscale)
-    as a baseline 4:4:4 JFIF JPEG. Deterministic."""
+    as a baseline 4:4:4 JFIF JPEG. Deterministic. ``restart_interval``
+    > 0 emits a DRI segment and an RSTm marker (with DC-predictor
+    reset) every that-many MCUs — the error-resilience feature MJPEG
+    streams in the wild commonly carry, and the real-stream exercise of
+    the decoder's resync path."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
@@ -262,8 +277,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     bw = _BitWriter()
     prev_dc = [0] * ncomp
     n_blocks = len(comp_blocks[0])
+    rst = 0
     # 4:4:4, Hi=Vi=1: MCU = one block of each component, interleaved
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) % 8
+            prev_dc = [0] * ncomp
         for ci in range(ncomp):
             zz = comp_blocks[ci][bi]
             dc, ac_tab, dc_tab = int(zz[0]), ac_tabs[ci], dc_tabs[ci]
@@ -322,6 +342,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     ] + ([(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)] if ncomp == 3 else [])
     for tc_th, (bits, vals) in huff_segments:
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", int(restart_interval)))
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):

@@ -159,3 +159,24 @@ def test_sos_component_order_independent():
     enc[j + 4 : j + 6] = c2
     got = J.decode_jpeg(bytes(enc))
     assert not np.array_equal(got, want)
+
+
+def test_restart_markers_roundtrip():
+    # r11: DRI/RSTm emission exercises the decoder's resync path with a
+    # REAL stream — pixels must equal the plain-scan decode for any
+    # interval, and the markers must appear exactly when an interval
+    # boundary falls inside the 35-MCU scan.
+    img = np.random.default_rng(9).integers(
+        0, 256, size=(40, 56, 3), dtype=np.uint8
+    )  # 5x7 = 35 MCUs
+    plain = J.decode_jpeg(J.encode_jpeg(img, 95))
+    for ri in (1, 2, 3, 7, 34, 35, 100):
+        enc = J.encode_jpeg(img, 95, restart_interval=ri)
+        has_rst = any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+        assert has_rst == (ri < 35), (ri, has_rst)
+        assert np.array_equal(J.decode_jpeg(enc), plain), ri
+    from deva_spark.functions.multimodal import jpeg_dimensions
+
+    assert jpeg_dimensions(J.encode_jpeg(img, 95, restart_interval=2)) == (
+        56, 40,
+    )
