@@ -351,6 +351,10 @@ def test_driver_window_accounts_for_every_registry_entry():
     deferred = set(Q._DEFERRED_TO_NEXT)
     assert len(keys[:50]) == 50
     assert window.isdisjoint(deferred), window & deferred
+    # r11 review: a duplicate name in _DRIVER_FIRST dedups silently in
+    # the rotation dicts and burns a window slot on a tail entry
+    assert len(Q._DRIVER_FIRST) == len(set(Q._DRIVER_FIRST)), "dup entry"
+    assert len(set(Q._DEFERRED_TO_NEXT)) == len(Q._DEFERRED_TO_NEXT)
     base = os.path.join(os.path.dirname(__file__), "..")
     # green rows from the last TWO driver rounds count: the r10 window
     # held the changed/red cohort + 36 r9 deferrals and the r9 window
