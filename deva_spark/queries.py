@@ -1556,6 +1556,14 @@ def x07(spark, sf):
        SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 )
 def x08(spark, sf):
+    # EXACT cosine top-k per query vector — the deliberate brute-force
+    # recall baseline the ANN tiers (x09 LSH, x32 IVF, x101-x103 IVF-PQ)
+    # are measured against. Broadcast queries over the candidate scan,
+    # then the salted TWO-PHASE rank (VERDICT r10 #3, r11): per-(qid,
+    # _salt) local top-k before the per-qid window, so no reducer's
+    # input scales with the corpus under a fixed query count; an
+    # adaptive small-input cutover takes the plain window below 128 MiB
+    # (`vectors.brute_force_topk`).
     emb = _t(spark, sf, "embeddings")
     return V.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
