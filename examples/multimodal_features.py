@@ -1,6 +1,7 @@
 """Multimodal feature pipeline demo — image, audio, and video columns
 as opaque binary + typed metadata, decoded and featurized with REAL
-in-container codecs (pure-stdlib PNG, WAV, animated GIF).
+in-container codecs (pure-stdlib PNG, WAV, animated GIF, AVI/RIFF, and
+the pure-numpy baseline JPEG codec behind MJPEG-AVI).
 
 Run: python examples/multimodal_features.py
 """
@@ -82,6 +83,26 @@ def main() -> None:
         sample_every=1,
     ).collect()[0].features
     print(f"video pooled features ({len(vid)}): {[round(v, 3) for v in vid[:4]]}...")
+
+    # MJPEG-in-AVI: every frame is a baseline JPEG from the package-own
+    # pure-numpy codec; the same video_features stage decodes it with no
+    # external library anywhere in the path (r11)
+    clip = rng.randint(0, 255, size=(4, 16, 16, 3)).astype(np.uint8)
+    avi = mm.encode_avi(clip, codec="mjpg", quality=92)
+    mrows = [
+        (4, "video", avi, {"width": 16, "height": 16, "n_frames": 4,
+                           "sample_rate": None, "mime": "video/x-msvideo"}),
+    ]
+    mdf = mm.media_table(spark, mrows)
+    mvid = mm.video_features(
+        mdf, decoder=mm.default_video_decoder(), pool=4, sample_every=1
+    ).collect()[0].features
+    print(f"MJPEG-AVI pooled features ({len(mvid)}): {[round(v, 3) for v in mvid[:4]]}...")
+    fr = mm.frame_sample(mdf, every_n=2).collect()
+    print(
+        "sampled AVI frames re-encoded as PNG:",
+        [(r.frame_index, mm.png_dimensions(bytes(r.frame))) for r in fr],
+    )
     spark.stop()
 
 
