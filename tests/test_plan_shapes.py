@@ -254,11 +254,12 @@ _HIGH_CARD_OR_SHARD = {
     "fp", "wh", "_sh", "_uh", "_salt", "_gb", "_p", "_b", "term", "w",
 }
 
-#: Rank windows partitioned ONLY by bounded-cardinality keys that are
+#: Windows partitioned ONLY by bounded-cardinality keys that are
 #: nonetheless scale-safe because their INPUT is bounded by construction
-#: — each entry names why. Adding a new low-cardinality rank window
-#: means either salting it (the x08/x70 two-phase pattern), grouping the
-#: numbering (x54's global_positions group_cols), or justifying it here.
+#: — each entry names why. Adding a new low-cardinality window means
+#: either salting it (the x08/x70 two-phase pattern), grouping the
+#: numbering/prefix sum (x54/x62's global_positions / global_running_sum
+#: group_cols), or justifying it here.
 _BOUNDED_INPUT_RANK_WINDOWS = {
     # final phase of the salted two-phase top-k: input already reduced
     # to <= salt_buckets x k rows per qid / per source
@@ -276,21 +277,24 @@ _BOUNDED_INPUT_RANK_WINDOWS = {
     # merge phase over per-batch synopses (bounded rows per source by
     # the reservoir contract), not over the corpus
     ("x99_incremental_weighted_sample", ("source",)),
+    # window input is the PRE-AGGREGATED hourly count table: <=
+    # |event_types| rows per hr key, bounded regardless of corpus size
+    ("x53_hourly_trending", ("hr",)),
 }
 
 
 def test_rank_windows_partition_on_high_cardinality_or_salted_keys(
     spark, sf_dir
 ):
-    # VERDICT r10 #3 (audit extension): a row_number/rank window whose
-    # partition keys are all LOW-cardinality (a handful of sources or
-    # query ids) ships each key's full input through one reducer — fine
-    # at sf0.01, a parallelism cap of |keys| at 100 TB. Every rank
-    # window in every batch registry plan must partition on at least one
-    # high-cardinality or shard column, or carry a bounded-input
-    # justification in _BOUNDED_INPUT_RANK_WINDOWS. Runs with the
-    # small-input cutover disabled so the scale paths are the ones
-    # audited.
+    # VERDICT r10 #3 (audit extension): ANY window — rank or running
+    # aggregate — whose partition keys are all LOW-cardinality (a
+    # handful of sources or query ids) ships each key's full input
+    # through one reducer — fine at sf0.01, a parallelism cap of |keys|
+    # at 100 TB. Every window in every batch registry plan must
+    # partition on at least one high-cardinality or shard column, or
+    # carry a bounded-input justification in
+    # _BOUNDED_INPUT_RANK_WINDOWS. Runs with the small-input cutover
+    # disabled so the scale paths are the ones audited.
     import re
 
     streaming = {
@@ -315,9 +319,7 @@ def test_rank_windows_partition_on_high_cardinality_or_salted_keys(
                 .toString()
             )
             for m in pat.finditer(p):
-                exprs, parts = m.group(1), m.group(2)
-                if not re.search(r"row_number|rank\(\)|dense_rank", exprs):
-                    continue
+                parts = m.group(2)
                 cols = tuple(
                     sorted(set(re.findall(r"(\w+)#\d+", parts)))
                 )
