@@ -2381,7 +2381,7 @@ def x33(spark, sf):
     from deva_spark.streaming.twin import events_file_stream, run_available_now, tumbling_counts
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
-    return run_available_now(tumbling_counts(s), "x33_drain", output_mode="complete")
+    return run_available_now(tumbling_counts(s), "x33_drain", output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -2401,7 +2401,7 @@ def x34(spark, sf):
     from deva_spark.streaming.twin import events_file_stream, run_available_now, session_counts
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
-    return run_available_now(session_counts(s), "x34_drain", output_mode="complete")
+    return run_available_now(session_counts(s), "x34_drain", output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -2423,7 +2423,7 @@ def x35(spark, sf):
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
     return run_available_now(
-        streaming_running_sum_exact(s), "x35_drain", output_mode="append"
+        streaming_running_sum_exact(s), "x35_drain", output_mode="append", state_partitions=8
     )
 
 
@@ -2451,7 +2451,7 @@ def x36(spark, sf):
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
     out = run_available_now(
-        streaming_zscore_anomalies(s), "x36_drain", output_mode="append"
+        streaming_zscore_anomalies(s), "x36_drain", output_mode="append", state_partitions=8
     )
     return out.select(
         "user_id", "event_id", F.round("z", 2).cast("double").alias("z")
@@ -2520,7 +2520,7 @@ def x38(spark, sf):
             F.col("r.event_id").alias("purchase_id"),
         ),
         "x38_drain",
-        output_mode="append",
+        output_mode="append", state_partitions=8,
     )
     return out
 
@@ -2881,7 +2881,7 @@ def x49(spark, sf):
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
     return run_available_now(
-        streaming_first_event(s, "user_id"), "x49_drain", output_mode="complete"
+        streaming_first_event(s, "user_id"), "x49_drain", output_mode="complete", state_partitions=8
     )
 
 
@@ -3505,7 +3505,7 @@ def x63(spark, sf):
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
     counts = run_available_now(
-        tumbling_counts(s), "x63_drain", output_mode="complete"
+        tumbling_counts(s), "x63_drain", output_mode="complete", state_partitions=8
     ).select(F.col("w").alias("hr"), "event_type", "cnt")
     w = Window.partitionBy("hr").orderBy(F.desc("cnt"), F.asc("event_type"))
     return (
@@ -3719,7 +3719,7 @@ def x69(spark, sf):
 
     s = events_file_stream(spark, _staged_events(spark, sf), files_per_trigger=2)
     conv = run_available_now(
-        streaming_funnel(s, _FUNNEL_STEPS), "x69_drain", output_mode="append"
+        streaming_funnel(s, _FUNNEL_STEPS), "x69_drain", output_mode="append", state_partitions=8
     )
     steps_df = spark.createDataFrame(
         [(i + 1, t) for i, t in enumerate(_FUNNEL_STEPS)],
@@ -3790,7 +3790,7 @@ def x71(spark, sf):
     days_stream = s.select(
         "user_id", F.to_date("ts").alias("_d")
     ).dropDuplicates(["user_id", "_d"])
-    days = run_available_now(days_stream, "x71_drain", output_mode="append")
+    days = run_available_now(days_stream, "x71_drain", output_mode="append", state_partitions=8)
     # fresh attribute ids for the self-join's aggregate side (a memory-
     # sink view joined with its own aggregate otherwise carries
     # conflicting references)
@@ -4137,7 +4137,7 @@ def x78(spark, sf):
     return run_available_now(
         streaming_incremental_pairs(s, old, window=8),
         "x78_drain",
-        output_mode="complete",
+        output_mode="complete", state_partitions=8,
     )
 
 

@@ -160,20 +160,49 @@ def events_file_stream(
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the result table. AvailableNow processes the backlog in
-    rate-limited micro-batches then stops — the batch-equivalence harness."""
+    rate-limited micro-batches then stops — the batch-equivalence harness.
+
+    ``state_partitions`` sizes the stateful-operator partition count for
+    THIS query: Structured Streaming reads ``spark.sql.shuffle.partitions``
+    once at the query's first start and bakes it into the checkpoint
+    forever after, so the number is a per-query deployment decision —
+    sized to expected peak state volume (state rows x bytes / target
+    partition size), NOT inherited from the batch-scan parallelism
+    default. Both mis-sizings are real: a 100 TB deployment wants HUNDREDS
+    of state partitions (the session default would under-partition a
+    billion-key dedup), while a bounded replay drain wants a handful (at
+    the session default of 32, every micro-batch pays 32 state-store
+    opens/commits per stateful operator PER SIDE — measured 4x the total
+    drain wall-clock on the replay drains, pure fixed cost; results are
+    partition-count-invariant either way, which the oracle hash checks).
+    Scoped: the session value is restored after the drain. The drain is
+    synchronous, so the override window is the drain itself; if batch
+    queries are planned CONCURRENTLY on the same session, run the drain
+    on its own session (``spark.newSession()``) instead."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key) if state_partitions is not None else None
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 
