@@ -192,3 +192,32 @@ def test_streaming_incremental_dedup_equivalence(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
     finally:
         idx.unpersist()
+
+
+def test_state_partitions_scoped_and_result_invariant(spark, staged, batch_events):
+    # The override must (a) leave results identical — state partition
+    # count is physical, never semantic — and (b) restore the session
+    # value afterwards, including when the drain FAILS (the finally
+    # path), so a drain can't silently deflate the batch parallelism of
+    # everything planned after it.
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    s = twin.events_file_stream(spark, staged)
+    res = twin.run_available_now(
+        twin.tumbling_counts(s), "t_sp4", state_partitions=4
+    )
+    assert spark.conf.get(key) == before
+    cols = ["w", "event_type", "cnt", "sv"]
+    base = twin.run_available_now(twin.tumbling_counts(
+        twin.events_file_stream(spark, staged)), "t_sp_base")
+    assert canon(res, cols) == canon(base, cols)
+
+    # failure path: complete-mode requires an aggregation; a bare
+    # projection drain in complete mode raises at start() — after the
+    # raise the session conf must already be restored
+    bad = twin.events_file_stream(spark, staged).select("event_id")
+    with pytest.raises(Exception):
+        twin.run_available_now(
+            bad, "t_sp_bad", output_mode="complete", state_partitions=4
+        )
+    assert spark.conf.get(key) == before
