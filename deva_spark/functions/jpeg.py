@@ -482,6 +482,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit DQT")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 tab = np.array(list(body[b + 1 : b + 65]), dtype=np.int32)
                 qtabs[tq] = tab[_UNZIGZAG].reshape(8, 8)
                 b += 65
@@ -528,12 +530,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS header")
             ns = body[0]
             fh, fw, comps = frame
             if ns != len(comps):
                 raise NotImplementedError(
                     "multi-scan baseline JPEG (partial-component scans)"
                 )
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS header")
             # T.81: both the Huffman-table assignment AND the MCU
             # interleave follow the SOS header's component order, which
             # may differ from SOF order — resolve each Cs selector to
@@ -545,6 +551,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 if cs not in fidx:
                     raise ValueError(f"SOS selects unknown component {cs}")
                 scan_order.append((fidx[cs], tdta >> 4, tdta & 0x0F))
+            # validate every table id up front: a corrupt stream naming
+            # an absent DHT/DQT slot must be a loud ValueError here, not
+            # a KeyError mid-MCU that escapes frame_sample's
+            # undecodable-payload fallback
+            for ci, td, ta in scan_order:
+                if (0, td) not in huff or (1, ta) not in huff:
+                    raise ValueError(
+                        f"scan references missing Huffman table (dc={td}, "
+                        f"ac={ta})"
+                    )
+            for _cid, tq in comps:
+                if tq not in qtabs:
+                    raise ValueError(f"frame references missing DQT slot {tq}")
             bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
             n_mcu = bh * bw_
             out_planes = [

@@ -180,3 +180,53 @@ def test_restart_markers_roundtrip():
     assert jpeg_dimensions(J.encode_jpeg(img, 95, restart_interval=2)) == (
         56, 40,
     )
+
+
+def test_malformed_streams_raise_catchable_errors():
+    # frame_sample's undecodable-payload fallback catches (ValueError,
+    # NotImplementedError, struct.error): every malformed-stream failure
+    # must land in that tuple — a KeyError/IndexError from a corrupt
+    # table id or truncated segment would escape the fallback and kill
+    # the executor task it exists to absorb.
+    import struct
+
+    catchable = (ValueError, NotImplementedError, struct.error)
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img, quality=90)
+
+    def corrupt(transform):
+        with pytest.raises(catchable):
+            J.decode_jpeg(transform(bytearray(enc)))
+
+    def drop_segment(b, marker):
+        i = bytes(b).find(marker)
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        del b[i : i + 2 + ln]
+        return bytes(b)
+
+    # missing DHT / DQT: scan names a table slot that was never defined
+    corrupt(lambda b: drop_segment(b, b"\xff\xc4"))
+    corrupt(lambda b: drop_segment(b, b"\xff\xdb"))
+
+    def truncate_dqt(b):
+        i = bytes(b).find(b"\xff\xdb")
+        # shrink the declared segment length so the 64-entry table is cut
+        b[i + 2 : i + 4] = struct.pack(">H", 10)
+        del b[i + 4 + 8 : i + 4 + 8 + 57]
+        return bytes(b)
+
+    corrupt(truncate_dqt)
+
+    def sos_bad_table_ids(b):
+        i = bytes(b).find(b"\xff\xda")
+        b[i + 2 + 3] = 0x77  # component 1's (td, ta) -> undefined slots
+        return bytes(b)
+
+    corrupt(sos_bad_table_ids)
+
+    def empty_sos(b):
+        i = bytes(b).find(b"\xff\xda")
+        b[i + 2 : i + 4] = struct.pack(">H", 2)  # zero-byte SOS body
+        return bytes(b)
+
+    corrupt(empty_sos)
