@@ -183,6 +183,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # trim consumed high bits: an unbounded Python-int accumulator
+        # grows by every bit ever written and turns the shift above into
+        # an O(scan) op — quadratic encode overall (r11 review)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -409,7 +413,11 @@ class _BitReader:
         if self.read_bits_total > self.real_bits + 7:
             raise ValueError("truncated entropy-coded segment")
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        # same accumulator trim as _BitWriter: without it decode is
+        # quadratic in scan size (measured 18 s for one 256x256 image)
+        self.acc &= (1 << self.n) - 1
+        return bit
 
     def read_bits(self, k: int) -> int:
         v = 0

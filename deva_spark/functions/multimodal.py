@@ -909,7 +909,14 @@ def _avi_parse(content: bytes) -> dict:
     non-AVI payload."""
     if not content or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    out = {"width": 0, "height": 0, "n_frames": 0, "handler": "", "frames": []}
+    out = {
+        "width": 0,
+        "height": 0,
+        "n_frames": 0,
+        "handler": "",
+        "compression": None,
+        "frames": [],
+    }
     for fcc, p, size in _riff_chunks(content, 12, len(content)):
         if fcc != b"LIST":
             continue
@@ -921,12 +928,27 @@ def _avi_parse(content: bytes) -> dict:
                     out["n_frames"] = vals[4]
                     out["width"], out["height"] = vals[8], vals[9]
                 elif f2 == b"LIST" and content[p2 : p2 + 4] == b"strl":
+                    in_vids = False
                     for f3, p3, s3 in _riff_chunks(
                         content, p2 + 4, p2 + s2
                     ):
-                        if f3 == b"strh" and content[p3 : p3 + 4] == b"vids":
-                            out["handler"] = (
-                                content[p3 + 4 : p3 + 8].decode("ascii", "replace").strip()
+                        if f3 == b"strh":
+                            in_vids = content[p3 : p3 + 4] == b"vids"
+                            if in_vids:
+                                # fourCCs are case-insensitive in the
+                                # wild ('mjpg' is common) — normalize
+                                out["handler"] = (
+                                    content[p3 + 4 : p3 + 8]
+                                    .decode("ascii", "replace")
+                                    .strip()
+                                    .upper()
+                                )
+                        elif f3 == b"strf" and in_vids and s3 >= 20:
+                            # BITMAPINFOHEADER.biCompression (offset 16)
+                            # — the authoritative codec field; strh's
+                            # handler is advisory and often zeroed
+                            (out["compression"],) = _struct.unpack(
+                                "<I", content[p3 + 16 : p3 + 20]
                             )
         elif kind == b"movi":
             for f2, p2, s2 in _riff_chunks(content, p + 4, p + size):
@@ -946,12 +968,33 @@ def avi_info(content: bytes) -> tuple[int, int, int] | None:
     return m["width"], m["height"], m["n_frames"]
 
 
+#: biCompression fourCC for MJPEG streams
+_MJPG_FOURCC = _struct.unpack("<I", b"MJPG")[0]
+
+
+def _avi_codec(m: dict) -> str | None:
+    """Resolve a parsed AVI's video codec: ``"mjpg"`` / ``"dib"`` /
+    ``None`` (unknown compression — H.264, XVID, ... — which must route
+    to an external decoder, NEVER the raw-DIB reinterpretation: a
+    compressed payload that happens to be >= stride*h would 'decode' to
+    garbage pixels with no error, r11 review). biCompression decides
+    when present (0 = BI_RGB); the strh handler fourCC breaks the tie
+    for headerless streams."""
+    handler = m["handler"]
+    comp = m["compression"]
+    if handler == "MJPG" or comp == _MJPG_FOURCC:
+        return "mjpg"
+    if comp == 0 or (comp is None and handler in ("", "DIB", "RGB")):
+        return "dib"
+    return None
+
+
 def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
     """Per-frame dimensions of an MJPEG AVI via the JPEG header reader
     (one entry per '00dc' chunk — no pixel decode, the metadata tier);
-    DIB streams return the header dims for every frame."""
+    non-MJPEG streams return the container header dims for every frame."""
     m = _avi_parse(content)
-    if m["handler"] == "MJPG":
+    if _avi_codec(m) == "mjpg":
         return [jpeg_dimensions(f) for f in m["frames"]]
     return [(m["width"], m["height"])] * len(m["frames"])
 
@@ -964,7 +1007,8 @@ def decode_avi(content: bytes) -> np.ndarray:
     subsampled/progressive frames raise ``NotImplementedError`` there,
     the external-codec boundary)."""
     m = _avi_parse(content)
-    if m["handler"] == "MJPG":
+    codec = _avi_codec(m)
+    if codec == "mjpg":
         from deva_spark.functions.jpeg import decode_jpeg
 
         frames = [decode_jpeg(f) for f in m["frames"]]
@@ -972,6 +1016,11 @@ def decode_avi(content: bytes) -> np.ndarray:
             np.stack(frames)
             if frames
             else np.zeros((0, m["height"], m["width"], 3), dtype=np.uint8)
+        )
+    if codec is None:
+        raise NotImplementedError(
+            f"AVI compression {m['handler']!r}/{m['compression']!r} "
+            "(H.264/XVID/...); inject an external decoder"
         )
     w, h = m["width"], m["height"]
     stride = w * 3 + ((-(w * 3)) % 4)
@@ -1011,7 +1060,15 @@ def default_video_decoder() -> Callable[[bytes, int], np.ndarray]:
         if content[:4] == b"GIF8":
             return gif_decode_video(content, n_frames)
         if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-            return avi_decode_video(content, n_frames)
+            # only claim codecs the stdlib path really speaks; an AVI
+            # carrying H.264/XVID (or an unparseable container) falls
+            # through to ffmpeg/fake like any other format (r11 review —
+            # previously it raised, failing the whole task)
+            try:
+                if _avi_codec(_avi_parse(content)) is not None:
+                    return avi_decode_video(content, n_frames)
+            except (ValueError, _struct.error):
+                pass
         return other(content, n_frames)
 
     return dispatch

@@ -41,6 +41,29 @@ def _validate_interval(tolerance: str) -> None:
         )
 
 
+def broadcast_join_null_safe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Inner broadcast equi-join on ``keys`` with NULL-SAFE equality
+    (``<=>``): a name-based equi-join uses null-REJECTING equality, so a
+    left row whose key is NULL is silently dropped even when the right
+    side carries its matching NULL-keyed aggregate row (``groupBy`` keeps
+    the NULL group; SQL window partitions do too — the r11 review found
+    two group-total joins diverging from their window-based oracles
+    exactly this way). Right-side key columns are renamed away and
+    dropped, so the output carries left's key columns plus right's
+    payload. Right is broadcast: this is the group-total / offset-table
+    shape — metadata-sized by contract."""
+    renames = {g: f"_rk_{g}" for g in keys}
+    r = right
+    for g, rg in renames.items():
+        r = r.withColumnRenamed(g, rg)
+    cond = F.lit(True)
+    for g, rg in renames.items():
+        cond = cond & F.col(g).eqNullSafe(F.col(rg))
+    return left.join(F.broadcast(r), cond).drop(*renames.values())
+
+
 def enrich(
     dim: DataFrame,
     on: str | list[str] | Column,

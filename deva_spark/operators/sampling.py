@@ -225,6 +225,7 @@ def top_p_by_group(
         )
 
     def _t(df: DataFrame) -> DataFrame:
+        from deva_spark.operators.joins import broadcast_join_null_safe
         from deva_spark.operators.windows import global_running_sum
 
         d = df.withColumn("_negw", -F.col(weight_col))
@@ -236,7 +237,9 @@ def top_p_by_group(
             group_cols=list(keys),
         ).drop("_negw")
         tot = df.groupBy(*keys).agg(F.sum(weight_col).alias("_tot"))
-        r = r.join(F.broadcast(tot), list(keys))
+        # null-safe: a NULL group key is a real group (the window-based
+        # semantics this two-phase shape replaced kept it; r11 review)
+        r = broadcast_join_null_safe(r, tot, list(keys))
         return r.filter(
             (F.col("_cum") - F.col(weight_col)) * 100
             < F.col("_tot") * F.lit(int(p_pct))

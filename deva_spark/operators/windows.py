@@ -146,14 +146,9 @@ def global_positions(
     spark = df.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
     gcols = list(group_cols)
-    small_cap = int(
-        spark.conf.get(SMALL_INPUT_BYTES_CONF, str(SMALL_INPUT_BYTES_DEFAULT))
-    )
-    if small_cap > 0:
-        est = _estimated_bytes(df)
-        if est is not None and est <= small_cap:
-            w = Window.partitionBy(*gcols).orderBy(*order)
-            return df.withColumn(out, F.row_number().over(w).cast("bigint"))
+    if small_input(df):
+        w = Window.partitionBy(*gcols).orderBy(*order)
+        return df.withColumn(out, F.row_number().over(w).cast("bigint"))
     d = _range_bucketed(df, order, buckets, bounds)
     counts = d.groupBy(*gcols, "_gb").agg(F.count(F.lit(1)).alias("_c"))
     same_group = [
@@ -195,16 +190,9 @@ def _join_offsets(d: DataFrame, offs: DataFrame, gcols: list[str]) -> DataFrame:
     group)."""
     if not gcols:
         return d.join(F.broadcast(offs), ["_gb"])
-    renames = {g: f"_og_{g}" for g in gcols}
-    o = offs
-    for g, og in renames.items():
-        o = o.withColumnRenamed(g, og)
-    o = o.withColumnRenamed("_gb", "_ogb")
-    cond = _and_all(
-        [F.col(g).eqNullSafe(F.col(og)) for g, og in renames.items()]
-        + [F.col("_gb") == F.col("_ogb")]
-    )
-    return d.join(F.broadcast(o), cond).drop("_ogb", *renames.values())
+    from deva_spark.operators.joins import broadcast_join_null_safe
+
+    return broadcast_join_null_safe(d, offs, gcols + ["_gb"])
 
 
 def global_running_sum(
@@ -234,18 +222,13 @@ def global_running_sum(
     spark = df.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
     gcols = list(group_cols)
-    small_cap = int(
-        spark.conf.get(SMALL_INPUT_BYTES_CONF, str(SMALL_INPUT_BYTES_DEFAULT))
-    )
-    if small_cap > 0:
-        est = _estimated_bytes(df)
-        if est is not None and est <= small_cap:
-            w = (
-                Window.partitionBy(*gcols)
-                .orderBy(*order)
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            return df.withColumn(out, F.sum(value_col).over(w))
+    if small_input(df):
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.sum(value_col).over(w))
     d = _range_bucketed(df, order, buckets, bounds)
     sums = d.groupBy(*gcols, "_gb").agg(F.sum(value_col).alias("_s"))
     same_group = [

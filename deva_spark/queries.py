@@ -3072,6 +3072,7 @@ def x54(spark, sf):
     # each source and adds broadcast offsets. The per-source count rides
     # a groupBy + broadcast join, not a count-over window, for the same
     # reason.
+    from deva_spark.operators.joins import broadcast_join_null_safe
     from deva_spark.operators.windows import global_positions
 
     docs = _t(spark, sf, "documents")
@@ -3084,7 +3085,9 @@ def x54(spark, sf):
         tok, order=("n_tokens", "doc_id"), out="rn", group_cols=("source",)
     )
     n_by_src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    r = r.join(F.broadcast(n_by_src), "source")
+    # null-safe: the oracle's window PARTITION BY keeps a NULL source
+    # group; a name-based equi-join would silently drop it (r11 review)
+    r = broadcast_join_null_safe(r, n_by_src, ["source"])
     med_pos = F.expr("(n + 1) div 2")  # exact integer div — no float round
     p90_pos = F.expr("(9 * n + 9) div 10")
     return r.groupBy("source").agg(

@@ -560,3 +560,49 @@ def test_synthesize_avi_audit_matches_arithmetic(spark):
         assert (r.width, r.height, r.n_frames) == mm.synthesized_dims(seed)[
             "video"
         ]
+
+
+def test_avi_codec_detection_case_and_unknown():
+    # r11 review: fourCCs are case-insensitive in the wild, and unknown
+    # compressions must NOT be reinterpreted as raw DIB rows (a
+    # compressed payload >= stride*h would "decode" to garbage with no
+    # error). biCompression (strf) decides; strh handler breaks ties.
+    import struct
+
+    rng = np.random.default_rng(11)
+    clip = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    mj = bytearray(mm.encode_avi(clip, fps=5, codec="mjpg", quality=90))
+
+    # lowercase handler: still MJPEG (decodes pixels, per-frame dims)
+    i = bytes(mj).find(b"MJPG")  # strh handler comes first
+    mj[i : i + 4] = b"mjpg"
+    low = bytes(mj)
+    assert mm._avi_parse(low)["handler"] == "MJPG"
+    assert mm.decode_avi(low).shape == clip.shape
+    assert mm.avi_frame_dims(low) == [(8, 8)] * 2
+
+    # unknown codec (XVID in both fields): decode raises loudly...
+    xv = bytearray(mm.encode_avi(clip, fps=5, codec="mjpg", quality=90))
+    while True:
+        j = bytes(xv).find(b"MJPG")
+        if j < 0:
+            break
+        xv[j : j + 4] = b"XVID"
+    unknown = bytes(xv)
+    parsed = mm._avi_parse(unknown)
+    assert parsed["handler"] == "XVID"
+    assert parsed["compression"] == struct.unpack("<I", b"XVID")[0]
+    assert mm._avi_codec(parsed) is None
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(unknown)
+    # ...and the dispatcher falls through to the injected/fake decoder
+    # instead of failing the task
+    out = mm.default_video_decoder()(unknown, 2)
+    assert out.shape[0] == 2  # fake/ffmpeg path produced frames
+
+    # DIB detection still works when the handler is zeroed (compression
+    # field alone decides)
+    dib = bytearray(mm.encode_avi(clip, fps=5))
+    k = bytes(dib).find(b"DIB ")
+    dib[k : k + 4] = b"\x00\x00\x00\x00"
+    assert np.array_equal(mm.decode_avi(bytes(dib)), clip)

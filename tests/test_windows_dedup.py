@@ -200,3 +200,50 @@ def test_merge_intervals_islands(spark):
         .collect()
     )
     assert out2 == out
+
+
+def test_null_group_keys_survive_two_phase_paths(spark):
+    # r11 review: every broadcast group-total/offset join in the
+    # two-phase family must use NULL-SAFE key equality — a NULL group
+    # key is a real group (SQL window partitions and groupBy both keep
+    # it), and a name-based equi-join silently drops those rows.
+    from deva_spark.operators.sampling import top_p_by_group
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 5), ("a", 3, 1),
+        (None, 4, 8), (None, 5, 4), (None, 6, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    # force the scale path — the cutover would hide the joins entirely
+    prev = spark.conf.get("spark.deva.positional.smallInputBytes", None)
+    spark.conf.set("spark.deva.positional.smallInputBytes", "0")
+    try:
+        pos = windows.global_positions(
+            df, order=("w", "id"), out="rn", group_cols=("g",)
+        )
+        got = {(r.g, r.id): r.rn for r in pos.collect()}
+        assert len(got) == 6  # no NULL-keyed row vanished
+        assert got[(None, 5)] == 2  # ordered by (w, id) within NULL group
+
+        cum = windows.global_running_sum(
+            df, "w", order=("w", "id"), out="cum", group_cols=("g",)
+        )
+        cgot = {(r.g, r.id): r.cum for r in cum.collect()}
+        assert len(cgot) == 6
+        assert cgot[(None, 4)] == 14  # 2 + 4 + 8 inclusive running sum
+
+        kept = df.transform(
+            top_p_by_group(["g"], "w", p_pct=60, order_tiebreak="id")
+        ).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r.g, []).append(r.w)
+        # NULL group present with its own top-p cut: 8 covers 8/14 ~ 57%
+        # < 60%, so the straddler 4 is kept too
+        assert sorted(by_g[None]) == [4, 8]
+        assert sorted(by_g["a"]) == [10]  # 10/16 = 62.5% >= 60%
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.deva.positional.smallInputBytes")
+        else:
+            spark.conf.set("spark.deva.positional.smallInputBytes", prev)
