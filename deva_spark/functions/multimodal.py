@@ -229,7 +229,14 @@ def encode_png(arr: np.ndarray) -> bytes:
 def decode_image(content: bytes) -> np.ndarray:
     """Default REAL image decoder: PIL when installed (JPEG/PNG/WebP/...),
     otherwise the built-in pure-stdlib codecs — PNG, or baseline JPEG
-    (`functions.jpeg`, r11) when the payload leads with the JPEG SOI."""
+    (`functions.jpeg`, r11) when the payload leads with the JPEG SOI.
+
+    Throughput honesty: the built-in JPEG entropy decode is a Python
+    bit loop — linear in scan size (~0.7 s for a 256x256 photo) but
+    roughly 100x libjpeg; fine for the synthesized-media audits and
+    small thumbnails, not for a web-corpus image tier. At that scale
+    install PIL on the executors (this function then uses it
+    automatically) or inject a decoder via the ``decoder=`` hooks."""
     try:
         import io
 

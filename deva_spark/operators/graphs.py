@@ -10,7 +10,8 @@ Scale notes (100 TB corpus, ~1e9 near-dup edges):
 - Each iteration is one shuffle join (edges x labels on node id) plus a
   groupBy min — both partition on the node id, so AQE can reuse the
   exchange. No driver-side collection of nodes or edges ever happens;
-  the only actions are one-row convergence probes.
+  the only actions are the per-round convergence counts, which double
+  as the cache-fill pass for that round's persist.
 - Iterations needed = graph diameter. Near-dup components are dense and
   shallow (dup clusters are cliques or near-cliques), so propagation
   converges in a handful of rounds; ``max_iter`` bounds adversarial
@@ -19,9 +20,11 @@ Scale notes (100 TB corpus, ~1e9 near-dup edges):
   in MapReduce and Beyond") halves path lengths per round — documented
   here as the upgrade path; plain propagation is the right default for
   dedup-shaped graphs.
-- Per-iteration ``persist`` breaks lineage growth (without it the plan
-  re-derives every prior round each time) and the previous round's cache
-  is released eagerly.
+- Per-iteration eager ``localCheckpoint`` breaks lineage growth — it
+  both stores the round's labels and TRUNCATES the logical plan, which
+  a ``persist`` would not (cached data, exponentially nesting plan tree;
+  a 15-round chain OOM'd the JVM in plan stringification alone before
+  the r11 fix). Superseded rounds' blocks release on DataFrame GC.
 """
 
 from __future__ import annotations
@@ -60,8 +63,15 @@ def connected_components(
     would pay per-round job latency on trivial data); above it,
     distributed min-label propagation: every node starts labeled with
     itself, each round takes the min of its own and its neighbors'
-    labels, stopping when a round changes nothing (cheap ``limit(1)``
-    existence probe, not a full count).
+    labels, stopping when a round changes nothing; a graph whose
+    diameter exceeds ``max_iter`` raises instead of returning silently
+    split components.
+
+    Storage lifetime: the returned label table is served from the last
+    round's eager localCheckpoint; its blocks release when the DataFrame
+    is garbage-collected — callers looping many resolutions should write
+    the result out (the staged-assignment pattern every registry
+    consumer uses) rather than hold many live results.
     """
     if driver_threshold is None:
         driver_threshold = int(
@@ -69,9 +79,18 @@ def connected_components(
                 DRIVER_MAX_EDGES_CONF, str(DRIVER_MAX_EDGES_DEFAULT)
             )
         )
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # Both directions from ONE evaluation of the upstream plan — the
+    # edge list is typically an expensive LSH/join result, and a
+    # self-union would run that plan once per branch when the persist
+    # materializes (the pagerank symmetrize pattern, r11 review).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     sym = sym.persist()
     n_edges = sym.count()
     if n_edges <= driver_threshold:
@@ -80,7 +99,8 @@ def connected_components(
         finally:
             sym.unpersist()
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp")).persist()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -91,6 +111,19 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("nc").alias("nbr_min"))
             )
+            # Eager localCheckpoint, not persist (r11 review, twice
+            # over): persist caches DATA but keeps the full logical
+            # plan, so the per-round join nesting still grows the plan
+            # tree exponentially (a 15-round chain OOM'd the JVM in
+            # plan stringification alone), and the old limit(1) probe
+            # materialized only the first partitions, so the eager
+            # unpersist of the predecessor forced every later round to
+            # re-derive the uncached chain back to sym. The eager
+            # checkpoint materializes every partition AND truncates
+            # lineage — each round's plan is one join over two stored
+            # tables. Blocks release on DataFrame GC; executor loss
+            # discards them (the pagerank localCheckpoint caveat — on a
+            # dynamic-allocation cluster stage labels to a table).
             stepped = (
                 labels.join(nbr_min, "node", "left")
                 .select(
@@ -100,13 +133,23 @@ def connected_components(
                         F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            changed = stepped.filter(F.col("comp") < F.col("_old")).limit(1).count()
-            labels.unpersist()
+            changed = stepped.filter(F.col("comp") < F.col("_old")).count()
             labels = stepped
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # a split component silently mislabels canonical survivors —
+            # fail loudly instead (r11 review): propagation needs
+            # diameter rounds, so an adversarial chain can exceed any cap
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (graph diameter exceeds max_iter) — raise "
+                "max_iter, or collapse long chains with the large-star/"
+                "small-star variant documented in the module header"
+            )
         return labels.select("node", "comp")
     finally:
         sym.unpersist()
@@ -338,7 +381,11 @@ def pagerank(
       lists that are themselves cheap scans). At cluster scale, write
       the edges as a table bucketed by ``src`` instead and pass
       ``stage=None`` — every iteration's join then co-locates with zero
-      shuffle on the big side.
+      shuffle on the big side. ``"persist"`` blocks (and the
+      ``checkpoint_every`` rank caches) back the returned lazy plan, so
+      they stay in the cache manager after this function returns —
+      sessions looping many pagerank runs should write the result out
+      or ``spark.catalog.clearCache()`` between runs.
     * Out-degrees come from a map-side-combining ``groupBy`` (NOT a
       window over ``partitionBy(src)``, which would concentrate a hot
       node's whole edge set in one task with no partial aggregation).
@@ -433,9 +480,23 @@ def pagerank(
             .agg((F.lit(teleport) + F.sum("_c")).cast("bigint").alias("r"))
         )
         if i + 1 == n_iter:
-            ranks = new_r
+            # complete the node set: an in-degree-0 source never appears
+            # as a dst, so new_r omits it — its rank is exactly the
+            # teleport mass every round (r11 review; empty for
+            # symmetrized graphs, where every node is also a dst)
+            only_src = deg.join(new_r, "node", "left_anti").select(
+                "node", F.lit(teleport).cast("bigint").alias("r")
+            )
+            ranks = new_r.unionByName(only_src)
             break
-        ranks = new_r.join(deg, "node").select("node", "outdeg", "r")
+        # LEFT join + teleport default, NOT inner: an inner join would
+        # drop in-degree-0 sources after round 1, losing the mass they
+        # feed their out-neighbors in every later round (r11 review)
+        ranks = deg.join(new_r, "node", "left").select(
+            "node",
+            "outdeg",
+            F.coalesce(F.col("r"), F.lit(teleport).cast("bigint")).alias("r"),
+        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # Bound lineage depth for deep loops; the rank table is
             # node-level, so the eager materialization is cheap.
@@ -491,9 +552,17 @@ def _pagerank_denorm(
             rr = ranks.select(F.col("node").alias("src"), "r")
             if broadcast_ranks:
                 rr = F.broadcast(rr)
-            contrib = e.join(rr, "src").select(
+            # LEFT join + teleport default: the rank table only holds
+            # nodes that appeared as a dst, but an in-degree-0 source
+            # still holds the teleport mass and feeds it forward every
+            # round — an inner join silently zeroed that contribution
+            # (r11 review; no-op for symmetrized staged graphs)
+            contrib = e.join(rr, "src", "left").select(
                 "dst",
-                F.expr(f"(r * {damping_pct}) div (_od * 100)").alias("_c"),
+                F.expr(
+                    f"(coalesce(r, {teleport}) * {damping_pct}) "
+                    "div (_od * 100)"
+                ).alias("_c"),
             )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(teleport) + F.sum("_c")).cast("bigint").alias("r")
@@ -504,4 +573,14 @@ def _pagerank_denorm(
             and i + 1 < n_iter
         ):
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    # complete the node set with the in-degree-0 sources (rank ==
+    # teleport; empty for symmetrized graphs — see pagerank())
+    only_src = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .join(ranks, "node", "left_anti")
+        .select("node", F.lit(teleport).cast("bigint").alias("r"))
+    )
+    return ranks.unionByName(only_src).select(
+        "node", F.col("r").alias("rank_scaled")
+    )

@@ -30,6 +30,8 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
         if "/" in part:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+            if step <= 0:
+                raise ValueError(f"cron step must be positive: {spec!r}")
         if part == "*":
             lo_p, hi_p = lo, hi
         elif "-" in part:
@@ -37,7 +39,13 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
             lo_p, hi_p = int(a), int(b)
         else:
             lo_p = hi_p = int(part)
-        for v in range(lo_p, hi_p + 1, step):
+        vals = list(range(lo_p, hi_p + 1, step))
+        if not vals:
+            # a reversed range ('30-20') would otherwise parse as an
+            # empty set and surface hours later as a misleading "never
+            # fires" after the full search scan (r11 review)
+            raise ValueError(f"cron field part {part!r} matches nothing")
+        for v in vals:
             if not lo <= v <= hi:
                 raise ValueError(f"cron value {v} out of range [{lo},{hi}]")
             out.add(v)
@@ -67,20 +75,36 @@ class CronTrigger:
 
     def next_fire(self, after: dt.datetime) -> dt.datetime:
         minute, hour, dom, month, dow, parts = self._fields()
-        dom_star, dow_star = parts[2] == "*", parts[4] == "*"
+        # Vixie rule: a day field is "restricted" iff it does NOT start
+        # with '*' — so '*/2' is unrestricted and combines with dow by
+        # AND, not the either-matches rule (r11 review; a bare equality
+        # test misclassified step fields and over-fired)
+        dom_star = parts[2].startswith("*")
+        dow_star = parts[4].startswith("*")
         t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
-        for _ in range(366 * 4 * 24 * 60):  # bounded: ≤4 years of minutes
-            if t.month in month and t.hour in hour and t.minute in minute:
-                dom_ok = t.day in dom
-                dow_ok = t.isoweekday() % 7 in dow
+        # Day-granular scan (not minute-granular): bound 9 years of days
+        # (~3.3k iterations) crosses the longest Feb-29 gap — 2096 to
+        # 2104 over the non-leap century 2100 — which a 4-year minute
+        # scan spuriously rejected (r11 review), at 1/1440th the cost.
+        day = t.date()
+        for _ in range(366 * 9):
+            if day.month in month:
+                dom_ok = day.day in dom
+                dow_ok = day.isoweekday() % 7 in dow
                 day_ok = (
                     (dom_ok or dow_ok)
                     if not dom_star and not dow_star
                     else (dom_ok and dow_ok)
                 )
                 if day_ok:
-                    return t
-            t += dt.timedelta(minutes=1)
+                    for h in sorted(hour):
+                        for m in sorted(minute):
+                            cand = dt.datetime.combine(
+                                day, dt.time(h, m), tzinfo=t.tzinfo
+                            )
+                            if cand >= t:
+                                return cand
+            day += dt.timedelta(days=1)
         raise ValueError(f"cron {self.expr!r} never fires")
 
 
@@ -149,7 +173,13 @@ class Scheduler:
             else:
                 raise ValueError("need trigger=, cron=, seconds=, or at=")
         now = now or dt.datetime.now()
-        job = Job(name=name, trigger=trigger, fn=fn, next_run=trigger.next_fire(now))
+        next_run = trigger.next_fire(now)
+        if next_run is None and isinstance(trigger, DateTrigger):
+            # missed one-shot (at= already past): catch up at the next
+            # run_pending instead of storing a permanently dead job that
+            # never fires and never leaves the table (r11 review)
+            next_run = now
+        job = Job(name=name, trigger=trigger, fn=fn, next_run=next_run)
         self.jobs[name] = job
         return job
 

@@ -288,3 +288,42 @@ def test_scheduled_pipeline_on_cron_tick(spark, tmp_path):
     assert s.jobs["tick"].next_run == dt.datetime(2026, 8, 13, 10, 0)
     assert s.run_pending(dt.datetime(2026, 8, 13, 10, 0)) == ["tick"]
     assert results["tick"] == 3
+
+
+def test_cron_step_day_fields_are_unrestricted():
+    # r11 review: Vixie rule — a day field is "restricted" iff it does
+    # not START with '*', so '*/2' dom combines with dow by AND.
+    # 2026-08-13 is a Thursday; next Monday (dow 1) is Aug 17 (odd).
+    t0 = dt.datetime(2026, 8, 13, 9, 30)
+    # dom '*/2' = odd days (1,3,...31); with dow 1 restricted, fire only
+    # on Mondays that are odd days: Aug 17 Mon(odd) qualifies.
+    got = CronTrigger("30 4 */2 * 1").next_fire(t0)
+    assert got == dt.datetime(2026, 8, 17, 4, 30)
+    # the old EITHER rule would have fired Fri Aug 14 (dow miss, dom hit)
+    assert got.isoweekday() == 1
+
+
+def test_cron_reversed_range_raises_at_parse():
+    with pytest.raises(ValueError, match="matches nothing"):
+        CronTrigger("30-20 * * * *").next_fire(dt.datetime(2026, 1, 1))
+    with pytest.raises(ValueError, match="step must be positive"):
+        CronTrigger("*/0 * * * *").next_fire(dt.datetime(2026, 1, 1))
+
+
+def test_cron_leap_day_across_2100_gap():
+    # r11 review: from 2096-03-01 the next Feb 29 is 2104 (2100 is not a
+    # leap year) — 8 years out, beyond the old 4-year minute scan.
+    got = CronTrigger("0 0 29 2 *").next_fire(dt.datetime(2096, 3, 1))
+    assert got == dt.datetime(2104, 2, 29, 0, 0)
+
+
+def test_scheduler_past_one_shot_catches_up():
+    # r11 review: add_job(at=<past>) must fire at the next run_pending
+    # (missed one-shot catch-up), then auto-remove — not sit dead forever.
+    s = Scheduler()
+    now = dt.datetime(2026, 8, 13, 12, 0)
+    hits = []
+    s.add_job(lambda: hits.append(1), "late", at=now - dt.timedelta(hours=1), now=now)
+    assert s.jobs["late"].next_run == now
+    assert s.run_pending(now) == ["late"]
+    assert hits == [1] and "late" not in s.jobs

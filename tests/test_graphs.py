@@ -239,3 +239,43 @@ def test_contamination_counts_shared_ngrams(spark):
     got = {r.doc_id: r.n_shared for r in contamination_counts(docs, bench, n=5).collect()}
     # doc 1 shares 3 distinct 5-grams with the benchmark text; doc 2 none
     assert got == {1: 3}
+
+
+def test_pagerank_directed_keeps_indegree_zero_sources(spark):
+    # r11 review: on a DIRECTED chain 1 -> 2 -> 3, node 1 never appears
+    # as a dst; its rank is exactly the teleport mass every round and it
+    # must (a) keep feeding node 2 in later rounds, (b) appear in the
+    # output. The inner rank-degree join dropped both.
+    t = (SCALE * 15) // 100  # teleport
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    for kw in ({}, {"stage": None}):
+        out = graphs.pagerank(edges, n_iter=2, symmetrize=False, **kw)
+        got = {r.node: r.rank_scaled for r in out.collect()}
+        r2_1 = t + (SCALE * 85) // 100          # iter1 rank of node 2
+        want = {
+            1: t,
+            2: t + (t * 85) // 100,             # fed by node 1's teleport
+            3: t + (r2_1 * 85) // 100,
+        }
+        assert got == want
+    # denorm path (edges carry outdeg): same recurrence
+    dn = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src long, dst long, outdeg long"
+    )
+    out = graphs.pagerank(dn, n_iter=2, outdeg_col="outdeg")
+    got = {r.node: r.rank_scaled for r in out.collect()}
+    assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # r11 review: a chain of diameter d needs ~d rounds; exhausting
+    # max_iter must raise, not return silently split components.
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graphs.connected_components(chain, max_iter=2, driver_threshold=0)
+    ok = graphs.connected_components(chain, max_iter=15, driver_threshold=0)
+    assert {r.comp for r in ok.collect()} == {0}
