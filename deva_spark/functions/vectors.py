@@ -25,6 +25,16 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 
+def _half_up(raw: "np.ndarray", scale: float = 1e4) -> "np.ndarray":
+    """HALF_UP rounding to ``1/scale`` — the cross-engine contract for
+    every numpy-side cosine in this module (DEVIATIONS #13 / ADVICE r7):
+    DuckDB's ROUND is HALF_UP while ``np.round`` is half-to-even, so the
+    two diverge exactly at .xxxx5 boundaries. ONE shared helper instead
+    of a hand-typed idiom per operator (r11 review) — a typo in one copy
+    would silently break oracle parity for just that operator."""
+    return np.floor(np.abs(raw) * scale + 0.5) / scale * np.sign(raw)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two array<float/double> columns."""
     return F.aggregate(
@@ -292,7 +302,7 @@ def lsh_topk_onepass(
                     np.linalg.norm(V_, axis=1) * qnorm[qi]
                 )
                 # HALF_UP, matching F.round/duckdb ROUND
-                c_ = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+                c_ = _half_up(raw)
                 top = np.lexsort((v_, -c_))[:k]
                 out_q.extend([qids[qi]] * len(top))
                 out_v.extend(v_[top])
@@ -470,7 +480,7 @@ def cosine_neardup_pairs_grouped(
         x = np.stack(pdf["e"].to_numpy())[order].astype(np.float64)
         u = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         raw = u @ u.T
-        s = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+        s = _half_up(raw)
         iu = np.triu_indices(len(ids), 1)
         keep = s[iu] >= thr
         return pd.DataFrame(
@@ -490,12 +500,15 @@ def cosine_neardup_pairs_grouped(
     # non-degenerate case every collision carries the same rounded cos,
     # and max() of identical values is that value, so this is
     # hash-identical to the old distinct().)
+    # no trailing orderBy: the contract is pair-SET equality with
+    # cosine_neardup_pairs (unordered), so a global range-partition sort
+    # here would be pure overhead on the scaled path (r11 review) —
+    # consumers that need display order sort the bounded result
     return (
         exploded.groupBy("t", "b")
         .applyInPandas(_bucket_pairs, "id_a long, id_b long, cos double")
         .groupBy("id_a", "id_b")
         .agg(F.max("cos").alias("cos"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -850,7 +863,7 @@ def ivf_search_staged(
                 # HALF_UP to match F.round/duckdb ROUND (ADVICE r7:
                 # np.round is half-to-even and can diverge from the
                 # unstaged route at exact .00005 cosine boundaries)
-                cos = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+                cos = _half_up(raw)
                 for row, qi in enumerate(idxs):
                     mask = vids != qids[qi]
                     c_, v_ = cos[row][mask], vids[mask]
@@ -1075,10 +1088,14 @@ def seed_cluster_assign(
     @pandas_udf(LongType())
     def _best_seed(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
-        raw = (x @ sm.T) / (np.linalg.norm(x, axis=1, keepdims=True) * sm_norm)
+        # guard zero norms like every sibling (neardup_base etc.): a
+        # zero vector would make its row NaN and argmax would assign an
+        # ARBITRARY cluster diverging from the oracle tie-break (r11)
+        xn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        raw = (x @ sm.T) / (xn * np.maximum(sm_norm, 1e-12))
         # HALF_UP, not np.round's half-to-even — keeps the argmax tie
         # surface identical to the oracle's ROUND (vectors.py:261 idiom)
-        cs = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
+        cs = _half_up(raw, 1e6)
         return pd.Series(seed_ids[np.argmax(cs, axis=1)])
 
     return vectors.select(
@@ -1149,10 +1166,14 @@ def semdedup_pairs(
         order = np.argsort(ids)
         ids = ids[order]
         x = np.stack(pdf["e"].to_numpy())[order].astype(np.float64)
-        n = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # zero-norm guard (r11): NaN rows silently drop that member's
+        # near-dup pairs (NaN >= threshold is False) with no error
+        n = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
         raw = n @ n.T
         # HALF_UP to match DuckDB ROUND at the .00005 cosine boundary
-        s = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+        s = _half_up(raw)
         iu = np.triu_indices(len(ids), 1)
         keep = s[iu] >= threshold
         return pd.DataFrame(
@@ -1282,7 +1303,7 @@ def pq_search(
         for j in range(m):
             s += table[j][c[:, j]]
         # HALF_UP at 4dp, matching F.round/the oracle convention
-        return pd.Series(np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s))
+        return pd.Series(_half_up(s))
 
     from pyspark.sql import Window
 
@@ -1445,7 +1466,7 @@ def ivfpq_search(
                     s = np.zeros(len(c))
                     for j in range(m):
                         s += tables[qi, j][c[:, j]]
-                    s = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
+                    s = _half_up(s)
                     mask = vids != qids[qi]
                     s_, v_ = s[mask], vids[mask]
                     top = np.lexsort((v_, -s_))[:k_adc]
@@ -1481,7 +1502,7 @@ def ivfpq_search(
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         qs = np.stack([q_lookup[int(x)] for x in qid_col.to_numpy()])
         raw = (qs * M).sum(axis=1)
-        return pd.Series(np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw))
+        return pd.Series(_half_up(raw))
 
     exact = ranked.select("qid", "vec_id").join(
         rerank_vectors.select(

@@ -111,7 +111,11 @@ def histogram_fixed_width(
             F.floor((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * n_buckets),
         )
         return (
-            df.join(F.broadcast(bounds))
+            # least() SKIPS null operands, so a NULL value would land in
+            # the top bucket as if it were the global max (r11 review) —
+            # histograms are over present values, like min/max above
+            df.filter(v.isNotNull())
+            .join(F.broadcast(bounds))
             .withColumn("bucket", F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(bucket))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -153,6 +157,22 @@ def md5_le64(col: Column) -> Column:
     return F.conv(rev, 16, 10).cast("decimal(38,0)")
 
 
+_TWO64 = 18446744073709551616  # 2^64
+
+
+def _kmv_est_expr(n_col: str, hk_col: str, k: int) -> Column:
+    """The KMV estimator as a column over ``(size, k-th hash)``: exact
+    count below k, else ``(k-1) * 2^64 div h_k`` in DECIMAL — ONE copy
+    of the arithmetic shared by kmv_distinct / kmv_merge_partials /
+    kmv_overlap (r11 review: it was triplicated and could drift)."""
+    return F.when(F.col(n_col) < k, F.col(n_col).cast("bigint")).otherwise(
+        F.expr(
+            f"cast(cast({k - 1} as decimal(38,0))"
+            f" * cast({_TWO64} as decimal(38,0)) div {hk_col} as bigint)"
+        )
+    )
+
+
 def kmv_distinct(
     value_col: str,
     keys: Sequence[str] = (),
@@ -179,22 +199,12 @@ def kmv_distinct(
     makes KMV the mergeable-sketch choice for hierarchical rollups at
     100 TB.
     """
-    from pyspark.sql import Window
-
-    TWO64 = 18446744073709551616  # 2^64
-
     def _t(df: DataFrame) -> DataFrame:
+        # one-shot sketch == this batch's synopsis + the estimator tail
+        # (r11 review: the synopsis body was a verbatim copy of
+        # kmv_partials and the tail a copy of kmv_merge_partials's)
         key_cols = list(keys)
-        d = df.select(*key_cols, md5_le64(F.col(value_col)).alias("_h")).distinct()
-        pw = Window.partitionBy(*key_cols, "_p").orderBy("_h")
-        part = (
-            d.withColumn("_p", F.spark_partition_id())
-            .withColumn("_rn", F.row_number().over(pw))
-            .filter(F.col("_rn") <= k)
-        )
-        merged = part.groupBy(*key_cols).agg(
-            F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs")
-        )
+        merged = kmv_partials(value_col, keys, k)(df)
         agg = merged.select(
             *key_cols,
             F.size("_hs").alias("_n"),
@@ -202,13 +212,9 @@ def kmv_distinct(
             # in that branch) instead of an ANSI out-of-bounds error
             F.try_element_at("_hs", F.lit(k)).alias("_hk"),
         )
-        est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
-            F.expr(
-                f"cast(cast({k - 1} as decimal(38,0)) * cast({TWO64} as decimal(38,0))"
-                " div _hk as bigint)"
-            )
+        return agg.select(
+            *key_cols, _kmv_est_expr("_n", "_hk", k).alias("est_distinct")
         )
-        return agg.select(*key_cols, est.alias("est_distinct"))
 
     return _t
 
@@ -236,10 +242,16 @@ def stats_partials(
 
     def _t(df: DataFrame) -> DataFrame:
         v = F.col(value_col).cast("long")
+        # widen BEFORE multiplying/summing: v*v in bigint overflows at
+        # |v| > ~3.04e9 (ANSI: job-killing ARITHMETIC_OVERFLOW; legacy:
+        # silent wrap) despite the exactness contract (r11 review). A
+        # long fits decimal(19,0); (19,0)x(19,0) -> (38,0) holds any
+        # long squared (max ~8.5e37 < 1e38).
+        vd = v.cast("decimal(19,0)")
         return df.groupBy(*keys).agg(
             F.count(v).alias("cnt"),
-            F.sum(v).cast("decimal(38,0)").alias("s"),
-            F.sum((v * v).cast("decimal(38,0)")).alias("s2"),
+            F.sum(vd).cast("decimal(38,0)").alias("s"),
+            F.sum((vd * vd).cast("decimal(38,0)")).alias("s2"),
             F.min(v).alias("mn"),
             F.max(v).alias("mx"),
         )
@@ -355,9 +367,12 @@ def kmv_partials(
 
     def _t(df: DataFrame) -> DataFrame:
         key_cols = list(keys)
-        d = df.select(
-            *key_cols, md5_le64(F.col(value_col)).alias("_h")
-        ).distinct()
+        # NULL-skipping, same as kmv_distinct (COUNT DISTINCT semantics)
+        d = (
+            df.select(*key_cols, md5_le64(F.col(value_col)).alias("_h"))
+            .filter(F.col("_h").isNotNull())
+            .distinct()
+        )
         pw = Window.partitionBy(*key_cols, "_p").orderBy("_h")
         part = (
             d.withColumn("_p", F.spark_partition_id())
@@ -383,8 +398,6 @@ def kmv_merge_partials(
     so the merge is a metadata-sized aggregate however large the corpus
     that produced the synopses was.
     """
-    TWO64 = 18446744073709551616  # 2^64
-
     def _t(partials: DataFrame) -> DataFrame:
         key_cols = list(keys)
         merged = (
@@ -398,13 +411,9 @@ def kmv_merge_partials(
             F.size("_hs").alias("_n"),
             F.try_element_at("_hs", F.lit(k)).alias("_hk"),
         )
-        est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
-            F.expr(
-                f"cast(cast({k - 1} as decimal(38,0)) * cast({TWO64} as decimal(38,0))"
-                " div _hk as bigint)"
-            )
+        return agg_df.select(
+            *key_cols, _kmv_est_expr("_n", "_hk", k).alias("est_distinct")
         )
-        return agg_df.select(*key_cols, est.alias("est_distinct"))
 
     return _t
 
@@ -453,7 +462,15 @@ def batch_drift(
         / F.sqrt(F.col("hist_var") / F.col("batch_cnt")),
         4,
     )
-    return b.join(h, key_cols, "left").select(
+    # an empty key list means one global group: PySpark's list-form join
+    # rejects [] (r11 review), and a crossJoin would LOSE the batch row
+    # when no history exists — a literal-true left join keeps it
+    joined = (
+        b.join(h, key_cols, "left")
+        if key_cols
+        else b.join(h, F.lit(True), "left")
+    )
+    return joined.select(
         *key_cols,
         "hist_cnt",
         "hist_mean",
@@ -500,9 +517,15 @@ def quantile_partials(
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        b = F.floor(F.col(value_col).cast("double") / F.lit(float(width)))
-        return df.groupBy(*keys, b.cast("int").alias("bin")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        v = F.col(value_col).cast("double")
+        b = F.floor(v / F.lit(float(width)))
+        # NULL values would bin to a NULL partial row that inflates n
+        # and NULLs any percentile resolving into it (r11 review); order
+        # statistics are over present values, like F.count(col)
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(*keys, b.cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
     return _t
@@ -776,7 +799,6 @@ def kmv_overlap(key: str, k: int = 64) -> Callable[[DataFrame], DataFrame]:
     group — synopsis-sized, never data-sized — which is the point:
     cross-source overlap over a 100 TB corpus from metadata-sized
     sketches, no re-scan."""
-    TWO64 = 18446744073709551616  # 2^64
 
     def _t(partials: DataFrame) -> DataFrame:
         merged = (
@@ -809,12 +831,7 @@ def kmv_overlap(key: str, k: int = 64) -> Callable[[DataFrame], DataFrame]:
         )
         e = m.withColumn(
             "est_union",
-            F.when(F.col("_nu") < k, F.col("_nu").cast("bigint")).otherwise(
-                F.expr(
-                    f"cast(cast({k - 1} as decimal(38,0))"
-                    f" * cast({TWO64} as decimal(38,0)) div _hk as bigint)"
-                )
-            ),
+            _kmv_est_expr("_nu", "_hk", k),
         )
         est_i = F.when(F.col("_nu") < k, F.col("_c").cast("bigint")).otherwise(
             F.expr(
@@ -870,7 +887,11 @@ def histogram_partials(
             ),
         )
         return (
-            df.select(*key_cols, bucket.alias("bucket"))
+            # greatest() SKIPS null operands — a NULL value would count
+            # as bucket 0, faking mass at the low edge and corrupting
+            # psi_drift (r11 review)
+            df.filter(v.isNotNull())
+            .select(*key_cols, bucket.alias("bucket"))
             .groupBy(*key_cols, "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

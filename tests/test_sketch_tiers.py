@@ -278,3 +278,65 @@ def test_cms_join_size_overestimates_and_is_tight(spark):
     assert est - truth <= math.e / width * len(rows_a) * len(rows_b) + 1e-9
     # and at this width it is tight (few collisions)
     assert est <= truth * 1.2
+
+
+def test_sketch_tiers_skip_null_values(spark):
+    # r11 review: NULLs corrupted every binned/hashed tier differently —
+    # KMV's NULL hash ranked first and burned a top-k slot (collect_list
+    # then dropped it, firing the exact branch with a wrong count);
+    # quantile partials emitted a NULL bin that inflated n; both
+    # histogram variants counted NULLs as edge values (least/greatest
+    # skip NULL operands). All now skip NULLs like F.count(col).
+    rows = [(1, v) for v in [10, 20, 30, 40, 50, 60]] + [(1, None)] * 3
+    df = spark.createDataFrame(rows, "g int, v long")
+
+    got = df.transform(agg.kmv_distinct("v", keys=("g",), k=4)).collect()
+    clean = df.filter(F.col("v").isNotNull()).transform(
+        agg.kmv_distinct("v", keys=("g",), k=4)
+    ).collect()
+    # NULLs are invisible: identical estimate with or without them (the
+    # buggy version burned a top-k slot and fired the exact branch with
+    # a shrunk array, diverging from the NULL-free input)
+    assert got[0]["est_distinct"] == clean[0]["est_distinct"]
+    # and below k the exact branch counts the 3 present distincts, not 2
+    small = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (1, None)], "g int, v long"
+    )
+    assert small.transform(agg.kmv_distinct("v", keys=("g",), k=4)).collect()[
+        0
+    ]["est_distinct"] == 3
+
+    qp = df.transform(agg.quantile_partials("v", keys=("g",), width=25.0))
+    merged = qp.transform(agg.merge_quantile_partials(keys=("g",), width=25.0, pcts=(50,)))
+    row = merged.collect()[0]
+    assert row["n"] == 6 and row["p50"] is not None
+
+    hist = {r["bucket"]: r["cnt"] for r in df.transform(
+        agg.histogram_fixed_width("v", n_buckets=5)).collect()}
+    assert sum(hist.values()) == 6  # NULLs not binned anywhere
+
+    hp = {r["bucket"]: r["cnt"] for r in df.transform(
+        agg.histogram_partials("v", lo=0.0, hi=100.0, n_buckets=4)).collect()}
+    assert sum(hp.values()) == 6 and hp.get(0, 0) == 2  # 10, 20 only
+
+
+def test_stats_partials_exact_for_large_longs(spark):
+    # r11 review: v*v in bigint overflowed at |v| > ~3.04e9 (ANSI crash)
+    # despite the DECIMAL exactness contract; squares now widen first.
+    big = 4_000_000_000
+    df = spark.createDataFrame([(big,), (big + 1,)], "v long")
+    row = df.transform(agg.stats_partials("v")).collect()[0]
+    assert int(row["s"]) == 2 * big + 1
+    assert int(row["s2"]) == big * big + (big + 1) * (big + 1)
+
+
+def test_batch_drift_global_keys(spark):
+    # r11 review: keys=() crashed in PySpark's join([]); and with no
+    # history at all the batch row must survive (flagged drifted).
+    hist = spark.createDataFrame([(100,)], "v long").transform(agg.stats_partials("v"))
+    batch = spark.createDataFrame([(500,)], "v long").transform(agg.stats_partials("v"))
+    out = agg.batch_drift(hist, batch).collect()
+    assert len(out) == 1 and out[0]["batch_cnt"] == 1
+    empty_hist = hist.filter(F.lit(False))
+    out2 = agg.batch_drift(empty_hist, batch).collect()
+    assert len(out2) == 1 and out2[0]["drifted"] is True
