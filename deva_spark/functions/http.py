@@ -211,11 +211,14 @@ def fetch_stage_cached(
     spark = df.sparkSession
 
     def read_cache() -> DataFrame:
-        try:
-            c = spark.read.parquet(cache_path)
-        except Exception:  # noqa: BLE001 — first crawl: empty cache
-            c = spark.createDataFrame([], "_uh string, _cbody string")
-        return c.dropDuplicates(["_uh"])
+        # existence check, not a bare except (r11 review): a transient
+        # read failure on an existing cache must surface, not silently
+        # re-crawl the whole miss set
+        import os
+
+        if not os.path.exists(cache_path):
+            return spark.createDataFrame([], "_uh string, _cbody string")
+        return spark.read.parquet(cache_path).dropDuplicates(["_uh"])
 
     # md5(NULL) is NULL and NULL join keys never match — a NULL-url row
     # would lose its captured fetch error at the re-join and be re-tried

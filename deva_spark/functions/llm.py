@@ -346,20 +346,34 @@ def llm_stage_cached(
     spark = df.sparkSession
 
     def read_cache() -> DataFrame:
-        try:
-            c = spark.read.parquet(cache_path)
-        except Exception:  # noqa: BLE001 — first run: empty cache
-            c = spark.createDataFrame([], "_ph string, _cached string")
+        # first-run detection is an existence check, not a bare except
+        # (r11 review): a TRANSIENT read failure on an existing cache
+        # must surface — treating it as "empty cache" silently re-bills
+        # the entire miss set against the paid endpoint
+        import os
+
+        if not os.path.exists(cache_path):
+            return spark.createDataFrame([], "_ph string, _cached string")
+        c = spark.read.parquet(cache_path)
         # the cache is append-only: two racing runs (or a retried batch) can
         # land duplicate _ph rows, and a dup on the join side would multiply
         # input rows — dedupe at read time.
         return c.dropDuplicates(["_ph"])
 
-    hashed = df.withColumn("_ph", F.md5(F.col(prompt_col)))
+    # md5(NULL) is NULL and NULL join keys never match — a NULL prompt
+    # would crash the miss stage and could never re-join its cached row
+    # (re-billed every run); hash a sentinel instead, like
+    # http.fetch_stage_cached (r11 review)
+    hashed = df.withColumn(
+        "_ph", F.md5(F.coalesce(F.col(prompt_col), F.lit("<null-prompt>")))
+    )
     cache = read_cache()
     joined = hashed.join(F.broadcast(cache), "_ph", "left")
     misses = (
         joined.filter(F.col("_cached").isNull())
+        # a NULL prompt can never produce a completion — sending it to
+        # the client would crash the stage; its out_col stays NULL
+        .filter(F.col(prompt_col).isNotNull())
         .select("_ph", prompt_col)
         .dropDuplicates(["_ph"])
     )

@@ -40,6 +40,11 @@ def plan_nodes(df: DataFrame, physical: bool = False) -> list[tuple[int, str]]:
 
 
 def _name_of(label: str) -> str:
+    # strip the whole-stage-codegen prefix first: joins print as
+    # '*(2) SortMergeJoin ...' under codegen, and splitting on '('
+    # yielded '*' — so the hot operators the docstring promises to
+    # highlight were never matched on a default-config plan (r11 review)
+    label = re.sub(r"^\*\(\d+\)\s*", "", label)
     return re.split(r"[ (\[]", label, maxsplit=1)[0]
 
 

@@ -89,6 +89,15 @@ def write_zordered(
     ).collect()[0]
     mins = [bounds_row[f"_mn_{i}"] for i in range(len(cols))]
     maxs = [bounds_row[f"_mx_{i}"] for i in range(len(cols))]
+    if any(m is None for m in mins + maxs):
+        # empty input or an all-NULL z-order column — fail with the
+        # actual cause instead of float(None) deep in column algebra
+        # (r11 review; a scheduled relayout on an empty day hit this)
+        bad = [c for i, c in enumerate(cols) if mins[i] is None]
+        raise ValueError(
+            f"write_zordered: no non-NULL values for z-order column(s) "
+            f"{bad} (empty input?) — nothing to lay out"
+        )
     laid_out = (
         df.withColumn("_z", zorder_code(cols, mins, maxs, bits))
         .repartitionByRange(n_files, "_z")

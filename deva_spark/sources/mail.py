@@ -92,17 +92,25 @@ class ImapClient:
         return self._conn
 
     def unread(self) -> list[tuple[str, bytes]]:
+        # UID commands + BODY.PEEK[] (r11 review, twice over): plain
+        # SEARCH returns SESSION-RELATIVE sequence numbers that shift
+        # when another client expunges — STORE would then flag the WRONG
+        # message and the spool's uid column would be useless across
+        # polls; and a "(RFC822)" fetch implicitly sets \\Seen at fetch
+        # time, so a crash before the spool write landed would lose the
+        # message forever (at-most-once). PEEK leaves the flag for
+        # mark_seen, which runs only after the spool write succeeds.
         conn = self._imap()
-        _typ, data = conn.search(None, "UNSEEN")
+        _typ, data = conn.uid("search", None, "UNSEEN")
         out = []
         for uid in data[0].split():
-            _typ, msg_data = conn.fetch(uid, "(RFC822)")
+            _typ, msg_data = conn.uid("fetch", uid, "(BODY.PEEK[])")
             if msg_data and msg_data[0]:
                 out.append((uid.decode(), msg_data[0][1]))
         return out
 
     def mark_seen(self, uid: str) -> None:
-        self._imap().store(uid, "+FLAGS", "\\Seen")
+        self._imap().uid("store", uid, "+FLAGS", "\\Seen")
 
     def logout(self) -> None:
         if self._conn is not None:

@@ -160,7 +160,10 @@ def _make_handler(server: PageServer):
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 — http.server contract
-            path = self.path.rstrip("/") or "/"
+            # http.server's self.path carries the RAW query string; an
+            # endpoint requested with ?params must still route (r11
+            # review — '/df/users?x=1' 404'd on a registered view)
+            path = self.path.split("?", 1)[0].rstrip("/") or "/"
             if path == "/":
                 links = (
                     [f"<li><a href='/data'>data ({len(server.data)} keys)</a></li>"]
@@ -260,10 +263,17 @@ def NW(  # noqa: N802 — reference name
 ) -> PageServer:
     """Named web server constructor (`namespace.py:250`): one server per
     name, created on first use — ``data >> NW('api')`` then
-    ``GET /data``."""
+    ``GET /data``. The FIRST server gets the default port; later named
+    servers whose caller did not pick a port bind ephemerally (read it
+    from ``.port``) instead of crashing with EADDRINUSE on the shared
+    default (r11 review)."""
     key = name or "_default"
     srv = _NAMED.get(key)
     if srv is None:
+        if any(
+            s.host == host and s.port == port for s in _NAMED.values()
+        ):
+            port = 0  # default already claimed by another named server
         srv = PageServer(host=host, port=port, start=start)
         _NAMED[key] = srv
     return srv

@@ -72,7 +72,13 @@ def _commit_manifest(path: str, manifest: dict, version: int) -> bool:
     os.makedirs(_manifest_dir(path), exist_ok=True)
     tmp = os.path.join(_manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        # default=str: stats_cols min/max over date/timestamp/decimal
+        # columns are not JSON-native; without it the dump raised AFTER
+        # the data dir was written, orphaning it outside every manifest
+        # (r11 review). Non-numeric stats serialize as ISO strings, which
+        # read_snapshot_pruned compares lexicographically — correct for
+        # ISO-8601 timestamps/dates when the caller passes string bounds.
+        json.dump(manifest, fh, default=str)
     try:
         os.link(tmp, _manifest_path(path, version))
         return True

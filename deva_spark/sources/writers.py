@@ -76,11 +76,15 @@ def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
     survive. Without Delta's MERGE this is read → anti-join → union →
     atomic swap-overwrite; at scale, pair with date partitioning so only
     touched partitions rewrite (see :func:`upsert_by_partition`)."""
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first write
+    # First-write detection is an explicit existence check, NOT a bare
+    # except around the read (r11 review): a TRANSIENT read failure on an
+    # existing table (permission hiccup, one corrupt footer) must surface
+    # as an error — the old catch-all silently overwrote the table with
+    # only the new rows, deleting every unmatched existing key.
+    if not os.path.exists(path):
         df.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     merged = existing.join(df.select(key).distinct(), key, "left_anti").unionByName(df)
     # stage to a sibling dir, then swap — can't overwrite files mid-read,
     # and staging keeps the rewrite fully distributed (no driver collect)

@@ -212,3 +212,31 @@ def test_curate_report_counts(spark, sf_dir):
     assert rep.after_quality >= rep.after_exact_dedup >= rep.after_near_dedup
     assert rep.after_near_dedup == out.count()
     assert rep.surviving_tokens > 0
+
+
+def test_imap_client_uses_uid_commands_and_peek():
+    # r11 review: sequence-number STORE flags the wrong message after a
+    # concurrent expunge, and a plain RFC822 FETCH sets \Seen at fetch
+    # time (losing the message if the spool write then fails). The
+    # client must use UID variants and BODY.PEEK[].
+    from deva_spark.sources.mail import ImapClient
+
+    calls = []
+
+    class FakeConn:
+        def uid(self, cmd, *args):
+            calls.append((cmd, args))
+            if cmd == "search":
+                return "OK", [b"7 9"]
+            if cmd == "fetch":
+                return "OK", [(b"7 (BODY[] {3}", b"raw"), b")"]
+            return "OK", [b""]
+
+    c = ImapClient("h", "u", "p")
+    c._conn = FakeConn()
+    msgs = c.unread()
+    assert [u for u, _ in msgs] == ["7", "9"]
+    assert calls[0] == ("search", (None, "UNSEEN"))
+    assert calls[1][0] == "fetch" and calls[1][1][1] == "(BODY.PEEK[])"
+    c.mark_seen("7")
+    assert calls[-1] == ("store", ("7", "+FLAGS", "\\Seen"))

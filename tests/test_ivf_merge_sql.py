@@ -285,3 +285,21 @@ def test_ivfpq_staged_partition_pruning_and_codes_only_scan(spark, sf_dir, tmp_p
         adc_by_q.setdefault(r.qid, []).append(r.vec_id)
     for r in rr:
         assert r.vec_id in adc_by_q[r.qid][:12]  # shortlist = ADC top k*4
+
+
+def test_merge_upsert_surfaces_read_errors(spark, tmp_path):
+    # r11 review: a transient read failure on an EXISTING table must
+    # surface, not silently overwrite the table with only the new rows.
+    import pytest
+
+    from deva_spark.sources import writers
+
+    path = str(tmp_path / "corrupt_table")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(Exception):  # noqa: B017 — any surfaced error; never overwrite
+        writers.merge_upsert_by_key(spark, new, path, "k")
+    with open(os.path.join(path, "part-0.parquet"), "rb") as f:
+        assert f.read() == b"not parquet at all"  # table untouched

@@ -135,3 +135,26 @@ def test_env_llm_client_absent_falls_back_to_stub(spark, monkeypatch):
     df = spark.createDataFrame([("p1",)], "prompt string")
     out = llm.llm_stage(df).collect()[0]
     assert out.completion.startswith("stub:")
+
+
+def test_llm_stage_cached_null_prompt_flows_through(spark, tmp_path):
+    # r11 review: a NULL prompt must not crash the miss stage or be
+    # re-billed every run — it hashes to a sentinel, skips the client,
+    # and its output stays NULL.
+    from deva_spark.functions.llm import (
+        deterministic_stub_client,
+        llm_stage_cached,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "id long, prompt string"
+    )
+    out = llm_stage_cached(
+        df,
+        str(tmp_path / "cache"),
+        prompt_col="prompt",
+        out_col="completion",
+        client=deterministic_stub_client,
+    )
+    rows = {r.id: r.completion for r in out.collect()}
+    assert rows[1] is not None and rows[2] is None

@@ -124,3 +124,46 @@ def test_admin_panel_monitors_live_stream(server, spark, tmp_path):
         assert "admin_probe_stream" in names
     finally:
         stream.stop()
+
+
+def test_get_routes_ignore_query_strings(spark):
+    # r11 review: http.server's self.path carries the raw query string;
+    # registered endpoints must still route with ?params.
+    import json as _json
+    import urllib.request
+
+    from deva_spark.sources.page import PageServer
+
+    srv = PageServer(port=0)
+    try:
+        srv.put("k", 7)
+        srv.add_json("ping", lambda: {"ok": True})
+        with urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/json/ping?cachebust=1"
+        ) as r:
+            assert _json.loads(r.read())["ok"] is True
+        with urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/data?pretty=1"
+        ) as r:
+            assert _json.loads(r.read())["k"] == 7
+    finally:
+        srv.stop()
+
+
+def test_nw_second_named_server_avoids_port_collision():
+    # r11 review: a second named server with default args must bind
+    # ephemerally instead of crashing with EADDRINUSE on the default.
+    from deva_spark.sources import page as pg
+
+    a = pg.NW("t_collide_a", port=0)
+    try:
+        b = pg.NW("t_collide_b", host=a.host, port=a.port)
+        try:
+            assert (b.host, b.port) != (a.host, a.port)
+            assert pg.NW("t_collide_a") is a  # registry still one-per-name
+        finally:
+            b.stop()
+    finally:
+        a.stop()
+        pg._NAMED.pop("t_collide_a", None)
+        pg._NAMED.pop("t_collide_b", None)

@@ -358,3 +358,15 @@ def test_zorder_soundness_random_boxes(spark, tmp_path_factory, x0, y0, span):
                 & (t["y"] >= box["y"][0]) & (t["y"] <= box["y"][1])
             )
             assert not hit.any()
+
+
+def test_write_zordered_empty_input_raises_clearly(spark, tmp_path):
+    import pytest
+
+    from deva_spark.sources import layout
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        layout.write_zordered(
+            empty, str(tmp_path / "z"), cols=["x", "y"]
+        )

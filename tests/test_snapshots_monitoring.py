@@ -783,3 +783,33 @@ def test_commit_snapshot_require_parent_conflict(spark, tmp_path):
         require_parent=v2,
     )
     assert v3 == 3 and _rows(snap.read_snapshot(spark, path)) == [(100,)]
+
+
+def test_commit_snapshot_stats_on_timestamp_column(spark, tmp_path):
+    # r11 review: min/max stats over date/timestamp columns are not
+    # JSON-native; the manifest dump raised AFTER the data dir was
+    # written, orphaning it outside every manifest. default=str fixes
+    # the dump, and ISO strings still prune lexicographically.
+    import datetime as dt
+
+    from deva_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "ts_snap")
+    d = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1)), (2, dt.datetime(2026, 6, 1))],
+        "k long, ts timestamp",
+    )
+    v = snap.commit_snapshot(d, path, stats_cols=["ts"])
+    assert v == 1
+    hist = snap.snapshot_history(path)
+    (dir_stats,) = hist[0]["dir_stats"].values()
+    assert dir_stats["ts"][0].startswith("2026-01-01")
+    # lexicographic ISO pruning: a band wholly after the data drops it
+    pruned = snap.read_snapshot_pruned(
+        spark, path, {"ts": ("2027-01-01", "2028-01-01")}
+    )
+    assert pruned.count() == 0
+    kept = snap.read_snapshot_pruned(
+        spark, path, {"ts": ("2026-01-01", "2026-12-31")}
+    )
+    assert kept.count() == 2
