@@ -88,14 +88,36 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def chunk_keys(fps: DataFrame) -> DataFrame:
+def _chunk_spans(n_chunks: int) -> list[tuple[int, int]]:
+    """Contiguous ``(start_bit, width)`` spans partitioning the 48 bits
+    into ``n_chunks`` nearly-even chunks (the first ``BITS % n`` chunks
+    carry the extra bit). For the default ``NUM_CHUNKS`` this is exactly
+    the historical four 12-bit spans, so staged chunk projections stay
+    byte-identical."""
+    if not 1 <= n_chunks <= BITS:
+        raise ValueError(f"n_chunks must be in [1, {BITS}], got {n_chunks}")
+    base, rem = divmod(BITS, n_chunks)
+    out, start = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def chunk_keys(fps: DataFrame, n_chunks: int = NUM_CHUNKS) -> DataFrame:
     """Chunk projection of a fingerprint table: ``(doc_id, fp, ci,
-    cv)`` rows, one per (doc, chunk index), with the chunk's 12-bit
+    cv)`` rows, one per (doc, chunk index), with the chunk's bit-span
     value as the bucket key. This is the simhash tier's stageable/
     appendable index — a pure per-doc function of the fingerprint, so a
     new batch's rows append to an existing table without any rebuild
     (the band_keys / window-index contract). Rows carry ``fp`` so the
-    Hamming verify needs no second join."""
+    Hamming verify needs no second join.
+
+    ``n_chunks`` sets the banding (pigeonhole: ``n_chunks`` chunks cover
+    Hamming budgets up to ``n_chunks - 1``). Tables joined on (ci, cv)
+    must share the SAME ``n_chunks`` — the near-dup entry points derive
+    it from ``max_hamming`` and say so."""
     return fps.select(
         "doc_id",
         "fp",
@@ -104,15 +126,26 @@ def chunk_keys(fps: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("fp"), i * CHUNK_BITS)
-                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        F.shiftright(F.col("fp"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("cv"),
                     )
-                    for i in range(NUM_CHUNKS)
+                    for i, (start, width) in enumerate(_chunk_spans(n_chunks))
                 ]
             )
         ).alias("c"),
     ).select("doc_id", "fp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+
+def banding_chunks(max_hamming: int) -> int:
+    """Chunk count whose pigeonhole guarantee covers ``max_hamming``:
+    ``max(NUM_CHUNKS, max_hamming + 1)`` capped at the bit width. The
+    fixed NUM_CHUNKS=4 banding silently MISSED pairs whose differing
+    bits landed one per chunk for any budget above 3 (r11 review) — the
+    entry points now derive the banding from the budget, and the
+    default budget keeps the historical 4x12-bit layout byte-identical
+    for staged projections."""
+    return min(BITS, max(NUM_CHUNKS, max_hamming + 1))
 
 
 def incremental_near_duplicates(
@@ -130,9 +163,18 @@ def incremental_near_duplicates(
     :func:`near_duplicates` on the union corpus restricted to pairs
     touching the batch (parity-tested); doc ids must be disjoint.
     ``old_chunks``: the staged chunk projection (:func:`chunk_keys`);
-    when given, old fingerprints are never re-exploded."""
-    nc = chunk_keys(new_fps)
-    oc = old_chunks if old_chunks is not None else chunk_keys(old_fps)
+    when given, old fingerprints are never re-exploded — and it MUST be
+    built with ``chunk_keys(old_fps, banding_chunks(max_hamming))`` (the
+    default staged layout covers budgets <= NUM_CHUNKS - 1; a wider
+    budget needs a wider-banded projection, or pass ``old_fps`` and let
+    this function band both sides consistently)."""
+    n_chunks = banding_chunks(max_hamming)
+    nc = chunk_keys(new_fps, n_chunks)
+    oc = (
+        old_chunks
+        if old_chunks is not None
+        else chunk_keys(old_fps, n_chunks)
+    )
     cross = (
         nc.select(
             F.col("doc_id").alias("nid"), F.col("fp").alias("nfp"), "ci", "cv"
@@ -179,7 +221,9 @@ def near_duplicates(
     """Simhash near-dup pairs (id_a, id_b, hamming <= max_hamming).
 
     Banding (`simhash.py:247-341` semantics): split the 48-bit fingerprint
-    into ``max_hamming + 1`` chunks; any pair within the Hamming budget
+    into ``banding_chunks(max_hamming)`` chunks (>= max_hamming + 1, so
+    the guarantee holds for ANY budget — the old fixed 4-chunk banding
+    silently under-recalled budgets above 3); any pair within the budget
     shares >= 1 chunk, so the self-join key is (chunk_index, chunk_value) —
     shuffle carries (small int, small int, doc_id), never the text. Exact
     ``bit_count(xor)`` verifies candidates.
@@ -194,7 +238,7 @@ def near_duplicates(
         # explosion and both join sides; compute it once.
         fps = fingerprints(docs, id_col, text_col).persist()
         fps.count()  # eager: chunk explosion + both join sides
-    chunks = chunk_keys(fps)
+    chunks = chunk_keys(fps, banding_chunks(max_hamming))
     a = chunks.select(
         F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "ci", "cv"
     )

@@ -103,7 +103,15 @@ def histogram_fixed_width(
 
     def _t(df: DataFrame) -> DataFrame:
         v = F.col(value).cast("double")
-        bounds = df.agg(
+        # NULL and NaN both corrupt the binning silently: least() skips
+        # NULL operands (a NULL lands in the top bucket as if it were
+        # the global max), and Spark's max() orders NaN above every
+        # double, so ONE NaN row makes _hi=NaN and collapses every
+        # bucket expression to floor(NaN) -> bucket 0 (r11 review).
+        # Histograms are over present finite values; bounds come from
+        # the same cleaned frame.
+        clean = df.filter(v.isNotNull() & ~F.isnan(v))
+        bounds = clean.agg(
             F.min(v).alias("_lo"), F.max(v).alias("_hi")
         )
         bucket = F.least(
@@ -111,11 +119,7 @@ def histogram_fixed_width(
             F.floor((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * n_buckets),
         )
         return (
-            # least() SKIPS null operands, so a NULL value would land in
-            # the top bucket as if it were the global max (r11 review) —
-            # histograms are over present values, like min/max above
-            df.filter(v.isNotNull())
-            .join(F.broadcast(bounds))
+            clean.join(F.broadcast(bounds))
             .withColumn("bucket", F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(bucket))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -271,6 +275,13 @@ def merge_stat_partials(
     the result is deterministic across engines and batch splits (one
     IEEE division of exactly-known integers, then HALF_UP 4dp). Groups
     with ``cnt <= 1`` get NULL variance rather than a division error.
+
+    Exactness envelope (r11 review): DECIMAL caps at 38 digits, so the
+    numerator products need ``cnt * s2 < 10^38`` and ``s^2 < 10^38`` —
+    i.e. ``|s| < 10^19`` per group (e.g. 10^10 rows of 10^9-magnitude
+    values). Beyond that the product overflows LOUDLY under ANSI mode
+    (the session default here) rather than returning a drifted double;
+    re-scale the measure (cents → dollars) if a group can exceed it.
     """
 
     def _t(partials: DataFrame) -> DataFrame:
@@ -520,10 +531,11 @@ def quantile_partials(
         v = F.col(value_col).cast("double")
         b = F.floor(v / F.lit(float(width)))
         # NULL values would bin to a NULL partial row that inflates n
-        # and NULLs any percentile resolving into it (r11 review); order
-        # statistics are over present values, like F.count(col)
+        # and NULLs any percentile resolving into it, and floor(NaN)
+        # casts to a NULL bin the same way (r11 review); order
+        # statistics are over present finite values, like F.count(col)
         return (
-            df.filter(v.isNotNull())
+            df.filter(v.isNotNull() & ~F.isnan(v))
             .groupBy(*keys, b.cast("int").alias("bin"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -889,8 +901,9 @@ def histogram_partials(
         return (
             # greatest() SKIPS null operands — a NULL value would count
             # as bucket 0, faking mass at the low edge and corrupting
-            # psi_drift (r11 review)
-            df.filter(v.isNotNull())
+            # psi_drift; NaN likewise falls through the clip arithmetic
+            # (r11 review)
+            df.filter(v.isNotNull() & ~F.isnan(v))
             .select(*key_cols, bucket.alias("bucket"))
             .groupBy(*key_cols, "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))

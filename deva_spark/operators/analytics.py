@@ -78,7 +78,15 @@ def funnel_counts(
         )
     # type id of each step position, 1-indexed by element_at
     step_tids = F.array(*[F.lit(tids[s]) for s in steps])
-    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+    # NULL-timestamp events are excluded: the funnel's contract is
+    # strictly-after ORDERING, and an unordered event can't hold a place
+    # in it — worse, a NULL entry time at step 1 would make acc.t NULL
+    # and let every later step bypass the strictly-after check entirely
+    # (NULL sorts first in sort_array, so it would advance first; r11
+    # review — conversion counts inflated on any corpus with NULL ts).
+    ev = events.filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("_u"),
         F.struct(F.col(ts_col).alias("t"), ci.alias("c")).alias("_ev"),
     )

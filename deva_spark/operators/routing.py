@@ -69,6 +69,12 @@ def try_stage(
     The reference emits ``{function, param, except}`` events into the
     stream (`core.py:939-1003`); here failures become rows in a side
     output, split off with :func:`split_errors`.
+
+    ``out_type``: the DDL type of the result column. Results cross the
+    Arrow boundary as strings (the one representation a failed row's
+    NULL shares with any success type) and are CAST to ``out_type``
+    afterwards — previously the parameter was accepted but IGNORED and
+    every result came back as a string (r11 review).
     """
     result_schema = StructType(
         [
@@ -82,7 +88,8 @@ def try_stage(
         results, errors = [], []
         for v in vals:
             try:
-                results.append(str(fn(v)))
+                r = fn(v)
+                results.append(None if r is None else str(r))
                 errors.append(None)
             except Exception as e:  # noqa: BLE001 — the operator's contract
                 results.append(None)
@@ -91,9 +98,11 @@ def try_stage(
 
     def _t(df: DataFrame) -> DataFrame:
         tagged = df.withColumn("_r", run(F.col(in_col)))
-        return tagged.withColumn(out_col, F.col("_r.result")).withColumn(
-            err_col, F.col("_r.error")
-        ).drop("_r")
+        return (
+            tagged.withColumn(out_col, F.col("_r.result").cast(out_type))
+            .withColumn(err_col, F.col("_r.error"))
+            .drop("_r")
+        )
 
     return _t
 

@@ -56,7 +56,13 @@ def take_while(cond, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        d = global_positions(df, order, out="_rn")
+        # staged: the numbering feeds TWO consumers (the cut-position
+        # aggregate and the join branch) — without the lazy checkpoint
+        # the whole two-phase numbering plan evaluates twice (r11
+        # review; the retention_cohorts dual-consumer convention)
+        d = global_positions(df, order, out="_rn").localCheckpoint(
+            eager=False
+        )
         fail = ~F.coalesce(cond, F.lit(False))
         stop = d.filter(fail).agg(F.min("_rn").alias("_stop"))
         return (
@@ -75,7 +81,10 @@ def skip_while(cond, order: Sequence[str]) -> Callable[[DataFrame], DataFrame]:
     :func:`take_while`)."""
 
     def _t(df: DataFrame) -> DataFrame:
-        d = global_positions(df, order, out="_rn")
+        # staged for the same dual-consumer reason as take_while
+        d = global_positions(df, order, out="_rn").localCheckpoint(
+            eager=False
+        )
         fail = ~F.coalesce(cond, F.lit(False))
         start = d.filter(fail).agg(F.min("_rn").alias("_start"))
         return (
@@ -354,10 +363,37 @@ def weighted_sample_global(
 
     Output: the input columns + ``skey`` + ``rnk`` (1-based global
     rank), matching :func:`weighted_sample_topk`'s surface.
+
+    Input rows ride inside the sorted merge struct, so every column
+    must be an ORDERABLE Spark type — a MapType anywhere in the schema
+    fails analysis (the comparison never actually reaches the payload:
+    ``(_nk, _id)`` is already total — but Spark checks the whole struct
+    type). Checked up front with a pointed error (r11 review); drop or
+    re-encode map columns first, or use the windowed
+    :func:`weighted_sample_topk` with a constant-free grouping column.
     """
     from pyspark.sql import Window
 
     from deva_spark.operators.aggregates import md5_le64
+
+    def _has_map(dt) -> bool:
+        from pyspark.sql import types as sqlt
+
+        if isinstance(dt, sqlt.MapType):
+            return True
+        if isinstance(dt, sqlt.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, sqlt.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    bad = [f.name for f in df.schema.fields if _has_map(f.dataType)]
+    if bad:
+        raise ValueError(
+            f"weighted_sample_global: column(s) {bad} contain MapType, "
+            "which is not orderable inside the merge struct — drop or "
+            "re-encode them (e.g. to_json) before sampling"
+        )
 
     u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 64)

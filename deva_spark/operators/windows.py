@@ -365,6 +365,10 @@ def chunk(
             "g", F.floor((F.col("_rn") - F.lit(1)) / F.lit(n)).cast("bigint")
         ).drop("_rn")
         if drop_tail:
+            # staged: the numbered frame feeds both the per-chunk count
+            # and the join branch — checkpoint so the two-phase
+            # numbering evaluates once (r11 review)
+            out = out.localCheckpoint(eager=False)
             counts = out.groupBy("g").agg(F.count(F.lit(1)).alias("_cnt"))
             out = (
                 out.join(F.broadcast(counts.filter(F.col("_cnt") == n)), "g")
@@ -440,7 +444,6 @@ def rolling_time_agg(
     seconds: int,
     partition: str,
     ts_col: str = "ts",
-    tiebreak: str = "event_id",
 ) -> Callable[[DataFrame], DataFrame]:
     """Time-range rolling window: aggregate over the trailing ``seconds``
     of event time per key (`[t - s, t]`, inclusive both ends — SQL RANGE
@@ -449,7 +452,10 @@ def rolling_time_agg(
     The frame orders by epoch MICROSECONDS as a bigint — an exact integer
     frame both engines implement identically (ordering by raw timestamps
     would hit each engine's own interval frame arithmetic). One shuffle on
-    the partition key.
+    the partition key. No tiebreak parameter on purpose: a RANGE frame
+    puts equal-``ts`` rows in the same frame, so a secondary order column
+    cannot change any aggregate (a former ``tiebreak`` arg was accepted
+    but ignored — misleading API surface, r11 review).
     """
 
     def _t(df: DataFrame) -> DataFrame:

@@ -320,7 +320,9 @@ def test_incremental_simhash_matches_full_restricted(spark, sf_dir):
             (r.id_a, r.id_b): r.hd
             for r in sh.incremental_near_duplicates(
                 new_fps, old_fps, max_hamming=H,
-                old_chunks=sh.chunk_keys(old_fps),
+                # staged projections must share the banding the budget
+                # derives (r11: banding is now dynamic in max_hamming)
+                old_chunks=sh.chunk_keys(old_fps, sh.banding_chunks(H)),
             ).collect()
         }
         assert staged == expected
@@ -775,3 +777,27 @@ def test_cosine_neardup_grouped_matches_pair_join_route(spark):
         assert old == new and len(old) > 0
     finally:
         base.unpersist()
+
+
+def test_simhash_wide_budget_finds_spread_bit_pairs(spark):
+    # r11 review: with the fixed 4-chunk banding, a pair differing in
+    # exactly 4 bits — one per 12-bit chunk — shared NO chunk key and
+    # was silently absent for max_hamming=4. Dynamic banding
+    # (banding_chunks = max_hamming + 1 chunks) restores the pigeonhole
+    # guarantee for any budget.
+    base = 0x123456789ABC
+    spread = base ^ ((1 << 0) | (1 << 12) | (1 << 24) | (1 << 36))
+    fps = spark.createDataFrame(
+        [(1, base), (2, spread)], "doc_id long, fp long"
+    )
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    got3 = sh.near_duplicates(docs, max_hamming=3, fps=fps).collect()
+    assert got3 == []  # hd=4 > 3: correctly out of budget
+    got4 = {
+        (r.id_a, r.id_b): r.hd
+        for r in sh.near_duplicates(docs, max_hamming=4, fps=fps).collect()
+    }
+    assert got4 == {(1, 2): 4}  # previously silently missed
+    # default banding unchanged: 4 chunks, historical 12-bit spans
+    assert sh.banding_chunks(3) == sh.NUM_CHUNKS == 4
+    assert sh._chunk_spans(4) == [(0, 12), (12, 12), (24, 12), (36, 12)]
