@@ -346,6 +346,7 @@ def pagerank(
     broadcast_ranks: bool = True,
     degrees: DataFrame | None = None,
     outdeg_col: str | None = None,
+    complete_sources: bool = True,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over an edge-list DataFrame.
 
@@ -409,6 +410,14 @@ def pagerank(
     a pure aggregate of the edges, so they stage together and the
     per-run degree pass disappears). Must match the edges exactly.
 
+    ``complete_sources``: append in-degree-0 sources (rank == teleport)
+    to the output (r11 review — they were silently dropped). The
+    completion pays a node-set anti-join (and an edge-table distinct on
+    the denorm path); it is PROVABLY vacuous for symmetrized graphs
+    (every node is also a dst), so ``symmetrize=True`` skips it
+    automatically and callers feeding pre-symmetrized staged edges
+    should pass ``False`` for the same reason.
+
     ``outdeg_col``: the DENORMALIZED staged-graph layout (VERDICT r7
     #4) — every edge row already carries its SOURCE node's out-degree.
     Then no degree table exists at all: iteration 1's share is a pure
@@ -428,7 +437,7 @@ def pagerank(
             )
         return _pagerank_denorm(
             edges, src, dst, outdeg_col, n_iter, damping_pct, scale,
-            stage, checkpoint_every, broadcast_ranks,
+            stage, checkpoint_every, broadcast_ranks, complete_sources,
         )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if symmetrize:
@@ -482,12 +491,15 @@ def pagerank(
         if i + 1 == n_iter:
             # complete the node set: an in-degree-0 source never appears
             # as a dst, so new_r omits it — its rank is exactly the
-            # teleport mass every round (r11 review; empty for
-            # symmetrized graphs, where every node is also a dst)
-            only_src = deg.join(new_r, "node", "left_anti").select(
-                "node", F.lit(teleport).cast("bigint").alias("r")
-            )
-            ranks = new_r.unionByName(only_src)
+            # teleport mass every round (r11 review). Provably vacuous
+            # for symmetrized graphs (every node is also a dst): skip.
+            if symmetrize or not complete_sources:
+                ranks = new_r
+            else:
+                only_src = deg.join(new_r, "node", "left_anti").select(
+                    "node", F.lit(teleport).cast("bigint").alias("r")
+                )
+                ranks = new_r.unionByName(only_src)
             break
         # LEFT join + teleport default, NOT inner: an inner join would
         # drop in-degree-0 sources after round 1, losing the mass they
@@ -522,6 +534,7 @@ def _pagerank_denorm(
     stage: str | None,
     checkpoint_every: int,
     broadcast_ranks: bool,
+    complete_sources: bool = True,
 ) -> DataFrame:
     """PageRank over edges that carry their source's out-degree (the
     staged-graph fast path of :func:`pagerank` — see its docstring).
@@ -573,6 +586,11 @@ def _pagerank_denorm(
             and i + 1 < n_iter
         ):
             ranks = ranks.localCheckpoint(eager=True)
+    if not complete_sources:
+        # pre-symmetrized staged graphs: the completion below is
+        # provably vacuous and its edge-table distinct is the dominant
+        # extra scan at scale — callers assert the symmetry by flag
+        return ranks.select("node", F.col("r").alias("rank_scaled"))
     # complete the node set with the in-degree-0 sources (rank ==
     # teleport; empty for symmetrized graphs — see pagerank())
     only_src = (

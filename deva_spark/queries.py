@@ -3425,6 +3425,12 @@ def x61(spark, sf):
             symmetrize=False,
             stage=None,
             outdeg_col="outdeg",
+            # the staged edge table is pre-SYMMETRIZED (built from e0's
+            # explode of both directions), so every node appears as a
+            # dst and the in-degree-0 source completion is provably
+            # vacuous — skip its edge-table distinct (r11: the default
+            # completion doubled this query's sf1 time)
+            complete_sources=False,
         )
     else:
         ranks = graphs.pagerank(e0, n_iter=2, symmetrize=True)
