@@ -115,6 +115,21 @@ def extract_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                 elif wav:
                     m["sample_rate"], _nch, m["n_frames"] = wav
                     m["mime"] = "audio/wav"
+                else:
+                    # video containers: without this, the documented
+                    # extract_meta -> frame_sample flow silently emitted
+                    # ZERO frames for AVI/GIF payloads (n_frames stayed
+                    # null; r11 review)
+                    avi = avi_info(content) if content else None
+                    if avi:
+                        m["width"], m["height"], m["n_frames"] = avi
+                        m["mime"] = "video/x-msvideo"
+                    elif content and content[:4] == b"GIF8":
+                        gdims = gif_dimensions(content)
+                        if gdims:
+                            m["width"], m["height"] = gdims
+                        m["n_frames"] = gif_frame_count(content)
+                        m["mime"] = "image/gif"
                 metas.append(m)
             pdf = pdf.copy()
             pdf["meta"] = metas
@@ -237,6 +252,11 @@ def decode_image(content: bytes) -> np.ndarray:
     small thumbnails, not for a web-corpus image tier. At that scale
     install PIL on the executors (this function then uses it
     automatically) or inject a decoder via the ``decoder=`` hooks."""
+    if not content:
+        # MEDIA_SCHEMA's content column is nullable: a null payload must
+        # raise the documented ValueError, not an opaque TypeError from
+        # the subscript below (r11 review; decode_png/decode_wav agree)
+        raise ValueError("null/empty image payload")
     try:
         import io
 
@@ -370,6 +390,15 @@ def decode_features(
             feats = []
             for content in pdf[content_col]:
                 img = decoder(content)  # (H, W, C) float32
+                if img.shape[0] < pool or img.shape[1] < pool:
+                    # fail loudly with the cause (the video_features
+                    # ADVICE-r5 guard, r11 review): a 1x1 tracking pixel
+                    # otherwise dies in an opaque numpy reshape error
+                    raise ValueError(
+                        f"decoded image {img.shape[0]}x{img.shape[1]} "
+                        f"smaller than pool={pool}; shrink pool or "
+                        "upscale in the decoder"
+                    )
                 hs = img.shape[0] // pool
                 ws = img.shape[1] // pool
                 pooled = img[: hs * pool, : ws * pool].reshape(
@@ -557,6 +586,56 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 code_size += 1
             prev = entry
     return out
+
+
+def gif_dimensions(content: bytes) -> tuple[int, int] | None:
+    """(width, height) from the GIF logical screen descriptor, or None
+    for a non-GIF payload — the metadata tier (header sniff only)."""
+    if not content or len(content) < 10 or content[:4] != b"GIF8":
+        return None
+    return (
+        int.from_bytes(content[6:8], "little"),
+        int.from_bytes(content[8:10], "little"),
+    )
+
+
+def gif_frame_count(content: bytes) -> int:
+    """Number of image descriptors in a GIF — the structural frame count
+    (no LZW decode; the block walk skips color tables and data
+    sub-blocks). 0 for a non-GIF or truncated payload — the metadata
+    tier never raises."""
+    if gif_dimensions(content) is None:
+        return 0
+    try:
+        pos = 13
+        if content[10] & 0x80:  # global color table
+            pos += 3 * (2 << (content[10] & 0x07))
+        frames = 0
+        while pos < len(content):
+            block = content[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while content[pos]:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                frames += 1
+                packed = content[pos + 8]
+                pos += 9
+                if packed & 0x80:  # local color table
+                    pos += 3 * (2 << (packed & 0x07))
+                pos += 1  # LZW min code size
+                while content[pos]:
+                    pos += 1 + content[pos]
+                pos += 1
+            else:
+                break  # unknown block: stop counting, keep what we have
+        return frames
+    except IndexError:
+        return 0  # truncated payload: report 0, not a partial count
 
 
 def decode_gif(content: bytes) -> np.ndarray:
@@ -837,7 +916,7 @@ def encode_avi(
             from deva_spark.functions.jpeg import encode_jpeg
 
             handler = b"MJPG"
-            compression = _struct.unpack("<I", b"MJPG")[0]
+            compression = _MJPG_FOURCC
             payloads = [
                 encode_jpeg(f, quality=quality) for f in frames.astype(np.uint8)
             ]
@@ -863,7 +942,7 @@ def encode_avi(
             raise ValueError("MJPEG encode needs explicit width/height")
         t, h, w = len(frames), int(height), int(width)
         handler = b"MJPG"
-        compression = _struct.unpack("<I", b"MJPG")[0]
+        compression = _MJPG_FOURCC
         payloads = [bytes(f) for f in frames]
         chunk_id = b"00dc"
 
@@ -961,6 +1040,14 @@ def _avi_parse(content: bytes) -> dict:
             for f2, p2, s2 in _riff_chunks(content, p + 4, p + size):
                 if f2[2:4] in (b"db", b"dc"):
                     out["frames"].append(content[p2 : p2 + s2])
+                elif f2 == b"LIST" and content[p2 : p2 + 4] == b"rec ":
+                    # interleaved AVIs (VFW/DirectShow writers) group
+                    # frame chunks inside 'rec ' lists — skipping them
+                    # silently returned a 0-frame clip while the header
+                    # promised n_frames (r11 review)
+                    for f3, p3, s3 in _riff_chunks(content, p2 + 4, p2 + s2):
+                        if f3[2:4] in (b"db", b"dc"):
+                            out["frames"].append(content[p3 : p3 + s3])
     return out
 
 
@@ -1006,14 +1093,14 @@ def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
     return [(m["width"], m["height"])] * len(m["frames"])
 
 
-def decode_avi(content: bytes) -> np.ndarray:
+def decode_avi(content: bytes, parsed: dict | None = None) -> np.ndarray:
     """Decode an AVI to ``(T, H, W, 3)`` uint8 RGB. Uncompressed BI_RGB
     streams invert :func:`encode_avi`'s DIB form bit-exactly; MJPEG
     streams decode each frame through the package-own baseline JPEG
     codec (`functions.jpeg`, r11 — lossy-but-deterministic pixels;
     subsampled/progressive frames raise ``NotImplementedError`` there,
     the external-codec boundary)."""
-    m = _avi_parse(content)
+    m = parsed if parsed is not None else _avi_parse(content)
     codec = _avi_codec(m)
     if codec == "mjpg":
         from deva_spark.functions.jpeg import decode_jpeg
@@ -1046,10 +1133,15 @@ def decode_avi(content: bytes) -> np.ndarray:
     )
 
 
-def avi_decode_video(content: bytes, n_frames: int = 0) -> np.ndarray:
+def avi_decode_video(
+    content: bytes, n_frames: int = 0, parsed: dict | None = None
+) -> np.ndarray:
     """:func:`decode_avi` adapted to the video-decoder signature
-    (float32 in [0, 1], optional frame cap)."""
-    clip = decode_avi(content).astype(np.float32) / 255.0
+    (float32 in [0, 1], optional frame cap). ``parsed`` reuses a
+    container walk the caller already did (the dispatcher's codec
+    sniff — r11 review: decode was paying two full RIFF walks per
+    clip on the stated CPU hot spot)."""
+    clip = decode_avi(content, parsed=parsed).astype(np.float32) / 255.0
     return clip[: int(n_frames)] if n_frames and int(n_frames) > 0 else clip
 
 
@@ -1072,8 +1164,9 @@ def default_video_decoder() -> Callable[[bytes, int], np.ndarray]:
             # through to ffmpeg/fake like any other format (r11 review —
             # previously it raised, failing the whole task)
             try:
-                if _avi_codec(_avi_parse(content)) is not None:
-                    return avi_decode_video(content, n_frames)
+                m = _avi_parse(content)
+                if _avi_codec(m) is not None:
+                    return avi_decode_video(content, n_frames, parsed=m)
             except (ValueError, _struct.error):
                 pass
         return other(content, n_frames)
@@ -1114,6 +1207,12 @@ def video_features(
             for content, meta in zip(pdf[content_col], pdf[meta_col]):
                 n = int(meta["n_frames"] or 0) if meta is not None else 0
                 clip = dec(content, n)  # (T, H, W, C) float32
+                if clip.shape[0] == 0:
+                    # zero-frame clip (valid container, empty movi):
+                    # diagnosable error, not a numpy reshape crash (r11)
+                    raise ValueError(
+                        "decoded clip has zero frames; nothing to pool"
+                    )
                 if clip.shape[1] < pool or clip.shape[2] < pool:
                     # fail loudly: a silent mean over an empty pooled axis
                     # would emit NaN features (ADVICE r5)

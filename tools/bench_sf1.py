@@ -242,6 +242,12 @@ def incremental_operational(spark) -> dict:
         return spark.read.parquet(d)
 
     def timed(make_df):
+        # untimed warm-up first (the bench.py methodology): it
+        # materializes any lazy arrival() parquet write and fills footer
+        # caches, so the timed window measures the per-batch compute —
+        # previously the FIRST timed run paid arrival()'s write inside
+        # the perf_counter window and only min-of-N hid it (r11 review)
+        make_df().count()
         best = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
