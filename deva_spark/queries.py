@@ -194,6 +194,24 @@ def _build_shingle5_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x61 customer<->supplier DIRECTED edge list with the numeric
+    node encoding (custkey*2 even / suppkey*2+1 odd — disjoint by
+    parity). ONE copy of the encoding (r11 review: x61's unstaged
+    branch carried a verbatim duplicate, so an encoding change in one
+    place would silently diverge staged vs unstaged graphs)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x61's symmetrized customer<->supplier edge list (numeric node
     ids: custkey*2 / suppkey*2+1), DENORMALIZED with each edge's source
@@ -202,16 +220,7 @@ def _build_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale), pass ``stage=None, outdeg_col="outdeg"``, and the per-run
     degree pass and degree join both disappear. Same edge rows the
     in-query symmetrize produces; outdeg is their pure aggregate."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    e0 = _pr_raw_edges(spark, sf_dir)
     edges = e0.select(
         F.explode(
             F.array(
@@ -607,7 +616,17 @@ def _artifact_path(sf_dir: str, name: str) -> str:
         try:
             mt = max(mt, int(_os.path.getmtime(_os.path.join(sf_dir, src))))
         except OSError:
-            pass
+            # a declared source that doesn't exist silently disables
+            # mtime invalidation — the exact stale-artifact hazard this
+            # key exists to prevent (r11 review); surface it once
+            import warnings
+
+            warnings.warn(
+                f"artifact {name!r} declares source {src!r} which does "
+                f"not exist under {sf_dir} — staleness invalidation is "
+                "incomplete for it",
+                stacklevel=2,
+            )
     key = hashlib.md5(
         f"{_os.path.abspath(sf_dir)}|{name}|v{_ARTIFACT_VERSION}|{mt}".encode()
     ).hexdigest()[:16]
@@ -635,7 +654,10 @@ def stage_artifacts(
 
     took: dict[str, float] = {}
     all_names = list(ARTIFACT_BUILDERS) + list(ARTIFACT_STAGERS)
-    for name in names or all_names:
+    # explicit-empty means "nothing to stage", not "stage everything" —
+    # `names or all_names` turned an already-satisfied missing-set call
+    # into a full ~29-artifact rebuild (r11 review)
+    for name in (all_names if names is None else names):
         if staged_artifact_path(sf_dir, name):
             took[name] = 0.0
             continue
@@ -2337,12 +2359,55 @@ def x32(spark, sf):
 ORACLE_SQL["x32_ivf_topk"] = _x32_oracle()
 
 
+def _staged_required(sf_dir: str, name: str) -> str:
+    """staged_artifact_path that FAILS LOUDLY: the x101-x103 stagers
+    write parquet + a sidecar marker, and a crash between the two left
+    path=None flowing into ivfpq_search as an obscure path-type error
+    far from the cause (r11 review)."""
+    path = staged_artifact_path(sf_dir, name)
+    if path is None:
+        raise RuntimeError(
+            f"artifact {name!r} did not stage completely under {sf_dir} "
+            "(marker missing) — re-run stage_artifacts or inspect the "
+            "stager's write"
+        )
+    return path
+
+
+def _cached_win8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached full-corpus 8-token window-hash index — the
+    UNSTAGED fallback x77/x78 share (r11 review: each invocation used
+    to persist a FRESH corpus-sized copy with no unpersist, so repeated
+    runs in one session accumulated duplicate cache entries until
+    eviction pressure hit every other cached artifact)."""
+    from deva_spark.functions.substring import window_hashes
+
+    cache = _session_cache(spark)
+    key = (sf_dir, "win8_index_inline")
+    if key not in cache:
+        cache[key] = window_hashes(
+            _t(spark, sf_dir, "documents"), window=8
+        )
+    df = cache[key]
+    if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
+        df.persist()
+        df.count()
+    return df
+
+
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table once per (session, sf) as ts-ordered chunks —
     the replayable input the streaming queries drain. Session-scoped via
     the same weak-keyed cache as the doc index."""
+    # mtime in the key: a regenerated source table within one session
+    # must restage, not replay stale chunks (the x95 bitmap / artifact-
+    # tier convention; r11 review)
+    try:
+        _mt = int(_os.path.getmtime(_os.path.join(sf_dir, "events.parquet")))
+    except OSError:
+        _mt = 0
     cache = _session_cache(spark)
-    key = (sf_dir, "staged_events")
+    key = (sf_dir, "staged_events", _mt)
     if key not in cache:
         from deva_spark.streaming.twin import stage_event_chunks
 
@@ -2356,8 +2421,15 @@ def _staged_docs(
     """Stage the new-batch document slice (scale-invariant modular
     arrival split by default) once per (session, sf) as doc_id-ordered
     chunks for the streaming incremental-dedup drain."""
+    # mtime in the key: a regenerated source table within one session
+    # must restage, not replay stale chunks (the x95 bitmap / artifact-
+    # tier convention; r11 review)
+    try:
+        _mt = int(_os.path.getmtime(_os.path.join(sf_dir, "documents.parquet")))
+    except OSError:
+        _mt = 0
     cache = _session_cache(spark)
-    key = (sf_dir, "staged_docs", where)
+    key = (sf_dir, "staged_docs", where, _mt)
     if key not in cache:
         from deva_spark.streaming.twin import stage_doc_chunks
 
@@ -3307,10 +3379,15 @@ def x59(spark, sf):
         order=["_neg", "o_custkey"],
         out="rn",
     )
-    n = spend.count()  # single scalar to the driver — metadata, not data
+    # customer count as a broadcast 1-row aggregate (the x26 bounds /
+    # mixture_rebalance pattern) — the old driver-side spend.count()
+    # ran a second full orders aggregation at PLAN-BUILD time, doubling
+    # the query's dominant cost on every invocation (r11 review)
+    n_df = spend.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.select(
-            F.expr(f"((rn - 1) * 10) div {n}").alias("decile"),
+        ranked.join(F.broadcast(n_df))
+        .select(
+            F.expr("((rn - 1) * 10) div _n").alias("decile"),
             F.col("total"),
         )
         .groupBy("decile")
@@ -3403,16 +3480,6 @@ def x61(spark, sf):
     # measured ~2x faster than concat-first at sf0.1 (string shuffle
     # keys cost hash+compare per byte AND bigger exchange payloads; at
     # 100 TB the payload term dominates).
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
     staged = staged_artifact_path(sf, "pr_edges")
     if staged:
         # the operator's documented cluster path: pre-staged DENORM
@@ -3433,7 +3500,9 @@ def x61(spark, sf):
             complete_sources=False,
         )
     else:
-        ranks = graphs.pagerank(e0, n_iter=2, symmetrize=True)
+        ranks = graphs.pagerank(
+            _pr_raw_edges(spark, sf), n_iter=2, symmetrize=True
+        )
     return ranks.select(
         F.expr(
             "concat(CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END,"
@@ -4070,10 +4139,7 @@ def x77(spark, sf):
             spark.read.parquet(staged).select("doc_id", "wh").distinct()
         )
     else:
-        idx = window_hashes(
-            _t(spark, sf, "documents"), window=8
-        ).persist()
-        idx.count()
+        idx = _cached_win8_index(spark, sf)
     return incremental_dup_pairs(
         idx.filter(batch_pred),
         idx.filter(~batch_pred),
@@ -4134,12 +4200,9 @@ def x78(spark, sf):
             .distinct()
         )
     else:
-        # static side is re-evaluated every micro-batch: persist it
-        old = window_hashes(
-            _t(spark, sf, "documents").filter(~batch_pred),
-            window=8,
-        ).persist()
-        old.count()
+        # static side is re-evaluated every micro-batch: the shared
+        # session-cached index (filter-after is per-doc pure, same rows)
+        old = _cached_win8_index(spark, sf).filter(~batch_pred)
     s = docs_file_stream(
         spark, _staged_docs(spark, sf), files_per_trigger=1
     )
@@ -4160,8 +4223,14 @@ def _staged_ivf_append(
     recipe; the old ``vec_id >= 450`` cutoff left a 1% training corpus
     on amplified tables). The dir is what a growing 100 TB vector store
     looks like between restages."""
+    try:
+        _mt = int(
+            _os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet"))
+        )
+    except OSError:
+        _mt = 0
     cache = _session_cache(spark)
-    key = (sf_dir, "ivf_append", batch_where)
+    key = (sf_dir, "ivf_append", batch_where, _mt)
     if key not in cache:
         import tempfile
 
@@ -4571,14 +4640,10 @@ def x85(spark, sf):
     # smallest, so the rollup estimate is BIT-IDENTICAL to the one-shot
     # x60 sketch over the whole corpus (same oracle SQL; integer
     # arithmetic end to end).
-    staged = staged_artifact_path(sf, "kmv_day_users")
-    if staged:
-        partials = spark.read.parquet(staged)
-    else:
-        ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
-        partials = ev.transform(
-            agg.kmv_partials("user_id", keys=["event_type", "_day"], k=64)
-        )
+    # _shared_artifact: staged read OR session-cached inline build —
+    # the bare fallback rebuilt the day partials on every unstaged
+    # invocation while sibling tiers (x94/x96/x106) cached (r11 review)
+    partials = _shared_artifact(spark, sf, "kmv_day_users")
     return partials.transform(agg.kmv_merge_partials(keys=["event_type"], k=64))
 
 
@@ -4870,14 +4935,11 @@ def x90(spark, sf):
         if staged
         else _build_dup_assign(spark, sf)
     )
-    staged_stats = staged_artifact_path(sf, "doc_stats")
-    feats = (
-        spark.read.parquet(staged_stats)
-        if staged_stats
-        else _t(spark, sf, "documents").select(
-            "doc_id", T.quality_score(F.col("text")).alias("q")
-        )
-    ).select("doc_id", "q")
+    # _shared_artifact: ONE copy of the doc_stats column recipe — the
+    # inline fallback duplicated _build_doc_stats's q column, so a
+    # staging change would silently diverge staged vs unstaged verdicts
+    # (r11 review); the session cache also shares the build with x15/x91
+    feats = _shared_artifact(spark, sf, "doc_stats").select("doc_id", "q")
     return dedup.cluster_representatives(
         assign, feats, [F.col("q").desc(), F.col("doc_id")]
     )
@@ -4960,18 +5022,8 @@ def x91(spark, sf):
     # governed pipeline must produce for any takedown or appeal. Rides
     # the staged doc_stats + neardup_pairs artifacts (x15's tables);
     # kept-rows == the curated output (parity test).
-    staged_stats = staged_artifact_path(sf, "doc_stats")
-    stats = (
-        spark.read.parquet(staged_stats)
-        if staged_stats
-        else _t(spark, sf, "documents").select(
-            "doc_id",
-            T.quality_score(F.col("text")).alias("q"),
-            T.lang_id(F.col("text")).alias("lang_pred"),
-            T.token_count(F.col("text")).alias("n_tokens"),
-            T.fingerprint(F.col("text")).alias("fp"),
-        )
-    )
+    # one copy of the stats recipe via the shared tier (r11 review)
+    stats = _shared_artifact(spark, sf, "doc_stats")
     from deva_spark.plans.corpus import curation_audit
 
     staged_pairs = staged_artifact_path(sf, "neardup_pairs")
@@ -5056,16 +5108,8 @@ def x93(spark, sf):
     # (`retract_quantile_partials`) — the property double-based sketches
     # (t-digest/GK) cannot offer. The Spark route proves the rollup
     # path: per-day partials union then merge == the direct compute.
-    staged = staged_artifact_path(sf, "quant_day_cells")
-    if staged:
-        partials = spark.read.parquet(staged).drop("_day")
-    else:
-        ev = _t(spark, sf, "events").withColumn("_day", F.to_date("ts"))
-        partials = ev.transform(
-            agg.quantile_partials(
-                "value", keys=["event_type", "_day"], width=25.0
-            )
-        ).drop("_day")
+    # staged read or session-cached inline build (r11 review)
+    partials = _shared_artifact(spark, sf, "quant_day_cells").drop("_day")
     return partials.transform(
         agg.merge_quantile_partials(keys=["event_type"], width=25.0, pcts=(50, 90, 99))
     )
@@ -5599,7 +5643,7 @@ def x101(spark, sf):
     # pipeline bit-for-bit (the x32 generated-oracle discipline); 4dp
     # HALF_UP rounding + (score DESC, vec_id) rank pin cross-engine ties.
     stage_artifacts(spark, sf, ["ivfpq16"])
-    path = staged_artifact_path(sf, "ivfpq16")
+    path = _staged_required(sf, "ivfpq16")
     q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
     return V.ivfpq_search(spark, path, q, k=5, n_probe=4)
 
@@ -5616,7 +5660,7 @@ def x102(spark, sf):
     # |Q|*k*4 rows however large the corpus — the 100 TB contract. The
     # oracle mirrors ADC shortlist -> exact rescore -> re-rank exactly.
     stage_artifacts(spark, sf, ["ivfpq16"])
-    path = staged_artifact_path(sf, "ivfpq16")
+    path = _staged_required(sf, "ivfpq16")
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return V.ivfpq_search(
@@ -5640,7 +5684,7 @@ def x103(spark, sf):
     # would grow the table every run). Oracle = the same pipeline with
     # the training corpus restricted to the pre-append 90%.
     stage_artifacts(spark, sf, ["ivfpq_app"])
-    path = staged_artifact_path(sf, "ivfpq_app")
+    path = _staged_required(sf, "ivfpq_app")
     q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
     return V.ivfpq_search(spark, path, q, k=5, n_probe=4)
 
@@ -6042,15 +6086,17 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "x99_incremental_weighted_sample",
 )
 
-#: Entries pushed to the round-12 window: the 4 of 37 r8-stale rows the
-#: 50-row window can't also hold this round (the 4 changed queries + 12
-#: returning deferrals + x108 take precedence). Every name below is
-#: r8-green, its implementation and oracle are UNCHANGED this round,
-#: and each has an in-window sibling exercising the same operator
-#: family (x26/x57 histograms, x27/x19 pivot-cube, x29/x04 rolling
-#: hashes, x53/x63 trending). tests/test_plan_shapes.py's window
-#: accounting (window ∪ deferrals ∪ r09/r10-green == registry) fails CI
-#: if any entry silently drops out of all three sets.
+#: Entries pushed to the round-12 window: the 6 of 37 r8-stale rows the
+#: 50-row window can't also hold this round (the 6 changed queries + 11
+#: returning deferrals — x62, the 12th, rides the changed block — +
+#: x108/x109 take precedence; counts corrected r11 review). Every name
+#: below is r8-green and each has an in-window sibling exercising the
+#: same operator family (x26/x57 histograms, x27/x19 pivot-cube,
+#: x29/x04 rolling hashes, x53/x63 trending); later-session operator
+#: fixes touching x26 are hash-identical at tri-SF, so the r8 rows stay
+#: valid evidence. tests/test_plan_shapes.py's window accounting
+#: (window ∪ deferrals ∪ r09/r10-green == registry) fails CI if any
+#: entry silently drops out of all three sets.
 _DEFERRED_TO_NEXT: tuple[str, ...] = (
     "x18_lineitem_part_join",
     "x25_session_stats",
