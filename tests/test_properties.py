@@ -935,3 +935,97 @@ def test_grouped_two_phase_keeps_null_groups(spark):
         for m in members:
             acc += m[2]
             assert abs(got_cum[m[0]] - acc) < 1e-9
+
+
+grouped_rows = st.lists(
+    st.tuples(
+        st.sampled_from([None, "a", "b"]),        # group (NULL is a group)
+        st.integers(min_value=0, max_value=5),    # value (dups likely)
+        st.integers(min_value=1, max_value=9),    # weight
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=grouped_rows, parts=st.integers(min_value=1, max_value=5),
+       buckets=st.integers(min_value=1, max_value=6))
+@SLOW
+def test_grouped_positions_and_running_sum_match_python(
+    spark, rows, parts, buckets
+):
+    # r11 grouped two-phase machinery vs a pure-Python model, for any
+    # partitioning, any bucket count, duplicate leading values, and a
+    # NULL group key (a real group — the null-safe offset join contract).
+    data = [(g, v, w, i) for i, (g, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g string, v long, w long, id long"
+    ).repartition(parts)
+    spark.conf.set(windows.SMALL_INPUT_BYTES_CONF, "0")
+    try:
+        pos = {
+            r.id: r.rn
+            for r in windows.global_positions(
+                df, ("v", "id"), out="rn", buckets=buckets,
+                group_cols=("g",),
+            ).collect()
+        }
+        cum = {
+            r.id: r.cum
+            for r in windows.global_running_sum(
+                df, "w", order=("v", "id"), out="cum", buckets=buckets,
+                group_cols=("g",),
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(windows.SMALL_INPUT_BYTES_CONF)
+    want_pos, want_cum = {}, {}
+    for g in {r[0] for r in data}:
+        members = sorted(
+            (r for r in data if r[0] == g), key=lambda r: (r[1], r[3])
+        )
+        running = 0
+        for k, r in enumerate(members):
+            want_pos[r[3]] = k + 1
+            running += r[2]
+            want_cum[r[3]] = running
+    assert pos == want_pos
+    assert cum == want_cum
+
+
+@given(
+    base=st.integers(min_value=0, max_value=(1 << 48) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=47), min_size=0, max_size=12,
+        unique=True,
+    ),
+    budget=st.integers(min_value=0, max_value=12),
+)
+@SLOW
+def test_simhash_banding_recall_any_budget(spark, base, flips, budget):
+    # r11 dynamic banding: for ANY Hamming budget, a pair within budget
+    # must be found (the fixed 4-chunk banding silently missed spread-bit
+    # pairs above budget 3), and a pair beyond budget must be absent.
+    from deva_spark.functions import simhash as sh
+
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    hd = len(flips)
+    fps = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, fp long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hd
+        for r in sh.near_duplicates(docs, max_hamming=budget, fps=fps).collect()
+    }
+    if hd == 0:
+        # identical fingerprints: the pair join sees them in every chunk
+        assert got == {(1, 2): 0}
+    elif hd <= budget:
+        assert got == {(1, 2): hd}
+    else:
+        assert got == {}
