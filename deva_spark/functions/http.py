@@ -213,10 +213,13 @@ def fetch_stage_cached(
     def read_cache() -> DataFrame:
         # existence check, not a bare except (r11 review): a transient
         # read failure on an existing cache must surface, not silently
-        # re-crawl the whole miss set
-        import os
+        # re-crawl the whole miss set. Probed through the Hadoop
+        # FileSystem (ADVICE r11 #1): os.path.exists misreads a REMOTE
+        # cache (hdfs://, s3a://) as empty and re-crawls the full miss
+        # set every run — the exact failure the check exists to prevent.
+        from deva_spark.sources.fs import path_exists
 
-        if not os.path.exists(cache_path):
+        if not path_exists(spark, cache_path):
             return spark.createDataFrame([], "_uh string, _cbody string")
         return spark.read.parquet(cache_path).dropDuplicates(["_uh"])
 
@@ -234,8 +237,6 @@ def fetch_stage_cached(
         .dropDuplicates(["_uh"])
     )
     if misses.take(1):
-        import os
-        import shutil
         import uuid
 
         # materialize the miss fetches EXACTLY ONCE: the result feeds two
@@ -249,14 +250,17 @@ def fetch_stage_cached(
         # to PRIOR invocations whose returned plans are long consumed.
         keep_runs = int(fetch_kwargs.pop("keep_runs", 3))
         runs_root = f"{cache_path}_runs"
-        if os.path.isdir(runs_root):
-            old = sorted(
-                (os.path.join(runs_root, d) for d in os.listdir(runs_root)),
-                key=os.path.getmtime,
-            )
-            for d in old[: max(0, len(old) - (keep_runs - 1))]:
-                shutil.rmtree(d, ignore_errors=True)
-        run_path = os.path.join(runs_root, uuid.uuid4().hex[:12])
+        # prune through the Hadoop FS so a remote cache's run dirs are
+        # bounded too (os.listdir only saw local ones — ADVICE r11 #1)
+        from deva_spark.sources.fs import delete_path, list_subdirs_by_mtime
+
+        old = list_subdirs_by_mtime(spark, runs_root)
+        for d in old[: max(0, len(old) - (keep_runs - 1))]:
+            try:
+                delete_path(spark, d)
+            except Exception:
+                pass  # best-effort GC, same as the old ignore_errors
+        run_path = f"{runs_root.rstrip('/')}/{uuid.uuid4().hex[:12]}"
         fetch_stage(
             misses, url_col, "_fbody", "_ferr", fetcher, **fetch_kwargs
         ).write.parquet(run_path)

@@ -349,10 +349,13 @@ def llm_stage_cached(
         # first-run detection is an existence check, not a bare except
         # (r11 review): a TRANSIENT read failure on an existing cache
         # must surface — treating it as "empty cache" silently re-bills
-        # the entire miss set against the paid endpoint
-        import os
+        # the entire miss set against the paid endpoint. Probed through
+        # the Hadoop FileSystem (ADVICE r11 #1): os.path.exists misreads
+        # a REMOTE cache (hdfs://, s3a://) as empty — re-billing every
+        # run, the exact failure this check exists to prevent.
+        from deva_spark.sources.fs import path_exists
 
-        if not os.path.exists(cache_path):
+        if not path_exists(spark, cache_path):
             return spark.createDataFrame([], "_ph string, _cached string")
         c = spark.read.parquet(cache_path)
         # the cache is append-only: two racing runs (or a retried batch) can

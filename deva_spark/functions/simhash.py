@@ -170,11 +170,27 @@ def incremental_near_duplicates(
     this function band both sides consistently)."""
     n_chunks = banding_chunks(max_hamming)
     nc = chunk_keys(new_fps, n_chunks)
-    oc = (
-        old_chunks
-        if old_chunks is not None
-        else chunk_keys(old_fps, n_chunks)
-    )
+    if old_chunks is not None:
+        # The docstring's layout contract, ENFORCED (ADVICE r11 #2): a
+        # staged projection banded at a different chunk count joins
+        # (ci, cv) keys cut from different bit spans — candidate
+        # collisions nearly vanish and pairs are silently missed (worse
+        # recall than any fixed banding). One column-pruned agg over the
+        # small-int ci column is cheap next to a silent-recall bug.
+        staged = old_chunks.agg(F.max("ci").alias("mx")).collect()[0]["mx"]
+        staged_chunks = (staged + 1) if staged is not None else n_chunks
+        if staged_chunks != n_chunks:
+            raise ValueError(
+                f"old_chunks is banded at {staged_chunks} chunks but "
+                f"max_hamming={max_hamming} requires "
+                f"{n_chunks} (banding_chunks); rebuild the staged "
+                "projection with chunk_keys(old_fps, "
+                f"banding_chunks({max_hamming})) or pass old_fps and "
+                "let this function band both sides consistently"
+            )
+        oc = old_chunks
+    else:
+        oc = chunk_keys(old_fps, n_chunks)
     cross = (
         nc.select(
             F.col("doc_id").alias("nid"), F.col("fp").alias("nfp"), "ci", "cv"

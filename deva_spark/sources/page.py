@@ -59,6 +59,7 @@ class PageServer:
         self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
+        self._closed = False
         if start:
             self.start()
 
@@ -74,6 +75,14 @@ class PageServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread = None
+        self._closed = True
+
+    @property
+    def alive(self) -> bool:
+        """True while the socket is bound (``__init__`` binds even with
+        ``start=False``); False after :meth:`stop` releases the port —
+        a stopped server must not keep claiming it in :func:`NW`."""
+        return not self._closed
 
     @property
     def url(self) -> str:
@@ -257,24 +266,36 @@ def _make_handler(server: PageServer):
 def NW(  # noqa: N802 — reference name
     name: str = "",
     host: str = "127.0.0.1",
-    port: int = 9999,
+    port: int | None = None,
     start: bool = True,
     **_kwargs,
 ) -> PageServer:
     """Named web server constructor (`namespace.py:250`): one server per
     name, created on first use — ``data >> NW('api')`` then
-    ``GET /data``. The FIRST server gets the default port; later named
-    servers whose caller did not pick a port bind ephemerally (read it
-    from ``.port``) instead of crashing with EADDRINUSE on the shared
-    default (r11 review)."""
+    ``GET /data``. ``port=None`` (the default) means "don't care": the
+    first such server gets 9999 and later ones bind ephemerally (read
+    ``.port``) instead of crashing with EADDRINUSE on the shared
+    default. An EXPLICIT port is a contract — if another LIVE named
+    server already holds it, raise instead of silently swapping in an
+    ephemeral one the caller's clients would never find (ADVICE r11
+    #4); stopped servers no longer claim their old port."""
     key = name or "_default"
     srv = _NAMED.get(key)
     if srv is None:
+        explicit = port is not None
+        want = port if explicit else 9999
         if any(
-            s.host == host and s.port == port for s in _NAMED.values()
+            s.host == host and s.port == want and s.alive
+            for s in _NAMED.values()
         ):
-            port = 0  # default already claimed by another named server
-        srv = PageServer(host=host, port=port, start=start)
+            if explicit:
+                raise OSError(
+                    f"port {want} on {host} was explicitly requested "
+                    f"for NW({name!r}) but another live named server "
+                    "already holds it"
+                )
+            want = 0  # caller didn't pick: bind ephemerally
+        srv = PageServer(host=host, port=want, start=start)
         _NAMED[key] = srv
     return srv
 

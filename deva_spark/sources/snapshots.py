@@ -72,13 +72,12 @@ def _commit_manifest(path: str, manifest: dict, version: int) -> bool:
     os.makedirs(_manifest_dir(path), exist_ok=True)
     tmp = os.path.join(_manifest_dir(path), f"_tmp_{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as fh:
-        # default=str: stats_cols min/max over date/timestamp/decimal
-        # columns are not JSON-native; without it the dump raised AFTER
-        # the data dir was written, orphaning it outside every manifest
-        # (r11 review). Non-numeric stats serialize as ISO strings, which
-        # read_snapshot_pruned compares lexicographically — correct for
-        # ISO-8601 timestamps/dates when the caller passes string bounds.
-        json.dump(manifest, fh, default=str)
+        # Stats are normalized BY TYPE at collection time
+        # (_normalize_stat, ADVICE r11 #3) — every value in the manifest
+        # is already JSON-native (number or ISO string), so no default=
+        # escape hatch that would silently stringify a Decimal into
+        # lexicographic comparisons ('9' > '10').
+        json.dump(manifest, fh)
     try:
         os.link(tmp, _manifest_path(path, version))
         return True
@@ -86,6 +85,45 @@ def _commit_manifest(path: str, manifest: dict, version: int) -> bool:
         return False
     finally:
         os.remove(tmp)
+
+
+def _normalize_stat(value, round_down: bool, col: str = ""):
+    """JSON-native, ORDER-PRESERVING stat encoding (ADVICE r11 #3): the
+    old blanket ``json.dump(default=str)`` serialized Decimal stats as
+    strings, and ``read_snapshot_pruned``'s lexicographic compare
+    ('9' > '10') could then wrongly prune directories that CONTAIN
+    matching rows — silent wrong results. Normalize by type instead:
+
+    - int/float/str/bool/None pass through (JSON-native, right order);
+    - date/datetime → ``isoformat()`` (ISO-8601 strings compare
+      correctly as strings);
+    - Decimal → float, WIDENED outward (min rounds down, max rounds up)
+      so float rounding can only keep extra directories, never lose a
+      matching one — pruning stays sound;
+    - anything else → TypeError at commit time, not a corrupt manifest.
+    """
+    import datetime as _dt
+    import math
+    from decimal import Decimal
+
+    if value is None or isinstance(value, (bool, int, str)):
+        return value
+    if isinstance(value, float):
+        return value
+    if isinstance(value, _dt.datetime) or isinstance(value, _dt.date):
+        return value.isoformat()
+    if isinstance(value, Decimal):
+        f = float(value)
+        if round_down and Decimal(f) > value:
+            f = math.nextafter(f, -math.inf)
+        elif not round_down and Decimal(f) < value:
+            f = math.nextafter(f, math.inf)
+        return f
+    raise TypeError(
+        f"stats_cols column {col!r} has unsupported stat type "
+        f"{type(value).__name__}; supported: numeric, string, date, "
+        "timestamp, decimal"
+    )
 
 
 class SnapshotConflictError(RuntimeError):
@@ -145,7 +183,11 @@ def commit_snapshot(
             *[F.max(c).alias(f"_mx_{c}") for c in stats_cols],
         ).collect()[0]
         fresh_stats[data_dir] = {
-            c: [row[f"_mn_{c}"], row[f"_mx_{c}"]] for c in stats_cols
+            c: [
+                _normalize_stat(row[f"_mn_{c}"], round_down=True, col=c),
+                _normalize_stat(row[f"_mx_{c}"], round_down=False, col=c),
+            ]
+            for c in stats_cols
         }
     # claim loop: a racing committer that wins the exclusive-create makes
     # us recompute the visible set against the NEW latest version and try
@@ -429,6 +471,16 @@ def read_snapshot_pruned(
         raise FileNotFoundError(f"version {v} not in {versions}")
     manifest = _read_manifest(path, v)
     stats = manifest.get("dir_stats", {})
+    # normalize caller bounds with the SAME encoding the commit used —
+    # a Decimal/date bound must compare against float/ISO stats in the
+    # stats' own domain, widened outward so rounding never over-prunes
+    bounds = {
+        col: (
+            _normalize_stat(lo, round_down=True, col=col),
+            _normalize_stat(hi, round_down=False, col=col),
+        )
+        for col, (lo, hi) in bounds.items()
+    }
     keep = []
     for d in manifest["data_dirs"]:
         st = stats.get(d)

@@ -76,6 +76,13 @@ def merge_upsert_by_key(spark, df: DataFrame, path: str, key: str) -> None:
     survive. Without Delta's MERGE this is read → anti-join → union →
     atomic swap-overwrite; at scale, pair with date partitioning so only
     touched partitions rewrite (see :func:`upsert_by_partition`)."""
+    # Local-only by protocol (ADVICE r11 #1): the rename-swap below is
+    # atomic only on a local posix filesystem, and os.path.exists would
+    # misread a remote table as absent and overwrite it with only the
+    # new rows. Reject remote URIs loudly up front.
+    from deva_spark.sources.fs import require_local
+
+    path = require_local(path, "merge_upsert_by_key")
     # First-write detection is an explicit existence check, NOT a bare
     # except around the read (r11 review): a TRANSIENT read failure on an
     # existing table (permission hiccup, one corrupt footer) must surface
@@ -124,6 +131,9 @@ def compact_table(spark, path: str, target_mb: int = 128) -> int:
     import shutil
     import uuid
 
+    from deva_spark.sources.fs import require_local
+
+    path = require_local(path, "compact_table")
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _dns, fns in os.walk(path)
@@ -154,6 +164,9 @@ def evict_older_than(spark, path: str, keep_days: int, as_of: str) -> list[str]:
     import datetime as _dt
     import shutil
 
+    from deva_spark.sources.fs import require_local
+
+    path = require_local(path, "evict_older_than")
     cutoff = _dt.date.fromisoformat(as_of) - _dt.timedelta(days=keep_days)
     dropped = []
     for entry in sorted(os.listdir(path)):

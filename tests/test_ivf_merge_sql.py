@@ -303,3 +303,55 @@ def test_merge_upsert_surfaces_read_errors(spark, tmp_path):
         writers.merge_upsert_by_key(spark, new, path, "k")
     with open(os.path.join(path, "part-0.parquet"), "rb") as f:
         assert f.read() == b"not parquet at all"  # table untouched
+
+
+def test_rename_swap_writers_reject_remote_uris(spark):
+    # ADVICE r11 #1: os.path.exists misreads a REMOTE table as absent
+    # and mode('overwrite') silently replaces it with only the new rows.
+    # The rename-swap writers are local-only by protocol — they must
+    # reject remote schemes loudly, never probe them with os.path.
+    import pytest
+
+    from deva_spark.sources import writers
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="local rename-swap"):
+        writers.merge_upsert_by_key(spark, df, "s3a://bucket/tbl", "k")
+    with pytest.raises(ValueError, match="local rename-swap"):
+        writers.compact_table(spark, "hdfs://nn/warehouse/tbl")
+    with pytest.raises(ValueError, match="local rename-swap"):
+        writers.evict_older_than(spark, "s3a://bucket/tbl", 7, "2026-01-01")
+
+
+def test_merge_upsert_accepts_file_scheme(spark, tmp_path):
+    # file:// is local — require_local strips the prefix so the swap
+    # protocol and Spark reads address the same directory
+    from deva_spark.sources import writers
+
+    path = f"file://{tmp_path}/t_file_scheme"
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    writers.merge_upsert_by_key(spark, v1, path, "k")
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    writers.merge_upsert_by_key(spark, v2, path, "k")
+    got = {
+        (r.k, r.v)
+        for r in spark.read.parquet(f"{tmp_path}/t_file_scheme").collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_hadoop_path_exists_sees_what_spark_sees(spark, tmp_path):
+    from deva_spark.sources import fs
+
+    assert not fs.path_exists(spark, str(tmp_path / "nope"))
+    d = tmp_path / "yes"
+    d.mkdir()
+    assert fs.path_exists(spark, str(d))
+    assert fs.path_exists(spark, f"file://{d}")
+    # subdir listing + delete, the run-dir pruning primitives
+    (d / "run_a").mkdir()
+    (d / "run_b").mkdir()
+    subs = fs.list_subdirs_by_mtime(spark, str(d))
+    assert len(subs) == 2
+    fs.delete_path(spark, subs[0])
+    assert len(fs.list_subdirs_by_mtime(spark, str(d))) == 1

@@ -150,14 +150,24 @@ def test_get_routes_ignore_query_strings(spark):
         srv.stop()
 
 
-def test_nw_second_named_server_avoids_port_collision():
-    # r11 review: a second named server with default args must bind
-    # ephemerally instead of crashing with EADDRINUSE on the default.
+def test_nw_second_named_server_avoids_port_collision(monkeypatch):
+    # r11 review: a second named server whose caller did NOT pick a port
+    # must bind ephemerally instead of crashing with EADDRINUSE on the
+    # shared default. ADVICE r11 #4: an EXPLICITLY requested port that
+    # collides must raise, not silently swap to an ephemeral one.
+    import pytest
+
     from deva_spark.sources import page as pg
 
+    monkeypatch.setattr(pg, "_NAMED", {})
     a = pg.NW("t_collide_a", port=0)
     try:
-        b = pg.NW("t_collide_b", host=a.host, port=a.port)
+        # simulate "a holds the shared default": ask for a's actual port
+        # via the DEFAULT path by pretending the default is a.port
+        with pytest.raises(OSError, match="explicitly requested"):
+            pg.NW("t_collide_b", host=a.host, port=a.port)
+        assert "t_collide_b" not in pg._NAMED  # failed create not cached
+        b = pg.NW("t_collide_b", host=a.host)  # port=None: don't care
         try:
             assert (b.host, b.port) != (a.host, a.port)
             assert pg.NW("t_collide_a") is a  # registry still one-per-name
@@ -165,5 +175,20 @@ def test_nw_second_named_server_avoids_port_collision():
             b.stop()
     finally:
         a.stop()
-        pg._NAMED.pop("t_collide_a", None)
-        pg._NAMED.pop("t_collide_b", None)
+
+
+def test_nw_stopped_server_releases_port_claim(monkeypatch):
+    # ADVICE r11 #4: a stopped server left in _NAMED must not keep
+    # claiming its port — an explicit request for it succeeds.
+    from deva_spark.sources import page as pg
+
+    monkeypatch.setattr(pg, "_NAMED", {})
+    a = pg.NW("t_dead_a", port=0)
+    freed = a.port
+    a.stop()
+    assert not a.alive
+    b = pg.NW("t_dead_b", host=a.host, port=freed)
+    try:
+        assert b.port == freed
+    finally:
+        b.stop()

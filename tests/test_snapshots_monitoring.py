@@ -521,6 +521,56 @@ def test_manifest_level_data_skipping(spark, tmp_path):
     assert p3.columns == ["k"] and p3.count() == 0
 
 
+def test_decimal_stats_prune_numerically_not_lexicographically(spark, tmp_path):
+    # ADVICE r11 #3: default=str made Decimal stats serialize as strings
+    # and '9' > '10' lexicographic compares could wrongly prune dirs that
+    # CONTAIN matching rows. Stats now normalize by type at commit.
+    from decimal import Decimal
+
+    path = str(tmp_path / "t_dec")
+    for lo in (9, 100):
+        snap.commit_snapshot(
+            spark.range(lo, lo + 5).select(
+                F.col("id").cast("decimal(18,2)").alias("amt")
+            ),
+            path, mode="append" if lo != 9 else "overwrite",
+            stats_cols=["amt"],
+        )
+    # the dir holding amt in [9, 13]: a string compare of '9.00' vs '10'
+    # would prune it ('9' > '1'); numeric stats must keep it
+    pruned = snap.read_snapshot_pruned(
+        spark, path, {"amt": (Decimal("10"), Decimal("12"))}
+    )
+    got = sorted(
+        r.amt for r in pruned.filter(F.col("amt").between(10, 12)).collect()
+    )
+    assert got == [Decimal("10.00"), Decimal("11.00"), Decimal("12.00")]
+    # and the non-matching dir is actually pruned from the scan
+    full = snap.read_snapshot(spark, path)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # manifests stay pure-JSON: every stat is a number, never a string
+    import json as _json
+    import os as _os
+
+    mdir = _os.path.join(path, "_manifests")
+    for f in _os.listdir(mdir):
+        if f.endswith(".json"):
+            m = _json.load(open(_os.path.join(mdir, f)))
+            for st in m.get("dir_stats", {}).values():
+                for mn, mx in st.values():
+                    assert isinstance(mn, (int, float)) and isinstance(
+                        mx, (int, float)
+                    )
+    # unsupported stat types fail at commit time, not corrupt the manifest
+    import pytest
+
+    with pytest.raises(TypeError, match="unsupported stat type"):
+        snap.commit_snapshot(
+            spark.createDataFrame([([1, 2],)], "arr array<int>"),
+            str(tmp_path / "t_bad"), mode="overwrite", stats_cols=["arr"],
+        )
+
+
 def test_streaming_histogram_partials_equivalence(spark, sf_dir):
     # histogram_partials is a plain algebraic aggregate (the stats/CMS
     # argument), so the PSI gate's input runs directly on the doc file

@@ -326,6 +326,17 @@ def test_incremental_simhash_matches_full_restricted(spark, sf_dir):
             ).collect()
         }
         assert staged == expected
+        # ADVICE r11 #2: a staged projection banded at a DIFFERENT chunk
+        # count joins (ci, cv) keys cut from different bit spans —
+        # candidates silently vanish. The layout contract is enforced at
+        # runtime, not just documented.
+        import pytest
+
+        with pytest.raises(ValueError, match="banded at"):
+            sh.incremental_near_duplicates(
+                new_fps, old_fps, max_hamming=H,
+                old_chunks=sh.chunk_keys(old_fps),  # default 4-chunk layout
+            ).collect()
     finally:
         fps.unpersist()
 
