@@ -90,8 +90,20 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def run_pass() -> tuple[float, dict[str, float]]:
+    def loadavg() -> float:
+        # 1-minute load at pass START — the attribution signal for
+        # ratio swings (VERDICT r11 #5: r11's in-run baseline moved
+        # 17.4 s -> 24.3 s on ambient load and the headline ratio moved
+        # with the denominator; the per-pass load band makes that
+        # visible in the artifact instead of needing forensics)
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:  # platform without getloadavg
+            return -1.0
+
+    def run_pass() -> tuple[float, dict[str, float], float]:
         per_run: dict[str, float] = {}
+        load0 = loadavg()
 
         def one(name: str) -> None:
             t0 = time.perf_counter()
@@ -111,7 +123,7 @@ def main() -> None:
         # later passes.
         spark.catalog.clearCache()
         spark._jvm.System.gc()
-        return wall, per_run
+        return wall, per_run, load0
 
     # BASELINE.md contract: one untimed warm-up PASS (JVM JIT + codegen
     # caches), then the median of n_runs timed passes. The warm-up also
@@ -121,14 +133,16 @@ def main() -> None:
     # and serializing the tail — a scheduling policy, not a measurement
     # change (every query still runs, each engine gets its own LPT order
     # from its own warm-up).
-    _, warm = run_pass()
+    _, warm, _ = run_pass()
     names = sorted(names, key=lambda n: -warm.get(n, 0.0))
     walls: list[float] = []
     runs: list[dict[str, float]] = []
+    loads: list[float] = []
     for _ in range(n_runs):
-        wall, per_run = run_pass()
+        wall, per_run, load0 = run_pass()
         walls.append(wall)
         runs.append(per_run)
+        loads.append(load0)
 
     def median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -137,7 +151,11 @@ def main() -> None:
 
     per = {n: round(median([r[n] for r in runs]), 3) for n in names}
     total = median(walls)
-    print(f"# suite wall-clock per pass: {walls} (workers={workers})", file=sys.stderr)
+    print(
+        f"# suite wall-clock per pass: {walls} loadavg: {loads} "
+        f"(workers={workers})",
+        file=sys.stderr,
+    )
 
     baseline_total = None
     if os.environ.get("BENCH_BASELINE", "1") != "0":
@@ -152,8 +170,9 @@ def main() -> None:
             )
         oracle_names = [n for n in names if n in Q.ORACLE_SQL]
 
-        def base_pass() -> tuple[float, dict[str, float]]:
+        def base_pass() -> tuple[float, dict[str, float], float]:
             b_run: dict[str, float] = {}
+            load0 = loadavg()
 
             def one(name: str) -> None:
                 cur = con.cursor()  # duckdb: one cursor per thread
@@ -168,22 +187,28 @@ def main() -> None:
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     list(pool.map(one, oracle_names))
-            return round(time.perf_counter() - t0, 3), b_run
+            return round(time.perf_counter() - t0, 3), b_run, load0
 
-        _, bwarm = base_pass()  # same warm-up exclusion + LPT reorder
+        _, bwarm, _ = base_pass()  # same warm-up exclusion + LPT reorder
         oracle_names = sorted(oracle_names, key=lambda n: -bwarm.get(n, 0.0))
         base_walls: list[float] = []
         base_runs: list[dict[str, float]] = []
+        base_loads: list[float] = []
         for _ in range(n_runs):
-            w, b_run = base_pass()
+            w, b_run, bl = base_pass()
             base_walls.append(w)
             base_runs.append(b_run)
+            base_loads.append(bl)
         base = {
             n: round(median([r[n] for r in base_runs]), 3) for n in base_runs[0]
         }
         btotal = round(median(base_walls), 3)
         baseline_total = btotal
-        print(f"# duckdb wall-clock per pass: {base_walls} (workers={workers})", file=sys.stderr)
+        print(
+            f"# duckdb wall-clock per pass: {base_walls} loadavg: "
+            f"{base_loads} (workers={workers})",
+            file=sys.stderr,
+        )
         print(
             f"# duckdb baseline total={btotal}s; per-query:"
             + json.dumps(base),
@@ -214,21 +239,39 @@ def main() -> None:
         # the timed suite, and why (streaming bootstrap, not data plane)
         "excluded": sorted(short_id(n) for n in excluded),
         "staging_sec": round(sum(staging.values()), 2),
+        # attribution (VERDICT r11 #5): 1-min loadavg at each timed
+        # pass's start, plus the quiet-floor wall (min pass) next to the
+        # median — a ratio swing caused by ambient load shows up here
+        # as a load band, not a mystery
+        "load_per_pass": loads,
+        "value_min": round(min(walls), 3),
     }
     detail: dict[str, object] = {
         "suite_total_wall": total,
+        "suite_min_wall": round(min(walls), 3),
         "sf": sf,
         "workers": workers,
         "runs": n_runs,
         "queries": per,
         "excluded_streaming": sorted(excluded),
         "artifact_staging_sec": staging,
+        "load_per_pass": loads,
+        "walls_per_pass": walls,
     }
     if baseline_total is not None:
         out["baseline_value"] = baseline_total
         out["ratio"] = round(total / baseline_total, 3) if baseline_total else None
+        out["baseline_load_per_pass"] = base_loads
+        out["baseline_min"] = round(min(base_walls), 3)
+        out["ratio_min"] = (
+            round(min(walls) / min(base_walls), 3) if min(base_walls) else None
+        )
         detail["baseline_total"] = baseline_total
         detail["ratio"] = out["ratio"]
+        detail["baseline_load_per_pass"] = base_loads
+        detail["baseline_walls_per_pass"] = base_walls
+        detail["baseline_min"] = out["baseline_min"]
+        detail["ratio_min"] = out["ratio_min"]
         # Per-query times overlap under concurrent drain — they are each
         # engine's own sequential cost, not additive to the suite wall.
         detail["per_query"] = {

@@ -900,14 +900,17 @@ def encode_avi(
     height: int | None = None,
     codec: str = "dib",
     quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode an AVI clip. Pass a ``(T, H, W, 3)`` uint8 RGB array —
     written as an uncompressed BI_RGB ('DIB ') stream by default
     (bottom-up BGR rows padded to 4 bytes, the layout every AVI reader
     speaks) or, with ``codec="mjpg"``, as an MJPEG stream whose frames
     are baseline JPEGs from the package-own codec (`functions.jpeg`,
-    r11). A list of pre-encoded JPEG blobs (plus ``width``/``height``)
-    also builds an MJPEG stream. Pure stdlib + numpy."""
+    r11; ``subsampling`` picks 4:4:4/4:2:2/4:2:0 per frame — r12, the
+    chroma layout real camera MJPEG streams carry). A list of
+    pre-encoded JPEG blobs (plus ``width``/``height``) also builds an
+    MJPEG stream. Pure stdlib + numpy."""
     if isinstance(frames, np.ndarray):
         if frames.ndim != 4 or frames.shape[3] != 3:
             raise ValueError(f"expected (T, H, W, 3) uint8, got {frames.shape}")
@@ -918,7 +921,8 @@ def encode_avi(
             handler = b"MJPG"
             compression = _MJPG_FOURCC
             payloads = [
-                encode_jpeg(f, quality=quality) for f in frames.astype(np.uint8)
+                encode_jpeg(f, quality=quality, subsampling=subsampling)
+                for f in frames.astype(np.uint8)
             ]
             chunk_id = b"00dc"
         elif codec.lower() == "dib":
@@ -1351,6 +1355,7 @@ def synthesize_avi_from_text(
     text_col: str = "text",
     codec: str = "dib",
     quality: int = 90,
+    subsampling: str = "444",
 ) -> DataFrame:
     """One REAL AVI clip per input row, geometry and pixels pure
     functions of ``md5(text)`` (:func:`synthesized_dims`'s video entry —
@@ -1375,7 +1380,10 @@ def synthesize_avi_from_text(
                     _det_bytes(seed, b"avi", vt * vh * vw * 3),
                     dtype=np.uint8,
                 ).reshape(vt, vh, vw, 3)
-                avi = encode_avi(clip, codec=codec, quality=quality)
+                avi = encode_avi(
+                    clip, codec=codec, quality=quality,
+                    subsampling=subsampling,
+                )
                 # DIB roundtrips bit-exactly (pinned by
                 # test_avi_dib_roundtrip_bit_exact), so its digest needs
                 # no re-decode; the decode-based digest is load-bearing

@@ -4,27 +4,33 @@ The reference resolves near-duplicate *pairs* but never groups them into
 clusters (`/root/reference/deva/utils/simhash.py:247-341` answers only
 point lookups); a real dedup funnel needs pairs -> connected components ->
 one canonical survivor per component. This module supplies that last step
-as a distributed min-label propagation over DataFrame joins.
+as distributed star contraction over DataFrame joins.
 
 Scale notes (100 TB corpus, ~1e9 near-dup edges):
-- Each iteration is one shuffle join (edges x labels on node id) plus a
-  groupBy min — both partition on the node id, so AQE can reuse the
-  exchange. No driver-side collection of nodes or edges ever happens;
-  the only actions are the per-round convergence counts, which double
-  as the cache-fill pass for that round's persist.
-- Iterations needed = graph diameter. Near-dup components are dense and
-  shallow (dup clusters are cliques or near-cliques), so propagation
-  converges in a handful of rounds; ``max_iter`` bounds adversarial
-  chains. For pathological long-path graphs the published alternating
-  large-star/small-star algorithm (Kiveris et al., "Connected Components
-  in MapReduce and Beyond") halves path lengths per round — documented
-  here as the upgrade path; plain propagation is the right default for
-  dedup-shaped graphs.
+- Each iteration is a fixed small number of shuffle joins/group-mins,
+  all keyed on node ids, so AQE can reuse exchanges. No driver-side
+  collection of nodes or edges ever happens; the only actions are the
+  per-round convergence counts, which double as the cache-fill pass
+  for that round's stage.
+- The distributed path is the alternating large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond"): each round rewires every node toward its neighborhood
+  minimum, contracting components in O(log^2 n) rounds REGARDLESS of
+  diameter — a 100 TB web-graph's long chain components converge where
+  plain min-label propagation (one hop per round, diameter rounds)
+  blows any iteration budget. Propagation remains available as
+  ``algorithm="propagation"`` (one shuffle join + one groupBy per
+  round — marginally cheaper per round on known-shallow graphs).
 - Per-iteration eager ``localCheckpoint`` breaks lineage growth — it
   both stores the round's labels and TRUNCATES the logical plan, which
   a ``persist`` would not (cached data, exponentially nesting plan tree;
   a 15-round chain OOM'd the JVM in plan stringification alone before
   the r11 fix). Superseded rounds' blocks release on DataFrame GC.
+  CAVEAT: localCheckpoint blocks die with their executors — on a
+  dynamic-allocation cluster pass ``checkpoint_dir`` (VERDICT r11 #4)
+  to stage rounds through a RELIABLE checkpoint (HDFS/S3-able files)
+  that survives executor loss; iteration state is then recoverable
+  instead of failing the job unrecoverably mid-round.
 """
 
 from __future__ import annotations
@@ -41,38 +47,78 @@ DRIVER_MAX_EDGES_CONF = "spark.deva.graph.driverMaxEdges"
 DRIVER_MAX_EDGES_DEFAULT = 1_000_000
 
 
+def _round_stager(spark, checkpoint_dir: str | None):
+    """Per-round materialize-and-truncate for iterative operators.
+
+    Default: eager ``localCheckpoint`` — fastest, but its blocks live in
+    executor memory/disk and DIE WITH THE EXECUTOR: on a
+    dynamic-allocation cluster a lost executor discards them
+    mid-iteration and the job fails unrecoverably (VERDICT r11 #4).
+    With ``checkpoint_dir``: a RELIABLE ``checkpoint`` — each round's
+    table is written to the (HDFS/S3-able) directory, so iteration
+    state survives executor loss; tasks that lose blocks re-read files.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     driver_threshold: int | None = None,
+    algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
     Returns ``(node, component)`` where ``component`` is the minimum node
     id in the node's component — a deterministic canonical representative
-    (the dedup survivor convention: keep the smallest doc id).
+    (the dedup survivor convention: keep the smallest doc id). The
+    output is a pure function of the graph, identical across
+    ``algorithm`` choices and partitionings.
 
     Adaptive, like ``windows.global_positions``: the edge list is the
     *near-dup pair set*, orders of magnitude smaller than the corpus that
     produced it. Below ``driver_threshold`` edges (default from the
     ``spark.deva.graph.driverMaxEdges`` conf — see the documented memory
     bound on :data:`DRIVER_MAX_EDGES_CONF`) it is collected and solved
-    with union-find on the driver (one job total — iterative propagation
-    would pay per-round job latency on trivial data); above it,
-    distributed min-label propagation: every node starts labeled with
-    itself, each round takes the min of its own and its neighbors'
-    labels, stopping when a round changes nothing; a graph whose
-    diameter exceeds ``max_iter`` raises instead of returning silently
-    split components.
+    with union-find on the driver (one job total — iterative rounds
+    would pay per-round job latency on trivial data); above it, the
+    distributed path picked by ``algorithm``:
+
+    - ``"star"`` (default): alternating large-star/small-star
+      contraction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond"). Each round every node rewires to its neighborhood
+      minimum; components contract in O(log^2 n) rounds REGARDLESS of
+      graph diameter — the 100 TB scale path (a web-graph dedup's long
+      chain components converge where one-hop propagation cannot).
+      Per round: two groupBy-min passes + two joins on node ids, edge
+      count never grows above the input.
+    - ``"propagation"``: min-label propagation — one join + one
+      groupBy-min per round, but needs DIAMETER rounds; right only for
+      known-shallow graphs (dup cliques).
+
+    Either path raises after ``max_iter`` rounds instead of returning
+    silently split components.
+
+    ``checkpoint_dir`` (VERDICT r11 #4): stage each round through a
+    RELIABLE checkpoint in this directory instead of executor-local
+    blocks, so iteration survives executor loss on dynamic-allocation
+    clusters. Default (None) keeps the faster localCheckpoint.
 
     Storage lifetime: the returned label table is served from the last
-    round's eager localCheckpoint; its blocks release when the DataFrame
-    is garbage-collected — callers looping many resolutions should write
-    the result out (the staged-assignment pattern every registry
-    consumer uses) rather than hold many live results.
+    round's eager checkpoint; localCheckpoint blocks release when the
+    DataFrame is garbage-collected — callers looping many resolutions
+    should write the result out (the staged-assignment pattern every
+    registry consumer uses) rather than hold many live results.
     """
+    if algorithm not in ("star", "propagation"):
+        raise ValueError(f"algorithm must be 'star' or 'propagation': {algorithm!r}")
     if driver_threshold is None:
         driver_threshold = int(
             edges.sparkSession.conf.get(
@@ -98,61 +144,149 @@ def connected_components(
             return _driver_union_find(sym)
         finally:
             sym.unpersist()
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp"))
-    converged = False
+    stager = _round_stager(edges.sparkSession, checkpoint_dir)
     try:
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(
-                    labels.select(F.col("node").alias("b"), F.col("comp").alias("nc")),
-                    "b",
-                )
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("nc").alias("nbr_min"))
-            )
-            # Eager localCheckpoint, not persist (r11 review, twice
-            # over): persist caches DATA but keeps the full logical
-            # plan, so the per-round join nesting still grows the plan
-            # tree exponentially (a 15-round chain OOM'd the JVM in
-            # plan stringification alone), and the old limit(1) probe
-            # materialized only the first partitions, so the eager
-            # unpersist of the predecessor forced every later round to
-            # re-derive the uncached chain back to sym. The eager
-            # checkpoint materializes every partition AND truncates
-            # lineage — each round's plan is one join over two stored
-            # tables. Blocks release on DataFrame GC; executor loss
-            # discards them (the pagerank localCheckpoint caveat — on a
-            # dynamic-allocation cluster stage labels to a table).
-            stepped = (
-                labels.join(nbr_min, "node", "left")
-                .select(
-                    "node",
-                    F.col("comp").alias("_old"),
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                    ).alias("comp"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = stepped.filter(F.col("comp") < F.col("_old")).count()
-            labels = stepped
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            # a split component silently mislabels canonical survivors —
-            # fail loudly instead (r11 review): propagation needs
-            # diameter rounds, so an adversarial chain can exceed any cap
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "rounds (graph diameter exceeds max_iter) — raise "
-                "max_iter, or collapse long chains with the large-star/"
-                "small-star variant documented in the module header"
-            )
-        return labels.select("node", "comp")
+        if algorithm == "star":
+            return _star_components(sym, max_iter, stager)
+        return _propagation_components(sym, max_iter, stager)
     finally:
         sym.unpersist()
+
+
+def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
+    """Alternating large-star/small-star contraction over a symmetrized
+    edge list (Kiveris et al. Algorithm 2) — O(log^2 n) rounds for ANY
+    graph shape. Maintains a canonical directed edge set ``(a, b)`` with
+    ``a > b``; at convergence every edge points at its component's
+    minimum node, and the label table reads straight off the edges.
+
+    Round anatomy (all shuffles keyed on node ids, map-side combining
+    group-mins, no step ever multiplies the edge count):
+
+    - large-star: for each node u over the symmetric adjacency, let
+      m = min(u, min neighbor); every neighbor v > u rewires to (v, m).
+    - small-star: for each node u over larger-to-smaller edges, let
+      m = min of its (all smaller) neighbors; every other neighbor and
+      u itself rewire to m.
+
+    Convergence check: the small-star output equals the round's input
+    (same count + no new edge) — two bounded aggregate actions per
+    round on the per-round stage."""
+    # canonical orientation, self-loops dropped; distinct bounds the
+    # working set by the UNIQUE pair count from round one
+    e = stager(
+        sym.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    n_e = e.count()
+    if n_e == 0:
+        return e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    for _ in range(max_iter):
+        # large-star over symmetric adjacency (rebuilt by explode from
+        # the stored canonical set — one scan, not a self-union)
+        adj = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("_d")
+        ).select("_d.u", "_d.v")
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", F.col("_mn")).alias("m"))
+        )
+        large = (
+            adj.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            # v > u >= m, so the emitted edge (v, m) is canonically
+            # oriented and never a self-loop
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over larger-to-smaller edges: m = min neighbor of
+        # u (all neighbors < u here); rewire every other neighbor and u
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        rewired = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        stepped = stager(
+            rewired.unionByName(
+                mins2.select("a", F.col("m").alias("b"))
+            ).distinct()
+        )
+        n_new = stepped.count()
+        # converged iff the edge set is unchanged: same size and no
+        # edge outside the previous set (both are bounded aggregates
+        # over the two staged rounds)
+        if n_new == n_e and stepped.join(e, ["a", "b"], "left_anti").take(1) == []:
+            return stepped.select(
+                F.col("a").alias("node"), F.col("b").alias("comp")
+            ).unionByName(
+                stepped.select(
+                    F.col("b").alias("node"), F.col("b").alias("comp")
+                ).distinct()
+            )
+        e, n_e = stepped, n_new
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} "
+        "rounds — raise max_iter (star contraction needs O(log^2 n) "
+        "rounds, so this indicates an extreme graph or a tiny budget)"
+    )
+
+
+def _propagation_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
+    """Min-label propagation (the pre-r12 distributed path): one hop per
+    round, DIAMETER rounds to converge — kept for known-shallow graphs
+    where its single join+groupBy round is marginally cheaper than a
+    star round."""
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("nc")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        # Eager stage, not persist (r11 review, twice over): persist
+        # caches DATA but keeps the full logical plan, so the per-round
+        # join nesting still grows the plan tree exponentially (a
+        # 15-round chain OOM'd the JVM in plan stringification alone),
+        # and a limit(1) probe materialized only the first partitions.
+        # The eager stage materializes every partition AND truncates
+        # lineage — each round's plan is one join over two stored
+        # tables.
+        stepped = stager(
+            labels.join(nbr_min, "node", "left").select(
+                "node",
+                F.col("comp").alias("_old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        changed = stepped.filter(F.col("comp") < F.col("_old")).count()
+        labels = stepped
+        if changed == 0:
+            return labels.select("node", "comp")
+    # a split component silently mislabels canonical survivors — fail
+    # loudly instead (r11 review): propagation needs diameter rounds,
+    # so an adversarial chain can exceed any cap
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} "
+        "rounds (graph diameter exceeds max_iter) — raise max_iter, "
+        "or use the default algorithm='star' contraction, which "
+        "converges in O(log^2 n) rounds regardless of diameter"
+    )
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -192,6 +326,8 @@ def canonical_assignments(
     out_id: str = "doc_id",
     max_iter: int = 25,
     driver_threshold: int | None = None,
+    algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> per-doc cluster assignment with a canonical flag.
 
@@ -203,7 +339,9 @@ def canonical_assignments(
     for the un-duplicated bulk of a 100 TB corpus).
     """
     comp = connected_components(
-        pairs, src=id_a, dst=id_b, max_iter=max_iter, driver_threshold=driver_threshold
+        pairs, src=id_a, dst=id_b, max_iter=max_iter,
+        driver_threshold=driver_threshold, algorithm=algorithm,
+        checkpoint_dir=checkpoint_dir,
     )
     return comp.select(
         F.col("node").alias(out_id),
@@ -347,6 +485,7 @@ def pagerank(
     degrees: DataFrame | None = None,
     outdeg_col: str | None = None,
     complete_sources: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over an edge-list DataFrame.
 
@@ -428,6 +567,13 @@ def pagerank(
     with one src carries one outdeg — with one fewer join per run.
     Requires pre-symmetrized edges (``symmetrize=False``); ``degrees``
     is ignored.
+
+    ``checkpoint_dir`` (VERDICT r11 #4): stage the periodic
+    ``checkpoint_every`` rank tables through a RELIABLE checkpoint in
+    this directory instead of executor-local blocks, so a deep
+    iteration survives executor loss on dynamic-allocation clusters
+    (``stage="persist"`` is already loss-safe for the EDGES — lineage
+    recomputes — but the localCheckpoint rank stages were not).
     """
     if outdeg_col is not None:
         if symmetrize:
@@ -438,6 +584,7 @@ def pagerank(
         return _pagerank_denorm(
             edges, src, dst, outdeg_col, n_iter, damping_pct, scale,
             stage, checkpoint_every, broadcast_ranks, complete_sources,
+            checkpoint_dir,
         )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if symmetrize:
@@ -468,6 +615,7 @@ def pagerank(
     ranks = deg.select(
         "node", "outdeg", F.lit(scale).cast("bigint").alias("r")
     )
+    rank_stager = _round_stager(edges.sparkSession, checkpoint_dir)
     cached: DataFrame | None = None
     for i in range(n_iter):
         # Node-level share table: the per-edge contribution is a pure
@@ -519,7 +667,7 @@ def pagerank(
                     cached.unpersist()
                 cached = ranks
             else:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = rank_stager(ranks)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
@@ -535,6 +683,7 @@ def _pagerank_denorm(
     checkpoint_every: int,
     broadcast_ranks: bool,
     complete_sources: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over edges that carry their source's out-degree (the
     staged-graph fast path of :func:`pagerank` — see its docstring).
@@ -585,7 +734,7 @@ def _pagerank_denorm(
             and (i + 1) % checkpoint_every == 0
             and i + 1 < n_iter
         ):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _round_stager(edges.sparkSession, checkpoint_dir)(ranks)
     if not complete_sources:
         # pre-symmetrized staged graphs: the completion below is
         # provably vacuous and its edge-table distinct is the dominant

@@ -6003,6 +6003,87 @@ def x109(spark, sf):
     return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
 
 
+@query("x110_mjpeg_420_audit", _X108_ORACLE)
+def x110(spark, sf):
+    # CHROMA-SUBSAMPLED video tier (VERDICT r11 #2): x109's MJPEG-AVI
+    # roundtrip with every frame encoded 4:2:0 — the layout real crawled
+    # web JPEGs and camera MJPEG streams overwhelmingly carry. Each
+    # frame box-averages its chroma planes, interleaves 2x2 luma blocks
+    # per MCU (T.81 A.2.3), and the decoder reconstructs through
+    # sampling-factor-aware MCU parsing + deterministic nearest-neighbor
+    # upsampling (`functions.jpeg`, no libjpeg/PIL anywhere). `ok`
+    # proves the decoded pixels' md5 crosses the Arrow/shuffle boundary
+    # unchanged; header dims hash-check against the same md5(text)
+    # arithmetic oracle as x108/x109 (geometry is codec-independent, so
+    # a subsampling bug that shifted dims or broke the MCU walk flips
+    # the hash).
+    from deva_spark.functions import multimodal as mmod
+    from deva_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    )
+    media = mmod.synthesize_avi_from_text(
+        docs, codec="mjpg", quality=90, subsampling="420"
+    )
+    return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
+
+
+@query(
+    "x111_chain_dedup_clusters",
+    """WITH b AS (
+          SELECT doc_id, substr(md5(COALESCE(text, '')), 1, 1) AS bkt
+          FROM documents
+        ), m AS (
+          SELECT bkt, MIN(doc_id) AS mn, COUNT(*) AS n FROM b GROUP BY bkt
+        )
+        SELECT b.doc_id, m.mn AS cluster_id,
+               b.doc_id = m.mn AS is_canonical
+        FROM b JOIN m USING (bkt) WHERE m.n >= 2
+        ORDER BY doc_id""",
+)
+def x111(spark, sf):
+    # CHAIN-SHAPED cluster resolution on the DISTRIBUTED star path
+    # (VERDICT r11 #3): content-bucketed docs (md5(text) first nibble)
+    # link each member to its doc_id-successor within the bucket, so
+    # every component is a LONG CHAIN (diameter ~ bucket size, ~30 at
+    # sf0.01, thousands at sf1) — exactly the shape that blows min-label
+    # propagation's round budget and where large-star/small-star's
+    # O(log n) contraction is the only plan that scales.
+    # driver_threshold=0 forces the distributed star path, so this row
+    # is the driver-checked evidence for it (x41/x81/x89/x90 resolve
+    # through the driver union-find cutover at driver-check sizes).
+    # Successor edges come from the grouped two-phase numbering
+    # (global_positions group_cols — never a per-bucket window: 16
+    # buckets would mean 16 corpus-sized reducers at 100 TB) joined
+    # seq-to-seq+1 on (bucket, seq). The oracle resolves the same
+    # components structurally: a successor chain connects its whole
+    # bucket, so cluster_id == per-bucket min doc_id; single-member
+    # buckets have no pairs and are omitted per the
+    # canonical_assignments contract.
+    from deva_spark.operators import graphs, windows as W
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 1
+        ).alias("_bkt"),
+    )
+    seq = W.global_positions(
+        docs, order=["doc_id"], out="_seq", group_cols=["_bkt"]
+    )
+    a = seq.select(
+        F.col("doc_id").alias("id_a"), "_bkt", F.col("_seq").alias("_s")
+    )
+    b = seq.select(
+        F.col("doc_id").alias("id_b"), "_bkt", (F.col("_seq") - 1).alias("_s")
+    )
+    pairs = a.join(b, ["_bkt", "_s"]).select("id_a", "id_b")
+    return graphs.canonical_assignments(pairs, driver_threshold=0).orderBy(
+        "doc_id"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the group-agg pricing summary (declared query 3)."""
     load_tables(spark, sf_dir)
@@ -6013,103 +6094,83 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries that most need
-# a driver row first. Round-11 window (VERDICT r10 #1/#2/#3): (a) the
-# queries whose implementation or oracle CHANGED this round — x107 (the
-# r10 `no_oracle` red row, now carrying a real md5-arithmetic DuckDB
-# oracle), x08 (two-phase top-k), x77/x86 (their pruned pair-forming
-# artifacts' file shaping moved from the logical plan to staging-write
-# time), x54 (grouped two-phase numbering), x62 (grouped running sum;
-# x70 — also changed via the salted weighted_sample_topk — returns with
-# the deferrals); (b) ALL 12 remaining r9 deferrals (x60-x72 tail),
-# emptying the r10 backlog as promised; (c) the longest-stale green
-# rows — 31 of the
-# 37 whose latest driver row is r8; the other 6 defer to r12 (the
-# window holds 50); (d) this round's new registrations x108+
-# (auto-append). Local tooling (tools/check_correctness.py, bench.py)
-# still runs every entry.
+# a driver row first. Round-12 window (VERDICT r11 #1): (a) the six r11
+# deferrals — the ONLY entries whose latest driver evidence is r8, the
+# oldest in the registry — lead; (b) every entry whose latest green is
+# r9 (42 of them — the full r9-stale cohort, so after this window no
+# entry's latest green is older than r10); (c) this round's new
+# registrations x110+ (auto-append: 48 + 2 new = exactly 50). The
+# deferral backlog closes EMPTY. Local tooling
+# (tools/check_correctness.py, bench.py) still runs every entry.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # changed implementation/oracle this round (VERDICT r10 #1/#3 +
-    # ADVICE r10 artifact shaping)
-    "x107_media_codec_audit",
-    "x08_cosine_topk",
-    "x77_incremental_dup_pairs",
-    "x86_incremental_shingle_overlap",
-    "x54_source_token_budget",
-    "x62_top_p_token_mass",
-    # round-9's final 12 deferrals, returning as promised (VERDICT r10
-    # #2 — the r10 backlog is now empty)
-    "x60_kmv_distinct_users",
-    "x61_pagerank_two_steps",
-    "x63_streaming_trending",
-    "x64_event_transitions",
-    "x65_containment_pairs",
-    "x67_funnel_conversion",
-    "x68_retention_cohorts",
-    "x69_streaming_funnel",
-    "x70_weighted_sample",
-    "x71_streaming_retention",
-    "x72_global_weighted_sample",
-    # the longest-stale green rows (latest driver row r8) — 31 of 37;
-    # the remaining 6 are this round's _DEFERRED_TO_NEXT
-    "q03_group_agg",
-    "q06_dedup_first_seen",
-    "q20_lag_diff",
-    "q35_sessionization",
-    "x01_token_count",
-    "x02_lang_id",
-    "x03_quality_score",
-    "x04_fingerprint",
-    "x05_ngram_jaccard",
-    "x06_minhash_lsh_neardup",
-    "x07_simhash_neardup",
-    "x09_ann_lsh_topk",
-    "x100_document_chunks",
-    "x13_fulltext_search",
-    "x16_part_brand_stats",
-    "x17_supplier_by_nation",
-    "x58_late_orders_by_priority",
-    "x73_merge_intervals",
-    "x74_substring_dup_pairs",
-    "x75_longest_common_run",
-    "x76_remove_duplicate_runs",
-    "x81_incremental_dedup_clusters",
-    "x85_kmv_rollup_distinct_users",
-    "x89_retract_clusters",
-    "x90_keep_best_per_cluster",
-    "x91_curation_audit",
-    "x92_retract_corpus_stats",
-    "x93_quantile_rollup",
-    "x94_cms_heavy_hitters",
-    "x96_kmv_source_overlap",
-    "x99_incremental_weighted_sample",
-)
-
-#: Entries pushed to the round-12 window: the 6 of 37 r8-stale rows the
-#: 50-row window can't also hold this round (the 6 changed queries + 11
-#: returning deferrals — x62, the 12th, rides the changed block — +
-#: x108/x109 take precedence; counts corrected r11 review). Every name
-#: below is r8-green and each has an in-window sibling exercising the
-#: same operator family (x26/x57 histograms, x27/x19 pivot-cube,
-#: x29/x04 rolling hashes, x53/x63 trending); later-session operator
-#: fixes touching x26 are hash-identical at tri-SF, so the r8 rows stay
-#: valid evidence. tests/test_plan_shapes.py's window accounting
-#: (window ∪ deferrals ∪ r09/r10-green == registry) fails CI if any
-#: entry silently drops out of all three sets.
-_DEFERRED_TO_NEXT: tuple[str, ...] = (
+    # the r11 deferrals: latest driver row r8 — the registry's oldest
+    # evidence, first in line as VERDICT r11 #1 requires
     "x18_lineitem_part_join",
     "x25_session_stats",
     "x26_histogram",
     "x27_pivot_counts",
     "x29_rolling_hash",
     "x53_hourly_trending",
+    # the full r9-stale cohort (latest driver row r9), 42 entries —
+    # after this round every registry entry's newest green is >= r10
+    "q01_scan_project",
+    "q02_filter",
+    "q04_avg_min_max",
+    "q05_distinct",
+    "q07_consecutive_dedup",
+    "q08_inner_join",
+    "q09_left_join_coalesce",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_multiway_join",
+    "q13_positional_zip",
+    "q16_sliding_window_avg",
+    "q17_partition_chunks",
+    "q18_tumbling_time_window",
+    "q19_rank_topk_per_key",
+    "q21_topk",
+    "q22_slice",
+    "q23_union",
+    "q24a_intersect",
+    "q24b_except",
+    "q25_string_fns",
+    "q26_regexp_extract",
+    "q27_date_trunc",
+    "q28_math_fns",
+    "q29_explode_words",
+    "q30_frequencies",
+    "q31_percentile",
+    "q32_rollup",
+    "q33_zscore_anomaly",
+    "q34_exact_text_dedup",
+    "x101_ivfpq_adc_search",
+    "x102_ivfpq_rerank_search",
+    "x103_ivfpq_append_search",
+    "x104_cjk_bigram_token_freq",
+    "x10_label_centroids",
+    "x11_json_extract",
+    "x12_tfidf_keywords",
+    "x14_case_route",
+    "x21_rolling_time_window",
+    "x23_cosine_neardup",
+    "x66_semdedup_prune",
+    "x88_incremental_cosine_neardup",
 )
+
+#: Round-12 closes with the deferral backlog EMPTY (VERDICT r11 #1's
+#: "keep _DEFERRED_TO_NEXT empty at close"): the window holds the six
+#: r8-stale entries + all 42 r9-stale entries + the two new
+#: registrations (x110/x111) — nothing left over. Everything outside
+#: the window is r10- or r11-green, which the accounting test below
+#: verifies directly against those CORRECTNESS files.
+_DEFERRED_TO_NEXT: tuple[str, ...] = ()
 
 #: Queries registered this round get their FIRST driver row ahead of the
 #: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
 #: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 108  # x108+ = new in r11
+_NEW_MIN_ID = 110  # x110+ = new in r12
 
 
 

@@ -268,14 +268,99 @@ def test_pagerank_directed_keeps_indegree_zero_sources(spark):
 
 
 def test_connected_components_nonconvergence_raises(spark):
-    # r11 review: a chain of diameter d needs ~d rounds; exhausting
-    # max_iter must raise, not return silently split components.
+    # r11 review: propagation on a chain of diameter d needs ~d rounds;
+    # exhausting max_iter must raise, not return silently split
+    # components.
     import pytest
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        graphs.connected_components(chain, max_iter=2, driver_threshold=0)
-    ok = graphs.connected_components(chain, max_iter=15, driver_threshold=0)
+        graphs.connected_components(
+            chain, max_iter=2, driver_threshold=0, algorithm="propagation"
+        )
+    ok = graphs.connected_components(
+        chain, max_iter=15, driver_threshold=0, algorithm="propagation"
+    )
     assert {r.comp for r in ok.collect()} == {0}
+
+
+def test_star_converges_where_propagation_budget_fails(spark):
+    # VERDICT r11 #3: large-star/small-star contracts in ~1.2*log2(n)
+    # rounds regardless of diameter (measured: a 200-chain converges in
+    # 9-10). A 200-long chain exceeds a 12-round propagation budget by
+    # 16x but the star path converges within it.
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graphs.connected_components(
+            chain, max_iter=12, driver_threshold=0, algorithm="propagation"
+        )
+    got = graphs.connected_components(
+        chain, max_iter=12, driver_threshold=0
+    )  # default algorithm="star"
+    rows = {(r.node, r.comp) for r in got.collect()}
+    assert rows == {(i, 0) for i in range(201)}
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    # the star path's output is a pure function of the graph: parity
+    # against the driver union-find across shapes (cliques, chains,
+    # bridges, isolated pairs, string-keyed components)
+    import random
+
+    rng = random.Random(12)
+    edges = []
+    # three cliques
+    for base in (0, 100, 200):
+        ids = [base + i for i in range(6)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    # a long chain bridging two of them
+    edges += [(5, 300), (300, 301), (301, 302), (302, 100)]
+    # random sprinkle
+    for _ in range(80):
+        a, b = rng.randrange(400, 500), rng.randrange(400, 500)
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        (r.node, r.comp)
+        for r in graphs.connected_components(df).collect()  # union-find
+    }
+    got = {
+        (r.node, r.comp)
+        for r in graphs.connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == want
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    # VERDICT r11 #4: localCheckpoint blocks die with executors — a
+    # reliable checkpoint_dir stage must survive losing every cached
+    # block, where the localCheckpoint path cannot recompute (lineage
+    # truncated). Simulate executor loss by unpersisting all blocks.
+    ckpt = str(tmp_path / "ckpt")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "src long, dst long"
+    )
+    labels = graphs.connected_components(
+        chain, driver_threshold=0, checkpoint_dir=ckpt
+    )
+    # blow away every persisted/cached block (what a lost executor does)
+    jsc = spark.sparkContext._jsc.sc()
+    pr = jsc.getPersistentRDDs()
+    it = pr.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+    # the reliably-checkpointed labels re-read from files and still work
+    rows = {(r.node, r.comp) for r in labels.collect()}
+    assert rows == {(i, 0) for i in range(151)}
+    # pagerank's periodic rank stage takes the same knob
+    pr_out = graphs.pagerank(
+        chain, n_iter=9, checkpoint_every=2, checkpoint_dir=ckpt
+    )
+    assert pr_out.count() == 151

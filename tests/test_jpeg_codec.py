@@ -98,15 +98,76 @@ def test_unsupported_inputs_raise():
         J.encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
 
 
-def test_subsampled_flag_raises():
+def test_fractional_sampling_ratio_raises():
+    # 4:2:0 is now supported (VERDICT r11 #2); what remains external-
+    # codec territory is a FRACTIONAL ratio (3x3 luma over 2x2 chroma:
+    # 3 % 2 != 0), which needs resampling filters.
     img = _grad(8, 8)
     enc = bytearray(J.encode_jpeg(img, quality=90))
     i = bytes(enc).find(b"\xff\xc0")
-    # component 1 sampling byte sits at SOF0 body offset 7 (after
-    # marker+len+prec+h+w+nc and component id)
-    enc[i + 4 + 6 + 1] = 0x22  # 2x2 sampling
-    with pytest.raises(NotImplementedError):
+    # component sampling bytes sit at SOF0 body offsets 7/10/13
+    enc[i + 4 + 6 + 1] = 0x33  # Y 3x3
+    enc[i + 4 + 9 + 1] = 0x22  # Cb 2x2 -> ratio 3/2, fractional
+    with pytest.raises(NotImplementedError, match="fractional"):
         J.decode_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize("mode", ["420", "422"])
+@pytest.mark.parametrize("hw", [(16, 16), (9, 13), (33, 31), (1, 1)])
+def test_subsampled_roundtrip_shapes_and_determinism(mode, hw):
+    # VERDICT r11 #2: real crawled web JPEGs are overwhelmingly 4:2:0 —
+    # encode and decode must roundtrip at arbitrary (non-MCU-multiple)
+    # sizes, deterministically.
+    h, w = hw
+    img = np.random.default_rng(h * 7 + w).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    enc = J.encode_jpeg(img, quality=90, subsampling=mode)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert J.encode_jpeg(img, quality=90, subsampling=mode) == enc
+    assert np.array_equal(J.decode_jpeg(enc), dec)
+    # the SOF sampling byte actually says what we claim it says
+    i = enc.find(b"\xff\xc0")
+    want = 0x22 if mode == "420" else 0x21
+    assert enc[i + 4 + 6 + 1] == want
+
+
+def test_subsampled_smooth_image_error_bound():
+    # chroma is box-averaged then replicated: on a smooth gradient the
+    # loss stays small (luma untouched carries the detail)
+    img = _grad(32, 24)
+    for mode in ("420", "422"):
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsampling=mode))
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 12
+    # grayscale ignores the flag entirely — identical bytes
+    g = np.full((20, 20), 137, dtype=np.uint8)
+    assert J.encode_jpeg(g, subsampling="420") == J.encode_jpeg(g)
+
+
+def test_subsampled_golden_digest():
+    # wire-format pin for the 4:2:0 path (a shared encoder/decoder
+    # drift still roundtrips — the literals catch it)
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img, quality=90, subsampling="420")
+    dig = hashlib.md5(enc).hexdigest()
+    dec_dig = hashlib.md5(J.decode_jpeg(enc).tobytes()).hexdigest()
+    assert (dig, dec_dig) == (
+        "a63a6e43deb479a00d1f6dc7b9487a4a",
+        "84aef1617304259f96d49d924b10dc13",
+    )
+
+
+def test_subsampled_restart_markers_roundtrip():
+    # DRI/RSTm interact with the MCU loop (predictor resets count MCUs,
+    # not blocks) — pin the subsampled resync path
+    img = np.random.default_rng(3).integers(
+        0, 256, size=(40, 40, 3), dtype=np.uint8
+    )
+    enc = J.encode_jpeg(img, quality=80, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in enc
+    plain = J.encode_jpeg(img, quality=80, subsampling="420")
+    assert np.array_equal(J.decode_jpeg(enc), J.decode_jpeg(plain))
 
 
 

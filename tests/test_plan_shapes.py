@@ -358,13 +358,12 @@ def test_driver_window_accounts_for_every_registry_entry():
     assert len(Q._DRIVER_FIRST) == len(set(Q._DRIVER_FIRST)), "dup entry"
     assert len(set(Q._DEFERRED_TO_NEXT)) == len(Q._DEFERRED_TO_NEXT)
     base = os.path.join(os.path.dirname(__file__), "..")
-    # green rows from the last TWO driver rounds count: the r10 window
-    # held the changed/red cohort + 36 r9 deferrals and the r9 window
-    # the x73+ cohort, so together they cover everything the r11 window
-    # defers (each deferral is additionally r08 green; this file keys on
-    # the two most recent rounds only).
+    # green rows from the last TWO driver rounds count: the r12 window
+    # holds the six r8-stale deferrals + the entire r9-stale cohort, so
+    # everything OUTSIDE it is r10- or r11-green and the deferral list
+    # closes empty (VERDICT r11 #1).
     prev_green = set()
-    for rnd in ("CORRECTNESS_r09.json", "CORRECTNESS_r10.json"):
+    for rnd in ("CORRECTNESS_r10.json", "CORRECTNESS_r11.json"):
         rows = json.load(open(os.path.join(base, rnd)))
         # only rows the driver actually verified count — a red row
         # (x107's no_oracle in r10) must NOT satisfy the accounting
@@ -380,19 +379,19 @@ def test_driver_window_accounts_for_every_registry_entry():
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
     # every deferral names a real registry entry
     assert deferred <= set(keys)
-    # VERDICT r10 #1/#3 + ADVICE r10: every query whose oracle or
-    # implementation changed this round must sit in the r11 window —
+    # VERDICT r11 #1: the six r8-stale deferrals MUST lead the r12
+    # window (oldest evidence in the registry), and every query whose
+    # oracle or implementation changed this round must sit in-window —
     # shipping a changed oracle out-of-window means it ships unverified.
     for changed in (
-        "x107_media_codec_audit",  # real DuckDB oracle replaces no_oracle
-        "x08_cosine_topk",  # two-phase (qid, salt) top-k
-        "x77_incremental_dup_pairs",  # subwin8d shaping moved to write
-        "x86_incremental_shingle_overlap",  # shingle5d shaping moved
-        "x54_source_token_budget",  # grouped two-phase numbering
-        "x62_top_p_token_mass",  # grouped two-phase running sum
-        "x70_weighted_sample",  # salted two-phase weighted top-k
-        "x108_video_avi_audit",  # new this round (AVI de-stub)
-        "x109_mjpeg_avi_audit",  # new this round (baseline JPEG codec)
+        "x18_lineitem_part_join",  # r11 deferral, evidence r8
+        "x25_session_stats",  # r11 deferral, evidence r8
+        "x26_histogram",  # r11 deferral, evidence r8
+        "x27_pivot_counts",  # r11 deferral, evidence r8
+        "x29_rolling_hash",  # r11 deferral, evidence r8
+        "x53_hourly_trending",  # r11 deferral, evidence r8
+        "x110_mjpeg_420_audit",  # new this round (4:2:0 JPEG decode)
+        "x111_chain_dedup_clusters",  # new this round (star CC)
     ):
         assert changed in window, f"changed row {changed} fell out of the window"
 

@@ -433,12 +433,21 @@ def main() -> int:
     staged = Q.stage_artifacts(spark, OUT)
     staging_sec = round(time.perf_counter() - t0, 1)
 
+    def loadavg() -> float:
+        # attribution (VERDICT r11 #5): ambient load alongside the
+        # timings so ratio swings are explainable from the artifact
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return -1.0
+
     out: dict = {
         "metric": "sf1_heavy_tier_suite",
         "sf": "sf0.1 x10 amplified (~sf1)",
         "build_sec": build_sec,
         "staging_sec": staging_sec,
         "runs": N_RUNS,
+        "load_start": loadavg(),
         "queries": {},
         "duckdb": {},
         "rows": {},
@@ -477,6 +486,7 @@ def main() -> int:
     out["spark_total"] = round(spark_total, 2)
     out["duckdb_total"] = round(duck_total, 2)
     out["ratio"] = round(spark_total / duck_total, 3) if duck_total else None
+    out["load_end"] = loadavg()
     out["incremental_operational"] = incremental_operational(spark)
     line = json.dumps(out)
     print(line)
