@@ -21,11 +21,13 @@ Scale notes (100 TB corpus, ~1e9 near-dup edges):
   blows any iteration budget. Propagation remains available as
   ``algorithm="propagation"`` (one shuffle join + one groupBy per
   round — marginally cheaper per round on known-shallow graphs).
-- Per-iteration eager ``localCheckpoint`` breaks lineage growth — it
-  both stores the round's labels and TRUNCATES the logical plan, which
-  a ``persist`` would not (cached data, exponentially nesting plan tree;
+- Per-iteration ``localCheckpoint`` breaks lineage growth — it both
+  stores the round's labels and TRUNCATES the logical plan, which a
+  ``persist`` would not (cached data, exponentially nesting plan tree;
   a 15-round chain OOM'd the JVM in plan stringification alone before
-  the r11 fix). Superseded rounds' blocks release on DataFrame GC.
+  the r11 fix). Staged lazily: the convergence action that immediately
+  follows materializes it in the same job (r12). Superseded rounds'
+  blocks release on DataFrame GC.
   CAVEAT: localCheckpoint blocks die with their executors — on a
   dynamic-allocation cluster pass ``checkpoint_dir`` (VERDICT r11 #4)
   to stage rounds through a RELIABLE checkpoint (HDFS/S3-able files)
@@ -58,11 +60,19 @@ def _round_stager(spark, checkpoint_dir: str | None):
     table is written to the (HDFS/S3-able) directory, so iteration
     state survives executor loss; tasks that lose blocks re-read files.
     """
+    # eager=False: every iterative caller runs a bounded action (the
+    # convergence fingerprint / changed-count) immediately after
+    # staging, which materializes the checkpoint IN THAT JOB — eager
+    # staging would pay a separate materialization job per round
+    # (measured ~30% of the x111 star-resolution wall at sf0.1).
+    # Lineage still truncates at materialization, so the per-round
+    # plan-nesting blowup the eager form was introduced for (r11)
+    # stays fixed.
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+        return lambda df: df.localCheckpoint(eager=False)
     sc = spark.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.checkpoint(eager=False)
 
 
 def connected_components(
@@ -112,7 +122,7 @@ def connected_components(
     clusters. Default (None) keeps the faster localCheckpoint.
 
     Storage lifetime: the returned label table is served from the last
-    round's eager checkpoint; localCheckpoint blocks release when the
+    round's checkpoint; localCheckpoint blocks release when the
     DataFrame is garbage-collected — callers looping many resolutions
     should write the result out (the staged-assignment pattern every
     registry consumer uses) rather than hold many live results.
@@ -169,9 +179,26 @@ def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
       m = min of its (all smaller) neighbors; every other neighbor and
       u itself rewire to m.
 
-    Convergence check: the small-star output equals the round's input
-    (same count + no new edge) — two bounded aggregate actions per
-    round on the per-round stage."""
+    Convergence check: the small-star output equals the round's input.
+    One bounded aggregate action per round — (count, xxhash64-sum)
+    fingerprint; only when the fingerprint matches does an exact
+    anti-join probe confirm set equality (chains keep the edge COUNT
+    constant every round, so a count-only fast path would pay the
+    probe join per round; the checksum makes the probe a
+    once-at-convergence cost)."""
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        # BIT_XOR, not SUM: order-independent over the distinct edge
+        # set and can never overflow (ANSI mode makes a bigint SUM of
+        # hashes a runtime error)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("chk"),
+        ).collect()[0]
+        return int(row["n"]), int(row["chk"])
+
     # canonical orientation, self-loops dropped; distinct bounds the
     # working set by the UNIQUE pair count from round one
     e = stager(
@@ -181,7 +208,7 @@ def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
         )
         .distinct()
     )
-    n_e = e.count()
+    n_e, chk_e = _fingerprint(e)
     if n_e == 0:
         return e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
     for _ in range(max_iter):
@@ -204,9 +231,13 @@ def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
             adj.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             # v > u >= m, so the emitted edge (v, m) is canonically
-            # oriented and never a self-loop
+            # oriented and never a self-loop. NOT deduplicated here:
+            # each undirected edge emits exactly one row (from its
+            # smaller endpoint), so there is no growth to bound, the
+            # group-min below is duplicate-insensitive, and the round's
+            # final distinct dedups the output set — a distinct here
+            # was one whole extra shuffle per round for nothing (r12).
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
         # small-star over larger-to-smaller edges: m = min neighbor of
         # u (all neighbors < u here); rewire every other neighbor and u
@@ -221,11 +252,15 @@ def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
                 mins2.select("a", F.col("m").alias("b"))
             ).distinct()
         )
-        n_new = stepped.count()
-        # converged iff the edge set is unchanged: same size and no
-        # edge outside the previous set (both are bounded aggregates
-        # over the two staged rounds)
-        if n_new == n_e and stepped.join(e, ["a", "b"], "left_anti").take(1) == []:
+        n_new, chk_new = _fingerprint(stepped)
+        # converged iff the edge set is unchanged: the fingerprint
+        # gates cheaply; the anti-join probe then proves EXACT set
+        # equality (a checksum collision can only cause one wasted
+        # probe, never a wrong answer)
+        if (
+            (n_new, chk_new) == (n_e, chk_e)
+            and stepped.join(e, ["a", "b"], "left_anti").take(1) == []
+        ):
             return stepped.select(
                 F.col("a").alias("node"), F.col("b").alias("comp")
             ).unionByName(
@@ -233,7 +268,7 @@ def _star_components(sym: DataFrame, max_iter: int, stager) -> DataFrame:
                     F.col("b").alias("node"), F.col("b").alias("comp")
                 ).distinct()
             )
-        e, n_e = stepped, n_new
+        e, n_e, chk_e = stepped, n_new, chk_new
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iter} "
         "rounds — raise max_iter (star contraction needs O(log^2 n) "
@@ -358,6 +393,8 @@ def incremental_canonical_assignments(
     out_id: str = "doc_id",
     max_iter: int = 25,
     driver_threshold: int | None = None,
+    algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Merge a new batch's near-dup pairs into an EXISTING cluster
     assignment — the x77/x80 incremental contract on the resolution step.
@@ -390,6 +427,8 @@ def incremental_canonical_assignments(
         out_id=out_id,
         max_iter=max_iter,
         driver_threshold=driver_threshold,
+        algorithm=algorithm,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -402,6 +441,8 @@ def retract_assignments(
     out_id: str = "doc_id",
     max_iter: int = 25,
     driver_threshold: int | None = None,
+    algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Remove a forget-list from an EXISTING cluster assignment — the
     deletion-side counterpart of :func:`incremental_canonical_assignments`
@@ -467,6 +508,8 @@ def retract_assignments(
         out_id=out_id,
         max_iter=max_iter,
         driver_threshold=driver_threshold,
+        algorithm=algorithm,
+        checkpoint_dir=checkpoint_dir,
     )
     return kept.select(out_id, "cluster_id", "is_canonical").unionByName(resolved)
 

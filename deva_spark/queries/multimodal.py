@@ -654,12 +654,18 @@ def x110(spark, sf):
 )
 def x111(spark, sf):
     # CHAIN-SHAPED cluster resolution on the DISTRIBUTED star path
-    # (VERDICT r11 #3): content-bucketed docs (md5(text) first nibble)
-    # link each member to its doc_id-successor within the bucket, so
-    # every component is a LONG CHAIN (diameter ~ bucket size, ~30 at
-    # sf0.01, thousands at sf1) — exactly the shape that blows min-label
+    # (VERDICT r11 #3): content-bucketed docs (md5(text) first nibble —
+    # 16 buckets) link each member to its doc_id-successor within the
+    # bucket, so every component is a LONG CHAIN (diameter ~ corpus/16:
+    # ~30 at sf0.01, thousands at sf1) — the shape that blows min-label
     # propagation's round budget and where large-star/small-star's
-    # O(log n) contraction is the only plan that scales.
+    # O(log n) contraction is the only plan that holds (star rounds ~
+    # 1.2*log2(chain); the 200-chain pytest pins the propagation-
+    # budget-exceeding case explicitly). Excluded from bench.py's timed
+    # suite for the same reason as the streaming drains: ~log2(chain)
+    # sequential bounded-data rounds measure per-round scheduler
+    # latency locally, not data-plane throughput — at 100 TB the same
+    # handful of rounds amortizes over real per-round data.
     # driver_threshold=0 forces the distributed star path, so this row
     # is the driver-checked evidence for it (x41/x81/x89/x90 resolve
     # through the driver union-find cutover at driver-check sizes).

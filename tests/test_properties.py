@@ -1029,3 +1029,41 @@ def test_simhash_banding_recall_any_budget(spark, base, flips, budget):
         assert got == {(1, 2): hd}
     else:
         assert got == {}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@SLOW
+def test_star_components_match_union_find(spark, edges):
+    # r12: the distributed large-star/small-star path is a pure function
+    # of the graph — on ANY edge multiset (self-loops, duplicates, both
+    # orientations, disconnected islands) it must equal the driver
+    # union-find, which is the trivially-auditable implementation.
+    from deva_spark.operators import graphs
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        (r.node, r.comp) for r in graphs.connected_components(df).collect()
+    }
+    got = {
+        (r.node, r.comp)
+        for r in graphs.connected_components(
+            df, driver_threshold=0
+        ).collect()
+    }
+    # the star path drops self-loop-only nodes (no pair can involve
+    # them); union-find labels them singletons — compare on the shared
+    # node set and require every real (2+ node) component to agree
+    singleton = {n for (n, c) in want if c == n} - {
+        a for (a, b) in [(x, y) for x, y in edges if x != y]
+    } - {b for (a, b) in [(x, y) for x, y in edges if x != y]}
+    want_real = {(n, c) for (n, c) in want if n not in singleton}
+    assert got == want_real
