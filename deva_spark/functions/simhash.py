@@ -153,6 +153,7 @@ def incremental_near_duplicates(
     old_fps: DataFrame,
     max_hamming: int = 3,
     old_chunks: DataFrame | None = None,
+    old_chunks_banding: int | None = None,
 ) -> DataFrame:
     """Incremental simhash near-dup — the x77/x80 anatomy on the
     fingerprint tier: the NEW batch's chunk keys join the existing
@@ -167,7 +168,11 @@ def incremental_near_duplicates(
     built with ``chunk_keys(old_fps, banding_chunks(max_hamming))`` (the
     default staged layout covers budgets <= NUM_CHUNKS - 1; a wider
     budget needs a wider-banded projection, or pass ``old_fps`` and let
-    this function band both sides consistently)."""
+    this function band both sides consistently). The contract is
+    validated at runtime; pass ``old_chunks_banding`` (the chunk count
+    the staged table was written with) to make that validation a pure
+    integer compare instead of a corpus-wide column max — recurring
+    incremental pipelines know their own staged layout."""
     n_chunks = banding_chunks(max_hamming)
     nc = chunk_keys(new_fps, n_chunks)
     if old_chunks is not None:
@@ -175,10 +180,21 @@ def incremental_near_duplicates(
         # staged projection banded at a different chunk count joins
         # (ci, cv) keys cut from different bit spans — candidate
         # collisions nearly vanish and pairs are silently missed (worse
-        # recall than any fixed banding). One column-pruned agg over the
-        # small-int ci column is cheap next to a silent-recall bug.
-        staged = old_chunks.agg(F.max("ci").alias("mx")).collect()[0]["mx"]
-        staged_chunks = (staged + 1) if staged is not None else n_chunks
+        # recall than any fixed banding). ``old_chunks_banding`` is the
+        # zero-scan path (r12 review): staged pipelines KNOW the layout
+        # they wrote, so they declare it and validation is one integer
+        # compare — per-batch cost stays batch-sized. Without the
+        # declaration, fall back to the exact column-pruned max over
+        # the small-int ci column (a corpus-wide scan — correct, and
+        # the right default for ad-hoc callers, but declare the banding
+        # on any recurring incremental pipeline).
+        if old_chunks_banding is not None:
+            staged_chunks = int(old_chunks_banding)
+        else:
+            staged = (
+                old_chunks.agg(F.max("ci").alias("mx")).collect()[0]["mx"]
+            )
+            staged_chunks = (staged + 1) if staged is not None else n_chunks
         if staged_chunks != n_chunks:
             raise ValueError(
                 f"old_chunks is banded at {staged_chunks} chunks but "

@@ -49,30 +49,63 @@ DRIVER_MAX_EDGES_CONF = "spark.deva.graph.driverMaxEdges"
 DRIVER_MAX_EDGES_DEFAULT = 1_000_000
 
 
-def _round_stager(spark, checkpoint_dir: str | None):
+def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
     """Per-round materialize-and-truncate for iterative operators.
 
-    Default: eager ``localCheckpoint`` — fastest, but its blocks live in
+    Default: ``localCheckpoint`` — fastest, but its blocks live in
     executor memory/disk and DIE WITH THE EXECUTOR: on a
     dynamic-allocation cluster a lost executor discards them
     mid-iteration and the job fails unrecoverably (VERDICT r11 #4).
     With ``checkpoint_dir``: a RELIABLE ``checkpoint`` — each round's
     table is written to the (HDFS/S3-able) directory, so iteration
     state survives executor loss; tasks that lose blocks re-read files.
+    ``sc.setCheckpointDir`` is PROCESS-GLOBAL: concurrent resolutions
+    on one SparkContext must share one checkpoint_dir (the last set
+    wins for both — documented constraint, no per-job API exists).
+
+    ``eager=False`` is ONLY for callers that run a bounded action (a
+    convergence fingerprint / changed-count) immediately after every
+    staging call — the action materializes the checkpoint in the same
+    job, saving the separate eager pass (measured ~30%% of the x111
+    star-resolution wall at sf0.1) while still truncating lineage.
+    Callers with NO per-round action (pagerank's checkpoint_every
+    staging) MUST keep eager=True: a lazy stage would defer every
+    checkpoint to the terminal action, running one job over the full
+    n_iter-deep lineage — the exact blowup staging exists to bound
+    (r12 review).
+
+    DISK RETENTION (r12 review): reliable checkpoint files are never
+    auto-deleted (``spark.cleaner.referenceTracking.cleanCheckpoints``
+    defaults false and must be set before context start), so a
+    15-round resolution would otherwise leave 15 full table copies.
+    Rounds rotate through TWO slot subdirectories: staging round k
+    deletes slot k%%2 first — that slot holds round k-2, whose data no
+    round-k plan references (every iteration builds only on k-1, which
+    is already materialized by the caller's per-round action before
+    the next stage call). Growth is bounded to <= 2 round snapshots;
+    the FINAL round's files back the returned DataFrame, so delete
+    ``checkpoint_dir`` only after the result is written out.
     """
-    # eager=False: every iterative caller runs a bounded action (the
-    # convergence fingerprint / changed-count) immediately after
-    # staging, which materializes the checkpoint IN THAT JOB — eager
-    # staging would pay a separate materialization job per round
-    # (measured ~30% of the x111 star-resolution wall at sf0.1).
-    # Lineage still truncates at materialization, so the per-round
-    # plan-nesting blowup the eager form was introduced for (r11)
-    # stays fixed.
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=False)
+        return lambda df: df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint(eager=False)
+    state = {"round": 0}
+
+    def stage(df: DataFrame) -> DataFrame:
+        slot = state["round"] % 2
+        slot_dir = f"{checkpoint_dir.rstrip('/')}/slot-{slot}"
+        if state["round"] >= 2:
+            from deva_spark.sources.fs import delete_path
+
+            try:
+                delete_path(spark, slot_dir)  # round k-2, consumed
+            except Exception:
+                pass  # GC is best-effort; correctness never depends on it
+        sc.setCheckpointDir(slot_dir)
+        state["round"] += 1
+        return df.checkpoint(eager=eager)
+
+    return stage
 
 
 def connected_components(
@@ -154,10 +187,35 @@ def connected_components(
             return _driver_union_find(sym)
         finally:
             sym.unpersist()
-    stager = _round_stager(edges.sparkSession, checkpoint_dir)
+    # lazy staging is safe HERE: both algorithms run a convergence
+    # action right after every stage (see _round_stager's contract)
+    stager = _round_stager(edges.sparkSession, checkpoint_dir, eager=False)
     try:
         if algorithm == "star":
-            return _star_components(sym, max_iter, stager)
+            labels = _star_components(sym, max_iter, stager)
+            # Self-loop-only nodes are their own singleton component in
+            # BOTH other paths (union-find, propagation) — the star path
+            # drops self-loops before resolving, so restore those nodes
+            # here or the output would differ across algorithm choice
+            # and the driver_threshold cutover (r12 review: an
+            # incremental assignment table's singleton clusters are
+            # EXACT self-loop star edges, and they silently vanished at
+            # precisely the scale where the distributed path kicks in).
+            # probe while sym is still persisted (bounded, cheap); the
+            # common case — pair tables never contain self-pairs — then
+            # returns labels with NO extra branch, so the upstream edge
+            # plan is never re-evaluated at collect time
+            loops = sym.filter(F.col("a") == F.col("b"))
+            if loops.take(1) == []:
+                return labels
+            loop_only = (
+                loops.select(F.col("a").alias("node"))
+                .distinct()
+                .join(labels, "node", "left_anti")
+                .select("node", F.col("node").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            return labels.unionByName(loop_only)
         return _propagation_components(sym, max_iter, stager)
     finally:
         sym.unpersist()
@@ -745,6 +803,12 @@ def _pagerank_denorm(
     elif stage:
         raise ValueError(f"stage must be 'checkpoint', 'persist' or None: {stage!r}")
     teleport = (scale * (100 - damping_pct)) // 100
+    # eager (the _round_stager contract): this loop runs NO per-round
+    # action, so a lazy stage would defer every checkpoint to the
+    # terminal action and re-grow the full lineage. Created ONCE — each
+    # setCheckpointDir call mkdirs a fresh UUID subdirectory (r12
+    # review).
+    rank_stager = _round_stager(edges.sparkSession, checkpoint_dir)
     ranks: DataFrame | None = None
     for i in range(n_iter):
         if ranks is None:
@@ -777,7 +841,7 @@ def _pagerank_denorm(
             and (i + 1) % checkpoint_every == 0
             and i + 1 < n_iter
         ):
-            ranks = _round_stager(edges.sparkSession, checkpoint_dir)(ranks)
+            ranks = rank_stager(ranks)
     if not complete_sources:
         # pre-symmetrized staged graphs: the completion below is
         # provably vacuous and its edge-table distinct is the dominant

@@ -278,9 +278,16 @@ def NW(  # noqa: N802 — reference name
     default. An EXPLICIT port is a contract — if another LIVE named
     server already holds it, raise instead of silently swapping in an
     ephemeral one the caller's clients would never find (ADVICE r11
-    #4); stopped servers no longer claim their old port."""
+    #4); stopped servers no longer claim their old port OR their name
+    (r12 review: returning the dead cached server would accept writes
+    nothing will ever serve, while its stale ``.url`` may now point at
+    a DIFFERENT live server that claimed the freed port — silent wrong
+    data; recreate instead)."""
     key = name or "_default"
     srv = _NAMED.get(key)
+    if srv is not None and not srv.alive:
+        del _NAMED[key]
+        srv = None
     if srv is None:
         explicit = port is not None
         want = port if explicit else 9999

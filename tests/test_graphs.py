@@ -338,6 +338,33 @@ def test_star_matches_union_find_on_random_graphs(spark):
     assert got == want
 
 
+def test_incremental_singleton_clusters_survive_distributed_path(spark):
+    # r12 review: an incremental assignment table encodes a singleton
+    # cluster as an EXACT self-loop star edge (doc 5 -> cluster 5); the
+    # star path dropped self-loops, so singletons silently vanished
+    # above the driver cutover — the output must be identical across
+    # driver_threshold.
+    old = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (5, 5, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    new_pairs = spark.createDataFrame([(2, 7)], "id_a long, id_b long")
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in graphs.incremental_canonical_assignments(
+            old, new_pairs
+        ).collect()
+    }
+    assert (5, 5, True) in want
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in graphs.incremental_canonical_assignments(
+            old, new_pairs, driver_threshold=0
+        ).collect()
+    }
+    assert got == want
+
+
 def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
     # VERDICT r11 #4: localCheckpoint blocks die with executors — a
     # reliable checkpoint_dir stage must survive losing every cached

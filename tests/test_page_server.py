@@ -190,5 +190,13 @@ def test_nw_stopped_server_releases_port_claim(monkeypatch):
     b = pg.NW("t_dead_b", host=a.host, port=freed)
     try:
         assert b.port == freed
+        # r12 review: the NAME must not resolve to the dead server
+        # either — its stale .url could now point at b's content while
+        # writes to it vanish. A re-lookup recreates a live server.
+        a2 = pg.NW("t_dead_a")
+        try:
+            assert a2 is not a and a2.alive
+        finally:
+            a2.stop()
     finally:
         b.stop()

@@ -1059,11 +1059,8 @@ def test_star_components_match_union_find(spark, edges):
             df, driver_threshold=0
         ).collect()
     }
-    # the star path drops self-loop-only nodes (no pair can involve
-    # them); union-find labels them singletons — compare on the shared
-    # node set and require every real (2+ node) component to agree
-    singleton = {n for (n, c) in want if c == n} - {
-        a for (a, b) in [(x, y) for x, y in edges if x != y]
-    } - {b for (a, b) in [(x, y) for x, y in edges if x != y]}
-    want_real = {(n, c) for (n, c) in want if n not in singleton}
-    assert got == want_real
+    # EXACT equality, including self-loop-only nodes as singleton
+    # components (r12 review: the star path used to drop them, so an
+    # incremental assignment table's singleton clusters — exact
+    # self-loop star edges — vanished above the driver cutover)
+    assert got == want

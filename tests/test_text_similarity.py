@@ -337,6 +337,23 @@ def test_incremental_simhash_matches_full_restricted(spark, sf_dir):
                 new_fps, old_fps, max_hamming=H,
                 old_chunks=sh.chunk_keys(old_fps),  # default 4-chunk layout
             ).collect()
+        # r12: declared banding is the zero-scan path — same results,
+        # and a WRONG declaration still raises (integer compare)
+        declared = {
+            (r.id_a, r.id_b): r.hd
+            for r in sh.incremental_near_duplicates(
+                new_fps, old_fps, max_hamming=H,
+                old_chunks=sh.chunk_keys(old_fps, sh.banding_chunks(H)),
+                old_chunks_banding=sh.banding_chunks(H),
+            ).collect()
+        }
+        assert declared == expected
+        with pytest.raises(ValueError, match="banded at"):
+            sh.incremental_near_duplicates(
+                new_fps, old_fps, max_hamming=H,
+                old_chunks=sh.chunk_keys(old_fps, sh.banding_chunks(H)),
+                old_chunks_banding=sh.NUM_CHUNKS,
+            )
     finally:
         fps.unpersist()
 
