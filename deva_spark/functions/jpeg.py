@@ -279,6 +279,7 @@ def encode_jpeg(
     quality: int = 90,
     restart_interval: int = 0,
     subsampling: str = "444",
+    multi_scan: bool = False,
 ) -> bytes:
     """Encode an ``(H, W, 3)`` uint8 RGB array (or ``(H, W)`` grayscale)
     as a baseline JFIF JPEG. Deterministic. ``restart_interval`` > 0
@@ -293,7 +294,15 @@ def encode_jpeg(
     are). Chroma planes are box-averaged before the DCT; luma carries
     sampling factors 2x1/2x2 and each MCU interleaves the luma blocks
     with one block of each chroma plane per T.81 A.2.3. Ignored for
-    grayscale."""
+    grayscale.
+
+    ``multi_scan`` (r12): emit each color component in its OWN SOS,
+    non-interleaved over the component's own block grid (T.81 A.2.2) —
+    the other baseline layout real encoders produce, and the decoder's
+    multi-scan exercise. Pixel-identical to the single-scan stream
+    after decode (DC prediction is lossless; the quantized blocks are
+    the same). Ignored for grayscale (one component is one scan
+    already)."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(
             f"subsampling must be one of {sorted(_SUBSAMPLING)}: "
@@ -347,30 +356,58 @@ def encode_jpeg(
     ]
     comp_bw = [p.shape[1] // 8 for p in planes]  # blocks per row
 
-    bw = _BitWriter()
-    prev_dc = [0] * ncomp
     mcux = planes[0].shape[1] // (8 * hy)
     mcuy = planes[0].shape[0] // (8 * vy)
-    rst = 0
-    # T.81 A.2.3 interleave: each MCU carries hi x vi blocks of every
-    # component in SOF order (444 degenerates to one block each — the
-    # historical byte stream is unchanged, golden digests still pin it)
-    for m in range(mcuy * mcux):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.restart(rst)
-            rst = (rst + 1) % 8
-            prev_dc = [0] * ncomp
-        my, mx = divmod(m, mcux)
+    if multi_scan and ncomp == 3:
+        # one SOS per component, non-interleaved over its OWN block
+        # grid (T.81 A.2.2): true dims, not the MCU-padded storage grid
+        scans = []
         for ci in range(ncomp):
-            hi, vi = factors[ci]
-            for v in range(vi):
-                for hh in range(hi):
-                    bi = (my * vi + v) * comp_bw[ci] + (mx * hi + hh)
-                    prev_dc[ci] = _encode_block_bits(
-                        bw, comp_blocks[ci][bi], prev_dc[ci],
-                        dc_tabs[ci], ac_tabs[ci],
-                    )
-    scan = bw.flush()
+            bw = _BitWriter()
+            prev = 0
+            rst = 0
+            th, tw = (
+                (h, w)
+                if ci == 0
+                else ((h + vy - 1) // vy, (w + hy - 1) // hy)
+            )
+            nby, nbx = (th + 7) // 8, (tw + 7) // 8
+            sbx = comp_bw[ci]
+            for m in range(nby * nbx):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.restart(rst)
+                    rst = (rst + 1) % 8
+                    prev = 0
+                by_, bx_ = divmod(m, nbx)
+                prev = _encode_block_bits(
+                    bw, comp_blocks[ci][by_ * sbx + bx_], prev,
+                    dc_tabs[ci], ac_tabs[ci],
+                )
+            scans.append(bw.flush())
+        scan = None
+    else:
+        bw = _BitWriter()
+        prev_dc = [0] * ncomp
+        rst = 0
+        # T.81 A.2.3 interleave: each MCU carries hi x vi blocks of every
+        # component in SOF order (444 degenerates to one block each — the
+        # historical byte stream is unchanged, golden digests still pin it)
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * ncomp
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * comp_bw[ci] + (mx * hi + hh)
+                        prev_dc[ci] = _encode_block_bits(
+                            bw, comp_blocks[ci][bi], prev_dc[ci],
+                            dc_tabs[ci], ac_tabs[ci],
+                        )
+        scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -400,13 +437,20 @@ def encode_jpeg(
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", int(restart_interval)))
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += scan
+    # SOS (one interleaved scan, or one per component for multi_scan)
+    if scan is None:
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+            sos += b"\x00\x3f\x00"
+            out += seg(0xDA, sos)
+            out += scans[ci]
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xDA, sos)
+        out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -511,13 +555,32 @@ def _extend(bits: int, ssss: int) -> int:
     return bits if bits >= (1 << (ssss - 1)) else bits - (1 << ssss) + 1
 
 
+def _entropy_end(d: bytes, start: int) -> int:
+    """Position of the first REAL marker after an entropy-coded segment
+    starting at ``start``: 0xFF00 is byte stuffing and 0xFFD0-D7 are
+    in-scan restart markers; anything else ends the scan (multi-scan
+    streams continue with the next SOS/DHT there)."""
+    i = start
+    n = len(d)
+    while i + 1 < n:
+        if d[i] == 0xFF and d[i + 1] != 0x00 and not (
+            0xD0 <= d[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG — 4:4:4, 4:2:2, 4:2:0 (any
     integer-ratio sampling factors) or grayscale — to an ``(H, W, 3)``
     uint8 RGB array (grayscale replicated to 3 channels). Subsampled
     chroma upsamples by sample replication (nearest-neighbor), the
-    deterministic cross-platform choice. Progressive (SOF2) and
-    fractional-ratio sampling raise ``NotImplementedError``."""
+    deterministic cross-platform choice. Multi-scan baseline streams
+    (each component — or any subset — in its own SOS, interleaved or
+    non-interleaved per T.81 A.2.2/A.2.3) decode too (r12).
+    Progressive (SOF2) and fractional-ratio sampling raise
+    ``NotImplementedError``."""
     d = content
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -525,6 +588,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    scan_state = None  # (out_planes, cgrid, decoded) across multi-scan
     restart_interval = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -606,10 +670,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise ValueError("empty SOS header")
             ns = body[0]
             fh, fw, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan baseline JPEG (partial-component scans)"
-                )
+            if not 1 <= ns <= len(comps):
+                raise ValueError(f"SOS selects {ns} of {len(comps)} components")
             if len(body) < 1 + 2 * ns:
                 raise ValueError("truncated SOS header")
             # T.81: both the Huffman-table assignment AND the MCU
@@ -638,57 +700,102 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     raise ValueError(f"frame references missing DQT slot {tq}")
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
-            # MCU grid covers the frame at 8*hmax x 8*vmax pixel tiles;
-            # each MCU interleaves hi x vi blocks per component (A.2.3).
-            # A single-component scan is non-interleaved by definition
-            # (nc > 1 multi-scan already raised): its MCU is one block
-            # over the component's OWN grid, i.e. factors 1x1.
-            if ns == 1:
+            # A single-COMPONENT FRAME's scan is non-interleaved over
+            # the component's own grid regardless of its (relative)
+            # sampling factors — normalize to 1x1 so the storage grid
+            # IS the own grid.
+            if len(comps) == 1:
                 hmax = vmax = 1
                 comps = [
                     (cid, tq, 1, 1) for (cid, tq, _h, _v) in comps
                 ]
+                frame = (fh, fw, comps)
             mcux = (fw + 8 * hmax - 1) // (8 * hmax)
             mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-            cgrid = [
-                (mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps
-            ]
-            out_planes = [
-                np.zeros((by * bx, 64), dtype=np.int32)
-                for (by, bx) in cgrid
-            ]
+            # coefficient storage persists ACROSS scans (r12: multi-scan
+            # baseline — each component may arrive in its own SOS); the
+            # grids are a pure function of the frame header, so every
+            # scan of the stream shares one allocation
+            if scan_state is None:
+                cgrid = [
+                    (mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps
+                ]
+                scan_state = (
+                    [
+                        np.zeros((by * bx, 64), dtype=np.int32)
+                        for (by, bx) in cgrid
+                    ],
+                    cgrid,
+                    set(),
+                )
+            out_planes, cgrid, decoded = scan_state
             br = _BitReader(d, pos + 2 + seglen)
             prev_dc = [0] * len(comps)
-            for m in range(mcuy * mcux):
-                if restart_interval and m and m % restart_interval == 0:
-                    br.sync_rst()
-                    prev_dc = [0] * len(comps)
-                my, mx = divmod(m, mcux)
-                for ci, td, ta in scan_order:
-                    _cid, _tq, hi, vi = comps[ci]
-                    bx = cgrid[ci][1]
-                    for v in range(vi):
-                        for hh in range(hi):
-                            bi = (my * vi + v) * bx + (mx * hi + hh)
-                            zz = out_planes[ci][bi]
-                            ssss = _read_symbol(br, huff[(0, td)])
-                            diff = _extend(br.read_bits(ssss), ssss)
-                            prev_dc[ci] += diff
-                            zz[0] = prev_dc[ci]
-                            k = 1
-                            while k <= 63:
-                                rs = _read_symbol(br, huff[(1, ta)])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index overflow")
-                                zz[k] = _extend(br.read_bits(s), s)
-                                k += 1
+
+            def _decode_block(zz, ci, td, ta):
+                ssss = _read_symbol(br, huff[(0, td)])
+                diff = _extend(br.read_bits(ssss), ssss)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k <= 63:
+                    rs = _read_symbol(br, huff[(1, ta)])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(br.read_bits(s), s)
+                    k += 1
+
+            if ns >= 2 or ns == len(comps):
+                # interleaved scan (full or partial-component): MCUs
+                # cover the frame at 8*hmax x 8*vmax tiles; each MCU
+                # carries hi x vi blocks of every SELECTED component in
+                # SOS order (T.81 A.2.3)
+                for m in range(mcuy * mcux):
+                    if restart_interval and m and m % restart_interval == 0:
+                        br.sync_rst()
+                        prev_dc = [0] * len(comps)
+                    my, mx = divmod(m, mcux)
+                    for ci, td, ta in scan_order:
+                        _cid, _tq, hi, vi = comps[ci]
+                        bx = cgrid[ci][1]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                bi = (my * vi + v) * bx + (mx * hi + hh)
+                                _decode_block(out_planes[ci][bi], ci, td, ta)
+            else:
+                # ns == 1 partial scan: NON-interleaved (T.81 A.2.2) —
+                # data units raster over the component's OWN block grid
+                # (ceil of its true dims), which is narrower than its
+                # MCU-padded storage grid; restart interval counts data
+                # units here (one MCU == one block)
+                ci, td, ta = scan_order[0]
+                _cid, _tq, hi, vi = comps[ci]
+                ch = (fh * vi + vmax - 1) // vmax
+                cw = (fw * hi + hmax - 1) // hmax
+                nby, nbx = (ch + 7) // 8, (cw + 7) // 8
+                sbx = cgrid[ci][1]
+                for m in range(nby * nbx):
+                    if restart_interval and m and m % restart_interval == 0:
+                        br.sync_rst()
+                        prev_dc = [0] * len(comps)
+                    by_, bx_ = divmod(m, nbx)
+                    _decode_block(
+                        out_planes[ci][by_ * sbx + bx_], ci, td, ta
+                    )
+            decoded |= {ci for ci, _td, _ta in scan_order}
+            if len(decoded) < len(comps):
+                # more scans follow: skip past this scan's entropy data
+                # (byte-stuffed 0xFF00 and RSTm are not markers) and
+                # keep walking the marker stream
+                pos = _entropy_end(d, pos + 2 + seglen)
+                continue
             # dequantize + IDCT per component, then upsample to frame
             # resolution by sample replication (deterministic NN — no
             # resampling filter to drift across platforms)
@@ -726,4 +833,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             rgb = np.stack([r, g, b], axis=2)
             return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
         pos += 2 + seglen
+    if scan_state is not None:
+        raise ValueError(
+            f"multi-scan stream ended with only {len(scan_state[2])} of "
+            f"{len(frame[2])} components decoded"
+        )
     raise ValueError("no SOS segment found")

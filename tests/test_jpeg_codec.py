@@ -158,6 +158,49 @@ def test_subsampled_golden_digest():
     )
 
 
+@pytest.mark.parametrize("mode", ["444", "420", "422"])
+@pytest.mark.parametrize("hw", [(16, 16), (17, 23), (9, 13), (1, 1)])
+def test_multi_scan_baseline_matches_single_scan(mode, hw):
+    # r12: multi-scan baseline — each component in its own SOS,
+    # non-interleaved over its OWN block grid (T.81 A.2.2) — is the
+    # other layout real encoders emit. Decode must be pixel-identical
+    # to the interleaved single-scan stream (same quantized blocks;
+    # DC prediction is lossless).
+    h, w = hw
+    img = np.random.default_rng(h * 31 + w).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    single = J.encode_jpeg(img, quality=85, subsampling=mode)
+    multi = J.encode_jpeg(img, quality=85, subsampling=mode, multi_scan=True)
+    assert multi.count(b"\xff\xda") == 3  # three scans on the wire
+    assert np.array_equal(J.decode_jpeg(multi), J.decode_jpeg(single))
+    # deterministic bytes, like every other encoder mode
+    assert (
+        J.encode_jpeg(img, quality=85, subsampling=mode, multi_scan=True)
+        == multi
+    )
+
+
+def test_multi_scan_restart_markers_and_truncation():
+    img = np.random.default_rng(41).integers(
+        0, 256, size=(40, 40, 3), dtype=np.uint8
+    )
+    m = J.encode_jpeg(
+        img, quality=80, subsampling="420", multi_scan=True,
+        restart_interval=3,
+    )
+    s = J.encode_jpeg(img, quality=80, subsampling="420")
+    assert np.array_equal(J.decode_jpeg(m), J.decode_jpeg(s))
+    # a stream that ends before all components arrive fails loudly,
+    # not with a half-gray reconstruction
+    second_sos = m.index(b"\xff\xda", m.index(b"\xff\xda") + 2)
+    with pytest.raises(ValueError, match="multi-scan stream ended"):
+        J.decode_jpeg(m[:second_sos] + b"\xff\xd9")
+    # grayscale ignores the flag (one component is one scan already)
+    g = np.full((20, 20), 137, dtype=np.uint8)
+    assert J.encode_jpeg(g, multi_scan=True) == J.encode_jpeg(g)
+
+
 def test_subsampled_restart_markers_roundtrip():
     # DRI/RSTm interact with the MCU loop (predictor resets count MCUs,
     # not blocks) — pin the subsampled resync path
