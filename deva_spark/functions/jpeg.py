@@ -562,12 +562,17 @@ def _entropy_end(d: bytes, start: int) -> int:
     streams continue with the next SOS/DHT there)."""
     i = start
     n = len(d)
-    while i + 1 < n:
-        if d[i] == 0xFF and d[i + 1] != 0x00 and not (
-            0xD0 <= d[i + 1] <= 0xD7
-        ):
+    # bytes.find, not a per-byte Python loop: entropy segments are the
+    # bulk of the stream, and a megapixel multi-scan image would crawl
+    # at interpreter speed otherwise
+    while i < n - 1:
+        i = d.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = d[i + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return i
-        i += 1
+        i += 2
     return n
 
 
