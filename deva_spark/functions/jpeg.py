@@ -37,6 +37,7 @@ path so the 100 TB pipeline has no per-worker native-codec dependency.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -170,6 +171,14 @@ def _build_huffman(spec) -> dict[int, tuple[int, int]]:
             k += 1
         code <<= 1
     return out
+
+
+#: Encoder code tables for the four Annex-K specs, built once at import
+#: (quality scaling touches only the QUANT tables, never these).
+_DC_LUMA_TAB = _build_huffman(_DC_LUMA_SPEC)
+_DC_CHROMA_TAB = _build_huffman(_DC_CHROMA_SPEC)
+_AC_LUMA_TAB = _build_huffman(_AC_LUMA_SPEC)
+_AC_CHROMA_TAB = _build_huffman(_AC_CHROMA_SPEC)
 
 
 class _BitWriter:
@@ -342,14 +351,15 @@ def encode_jpeg(
     qluma = _quality_scale(_Q_LUMA, quality)
     qchroma = _quality_scale(_Q_CHROMA, quality)
     qtabs = [qluma] + ([qchroma, qchroma] if ncomp == 3 else [])
-    dc_specs = [_DC_LUMA_SPEC] + (
-        [_DC_CHROMA_SPEC, _DC_CHROMA_SPEC] if ncomp == 3 else []
+    # code tables are quality-independent module constants — built once
+    # at import (r12: the per-call builds were ~10% of a small-frame
+    # encode, and MJPEG encodes thousands of small frames)
+    dc_tabs = [_DC_LUMA_TAB] + (
+        [_DC_CHROMA_TAB, _DC_CHROMA_TAB] if ncomp == 3 else []
     )
-    ac_specs = [_AC_LUMA_SPEC] + (
-        [_AC_CHROMA_SPEC, _AC_CHROMA_SPEC] if ncomp == 3 else []
+    ac_tabs = [_AC_LUMA_TAB] + (
+        [_AC_CHROMA_TAB, _AC_CHROMA_TAB] if ncomp == 3 else []
     )
-    dc_tabs = [_build_huffman(s) for s in dc_specs]
-    ac_tabs = [_build_huffman(s) for s in ac_specs]
 
     comp_blocks = [
         _encode_blocks(p, qtabs[i])[0] for i, p in enumerate(planes)
@@ -501,25 +511,40 @@ class _BitReader:
             self.real_bits += 8
 
     def read_bit(self) -> int:
-        if self.n == 0:
+        return self.read_bits(1)
+
+    def read_bits(self, k: int) -> int:
+        # batched (r12): one buffer check + one shift per FIELD instead
+        # of per bit — SSSS offset fields are up to 11 bits, so the old
+        # per-bit loop paid 11 method calls where one suffices
+        if k == 0:
+            return 0
+        while self.n < k:
+            before = self.n
             self._fill()
-            if self.n == 0:  # _fill stopped at an unexpected RST marker
+            if self.n == before:  # _fill stopped at an unexpected RST
                 raise ValueError("scan data ended at a restart marker")
-        self.read_bits_total += 1
+        self.read_bits_total += k
         if self.read_bits_total > self.real_bits + 7:
             raise ValueError("truncated entropy-coded segment")
-        self.n -= 1
-        bit = (self.acc >> self.n) & 1
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
         # same accumulator trim as _BitWriter: without it decode is
         # quadratic in scan size (measured 18 s for one 256x256 image)
         self.acc &= (1 << self.n) - 1
-        return bit
-
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
         return v
+
+    def peek(self, k: int) -> int | None:
+        """Next ``k`` bits WITHOUT consuming (fills the buffer; the
+        truncation accounting happens only at consumption). Returns
+        None at a restart-marker boundary — callers fall back to the
+        bit-by-bit path, whose accounting raises appropriately."""
+        while self.n < k:
+            before = self.n
+            self._fill()
+            if self.n == before:
+                return None
+        return (self.acc >> (self.n - k)) & ((1 << k) - 1)
 
     def sync_rst(self) -> None:
         """Skip a restart marker and clear bit state."""
@@ -534,16 +559,43 @@ class _BitReader:
 
 
 def _build_decode_table(bits, vals):
-    """(code, length) -> symbol lookup dict."""
+    """Decode tables for one DHT: a canonical ``(code, length) ->
+    symbol`` dict plus an 8-bit-prefix FAST table (every code of length
+    <= 8 expanded over its 256 >> len prefixes — one peek + one list
+    index resolves the overwhelming majority of symbols; Annex K AC
+    tables put all the common run/size pairs under 8 bits). Memoized on
+    the DHT payload: real streams reuse the same four tables in every
+    image, so the build cost is paid once per process (r12)."""
+    return _build_decode_table_cached(bytes(bits), bytes(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode_table_cached(bits: bytes, vals: bytes):
     enc = _build_huffman((list(bits), list(vals)))
-    return {(code, ln): sym for sym, (code, ln) in enc.items()}
+    slow = {(code, ln): sym for sym, (code, ln) in enc.items()}
+    fast8: list = [None] * 256
+    for sym, (code, ln) in enc.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for x in range(1 << (8 - ln)):
+                fast8[base | x] = (sym, ln)
+    return {"slow": slow, "fast8": fast8}
 
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
+    p = br.peek(8)
+    if p is not None:
+        hit = table["fast8"][p]
+        if hit is not None:
+            br.read_bits(hit[1])  # consume (with truncation accounting)
+            return hit[0]
+    # codes longer than 8 bits, or a restart-marker boundary: canonical
+    # bit-by-bit walk (peek consumed nothing, so this starts clean)
+    slow = table["slow"]
     code = 0
     for ln in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((code, ln))
+        sym = slow.get((code, ln))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in scan")
