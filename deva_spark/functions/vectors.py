@@ -45,7 +45,15 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    """L2 norm, floored at 1e-12 (r12 review): every consumer divides
+    by it, and an unguarded zero-norm embedding turns the cosine into
+    NaN — which Spark's descending sort ranks FIRST (NaN compares
+    largest) while the numpy mirrors rank it LAST, so staged/unstaged
+    and onepass/join formulations silently disagreed on degenerate
+    corpora. Floored, a zero vector scores ~0 against everything — out
+    of every top-k and below every near-dup threshold, identically on
+    all routes (the grouped/ivfpq numpy paths already guarded)."""
+    return F.greatest(F.sqrt(dot(a, a)), F.lit(1e-12))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -278,9 +286,15 @@ def lsh_topk_onepass(
         return (s.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
 
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    if not q_rows:
+        # zero query rows: an empty result with the right schema, like
+        # the staged siblings (np.stack([]) would raise — r12 review)
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, cos double, rnk int"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.array(r[1], dtype=np.float64) for r in q_rows])
-    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
     qb = _buckets(qm)  # (Q, T)
 
     def _score(batches):
@@ -299,7 +313,8 @@ def lsh_topk_onepass(
                 V_ = M[mask]
                 v_ = vids[mask]
                 raw = (V_ @ qm[qi]) / (
-                    np.linalg.norm(V_, axis=1) * qnorm[qi]
+                    np.maximum(np.linalg.norm(V_, axis=1), 1e-12)
+                    * qnorm[qi]
                 )
                 # HALF_UP, matching F.round/duckdb ROUND
                 c_ = _half_up(raw)
@@ -840,8 +855,8 @@ def ivf_search_staged(
         )
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
     qm = np.stack([np.array(r[1], dtype=np.float64) for r in qrows])
-    qnorm = np.linalg.norm(qm, axis=1)
-    qunit = qm / np.maximum(qnorm[:, None], 1e-12)
+    qnorm = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
+    qunit = qm / qnorm[:, None]
     order = np.argsort(-(qunit @ centers.T), axis=1, kind="stable")[:, :n_probe]
     probe_cells = sorted({int(c) for c in order.ravel()})
     q_by_cell: dict[int, list[int]] = {}
@@ -858,7 +873,10 @@ def ivf_search_staged(
                     continue
                 M = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
                 vids = grp["vec_id"].to_numpy().astype(np.int64)
-                mn = np.linalg.norm(M, axis=1)
+                # zero-norm guard like every sibling numpy path (r12
+                # review: staged vs unstaged disagreed on a degenerate
+                # vector — NaN ranks last in lexsort, first in Spark)
+                mn = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
                 raw = (qm[idxs] @ M.T) / (qnorm[idxs][:, None] * mn[None, :])
                 # HALF_UP to match F.round/duckdb ROUND (ADVICE r7:
                 # np.round is half-to-even and can diverge from the
@@ -936,7 +954,11 @@ def ivf_topk(
                 dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
             ).alias("cos"),
         )
-        .dropDuplicates(["qid", "vec_id"])
+        # no dedup needed: each member carries exactly ONE cell and a
+        # query's n_probe cells are distinct (slice of an argsort
+        # permutation), so the join yields at most one row per
+        # (qid, vec_id) — the old dropDuplicates was a full extra
+        # shuffle over the scored set for nothing (r12 review)
     )
     from pyspark.sql import Window
 
@@ -951,13 +973,28 @@ def ivf_topk(
 def centroids(vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector (IVF coarse quantizer building block):
     element-wise average via posexplode + group — shuffle carries
-    (label, dim_index, partial sums) thanks to map-side combine."""
+    (label, dim_index, partial sums) thanks to map-side combine.
+
+    The mean sums in DECIMAL(38,15), not float (r12 review): a float
+    AVG merges per-partition partials in shuffle-arrival order, so two
+    runs could differ in the last ulp — the one nondeterminism the
+    module's determinism discipline forbids (``ivf_centers`` sorts
+    members before its mean for the same reason). Decimal addition is
+    exact and order-independent; the 15-dp cast truncation is a pure
+    per-value function, identical every run."""
     exploded = vectors.select(
         F.col(label_col).alias("label"), F.posexplode(vec_col).alias("i", "v")
     )
     return (
         exploded.groupBy("label", "i")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,15)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
         .select("label", F.transform("s", lambda x: x["m"]).alias("centroid"))
@@ -1021,7 +1058,18 @@ def quantize_stats_udf(embs: pd.Series) -> pd.DataFrame:
             asums.append(None)
             continue
         a = np.asarray(v, dtype=np.float64)
-        s = float(np.max(np.abs(a))) if a.size else 0.0
+        if a.size == 0:
+            # EMPTY array: quantize_int8's array_max over an empty array
+            # is NULL in Spark, so its struct carries scale=NULL — match
+            # it exactly or the bit-parity contract breaks on the one
+            # degenerate row shape (r12 review; counts/sums stay 0,
+            # like aggregating nothing)
+            scales.append(None)
+            nds.append(0)
+            sums.append(0)
+            asums.append(0)
+            continue
+        s = float(np.max(np.abs(a)))
         if s == 0.0:
             q = np.zeros(a.size, dtype=np.int64)
         else:
@@ -1222,6 +1270,14 @@ def pq_train(
     rows = (
         vectors.orderBy(id_col).limit(train_rows).select(vec_col).collect()
     )
+    if len(rows) < n_codes:
+        # the first-rows seeding needs one row per code: fail with the
+        # actionable message, not numpy's opaque broadcast ValueError
+        # (r12 review — the seed_cluster_assign guard discipline)
+        raise ValueError(
+            f"pq_train: {len(rows)} training vectors < n_codes="
+            f"{n_codes}; shrink n_codes or supply a larger corpus"
+        )
     x = np.stack([np.array(r[0], dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]
@@ -1243,17 +1299,13 @@ def pq_train(
     return books
 
 
-def pq_encode(
-    vectors: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode every vector as ``m`` small integer codes — one linear
-    mapInPandas pass, NO shuffle (encoding is row-local and pipelines
-    inside the scan); output ``(vec_id, codes array<int>)`` is the
-    compressed posting payload an IVF cell stores. Deterministic: ties
-    resolve to the lower code (stable argmin)."""
+def pq_encode_udf(codebooks: np.ndarray):
+    """The row-local PQ encoder as a reusable pandas UDF — staging fuses
+    it with the cell assignment into ONE select over the corpus (r12
+    review: the old pq_encode-then-join shape scanned the vectors twice
+    and shuffled the whole corpus by vec_id to recombine two row-local
+    columns). Deterministic: ties resolve to the lower code (stable
+    argmin)."""
     m, n_codes, dsub = codebooks.shape
     books = codebooks
 
@@ -1268,8 +1320,22 @@ def pq_encode(
             out[:, j] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
+    return _enc
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` small integer codes — one linear
+    pass, NO shuffle (encoding is row-local and pipelines inside the
+    scan); output ``(vec_id, codes array<int>)`` is the compressed
+    posting payload an IVF cell stores."""
     return vectors.select(
-        F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("vec_id"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
     )
 
 
@@ -1367,14 +1433,14 @@ def ivfpq_stage(
         iters=iters,
     )
     nearest = _nearest_cell_udf(centers)
-    coded = pq_encode(vectors, books, id_col, vec_col)
-    staged = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"),
-            nearest(F.col(vec_col))[0].alias("cell"),
-        )
-        .join(coded, "vec_id")
-        .select("vec_id", "codes", "cell")
+    # cell assignment and PQ codes are BOTH row-local functions of the
+    # embedding: one select, one corpus scan, zero shuffle (r12 review —
+    # the old encode-then-join recombined them through a corpus-wide
+    # exchange on vec_id)
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
+        nearest(F.col(vec_col))[0].alias("cell"),
     )
     staged.write.partitionBy("cell").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
@@ -1544,14 +1610,13 @@ def ivfpq_append(
     centers = np.array(meta["centers"], dtype=np.float64)
     books = np.array(meta["codebooks"], dtype=np.float64)
     nearest = _nearest_cell_udf(centers)
-    coded = pq_encode(new_vectors, books, id_col, vec_col)
+    # one batch scan, zero shuffle — the ivfpq_stage fused-select shape
     (
         new_vectors.select(
             F.col(id_col).alias("vec_id"),
+            pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
             nearest(F.col(vec_col))[0].alias("cell"),
         )
-        .join(coded, "vec_id")
-        .select("vec_id", "codes", "cell")
         .write.partitionBy("cell")
         .mode("append")
         .parquet(path)

@@ -129,11 +129,59 @@ def test_lsh_onepass_matches_join_formulation(spark, emb):
     assert a == b and len(a) > 0
 
 
+def test_ann_routes_agree_on_degenerate_vectors(spark, emb):
+    # r12 review: an UNGUARDED zero-norm embedding made the cosine NaN,
+    # which Spark's descending sort ranks FIRST while numpy's lexsort
+    # ranks LAST — onepass/join and staged/unstaged silently disagreed.
+    # With the norm floored, a zero vector scores ~0 everywhere and
+    # every route agrees; empty query sets return empty, not a crash.
+    zero = spark.createDataFrame(
+        [(99_999, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    both = emb.select("vec_id", "embedding", "label").unionByName(zero)
+    qs = both.filter(F.col("vec_id") < 10)
+    a = sorted(tuple(r) for r in V.lsh_bucketed_topk(both, qs, k=5).collect())
+    b = sorted(tuple(r) for r in V.lsh_topk_onepass(both, qs, k=5).collect())
+    assert a == b and len(a) > 0
+    assert not any(r[1] == 99_999 for r in a)  # never in anyone's top-k
+    # the zero vector as a QUERY scores 0 against everything — rows may
+    # exist (ties at 0) but all cosines are finite
+    import math
+
+    zq = V.lsh_bucketed_topk(both, both.filter(F.col("vec_id") == 99_999), k=3)
+    assert all(math.isfinite(r.cos) for r in zq.collect())
+    # near-dup pair routes agree too (pair-join vs grouped) and emit no NaN
+    pj = {
+        (r.id_a, r.id_b)
+        for r in V.cosine_neardup_pairs(both, threshold=0.9).collect()
+    }
+    assert not any(99_999 in p for p in pj)
+    # empty query set: empty result, right schema (np.stack([]) raised)
+    empty_q = both.filter(F.col("vec_id") < 0)
+    out = V.lsh_topk_onepass(both, empty_q, k=5)
+    assert out.columns == ["qid", "vec_id", "cos", "rnk"] and out.count() == 0
+    V.release_neardup_cache()
+
+
 def test_centroids_shape(spark, emb):
     out = V.centroids(emb).collect()
     labels = {r.label for r in out}
     assert len(out) == len(labels)
     assert all(len(r.centroid) == 64 for r in out)
+    # r12: the decimal-summed mean is deterministic AND numerically the
+    # mean (1e-12 of the float average)
+    import numpy as np
+
+    rows = emb.limit(200).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding))
+    got = {
+        r.label: np.array(r.centroid)
+        for r in V.centroids(spark.createDataFrame(rows, emb.schema)).collect()
+    }
+    for lab, vecs in by_label.items():
+        assert np.allclose(got[lab], np.mean(vecs, axis=0), atol=1e-9)
 
 
 def test_ngram_jaccard_df_cap_matches_exact_on_rare_overlap(spark, docs):
