@@ -108,9 +108,17 @@ def histogram_fixed_width(
         # the global max), and Spark's max() orders NaN above every
         # double, so ONE NaN row makes _hi=NaN and collapses every
         # bucket expression to floor(NaN) -> bucket 0 (r11 review).
-        # Histograms are over present finite values; bounds come from
-        # the same cleaned frame.
-        clean = df.filter(v.isNotNull() & ~F.isnan(v))
+        # +/-Infinity corrupts the same way through the BOUNDS (r12
+        # review: _hi=inf makes every finite row (v-lo)/inf*n -> bucket
+        # 0 — the whole histogram silently collapses). Histograms are
+        # over present FINITE values; bounds come from the same cleaned
+        # frame.
+        clean = df.filter(
+            v.isNotNull()
+            & ~F.isnan(v)
+            & (v > F.lit(float("-inf")))
+            & (v < F.lit(float("inf")))
+        )
         bounds = clean.agg(
             F.min(v).alias("_lo"), F.max(v).alias("_hi")
         )
@@ -397,6 +405,23 @@ def kmv_partials(
     return _t
 
 
+def _kmv_union_synopsis(
+    partials: DataFrame, key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Union-merge of :func:`kmv_partials` rows: explode the batch
+    synopses, distinct, and re-take the k smallest per group — THE
+    merge body, shared by :func:`kmv_merge_partials` and
+    :func:`kmv_overlap` (r12 review: the copy in kmv_overlap could
+    drift from a fix applied here, the same triplication hazard the r11
+    ``_kmv_est_expr`` dedup closed for the estimator tail)."""
+    return (
+        partials.select(*key_cols, F.explode("_hs").alias("_h"))
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs"))
+    )
+
+
 def kmv_merge_partials(
     keys: Sequence[str] = (),
     k: int = 64,
@@ -411,12 +436,7 @@ def kmv_merge_partials(
     """
     def _t(partials: DataFrame) -> DataFrame:
         key_cols = list(keys)
-        merged = (
-            partials.select(*key_cols, F.explode("_hs").alias("_h"))
-            .distinct()
-            .groupBy(*key_cols)
-            .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs"))
-        )
+        merged = _kmv_union_synopsis(partials, key_cols, k)
         agg_df = merged.select(
             *key_cols,
             F.size("_hs").alias("_n"),
@@ -475,12 +495,24 @@ def batch_drift(
     )
     # an empty key list means one global group: PySpark's list-form join
     # rejects [] (r11 review), and a crossJoin would LOSE the batch row
-    # when no history exists — a literal-true left join keeps it
-    joined = (
-        b.join(h, key_cols, "left")
-        if key_cols
-        else b.join(h, F.lit(True), "left")
-    )
+    # when no history exists — a literal-true left join keeps it.
+    # NULL-SAFE key equality (r12 review): a group whose key is NULL is
+    # real on both sides, but plain equality never matches it — the
+    # group would read "appeared from nowhere" and alarm on every batch
+    # forever despite abundant history.
+    if key_cols:
+        h2 = h.select(
+            *[F.col(k).alias(f"_h_{k}") for k in key_cols],
+            "hist_cnt", "hist_mean", "hist_var",
+        )
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_h_{k}"))
+        joined = b.join(h2, cond, "left").drop(
+            *[f"_h_{k}" for k in key_cols]
+        )
+    else:
+        joined = b.join(h, F.lit(True), "left")
     return joined.select(
         *key_cols,
         "hist_cnt",
@@ -529,13 +561,36 @@ def quantile_partials(
 
     def _t(df: DataFrame) -> DataFrame:
         v = F.col(value_col).cast("double")
-        b = F.floor(v / F.lit(float(width)))
+        # clamp the VALUE to the int-bin range before any floor (r12
+        # review): a value beyond ~2^31 * width made floor()'s internal
+        # double->long conversion (and the int cast) raise under ANSI —
+        # a job kill. Clamped, extreme values land in the edge bins (a
+        # bounded-error saturation the percentile resolution tolerates,
+        # and such values are data-quality escapes anyway); +/-inf is
+        # filtered with NULL/NaN — not a real measurement.
+        imax, imin = (1 << 31) - 1, -(1 << 31)
+        vc = F.least(
+            F.lit(float(imax) * float(width)),
+            F.greatest(F.lit(float(imin) * float(width)), v),
+        )
+        b = F.least(
+            F.lit(imax).cast("bigint"),
+            F.greatest(
+                F.lit(imin).cast("bigint"),
+                F.floor(vc / F.lit(float(width))),
+            ),
+        )
         # NULL values would bin to a NULL partial row that inflates n
         # and NULLs any percentile resolving into it, and floor(NaN)
         # casts to a NULL bin the same way (r11 review); order
         # statistics are over present finite values, like F.count(col)
         return (
-            df.filter(v.isNotNull() & ~F.isnan(v))
+            df.filter(
+                v.isNotNull()
+                & ~F.isnan(v)
+                & (v > F.lit(float("-inf")))
+                & (v < F.lit(float("inf")))
+            )
             .groupBy(*keys, b.cast("int").alias("bin"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -813,12 +868,7 @@ def kmv_overlap(key: str, k: int = 64) -> Callable[[DataFrame], DataFrame]:
     sketches, no re-scan."""
 
     def _t(partials: DataFrame) -> DataFrame:
-        merged = (
-            partials.select(key, F.explode("_hs").alias("_h"))
-            .distinct()
-            .groupBy(key)
-            .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_hs"))
-        )
+        merged = _kmv_union_synopsis(partials, [key], k)
         a = merged.select(
             F.col(key).alias(f"{key}_a"), F.col("_hs").alias("_ha")
         )
@@ -891,13 +941,20 @@ def histogram_partials(
     def _t(df: DataFrame) -> DataFrame:
         key_cols = list(keys)
         v = F.col(value_col).cast("double")
-        bucket = F.least(
-            F.lit(n_buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
-            ),
+        # clamp the VALUE into [lo, hi] before any floor (r12 review):
+        # a huge outlier (or +/-inf) made floor()'s internal
+        # double->long conversion raise ARITHMETIC_OVERFLOW under ANSI
+        # (non-ANSI wrapped negative and filed the HIGH outlier in
+        # bucket 0). Clamped, the grid arithmetic is bounded by
+        # construction and out-of-range values land on their edge
+        # buckets — the docstring's declared clip semantics.
+        vc = F.least(
+            F.lit(float(hi)), F.greatest(F.lit(float(lo)), v)
         )
+        bucket = F.least(
+            F.lit(n_buckets - 1).cast("bigint"),
+            F.floor((vc - F.lit(float(lo))) / F.lit(width)),
+        ).cast("int")
         return (
             # greatest() SKIPS null operands — a NULL value would count
             # as bucket 0, faking mass at the low edge and corrupting
@@ -951,19 +1008,50 @@ def psi_drift(
             return df.groupBy(*key_cols).agg(F.sum("cnt").alias(name))
         return df.agg(F.sum("cnt").alias(name))
 
+    # NULL-SAFE key alignment end to end (r12 review): plain equality
+    # never matches a NULL group key, so the full_outer left the NULL
+    # group's batch and history rows UNALIGNED (each seeing the other
+    # side as 0) and the totals joins missed — a garbage-large PSI and
+    # a permanent false drift alarm for that group.
     b = batch_hist.select(*key_cols, "bucket", F.col("cnt").alias("_cb"))
-    h = history_hist.select(*key_cols, "bucket", F.col("cnt").alias("_ch"))
-    joined = b.join(h, key_cols + ["bucket"], "full_outer").select(
-        *key_cols,
-        "bucket",
+    h = history_hist.select(
+        *[F.col(k).alias(f"_hk_{k}") for k in key_cols],
+        F.col("bucket").alias("_hb"),
+        F.col("cnt").alias("_ch"),
+    )
+    cond = F.col("bucket").eqNullSafe(F.col("_hb"))
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_hk_{k}"))
+    joined = b.join(h, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(k), F.col(f"_hk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        F.coalesce("bucket", "_hb").alias("bucket"),
         F.coalesce("_cb", F.lit(0)).alias("_cb"),
         F.coalesce("_ch", F.lit(0)).alias("_ch"),
     )
-    tb = _tot(b.select(*key_cols, F.col("_cb").alias("cnt")), "_tb")
-    th = _tot(h.select(*key_cols, F.col("_ch").alias("cnt")), "_th")
+    tb = _tot(batch_hist.select(*key_cols, "cnt"), "_tb")
+    th = _tot(history_hist.select(*key_cols, "cnt"), "_th")
     if key_cols:
-        joined = joined.join(F.broadcast(tb), key_cols, "left").join(
-            F.broadcast(th), key_cols, "left"
+        tb2 = tb.select(
+            *[F.col(k).alias(f"_tbk_{k}") for k in key_cols], "_tb"
+        )
+        th2 = th.select(
+            *[F.col(k).alias(f"_thk_{k}") for k in key_cols], "_th"
+        )
+        cb = F.lit(True)
+        ch = F.lit(True)
+        for k in key_cols:
+            cb = cb & F.col(k).eqNullSafe(F.col(f"_tbk_{k}"))
+            ch = ch & F.col(k).eqNullSafe(F.col(f"_thk_{k}"))
+        joined = (
+            joined.join(F.broadcast(tb2), cb, "left")
+            .join(F.broadcast(th2), ch, "left")
+            .drop(
+                *[f"_tbk_{k}" for k in key_cols],
+                *[f"_thk_{k}" for k in key_cols],
+            )
         )
     else:
         joined = joined.crossJoin(F.broadcast(tb)).crossJoin(F.broadcast(th))
@@ -975,6 +1063,24 @@ def psi_drift(
     if key_cols:
         return joined.groupBy(*key_cols).agg(*agg_cols)
     return joined.agg(*agg_cols)
+
+
+def _day_banded(
+    partials: DataFrame, day_col: str, window_days: int
+) -> DataFrame:
+    """Range-band a daily synopsis table against its own distinct days:
+    each output row pairs a partial with every ``_day_out`` whose
+    trailing ``[day - window_days + 1, day]`` window contains it — THE
+    shared construction of the three sliding rollups (r12 review: three
+    inline copies meant a window-boundary fix could reach two and
+    silently leave the third disagreeing on membership)."""
+    days = partials.select(F.col(day_col).alias("_day_out")).distinct()
+    return partials.join(
+        F.broadcast(days),
+        (F.col(day_col) <= F.col("_day_out"))
+        & (F.col(day_col) > F.date_sub(F.col("_day_out"), window_days)),
+        "inner",
+    )
 
 
 def kmv_sliding_distinct(
@@ -998,16 +1104,7 @@ def kmv_sliding_distinct(
 
     def _t(partials: DataFrame) -> DataFrame:
         key_cols = list(keys)
-        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
-        banded = partials.join(
-            F.broadcast(days),
-            (F.col(day_col) <= F.col("_day_out"))
-            & (
-                F.col(day_col)
-                > F.date_sub(F.col("_day_out"), window_days)
-            ),
-            "inner",
-        )
+        banded = _day_banded(partials, day_col, window_days)
         merged = kmv_merge_partials(keys=key_cols + ["_day_out"], k=k)(
             banded
         )
@@ -1032,13 +1129,7 @@ def cms_sliding_merge(
     :func:`cms_point_estimates` (or join days to probe all at once)."""
 
     def _t(partials: DataFrame) -> DataFrame:
-        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
-        banded = partials.join(
-            F.broadcast(days),
-            (F.col(day_col) <= F.col("_day_out"))
-            & (F.col(day_col) > F.date_sub(F.col("_day_out"), window_days)),
-            "inner",
-        )
+        banded = _day_banded(partials, day_col, window_days)
         return (
             banded.groupBy(F.col("_day_out").alias(day_col), "i", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
@@ -1065,13 +1156,7 @@ def quantile_sliding_merge(
 
     def _t(partials: DataFrame) -> DataFrame:
         key_cols = list(keys)
-        days = partials.select(F.col(day_col).alias("_day_out")).distinct()
-        banded = partials.join(
-            F.broadcast(days),
-            (F.col(day_col) <= F.col("_day_out"))
-            & (F.col(day_col) > F.date_sub(F.col("_day_out"), window_days)),
-            "inner",
-        )
+        banded = _day_banded(partials, day_col, window_days)
         merged = merge_quantile_partials(
             keys=key_cols + ["_day_out"], width=width, pcts=pcts
         )(banded)
@@ -1106,9 +1191,32 @@ def cms_join_size(
     dots = (
         a.join(F.broadcast(b), ["i", "bucket"])
         .groupBy("i")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+        # DECIMAL widening before the product (r12 review, the
+        # stats_partials discipline): hot cells over multi-billion-row
+        # inputs carry counts whose bigint product exceeds 2^63 — an
+        # ANSI job kill at exactly the scale this estimator exists for.
+        # DECIMAL(38,0) holds (2^63)^2 comfortably and sums exactly.
+        .agg(
+            F.sum(
+                F.col("_ca").cast("decimal(19,0)")
+                * F.col("_cb").cast("decimal(19,0)")
+            ).alias("_dot")
+        )
     )
     per_row = rows.join(F.broadcast(dots), "i", "left").select(
-        F.coalesce(F.col("_dot"), F.lit(0).cast("long")).alias("_dot")
+        F.coalesce(F.col("_dot"), F.lit(0).cast("decimal(38,0)")).alias(
+            "_dot"
+        )
     )
-    return per_row.agg(F.min("_dot").alias("est_join_rows"))
+    # saturate at Long.Max for the bigint output column: an estimate
+    # past 9.2e18 rows is "do not run this join" either way, and an
+    # ANSI overflow here would kill the very planning query that was
+    # supposed to prevent the blowup
+    long_max = (1 << 63) - 1
+    return per_row.agg(
+        F.least(
+            F.min("_dot"), F.lit(long_max).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("est_join_rows")
+    )

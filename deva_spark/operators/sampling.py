@@ -188,10 +188,20 @@ def mixture_rebalance(
                 F.lit(100.0) * F.sqrt(F.col("_min") / F.col("_cnt"))
             ).cast("int").alias("_rate"),
         )
+        # null-SAFE key equality (r12 review): a plain equi-join is
+        # null-rejecting, so every row whose group is NULL — a real
+        # group that the counts above include and that can even set
+        # min_cnt — silently vanished instead of sampling at its rate
+        rr = rates.select(
+            F.col(group_col).alias("_rb_key"), "_rate"
+        )
         return (
-            df.join(F.broadcast(rates), group_col)
+            df.join(
+                F.broadcast(rr),
+                F.col(group_col).eqNullSafe(F.col("_rb_key")),
+            )
             .filter(hash_bucket(F.col(id_col)) < F.col("_rate"))
-            .drop("_rate")
+            .drop("_rb_key", "_rate")
         )
 
     return _t
@@ -310,11 +320,8 @@ def weighted_sample_topk(
     from deva_spark.operators.aggregates import md5_le64
     from deva_spark.operators.windows import small_input
 
-    u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
-        float(1 << 64)
-    )
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
-        "skey", F.round(F.log(u) / F.col(weight_col), 10)
+        "skey", es_sort_key(weight_col, id_col)
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("skey").desc(), F.col(id_col)
@@ -395,11 +402,8 @@ def weighted_sample_global(
             "re-encode them (e.g. to_json) before sampling"
         )
 
-    u = (md5_le64(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
-        float(1 << 64)
-    )
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
-        "skey", F.round(F.log(u) / F.col(weight_col), 10)
+        "skey", es_sort_key(weight_col, id_col)
     )
     pw = Window.partitionBy("_p").orderBy(F.col("skey").desc(), F.col(id_col))
     part = (

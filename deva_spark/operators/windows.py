@@ -307,11 +307,30 @@ def _range_bucketed(
             d = d0.drop("_gb_v").withColumn("_gb", F.lit(0))
     elif num is not None and buckets > 1:
         d0 = df.withColumn("_gb_v", num)
-        bounds_df = d0.agg(F.min("_gb_v").alias("_lo"), F.max("_gb_v").alias("_hi"))
+        # bounds over FINITE values only (r12 review): one NaN row made
+        # _hi = NaN (Spark's max orders NaN above every double), so
+        # width_bucket returned NULL for every row and the whole input
+        # silently coalesced into bucket 0 — the single-reducer shape
+        # this two-phase path exists to avoid. NaN rows themselves go
+        # to the TOP bucket (they sort above everything), matching the
+        # sampled path, which places them past every boundary.
+        finite = F.when(~F.isnan("_gb_v"), F.col("_gb_v"))
+        bounds_df = d0.agg(
+            F.min(finite).alias("_lo"), F.max(finite).alias("_hi")
+        )
         # NULL values -> bucket 0 (sorts with ASC NULLS FIRST); equal
         # min/max (constant column) -> single bucket
-        bucket = F.when(F.col("_lo") == F.col("_hi"), F.lit(1)).otherwise(
-            F.width_bucket(F.col("_gb_v"), F.col("_lo"), F.col("_hi"), F.lit(buckets))
+        # NaN joins the TOP bucket: width_bucket returns n+1 for
+        # v == _hi (exclusive upper bound), so the top finite values
+        # live in bucket n+1 and NaN must share it — within the bucket
+        # the local sort puts NaN after every finite value, preserving
+        # the global order
+        bucket = F.when(F.isnan("_gb_v"), F.lit(buckets + 1)).otherwise(
+            F.when(F.col("_lo") == F.col("_hi"), F.lit(1)).otherwise(
+                F.width_bucket(
+                    F.col("_gb_v"), F.col("_lo"), F.col("_hi"), F.lit(buckets)
+                )
+            )
         )
         d = (
             d0.join(F.broadcast(bounds_df))

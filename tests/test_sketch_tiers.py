@@ -340,3 +340,103 @@ def test_batch_drift_global_keys(spark):
     empty_hist = hist.filter(F.lit(False))
     out2 = agg.batch_drift(empty_hist, batch).collect()
     assert len(out2) == 1 and out2[0]["drifted"] is True
+
+
+def test_extreme_values_clip_not_crash(spark):
+    # r12 review: under ANSI mode a huge outlier made floor().cast(int)
+    # raise ARITHMETIC_OVERFLOW in histogram_partials/quantile_partials,
+    # and +/-inf collapsed histogram_fixed_width into bucket 0 through
+    # the bounds. Outliers now clip to the edge bins; infinities are
+    # filtered like NULL/NaN.
+    df = spark.createDataFrame(
+        [(1.0,), (50.0,), (1e11,), (-1e11,), (float("inf",),),
+         (float("-inf"),), (float("nan"),), (None,)],
+        "v double",
+    )
+    hp = {r.bucket: r.cnt for r in df.transform(
+        agg.histogram_partials("v", lo=0.0, hi=100.0, n_buckets=20)
+    ).collect()}
+    # the FIXED grid declares lo/hi, so everything out of range —
+    # including +/-inf — clips to its edge bucket: 1.0 -> 0, {-1e11,
+    # -inf} -> 0, 50 -> 10, {1e11, +inf} -> 19
+    assert hp == {0: 3, 10: 1, 19: 2}
+    qp = {r.bin: r.cnt for r in df.transform(
+        agg.quantile_partials("v", width=25.0)
+    ).collect()}
+    # 1e11/25 = 4e9 > 2^31: saturates to the int edges instead of an
+    # ANSI overflow kill; +/-inf filtered with NULL/NaN
+    assert qp[(1 << 31) - 1] == 1 and qp[-(1 << 31)] == 1
+    assert sum(qp.values()) == 4
+    hw = {r.bucket: r.cnt for r in df.transform(
+        agg.histogram_fixed_width("v", n_buckets=10)
+    ).collect()}
+    # finite values only (1.0, 50.0, 1e11, -1e11); must NOT all be 0
+    assert sum(hw.values()) == 4 and len(hw) > 1
+
+
+def test_drift_gates_align_null_group_keys(spark):
+    # r12 review: a NULL group key is a real group, but plain-equality
+    # joins never matched it — batch_drift alarmed "appeared from
+    # nowhere" forever and psi_drift computed a garbage PSI.
+    hist = spark.createDataFrame(
+        [(None, 100), (None, 102), ("a", 100)], "g string, v long"
+    ).transform(agg.stats_partials("v", keys=["g"]))
+    batch = spark.createDataFrame(
+        [(None, 101), ("a", 100)], "g string, v long"
+    ).transform(agg.stats_partials("v", keys=["g"]))
+    out = {r.g: r for r in agg.batch_drift(hist, batch, keys=["g"]).collect()}
+    assert out[None]["hist_cnt"] == 2  # history FOUND for the NULL group
+    assert out[None]["drifted"] is not True or out[None]["hist_cnt"] is not None
+    bh = spark.createDataFrame(
+        [(None, 5.0), (None, 6.0)], "g string, v double"
+    ).transform(agg.histogram_partials("v", lo=0.0, hi=10.0, n_buckets=5, keys=["g"]))
+    hh = spark.createDataFrame(
+        [(None, 5.5), (None, 6.5)], "g string, v double"
+    ).transform(agg.histogram_partials("v", lo=0.0, hi=10.0, n_buckets=5, keys=["g"]))
+    psi = {r.g: r.psi for r in agg.psi_drift(bh, hh, keys=["g"], n_buckets=5).collect()}
+    # identical-shape distributions: PSI ~ 0, not the garbage-large
+    # value unaligned sides produced
+    assert abs(psi[None]) < 0.1
+
+
+def test_cms_join_size_survives_huge_counts(spark):
+    # r12 review: the dot product summed in bigint — two multi-billion
+    # cell counts overflowed 2^63 and ANSI killed the job. DECIMAL now.
+    big = 4_000_000_000
+    a = spark.createDataFrame([(0, 1, big), (1, 1, big)], "i int, bucket int, cnt long")
+    b = spark.createDataFrame([(0, 1, big), (1, 1, big)], "i int, bucket int, cnt long")
+    out = agg.cms_join_size(a, b, depth=2).collect()[0]
+    # 1.6e19 exceeds int64: the bigint output saturates at Long.Max
+    # instead of an ANSI kill — "do not run this join" either way
+    assert out.est_join_rows == (1 << 63) - 1
+    # below the saturation point the estimate stays exact
+    small = 1_000_000
+    c = spark.createDataFrame([(0, 1, small), (1, 1, small)], "i int, bucket int, cnt long")
+    out2 = agg.cms_join_size(c, c, depth=2).collect()[0]
+    assert out2.est_join_rows == small * small
+
+
+def test_global_positions_width_path_survives_nan(spark):
+    # r12 review: one NaN made _hi=NaN in the width bucketing, every
+    # width_bucket NULL, and the whole input silently collapsed into
+    # ONE bucket (single reducer). NaN now buckets at the top (it sorts
+    # above everything) and the numbering stays correct.
+    from deva_spark.operators.windows import global_positions
+
+    rows = [(float(i), i) for i in range(100)] + [(float("nan"), 100)]
+    df = spark.createDataFrame(rows, "score double, id long").repartition(7)
+    prev = spark.conf.get("spark.deva.positional.smallInputBytes", None)
+    spark.conf.set("spark.deva.positional.smallInputBytes", "0")
+    try:
+        out = global_positions(
+            df, order=["score", "id"], out="_rn", buckets=8
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.deva.positional.smallInputBytes")
+        else:
+            spark.conf.set("spark.deva.positional.smallInputBytes", prev)
+    got = {r.id: r._rn for r in out}
+    # finite scores number 1..100 in order; the NaN row is LAST (101)
+    assert got[100] == 101
+    assert [got[i] for i in range(100)] == list(range(1, 101))
