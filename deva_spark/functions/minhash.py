@@ -40,6 +40,26 @@ BAND_SIZE = 3  # => 4 bands; collision prob for jaccard s: 1-(1-s^3)^4
 M61 = (1 << 61) - 1  # Mersenne prime modulus for the permutation family
 
 
+#: persisted signature/shingle-index DataFrames created by the
+#: unstaged paths of :func:`near_duplicates`, :func:`ngram_jaccard_pairs`
+#: and :func:`incremental_shingle_overlap`, released by
+#: :func:`release_sig_cache` — the vectors._NEARDUP_CACHE /
+#: substring._INDEX_CACHE discipline (r12 review: looping sessions
+#: otherwise accumulate unreachable corpus-sized cached blocks).
+_SIG_CACHE: list[DataFrame] = []
+
+
+def release_sig_cache() -> int:
+    """Unpersist every signature/shingle index the unstaged paths
+    cached; returns how many were released. Safe any time after the
+    caller has materialized its result."""
+    n = 0
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+        n += 1
+    return n
+
+
 def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
     """array<long> MinHash signature — pure-column-expression twin of the
     pandas UDF (used for parity testing; the UDF is the production path).
@@ -61,7 +81,7 @@ def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
     halves = F.transform(
         sh, lambda s: F.struct(_le64(F.md5(s), 1).alias("h1"), _le64(F.md5(s), 17).alias("h2"))
     )
-    return F.transform(
+    sig = F.transform(
         seeds,
         lambda j: F.array_min(
             F.transform(
@@ -72,6 +92,12 @@ def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
             )
         ),
     )
+    # NULL (not an array of NULLs) for NULL/short texts — bit-parity
+    # with _signature_py (r12 review: the [NULL]*n form passed
+    # signatures()' isNotNull filter, and band_keys' concat_ws then
+    # skipped the NULL elements, colliding EVERY short doc into one
+    # md5('') bucket per band — a quadratic candidate blowup)
+    return F.when(F.size(sh) >= 1, sig)
 
 
 def _signature_py(text: str, num_hashes: int = NUM_HASHES) -> list[int] | None:
@@ -129,13 +155,22 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def band_keys(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+def band_keys(
+    sigs: DataFrame,
+    band_size: int = BAND_SIZE,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
     """Band projection of a signature table: ``(doc_id, band, bkey)``
     rows, one per (doc, band), with the band's signature slice hashed
     to a bucket key. This is the LSH tier's stageable/appendable index —
     a pure per-doc function of the signature, so a new batch's band
-    rows join an existing table without any rebuild."""
-    num_bands = NUM_HASHES // band_size
+    rows join an existing table without any rebuild.
+
+    ``num_hashes`` must match the width the signatures were BUILT with
+    (r12 review: the hardcoded module default crashed with an ANSI
+    array-index error on narrower signatures and silently ignored the
+    tail of wider ones — declare the width for non-default builds)."""
+    num_bands = num_hashes // band_size
     return sigs.select(
         "doc_id",
         F.explode(
@@ -160,9 +195,13 @@ def band_keys(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    band_size: int = BAND_SIZE,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair."""
-    bands = band_keys(sigs, band_size)
+    bands = band_keys(sigs, band_size, num_hashes)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -170,6 +209,40 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def _verify_candidates(
+    cands: DataFrame, sigs: DataFrame, min_matches: int
+) -> DataFrame:
+    """Per-candidate exact signature rescore — ONE copy of the
+    oracle-sensitive est_sim contract shared by :func:`near_duplicates`
+    and :func:`incremental_near_duplicates` (r12 review: two verbatim
+    copies could drift, the es_sort_key lesson). The denominator is the
+    ACTUAL signature length, so non-default signature widths scale
+    est_sim correctly (== NUM_HASHES for every default-built table —
+    values unchanged)."""
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= min_matches)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_match").cast("double")
+                / F.size("sig_a").cast("double"),
+                4,
+            ).alias("est_sim"),
+        )
     )
 
 
@@ -212,27 +285,7 @@ def incremental_near_duplicates(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     cands = cross.unionByName(self_pairs).distinct()
-    allsigs = new_sigs.unionByName(old_sigs)
-    sa = allsigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = allsigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_match", matches)
-        .filter(F.col("n_match") >= min_matches)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_match").cast("double") / F.lit(float(NUM_HASHES)), 4
-            ).alias("est_sim"),
-        )
-    )
+    return _verify_candidates(cands, new_sigs.unionByName(old_sigs), min_matches)
 
 
 def near_duplicates(
@@ -258,27 +311,9 @@ def near_duplicates(
         # once, join many).
         sigs = signatures(docs, id_col, text_col).persist()
         sigs.count()  # eager: referenced by bands + both verify-join sides
+        _SIG_CACHE.append(sigs)
     cands = lsh_candidate_pairs(sigs)
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_match", matches)
-        .filter(F.col("n_match") >= min_matches)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("n_match").cast("double") / F.lit(float(NUM_HASHES)), 4).alias(
-                "est_sim"
-            ),
-        )
-    )
+    return _verify_candidates(cands, sigs, min_matches)
 
 
 def ngram_jaccard_pairs(
@@ -322,6 +357,7 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("s").alias("sh"))
         .persist()
     )
+    _SIG_CACHE.append(sh)
     # Materialize the cache eagerly: the plan references `sh` four times
     # (both join sides + two size lookups); without a barrier one job races
     # to compute the subtree 4× before any partition lands in cache
@@ -395,8 +431,14 @@ def containment_pairs(
 
     Input is an already-exploded per-doc DISTINCT shingle index
     ``(id_col, sh_col)`` — share one staged index across every consumer
-    (the IndexStream pattern); compose with a df-cap prefilter upstream
-    for corpus scale, exactly as in :func:`ngram_jaccard_pairs`.
+    (the IndexStream pattern). CAUTION on df-cap prefilters (r12
+    review): unlike :func:`ngram_jaccard_pairs` there is NO exact
+    rescore here — sizes and intersections both come from whatever
+    index you pass, so a capped index computes containment over the
+    REDUCED shingle universe (a doc whose surviving shingles all
+    overlap reads 100%% even if its dropped high-df shingles do not).
+    For exact percentages pass the full index; cap only when
+    reduced-universe containment is the semantics you want.
 
     Output: ``(id_a, id_b, cont_a_pct, cont_b_pct)`` with ``id_a <
     id_b``, kept when EITHER direction reaches ``pct_threshold`` percent.
@@ -457,7 +499,10 @@ def incremental_shingle_overlap(
     chunk_keys / digests contract).
 
     Inputs are ``(id_col, sh_col)`` exploded DISTINCT shingle indexes
-    (the shared staged 5-gram index). Counting rows per candidate pair
+    (the shared staged 5-gram index); doc ids must be DISJOINT between
+    the two (a batch re-run after its rows already appended must be
+    deduplicated upstream — self-pairs are dropped defensively but
+    duplicated size rows would still fan out the sizes join). Counting rows per candidate pair
     IS the exact |A∩B| — the index carries the full sets, so no second
     rescore join is needed (unlike the banded MinHash tier).
 
@@ -484,12 +529,20 @@ def incremental_shingle_overlap(
         F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
     ).persist()
     n.count()  # batch-sized; feeds cross join, self join, and sizes
+    _SIG_CACHE.append(n)
     o = old_index.select(
         F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
     )
     cross = (
         n.select(F.col("doc_id").alias("nid"), "sh")
         .join(o.select(F.col("doc_id").alias("oid"), "sh"), "sh")
+        # ids must be DISJOINT between batch and corpus (the
+        # incremental_near_duplicates contract); a replayed batch whose
+        # rows already landed in the staged index would otherwise emit
+        # (X, X) self-pairs — drop them defensively (r12 review; the
+        # duplicated-sizes fanout of a true overlap remains the
+        # caller's idempotency problem, now documented)
+        .filter(F.col("nid") != F.col("oid"))
         .select(
             F.least("nid", "oid").alias("id_a"),
             F.greatest("nid", "oid").alias("id_b"),
@@ -507,12 +560,12 @@ def incremental_shingle_overlap(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     nsz = (
-        new_sizes.select("doc_id", "n")
+        new_sizes.select(F.col(id_col).alias("doc_id"), "n")
         if new_sizes is not None
         else n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     )
     osz = (
-        old_sizes.select("doc_id", "n")
+        old_sizes.select(F.col(id_col).alias("doc_id"), "n")
         if old_sizes is not None
         else o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     )

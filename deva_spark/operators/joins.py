@@ -165,7 +165,17 @@ def asof_join(
     if tolerance is not None:
         _validate_interval(tolerance)
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    # a NULL right_ts can never satisfy right_ts <= left_ts (DuckDB
+    # ASOF and pandas merge_asof both agree) — but in the union-window
+    # formulation it sorted FIRST (asc nulls-first) and its non-null
+    # row struct was carried forward by last(ignorenulls), handing left
+    # rows with no real predecessor the NULL-ts row's values (r12
+    # review, reproduced). Drop such rows up front.
+    rt = (
+        right.filter(F.col(right_ts).isNotNull())
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ats", F.col(right_ts))
+    )
     rts_type = right.schema[right_ts].dataType
     # the matched right row travels as ONE struct (its own ts + values):
     # last(ignorenulls) over the struct carries whole rows, never a mix
@@ -377,5 +387,27 @@ def bloom_pruned_join(
         )
     if bitmap is None:
         bitmap = build_bloom_bitmap(small, small_key, n_hashes, n_bits)
+    else:
+        # a caller-staged bitmap built with a DIFFERENT n_hashes than
+        # this probe silently drops genuinely-matching big rows (probe
+        # seeds the build never set) — the one failure mode a bloom
+        # filter must never have. The geometry isn't recoverable from
+        # the packed longs, so verify behaviorally: every SMALL-side
+        # key is in the set by construction, so a bounded sample that
+        # fails the membership test proves a build/probe mismatch
+        # (r12 review; n_bits self-heals via len(bitmap) but n_hashes
+        # cannot).
+        probe = small.select(F.col(small_key).alias("_bk")).filter(
+            F.col("_bk").isNotNull()
+        ).limit(100)
+        n_probe = probe.count()
+        n_pass = bloom_prune(probe, "_bk", bitmap, n_hashes).count()
+        if n_pass != n_probe:
+            raise ValueError(
+                f"staged bloom bitmap rejects {n_probe - n_pass} of "
+                f"{n_probe} sampled small-side keys — it was built with "
+                f"a different n_hashes than the probe's ({n_hashes}); "
+                "pass the build-time value"
+            )
     pruned = bloom_prune(big, big_key, bitmap, n_hashes)
     return pruned.join(small, pruned[big_key] == small[small_key], how)

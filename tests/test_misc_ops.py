@@ -755,3 +755,45 @@ def test_stats_and_kmv_merge_arbitrary_split_property(spark, splits):
     }
     assert got_stats == one_stats
     assert got_kmv == one_kmv
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    # r12 review (reproduced): a NULL right_ts sorted first in the
+    # union-window formulation and its row was carried forward — left
+    # rows with no real predecessor got the NULL-ts row's values where
+    # DuckDB ASOF and pandas merge_asof give NULL.
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "k")], "id long, ts string, k string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "k")
+    right = spark.createDataFrame(
+        [(None, 99.0, "k"), ("2026-01-01 11:00:00", 7.0, "k")],
+        "ts string, value double, k string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value", "k")
+    out = joins.asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).collect()
+    assert len(out) == 1 and out[0]["value_asof"] is None
+
+
+def test_bloom_staged_bitmap_mismatch_raises(spark):
+    # r12 review: a staged bitmap built with FEWER hashes than the
+    # probe silently dropped genuinely-matching rows. The behavioral
+    # sample check now raises; the safe direction (probe with fewer
+    # hashes — only false positives) still works and stays exact.
+    import pytest
+
+    small = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    big = spark.createDataFrame([(i, i % 50) for i in range(500)], "id long, k long")
+    bm2 = joins.build_bloom_bitmap(small, "k", n_hashes=2)
+    with pytest.raises(ValueError, match="different n_hashes"):
+        joins.bloom_pruned_join(
+            big, small.withColumnRenamed("k", "sk"), "k", "sk",
+            n_hashes=3, bitmap=bm2,
+        )
+    bm3 = joins.build_bloom_bitmap(small, "k", n_hashes=3)
+    ok = joins.bloom_pruned_join(
+        big, small.withColumnRenamed("k", "sk"), "k", "sk",
+        n_hashes=2, bitmap=bm3,  # fewer probes: safe, never drops
+    )
+    assert ok.count() == 500

@@ -877,3 +877,46 @@ def test_simhash_wide_budget_finds_spread_bit_pairs(spark):
     # default banding unchanged: 4 chunks, historical 12-bit spans
     assert sh.banding_chunks(3) == sh.NUM_CHUNKS == 4
     assert sh._chunk_spans(4) == [(0, 12), (12, 12), (24, 12), (36, 12)]
+
+
+def test_minhash_column_twin_nulls_short_docs(spark):
+    # r12 review (reproduced): the column-expression twin returned an
+    # array of 12 NULLs for NULL/<3-token texts where _signature_py
+    # returns None — the [NULL]*12 form passed signatures()' isNotNull
+    # filter and collided every short doc into one md5('') LSH bucket.
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, None), (3, "a proper three token text")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", mh.minhash_signature(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == mh._signature_py("a proper three token text")
+
+
+def test_band_keys_declared_width(spark):
+    # r12 review (reproduced): band_keys hardcoded NUM_HASHES — a
+    # narrower signature crashed with an ANSI array-index error. The
+    # width is now a declared parameter, and est_sim scales by the
+    # ACTUAL signature length.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    sigs = docs.select(
+        "doc_id", mh.minhash_signature(F.col("text"), num_hashes=6).alias("sig")
+    )
+    bands = mh.band_keys(sigs, band_size=3, num_hashes=6).collect()
+    assert len(bands) == 2 * 2  # 2 docs x 2 bands
+    pairs = mh.lsh_candidate_pairs(sigs, band_size=3, num_hashes=6).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    # identical docs: 6/6 matches -> est_sim 1.0 with the length-aware
+    # denominator (the hardcoded /12 would have said 0.5)
+    out = mh._verify_candidates(
+        mh.lsh_candidate_pairs(sigs, band_size=3, num_hashes=6), sigs, 3
+    ).collect()
+    assert out[0].est_sim == 1.0
