@@ -249,6 +249,70 @@ def _encode_blocks(
 _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
+def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal Huffman table for one scan's symbol frequencies, per
+    ITU-T T.81 Annex K.2 (figures K.1-K.3): pairwise merge of the two
+    least-frequent symbols (ties to the larger symbol value), then the
+    16-bit length limit adjustment, with the reserved pseudo-symbol 256
+    guaranteeing no real symbol gets the all-ones code. Progressive
+    scans NEED custom tables — the Annex K AC tables carry no EOBn
+    (r<<4, 2<=2^r) symbols, which is why every real progressive stream
+    ships its own DHTs and libjpeg forces optimize_coding for SOF2."""
+    freq = [0] * 257
+    for sym, c in freqs.items():
+        freq[sym] = c
+    freq[256] = 1  # reserved: claims the longest all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        c1 = c2 = None
+        for i in range(257):
+            f = freq[i]
+            if f <= 0:
+                continue
+            if c1 is None or f < c1 or (f == c1 and i > v1):
+                v2, c2 = v1, c1
+                v1, c1 = i, f
+            elif c2 is None or f < c2 or (f == c2 and i > v2):
+                v2, c2 = i, f
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # K.3: fold code lengths > 16 back under the limit
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol (it holds a longest code)
+    huffval = [
+        s for ln in range(1, 17) for s in range(256) if codesize[s] == ln
+    ]
+    return bits[1:17], huffval
+
+
 def _encode_block_bits(
     bw: "_BitWriter", zz: np.ndarray, prev: int, dc_tab, ac_tab
 ) -> int:

@@ -37,6 +37,8 @@ Scale notes (100 TB corpus, ~1e9 near-dup edges):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 #: Edge-count cutover for the driver union-find path in
@@ -47,6 +49,10 @@ from pyspark.sql import DataFrame, functions as F
 #: small driver, or ``0`` to force the distributed path always.
 DRIVER_MAX_EDGES_CONF = "spark.deva.graph.driverMaxEdges"
 DRIVER_MAX_EDGES_DEFAULT = 1_000_000
+
+#: Serializes the process-global ``setCheckpointDir`` with the
+#: ``checkpoint()`` call that reads it (see :func:`_round_stager`).
+_CHECKPOINT_DIR_LOCK = threading.Lock()
 
 
 def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
@@ -59,9 +65,10 @@ def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
     With ``checkpoint_dir``: a RELIABLE ``checkpoint`` — each round's
     table is written to the (HDFS/S3-able) directory, so iteration
     state survives executor loss; tasks that lose blocks re-read files.
-    ``sc.setCheckpointDir`` is PROCESS-GLOBAL: concurrent resolutions
-    on one SparkContext must share one checkpoint_dir (the last set
-    wins for both — documented constraint, no per-job API exists).
+    ``sc.setCheckpointDir`` is PROCESS-GLOBAL with no per-job API;
+    concurrent staging serializes the set-then-checkpoint pair under a
+    module lock (see below) so runs never write into each other's
+    directories.
 
     ``eager=False`` is ONLY for callers that run a bounded action (a
     convergence fingerprint / changed-count) immediately after every
@@ -85,15 +92,34 @@ def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
     the next stage call). Growth is bounded to <= 2 round snapshots;
     the FINAL round's files back the returned DataFrame, so delete
     ``checkpoint_dir`` only after the result is written out.
+
+    CONCURRENCY (VERDICT r12 #3): two fixes close the cross-run hazard.
+    (a) Slots live under a PER-RUN unique subdirectory — two concurrent
+    resolutions pointed at the same ``checkpoint_dir`` previously
+    shared slot-0/slot-1 and would delete each other's round files
+    mid-iteration; each stager now owns ``<checkpoint_dir>/run-<uuid>/``
+    so the rotation can only ever collect its own rounds (the
+    ≤2-snapshot bound is per run). (b) ``_CHECKPOINT_DIR_LOCK``
+    serializes ``setCheckpointDir`` → ``df.checkpoint(...)``: the JVM
+    captures the directory when ``checkpoint()`` is invoked
+    (``ReliableRDDCheckpointData`` reads ``sc.checkpointDir`` at
+    construction), so holding the lock across that pair is sufficient —
+    and for the lazy (``eager=False``) path the lock covers only plan
+    construction, not the materializing action. Eager staging does hold
+    the lock through its job; concurrent eager stagers serialize, which
+    is the price of a process-global JVM knob.
     """
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint(eager=eager)
+    import uuid
+
     sc = spark.sparkContext
+    run_dir = f"{checkpoint_dir.rstrip('/')}/run-{uuid.uuid4().hex}"
     state = {"round": 0}
 
     def stage(df: DataFrame) -> DataFrame:
         slot = state["round"] % 2
-        slot_dir = f"{checkpoint_dir.rstrip('/')}/slot-{slot}"
+        slot_dir = f"{run_dir}/slot-{slot}"
         if state["round"] >= 2:
             from deva_spark.sources.fs import delete_path
 
@@ -101,9 +127,10 @@ def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
                 delete_path(spark, slot_dir)  # round k-2, consumed
             except Exception:
                 pass  # GC is best-effort; correctness never depends on it
-        sc.setCheckpointDir(slot_dir)
         state["round"] += 1
-        return df.checkpoint(eager=eager)
+        with _CHECKPOINT_DIR_LOCK:
+            sc.setCheckpointDir(slot_dir)
+            return df.checkpoint(eager=eager)
 
     return stage
 

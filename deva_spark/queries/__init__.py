@@ -61,117 +61,98 @@ from deva_spark.queries.multimodal import flagship  # noqa: F401
 # Driver-window rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS file records the FIRST 50 registered queries only, so the
 # registry reorders itself each round to put the queries that most need
-# a driver row first. Round-12 window (VERDICT r11 #1): (a) the six r11
-# deferrals — the ONLY entries whose latest driver evidence is r8, the
-# oldest in the registry — lead; (b) every entry whose latest green is
-# r9 (42 of them — the full r9-stale cohort, so after this window no
-# entry's latest green is older than r10); (c) this round's new
-# registrations x110+ (auto-append: 48 + 2 new = exactly 50). The
-# deferral backlog closes EMPTY. Local tooling
-# (tools/check_correctness.py, bench.py) still runs every entry.
+# a driver row first. Since r13 the window is DERIVED from the committed
+# CORRECTNESS_r*.json history (VERDICT r12 "wrong" #1 — the previous
+# hand-maintained 48-name literal was one fat-finger away from silently
+# skewing the rotation, and the data to compute it was already in the
+# repo): entries never driver-recorded (this round's new registrations)
+# are guaranteed a slot, and the rest of the window fills with the
+# entries whose latest GREEN driver row is oldest, ties broken by
+# registration order. With a 147-entry registry and a 50-row window the
+# steady state is a 3-round cycle in which every entry's evidence stays
+# <= 2 rounds old — exactly the invariant the accounting test
+# (tests/test_plan_shapes.py) checks, now against the same files the
+# derivation reads. Local tooling (tools/check_correctness.py, bench.py)
+# still runs every entry every time.
 # ---------------------------------------------------------------------------
 
-_DRIVER_FIRST: tuple[str, ...] = (
-    # the r11 deferrals: latest driver row r8 — the registry's oldest
-    # evidence, first in line as VERDICT r11 #1 requires
-    "x18_lineitem_part_join",
-    "x25_session_stats",
-    "x26_histogram",
-    "x27_pivot_counts",
-    "x29_rolling_hash",
-    "x53_hourly_trending",
-    # the full r9-stale cohort (latest driver row r9), 42 entries —
-    # after this round every registry entry's newest green is >= r10
-    "q01_scan_project",
-    "q02_filter",
-    "q04_avg_min_max",
-    "q05_distinct",
-    "q07_consecutive_dedup",
-    "q08_inner_join",
-    "q09_left_join_coalesce",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_multiway_join",
-    "q13_positional_zip",
-    "q16_sliding_window_avg",
-    "q17_partition_chunks",
-    "q18_tumbling_time_window",
-    "q19_rank_topk_per_key",
-    "q21_topk",
-    "q22_slice",
-    "q23_union",
-    "q24a_intersect",
-    "q24b_except",
-    "q25_string_fns",
-    "q26_regexp_extract",
-    "q27_date_trunc",
-    "q28_math_fns",
-    "q29_explode_words",
-    "q30_frequencies",
-    "q31_percentile",
-    "q32_rollup",
-    "q33_zscore_anomaly",
-    "q34_exact_text_dedup",
-    "x101_ivfpq_adc_search",
-    "x102_ivfpq_rerank_search",
-    "x103_ivfpq_append_search",
-    "x104_cjk_bigram_token_freq",
-    "x10_label_centroids",
-    "x11_json_extract",
-    "x12_tfidf_keywords",
-    "x14_case_route",
-    "x21_rolling_time_window",
-    "x23_cosine_neardup",
-    "x66_semdedup_prune",
-    "x88_incremental_cosine_neardup",
-)
 
-#: Round-12 closes with the deferral backlog EMPTY (VERDICT r11 #1's
-#: "keep _DEFERRED_TO_NEXT empty at close"): the window holds the six
-#: r8-stale entries + all 42 r9-stale entries + the two new
-#: registrations (x110/x111) — nothing left over. Everything outside
-#: the window is r10- or r11-green, which the accounting test below
-#: verifies directly against those CORRECTNESS files.
-_DEFERRED_TO_NEXT: tuple[str, ...] = ()
-
-#: Queries registered this round get their FIRST driver row ahead of the
-#: long-stable tail. Numeric threshold (ADVICE r4: the old lexicographic
-#: ``k >= "x50"`` silently mis-sorted a future "x100").
-_NEW_MIN_ID = 110  # x110+ = new in r12
-
-
-
-def _query_num(name: str) -> int | None:
-    m = re.match(r"x(\d+)_", name)
-    return int(m.group(1)) if m else None
-
-
-def _new_this_round() -> tuple[str, ...]:
-    return tuple(
-        k
-        for k in SPARK_QUERIES
-        if (num := _query_num(k)) is not None
-        and num >= _NEW_MIN_ID
-        and k not in _DRIVER_FIRST
+def _green(row: object) -> bool:
+    """A driver row counts only if the driver verified it fully — a red
+    or rows-only row (e.g. x107's ``no_oracle`` in r10) must NOT push an
+    entry to the back of the rotation."""
+    return (
+        isinstance(row, dict)
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
     )
 
 
-def _rotate_registry() -> None:
-    first = _DRIVER_FIRST + _new_this_round()
-    # The driver records only the first 50 rows: overflowing the window
-    # would silently un-verify whatever lands past it (ADVICE r4). Clip
-    # rather than assert — an import-time crash would take down EVERY
-    # query, which is far worse than the newest additions falling to the
-    # tail until the next rotation.
-    if len(first) > 50:
-        import warnings
+def _correctness_history() -> tuple[dict[str, int], dict[str, int], int]:
+    """Scan repo-root CORRECTNESS_r*.json: (latest green round per entry,
+    latest ANY-row round per entry, newest round number on disk)."""
+    import glob
+    import json
+    import os
 
-        warnings.warn(
-            f"driver window overflow: {len(first)} > 50 — rotate "
-            "_DRIVER_FIRST; newest additions fall past the driver window",
-            stacklevel=2,
-        )
-        first = first[:50]
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest_green: dict[str, int] = {}
+    latest_seen: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue  # a torn artifact must not take down every query
+        if not isinstance(rows, dict):
+            continue
+        newest = max(newest, rnd)
+        for k, v in rows.items():
+            latest_seen[k] = max(latest_seen.get(k, 0), rnd)
+            if _green(v):
+                latest_green[k] = max(latest_green.get(k, 0), rnd)
+    return latest_green, latest_seen, newest
+
+
+def _derive_rotation() -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(window head, deferrals) from the correctness history.
+
+    Head = never-recorded registrations (guaranteed their first driver
+    row) + oldest-latest-green entries, in staleness-then-registration
+    order, clipped to 50. Deferrals = entries whose evidence is already
+    >= 2 rounds old (so the next accounting window won't cover them)
+    that did not fit — recorded programmatically, not by hand.
+    """
+    names = list(SPARK_QUERIES)
+    green, seen, newest = _correctness_history()
+    order = {k: i for i, k in enumerate(names)}
+    new = [k for k in names if k not in seen]  # first row still owed
+    stale = sorted(
+        (k for k in names if k in seen),
+        key=lambda k: (green.get(k, 0), order[k]),
+    )
+    head = new[:50] + stale[: max(0, 50 - len(new))]
+    window = set(head)
+    needy = [k for k in stale if green.get(k, 0) <= newest - 2]
+    return tuple(head), tuple(k for k in needy if k not in window)
+
+
+_DRIVER_FIRST, _DEFERRED_TO_NEXT = _derive_rotation()
+
+
+def _rotate_registry() -> None:
+    # The driver records only the first 50 rows: overflowing the window
+    # would silently un-verify whatever lands past it (ADVICE r4); the
+    # derivation clips to 50 by construction.
+    first = _DRIVER_FIRST
     for d in (SPARK_QUERIES, ORACLE_SQL):
         head = {k: d[k] for k in first if k in d}
         tail = {k: v for k, v in d.items() if k not in head}

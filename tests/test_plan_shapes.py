@@ -340,60 +340,49 @@ def test_rank_windows_partition_on_high_cardinality_or_salted_keys(
 
 
 def test_driver_window_accounts_for_every_registry_entry():
-    # ADVICE r6 #4: deferrals are recorded programmatically. Every
-    # registry entry must be (a) inside the 50-row driver window this
-    # round, (b) a named deferral, or (c) green in the PREVIOUS round's
-    # driver CORRECTNESS file — a forgotten rotation fails here instead
-    # of silently shipping a never-verified query.
-    import json
-    import os
-
+    # ADVICE r6 #4 + VERDICT r12 "wrong" #1: the rotation is DERIVED
+    # from the committed CORRECTNESS_r*.json history, so this test no
+    # longer hand-keys round filenames or entry names (the discipline a
+    # fat-finger could skew); it re-derives the staleness facts from
+    # the same files and checks the invariants that make the rotation
+    # sound for ANY round:
+    #   (a) the head is exactly 50 distinct registry entries;
+    #   (b) every entry never driver-recorded sits in-window (a new
+    #       registration must get its first row this round);
+    #   (c) the window holds the entries with the OLDEST latest-green
+    #       evidence: nothing outside the window is strictly staler
+    #       than anything inside it;
+    #   (d) every entry is in-window, a recorded deferral, or green
+    #       within the last two driver rounds — no entry silently
+    #       ships with stale evidence.
     keys = list(Q.SPARK_QUERIES)
     window = set(keys[:50])
     deferred = set(Q._DEFERRED_TO_NEXT)
-    assert len(keys[:50]) == 50
+    assert len(keys) >= 50 and len(window) == 50
     assert window.isdisjoint(deferred), window & deferred
-    # r11 review: a duplicate name in _DRIVER_FIRST dedups silently in
-    # the rotation dicts and burns a window slot on a tail entry
     assert len(Q._DRIVER_FIRST) == len(set(Q._DRIVER_FIRST)), "dup entry"
-    assert len(set(Q._DEFERRED_TO_NEXT)) == len(Q._DEFERRED_TO_NEXT)
-    base = os.path.join(os.path.dirname(__file__), "..")
-    # green rows from the last TWO driver rounds count: the r12 window
-    # holds the six r8-stale deferrals + the entire r9-stale cohort, so
-    # everything OUTSIDE it is r10- or r11-green and the deferral list
-    # closes empty (VERDICT r11 #1).
-    prev_green = set()
-    for rnd in ("CORRECTNESS_r10.json", "CORRECTNESS_r11.json"):
-        rows = json.load(open(os.path.join(base, rnd)))
-        # only rows the driver actually verified count — a red row
-        # (x107's no_oracle in r10) must NOT satisfy the accounting
-        prev_green |= {
-            k
-            for k, v in rows.items()
-            if isinstance(v, dict)
-            and v.get("rows_match")
-            and v.get("schema_match")
-            and v.get("hash_match")
-        }
+    assert set(Q._DRIVER_FIRST) == window, "rotation did not apply"
+    assert deferred <= set(keys)
+
+    green, seen, newest = Q._correctness_history()
+    assert newest >= 1, "no CORRECTNESS history found at the repo root"
+    never_recorded = [k for k in keys if k not in seen]
+    for k in never_recorded:
+        assert k in window, f"new registration {k} fell out of the window"
+    # (c) the window is the stalest cohort: max staleness inside >=
+    # anything outside (0 = never green, oldest possible)
+    outside = [green.get(k, 0) for k in keys[50:]]
+    inside = [green.get(k, 0) for k in keys[:50] if k in seen]
+    if outside and inside:
+        assert max(inside) <= min(outside), (
+            "a staler entry sits outside the window: "
+            f"in-window latest-green max {max(inside)}, "
+            f"tail min {min(outside)}"
+        )
+    # (d) full accounting over the last two driver rounds
+    prev_green = {k for k, r in green.items() if r >= newest - 1}
     uncovered = set(keys) - window - deferred - prev_green
     assert not uncovered, f"entries with no driver row and no deferral: {uncovered}"
-    # every deferral names a real registry entry
-    assert deferred <= set(keys)
-    # VERDICT r11 #1: the six r8-stale deferrals MUST lead the r12
-    # window (oldest evidence in the registry), and every query whose
-    # oracle or implementation changed this round must sit in-window —
-    # shipping a changed oracle out-of-window means it ships unverified.
-    for changed in (
-        "x18_lineitem_part_join",  # r11 deferral, evidence r8
-        "x25_session_stats",  # r11 deferral, evidence r8
-        "x26_histogram",  # r11 deferral, evidence r8
-        "x27_pivot_counts",  # r11 deferral, evidence r8
-        "x29_rolling_hash",  # r11 deferral, evidence r8
-        "x53_hourly_trending",  # r11 deferral, evidence r8
-        "x110_mjpeg_420_audit",  # new this round (4:2:0 JPEG decode)
-        "x111_chain_dedup_clusters",  # new this round (star CC)
-    ):
-        assert changed in window, f"changed row {changed} fell out of the window"
 
 
 def test_staged_routes_plan_shapes(spark, sf_dir, tmp_path, monkeypatch):

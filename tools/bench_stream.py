@@ -59,6 +59,19 @@ def _median(xs: list[float]) -> float:
     return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
+def _loadavg() -> float:
+    # 1-minute load at run START — same attribution field the other
+    # three panels carry (VERDICT r12 "wrong" #2: the suite drifted
+    # 21.9 s -> 25.0 s with no code change to the drains and this panel
+    # alone recorded no load, so the drift needed forensics instead of
+    # a glance; it also lets the ≤30 s pytest bound distinguish a real
+    # regression from a loaded machine)
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,8 +94,11 @@ def main() -> None:
         Q.SPARK_QUERIES[name](spark, sf_dir).collect()
 
     drains: dict[str, dict[str, float]] = {}
+    loads: list[float] = []
     for name in DRAINS:
         stream_times = []
+        load0 = _loadavg()
+        loads.append(load0)
         for _ in range(n_runs):
             t0 = time.perf_counter()
             Q.SPARK_QUERIES[name](spark, sf_dir).toPandas()
@@ -97,6 +113,7 @@ def main() -> None:
         drains[name] = {
             "stream": round(_median(stream_times), 3),
             "oracle": round(_median(oracle_times), 3),
+            "load": load0,
         }
         print(f"# {name}: {drains[name]}", file=sys.stderr)
 
@@ -108,6 +125,8 @@ def main() -> None:
         "drains": drains,
         "runs": n_runs,
         "sf": sf,
+        "load": [min(loads), max(loads)],
+        "load_end": _loadavg(),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM.json"), "w") as fh:
