@@ -19,11 +19,11 @@ extension (BASELINE.json north star). Design:
     ALSO REAL (r11): video via package-own container AND entropy codecs
     — animated GIF (LZW encode/decode), AVI/RIFF with uncompressed
     BI_RGB frames (:func:`encode_avi`/:func:`decode_avi`, bit-exact
-    roundtrip), and MJPEG-AVI through the pure-numpy baseline JPEG
-    encoder/decoder (`functions.jpeg`: 4:4:4, Annex K tables, byte
-    stuffing, restart handling — lossy but deterministic). STILL
-    INJECTED: codecs that genuinely need external libraries (H.264 …,
-    chroma-subsampled/progressive JPEG) — ffmpeg when present, else the
+    roundtrip), and MJPEG-AVI through the pure-numpy JPEG
+    encoder/decoder (`functions.jpeg`: baseline 4:4:4/4:2:2/4:2:0 and
+    progressive SOF2, byte stuffing, restart handling — lossy but
+    deterministic). STILL INJECTED: codecs that genuinely need external
+    libraries (H.264 …, arithmetic-coded JPEG) — ffmpeg when present, else the
     deterministic :func:`fake_decode_video` keeps the Spark-side
     plumbing testable, and :func:`raise_not_implemented` remains for
     callers that must fail loudly without a real codec.
@@ -901,6 +901,7 @@ def encode_avi(
     codec: str = "dib",
     quality: int = 90,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Encode an AVI clip. Pass a ``(T, H, W, 3)`` uint8 RGB array —
     written as an uncompressed BI_RGB ('DIB ') stream by default
@@ -921,7 +922,10 @@ def encode_avi(
             handler = b"MJPG"
             compression = _MJPG_FOURCC
             payloads = [
-                encode_jpeg(f, quality=quality, subsampling=subsampling)
+                encode_jpeg(
+                    f, quality=quality, subsampling=subsampling,
+                    progressive=progressive,
+                )
                 for f in frames.astype(np.uint8)
             ]
             chunk_id = b"00dc"
@@ -1100,10 +1104,10 @@ def avi_frame_dims(content: bytes) -> list[tuple[int, int] | None]:
 def decode_avi(content: bytes, parsed: dict | None = None) -> np.ndarray:
     """Decode an AVI to ``(T, H, W, 3)`` uint8 RGB. Uncompressed BI_RGB
     streams invert :func:`encode_avi`'s DIB form bit-exactly; MJPEG
-    streams decode each frame through the package-own baseline JPEG
-    codec (`functions.jpeg`, r11 — lossy-but-deterministic pixels;
-    subsampled/progressive frames raise ``NotImplementedError`` there,
-    the external-codec boundary)."""
+    streams decode each frame through the package-own JPEG codec
+    (`functions.jpeg`, r11-r13 — lossy-but-deterministic pixels,
+    baseline subsampled AND progressive; arithmetic-coded frames raise
+    ``NotImplementedError`` there, the external-codec boundary)."""
     m = parsed if parsed is not None else _avi_parse(content)
     codec = _avi_codec(m)
     if codec == "mjpg":
@@ -1356,6 +1360,7 @@ def synthesize_avi_from_text(
     codec: str = "dib",
     quality: int = 90,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> DataFrame:
     """One REAL AVI clip per input row, geometry and pixels pure
     functions of ``md5(text)`` (:func:`synthesized_dims`'s video entry —
@@ -1382,7 +1387,7 @@ def synthesize_avi_from_text(
                 ).reshape(vt, vh, vw, 3)
                 avi = encode_avi(
                     clip, codec=codec, quality=quality,
-                    subsampling=subsampling,
+                    subsampling=subsampling, progressive=progressive,
                 )
                 # DIB roundtrips bit-exactly (pinned by
                 # test_avi_dib_roundtrip_bit_exact), so its digest needs

@@ -85,10 +85,17 @@ def test_golden_digest():
 def test_unsupported_inputs_raise():
     img = _grad(8, 8)
     enc = bytearray(J.encode_jpeg(img, quality=90))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic coding) — still an honest boundary
+    # (progressive SOF2 DECODES since r13, so the old flip now exercises
+    # the corrupt-stream path below instead)
     i = bytes(enc).find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(enc))
+    # SOF2 on a BASELINE scan layout is corrupt (its interleaved SOS
+    # claims spectral band 0..63): loud ValueError, not garbage pixels
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         J.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x89PNG")
@@ -334,3 +341,116 @@ def test_malformed_streams_raise_catchable_errors():
         return bytes(b)
 
     corrupt(empty_sos)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — r13, VERDICT r12 "missing" #1
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "mode,hw",
+    [
+        ("444", (16, 16)),
+        ("444", (17, 23)),
+        ("422", (33, 31)),
+        ("420", (32, 32)),
+        ("420", (3, 5)),
+    ],
+)
+def test_progressive_matches_baseline_pixels(mode, hw):
+    # progressive is a lossless reordering of the same quantized blocks:
+    # decoded pixels must be BIT-IDENTICAL to the baseline stream's at
+    # the same quality/subsampling — the strongest cross-layout check
+    h, w = hw
+    img = np.random.default_rng(h * 37 + w).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling=mode))
+    enc = J.encode_jpeg(img, quality=85, subsampling=mode, progressive=True)
+    assert np.array_equal(J.decode_jpeg(enc), base)
+    # deterministic bytes
+    assert (
+        J.encode_jpeg(img, quality=85, subsampling=mode, progressive=True)
+        == enc
+    )
+
+
+def test_progressive_grayscale_and_flat_eob_runs():
+    g = _grad(40, 24)[:, :, 0]
+    base = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(g, quality=90, progressive=True)), base
+    )
+    # a flat image makes every AC band all-zero: the whole scan is one
+    # EOBn run (the symbol class Annex K tables cannot express — the
+    # per-scan optimal DHT path)
+    flat = np.full((64, 48, 3), 113, dtype=np.uint8)
+    bflat = J.decode_jpeg(J.encode_jpeg(flat, quality=90))
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(flat, quality=90, progressive=True)),
+        bflat,
+    )
+    assert np.array_equal(bflat, flat)  # flat survives DCT exactly
+
+
+def test_progressive_restart_markers():
+    img = np.random.default_rng(5).integers(
+        0, 256, size=(48, 32, 3), dtype=np.uint8
+    )
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=80, subsampling="420"))
+    enc = J.encode_jpeg(
+        img, quality=80, subsampling="420", progressive=True,
+        restart_interval=2,
+    )
+    assert enc.count(b"\xff\xdd") == 1  # DRI present
+    assert np.array_equal(J.decode_jpeg(enc), base)
+
+
+def test_progressive_wire_format():
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img, quality=90, progressive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    # libjpeg's default color script: 10 scans, 8 of them AC scans each
+    # carrying its own optimal DHT; header carries the two DC DHTs
+    assert enc.count(b"\xff\xda") == 10
+    assert enc.count(b"\xff\xc4") == 2 + 8
+    # golden pins: wire bytes AND decoded pixels (a shared
+    # encoder/decoder drift still roundtrips — the literals catch it)
+    assert hashlib.md5(enc).hexdigest() == (
+        _PROGRESSIVE_GOLDEN_ENC
+    ), hashlib.md5(enc).hexdigest()
+    assert hashlib.md5(J.decode_jpeg(enc).tobytes()).hexdigest() == (
+        _PROGRESSIVE_GOLDEN_DEC
+    ), hashlib.md5(J.decode_jpeg(enc).tobytes()).hexdigest()
+
+
+_PROGRESSIVE_GOLDEN_ENC = "18c700056497be88e65f03863bb7e4cc"
+_PROGRESSIVE_GOLDEN_DEC = "b08e97017680ba8712f372dd55589bee"
+
+
+def test_progressive_truncation_and_garbage_raise():
+    img = _grad(24, 24)
+    enc = J.encode_jpeg(img, quality=90, progressive=True)
+    # chop mid-scan: deterministic-decode contract is pixels or a loud
+    # error, never fabricated coefficients
+    with pytest.raises(ValueError):
+        J.decode_jpeg(enc[: len(enc) // 2])
+    # progressive with multi_scan is contradictory
+    with pytest.raises(ValueError):
+        J.encode_jpeg(img, progressive=True, multi_scan=True)
+
+
+def test_progressive_scan_order_enforced():
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img, quality=90, progressive=True)
+    # excise the DC first scan (first SOS): AC scans must then refuse
+    # to run ahead of their component's DC scan
+    first_sos = enc.find(b"\xff\xda")
+    second_sos = enc.find(b"\xff\xda", first_sos + 2)
+    # keep everything before the first SOS (tables/SOF), then skip to
+    # the DHT immediately preceding the second scan
+    dht_before_second = enc.rfind(b"\xff\xc4", 0, second_sos)
+    cut = enc[:first_sos] + enc[dht_before_second:]
+    with pytest.raises(ValueError):
+        J.decode_jpeg(cut)
