@@ -164,13 +164,18 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _build_huffman(spec) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    """symbol -> (code, length) per T.81 C.2 canonical assignment.
+    Raises ValueError on a BITS vector whose counts overflow the code
+    space — a corrupt crawled stream's DHT must be a catchable decode
+    error, not an IndexError out of the fast-table build."""
     bits, vals = spec
     out = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length) or k >= len(vals):
+                raise ValueError("invalid DHT: code space overflow")
             out[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -469,6 +474,19 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+class _FreqTab:
+    """Stand-in encode table for the ``optimize`` counting pass:
+    records symbol frequencies, returns a dummy (code, length) so the
+    exact serialization loops double as the statistics pass."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def __getitem__(self, sym: int) -> tuple[int, int]:
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 1)
+
+
 #: libjpeg's default progressive scan script (jcparam.c, public
 #: knowledge): DC of every component at Al=1, luma AC split into a
 #: low band and the rest at Al=2, chroma AC whole-band at Al=1, then
@@ -596,6 +614,7 @@ def encode_jpeg(
     subsampling: str = "444",
     multi_scan: bool = False,
     progressive: bool = False,
+    optimize: bool = False,
 ) -> bytes:
     """Encode an ``(H, W, 3)`` uint8 RGB array (or ``(H, W)`` grayscale)
     as a baseline JFIF JPEG. Deterministic. ``restart_interval`` > 0
@@ -629,7 +648,13 @@ def encode_jpeg(
     entropy coding is a lossless reordering of the same quantized
     blocks, so the decoded pixels are bit-identical to the baseline
     stream's at the same quality/subsampling — the cross-layout parity
-    tests and the x112 driver row hang off exactly that property."""
+    tests and the x112 driver row hang off exactly that property.
+
+    ``optimize`` (r13): two-pass baseline encode with optimal Huffman
+    tables built from the image's own symbol statistics (``cjpeg
+    -optimize``) — strictly smaller-or-equal streams, pixel-identical
+    decode (table choice never changes the symbols, only their codes).
+    Progressive ignores it: its AC tables are always per-scan optimal."""
     if progressive and multi_scan:
         raise ValueError("progressive and multi_scan are exclusive")
     if subsampling not in _SUBSAMPLING:
@@ -688,36 +713,41 @@ def encode_jpeg(
 
     mcux = planes[0].shape[1] // (8 * hy)
     mcuy = planes[0].shape[0] // (8 * vy)
-    if progressive:
-        scan = scans = None
-    elif multi_scan and ncomp == 3:
-        # one SOS per component, non-interleaved over its OWN block
-        # grid (T.81 A.2.2): true dims, not the MCU-padded storage grid
-        scans = []
-        for ci in range(ncomp):
-            bw = _BitWriter()
-            prev = 0
-            rst = 0
-            th, tw = (
-                (h, w)
-                if ci == 0
-                else ((h + vy - 1) // vy, (w + hy - 1) // hy)
-            )
-            nby, nbx = (th + 7) // 8, (tw + 7) // 8
-            sbx = comp_bw[ci]
-            for m in range(nby * nbx):
-                if restart_interval and m and m % restart_interval == 0:
-                    bw.restart(rst)
-                    rst = (rst + 1) % 8
-                    prev = 0
-                by_, bx_ = divmod(m, nbx)
-                prev = _encode_block_bits(
-                    bw, comp_blocks[ci][by_ * sbx + bx_], prev,
-                    dc_tabs[ci], ac_tabs[ci],
+
+    def gen_scans(dc_t, ac_t):
+        """Entropy-code the quantized blocks with the given tables —
+        run once with the static Annex K tables, or twice for
+        ``optimize`` (a counting pass, then the real pass with the
+        optimal tables; same loops both times, so the symbol stream
+        the frequencies describe is exactly the one serialized)."""
+        if multi_scan and ncomp == 3:
+            # one SOS per component, non-interleaved over its OWN block
+            # grid (T.81 A.2.2): true dims, not the MCU-padded storage
+            # grid
+            multi = []
+            for ci in range(ncomp):
+                bw = _BitWriter()
+                prev = 0
+                rst = 0
+                th, tw = (
+                    (h, w)
+                    if ci == 0
+                    else ((h + vy - 1) // vy, (w + hy - 1) // hy)
                 )
-            scans.append(bw.flush())
-        scan = None
-    else:
+                nby, nbx = (th + 7) // 8, (tw + 7) // 8
+                sbx = comp_bw[ci]
+                for m in range(nby * nbx):
+                    if restart_interval and m and m % restart_interval == 0:
+                        bw.restart(rst)
+                        rst = (rst + 1) % 8
+                        prev = 0
+                    by_, bx_ = divmod(m, nbx)
+                    prev = _encode_block_bits(
+                        bw, comp_blocks[ci][by_ * sbx + bx_], prev,
+                        dc_t[ci], ac_t[ci],
+                    )
+                multi.append(bw.flush())
+            return None, multi
         bw = _BitWriter()
         prev_dc = [0] * ncomp
         rst = 0
@@ -737,9 +767,32 @@ def encode_jpeg(
                         bi = (my * vi + v) * comp_bw[ci] + (mx * hi + hh)
                         prev_dc[ci] = _encode_block_bits(
                             bw, comp_blocks[ci][bi], prev_dc[ci],
-                            dc_tabs[ci], ac_tabs[ci],
+                            dc_t[ci], ac_t[ci],
                         )
-        scan = bw.flush()
+        return bw.flush(), None
+
+    opt_specs = None
+    if progressive:
+        scan = scans = None
+    else:
+        if optimize:
+            # counting pass: luma tables from component 0, chroma
+            # tables shared by components 1-2 (the slot layout the SOS
+            # header already declares); grayscale uses the luma pair
+            color = ncomp == 3
+            cnt = [_FreqTab() for _ in range(4 if color else 2)]
+            gen_scans(
+                [cnt[0]] + ([cnt[2]] * 2 if color else []),
+                [cnt[1]] + ([cnt[3]] * 2 if color else []),
+            )
+            opt_specs = [_optimal_huffman_spec(t.freq) for t in cnt]
+            dc_tabs = [_build_huffman(opt_specs[0])] + (
+                [_build_huffman(opt_specs[2])] * 2 if color else []
+            )
+            ac_tabs = [_build_huffman(opt_specs[1])] + (
+                [_build_huffman(opt_specs[3])] * 2 if color else []
+            )
+        scan, scans = gen_scans(dc_tabs, ac_tabs)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
@@ -767,6 +820,14 @@ def encode_jpeg(
     if progressive:
         huff_segments = [(0x00, _DC_LUMA_SPEC)] + (
             [(0x01, _DC_CHROMA_SPEC)] if ncomp == 3 else []
+        )
+    elif opt_specs is not None:
+        huff_segments = [
+            (0x00, opt_specs[0]), (0x10, opt_specs[1]),
+        ] + (
+            [(0x01, opt_specs[2]), (0x11, opt_specs[3])]
+            if ncomp == 3
+            else []
         )
     else:
         huff_segments = [
@@ -1138,7 +1199,7 @@ def _reconstruct(
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg(content: bytes) -> np.ndarray:
+def decode_jpeg(content: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """Decode a baseline sequential JPEG — 4:4:4, 4:2:2, 4:2:0 (any
     integer-ratio sampling factors) or grayscale — to an ``(H, W, 3)``
     uint8 RGB array (grayscale replicated to 3 channels). Subsampled
@@ -1150,7 +1211,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     approximation, EOB runs, refinement correction bits, per-scan DHTs
     (r13; coefficients accumulate across scans and reconstruct at EOI).
     Arithmetic-coded, lossless/hierarchical and fractional-ratio
-    sampling raise ``NotImplementedError``."""
+    sampling raise ``NotImplementedError``.
+
+    ``max_pixels`` bounds the frame-header allocation (default 100 MP —
+    beyond any sane web image): coefficient storage is ~4-16 bytes per
+    pixel, and on a crawled corpus a corrupt SOF claiming 65535x65535
+    would otherwise commit ~17 GB per worker before a single entropy
+    byte is read. Raise the cap deliberately for scanned-map workloads;
+    a ValueError here is the ingest pipeline's undecodable-payload
+    path, same as any other corrupt stream."""
     d = content
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -1176,6 +1245,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if pos + 4 > len(d):
             break  # segment header truncated mid-stream
         (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError(f"bad segment length {seglen}")
         body = d[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
             b = 0
@@ -1203,14 +1274,26 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 b += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
+            if fh == 0 or fw == 0:
+                raise ValueError("zero frame dimension")
+            if fh * fw > max_pixels:
+                raise ValueError(
+                    f"frame is {fh}x{fw} = {fh * fw} px > max_pixels="
+                    f"{max_pixels}; raise the cap for legitimate "
+                    "oversize images"
+                )
             if nc not in (1, 3):
                 raise NotImplementedError(
                     f"{nc}-component JPEG (CMYK etc.); inject an external "
                     "decoder"
                 )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component spec")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -1238,6 +1321,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 "external decoder"
             )
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if frame is None:
