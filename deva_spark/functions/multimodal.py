@@ -271,6 +271,57 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_png(content)
 
 
+def resize_image(
+    arr: np.ndarray, size: tuple[int, int], method: str = "bilinear"
+) -> np.ndarray:
+    """Pure-numpy image resize to ``(height, width)`` — the
+    normalize-resolution step every image training pipeline runs before
+    feature extraction (the last of the brief's decode / feature-extract
+    / resize / frame-sample quartet). ``method``: ``"bilinear"``
+    (half-pixel-center sampling, edges replicated — the convention
+    OpenCV/PIL default to) or ``"nearest"``. Accepts ``(H, W)`` or
+    ``(H, W, C)``, float or uint8; returns the same dtype (uint8
+    rounds half away from zero via ``np.rint``). Fully vectorized —
+    one gather + three lerps, no Python per-pixel loop — and
+    deterministic: same array, same bytes, any platform."""
+    h2, w2 = int(size[0]), int(size[1])
+    if h2 <= 0 or w2 <= 0:
+        raise ValueError(f"target size must be positive, got {size}")
+    if arr.ndim not in (2, 3):
+        raise ValueError(f"expected (H, W[, C]) array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty source image")
+    if method == "nearest":
+        yi = np.minimum(((np.arange(h2) + 0.5) * h / h2).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(w2) + 0.5) * w / w2).astype(np.int64), w - 1)
+        return arr[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"method must be bilinear|nearest, got {method!r}")
+    squeeze = arr.ndim == 2
+    a = arr.astype(np.float64)
+    if squeeze:
+        a = a[:, :, None]
+    fy = (np.arange(h2) + 0.5) * h / h2 - 0.5
+    fx = (np.arange(w2) + 0.5) * w / w2 - 0.5
+    y0f = np.floor(fy)
+    x0f = np.floor(fx)
+    ty = (fy - y0f)[:, None, None]
+    tx = (fx - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    top = a[y0][:, x0] * (1 - tx) + a[y0][:, x1] * tx
+    bot = a[y1][:, x0] * (1 - tx) + a[y1][:, x1] * tx
+    out = top * (1 - ty) + bot * ty
+    if squeeze:
+        out = out[:, :, 0]
+    if np.issubdtype(arr.dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
 def fake_decode_image(content: bytes) -> np.ndarray:
     """STUB decoder — deterministic fake pixels derived from the payload
     hash (image libraries are not installed in this container). Replace
@@ -408,6 +459,97 @@ def decode_features(
             pdf = pdf.copy()
             pdf[out_col] = feats
             yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    method: str = "bilinear",
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Normalize every image payload to ``(height, width)`` — the
+    fixed-resolution step an image training pipeline runs between
+    decode and feature extraction. One Arrow-batched mapInPandas stage:
+    decode → :func:`resize_image` (vectorized bilinear/nearest on the
+    quantized uint8 pixels) → re-encode as PNG (lossless container, so
+    the resized pixels cross any Arrow/shuffle boundary bit-exactly).
+    Output: ``(id, content=resized PNG, src_width, src_height, width,
+    height, digest)`` where ``digest`` is the md5 of the resized uint8
+    pixels computed HERE on the resizing executor — a downstream decode
+    proves partitioning/platform invariance against it
+    (:func:`resize_roundtrip_audit`)."""
+    out_schema = (
+        f"{id_col} long, content binary, src_width int, src_height int, "
+        "width int, height int, digest string"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                img = decoder(bytes(content))  # (H, W[, C]) float in [0,1]
+                sh, sw = int(img.shape[0]), int(img.shape[1])
+                u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+                res = resize_image(u8, (height, width), method=method)
+                rows.append((
+                    mid, encode_png(res), sw, sh, int(width), int(height),
+                    hashlib.md5(res.tobytes()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "content", "src_width", "src_height",
+                    "width", "height", "digest",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_roundtrip_audit(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Second Arrow pass over :func:`resize_images` output — decodes
+    each resized PNG AFTER the shuffle boundary and proves decoded
+    shape == target dims AND pixel md5 == the resizing executor's
+    digest (``ok``). Same audit discipline as
+    :func:`codec_roundtrip_audit` / :func:`avi_roundtrip_audit`."""
+    out_schema = (
+        f"{id_col} long, ok boolean, src_width int, src_height int, "
+        "width int, height int"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    arr = decode_png(bytes(r["content"]))
+                    u8 = np.clip(np.rint(arr * 255.0), 0, 255).astype(
+                        np.uint8
+                    )
+                    ok = (
+                        u8.shape[0] == int(r["height"])
+                        and u8.shape[1] == int(r["width"])
+                        and hashlib.md5(u8.tobytes()).hexdigest()
+                        == r["digest"]
+                    )
+                except (ValueError, NotImplementedError):
+                    ok = False
+                rows.append((
+                    int(r[id_col]), bool(ok), int(r["src_width"]),
+                    int(r["src_height"]), int(r["width"]), int(r["height"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "src_width", "src_height",
+                    "width", "height",
+                ],
+            )
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -1,11 +1,12 @@
 """Chunking, IVF-PQ, CJK, multimodal codecs, chain clusters
-(x100-x111) + the flagship entry.
+(x100-x113) + the flagship entry.
 
 Document chunking (x100), IVF-PQ ADC/rerank/append search (x101-x103),
 CJK bigram analysis (x104), z-order staged scans (x105), CMS join-size
 estimation (x106), PNG/WAV/GIF codec audit (x107), AVI/MJPEG/4:2:0
 video roundtrips (x108-x110), star-contraction chain dedup clusters
-(x111).
+(x111), progressive MJPEG roundtrip (x112), bilinear resize audit
+(x113).
 """
 
 from __future__ import annotations
@@ -664,6 +665,45 @@ def x112(spark, sf):
         docs, codec="mjpg", quality=90, subsampling="420", progressive=True
     )
     return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
+
+
+_X113_ORACLE = f"""WITH d AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h
+  FROM documents WHERE doc_id % 50 = 0
+), b AS (
+  SELECT doc_id, {_md5_byte_sql(0)} AS b0, {_md5_byte_sql(1)} AS b1 FROM d
+)
+SELECT doc_id, TRUE AS ok,
+       CAST(4 + b0 % 5 AS INT) AS src_width,
+       CAST(4 + b1 % 5 AS INT) AS src_height,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height
+FROM b ORDER BY doc_id"""
+
+
+@query("x113_image_resize_audit", _X113_ORACLE)
+def x113(spark, sf):
+    # IMAGE RESIZE tier (r13 — the last of the brief's decode /
+    # feature-extract / resize / frame-sample quartet): every 50th
+    # document synthesizes a REAL PNG whose dims vary per doc
+    # (`synthesized_dims` md5(text) arithmetic — the same geometry the
+    # oracle recomputes SQL-side), `resize_images` normalizes each to
+    # 16x16 via the pure-numpy half-pixel-center bilinear kernel and
+    # re-encodes PNG, and a second Arrow pass AFTER the shuffle
+    # boundary decodes the resized payload and proves decoded shape ==
+    # target AND pixel md5 == the resizing executor's digest (`ok`).
+    # src dims hash-check against the arithmetic oracle, so a resize
+    # that read the wrong source geometry — or a non-deterministic
+    # kernel — flips the hash.
+    from deva_spark.functions import multimodal as mmod
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    media = mmod.synthesize_media_from_text(docs, vary_dims=True).filter(
+        F.col("kind") == "image"
+    )
+    resized = mmod.resize_images(media, 16, 16, id_col="doc_id")
+    return mmod.resize_roundtrip_audit(resized, id_col="doc_id").orderBy(
+        "doc_id"
+    )
 
 
 @query(

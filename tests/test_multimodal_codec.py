@@ -689,3 +689,58 @@ def test_feature_guards_fail_loudly():
                 f"decoded image {dec.shape[0]}x{dec.shape[1]} smaller "
                 "than pool=4"
             )
+
+
+def test_resize_image_kernel():
+    # r13 — the brief's resize step: pure-numpy half-pixel-center
+    # bilinear + nearest, deterministic and shape/dtype-stable
+    a = np.random.default_rng(0).integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    # identity target reproduces the array exactly (both kernels)
+    assert np.array_equal(mm.resize_image(a, (7, 9)), a)
+    assert np.array_equal(mm.resize_image(a, (7, 9), "nearest"), a)
+    # constants stay constant at any scale (no ringing, edges replicate)
+    c = np.full((5, 5, 3), 123, np.uint8)
+    for sz in [(16, 16), (3, 2), (1, 1), (50, 7)]:
+        r = mm.resize_image(c, sz)
+        assert r.shape == (sz[0], sz[1], 3) and (r == 123).all()
+    # 2x2 checkerboard upscales point-symmetrically (kernel symmetry)
+    b = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    r = mm.resize_image(b, (4, 4))
+    assert np.array_equal(r, r[::-1, ::-1])
+    assert r[0, 0] == 0 and r[0, 3] == 255
+    # dtype passthrough: float in, float out; uint8 in, uint8 out
+    f = np.random.default_rng(1).random((6, 6), dtype=np.float32)
+    rf = mm.resize_image(f, (3, 3))
+    assert rf.dtype == np.float32 and rf.shape == (3, 3)
+    # determinism: bit-identical on repeat
+    big = np.random.default_rng(2).integers(0, 256, (37, 23, 3), dtype=np.uint8)
+    assert np.array_equal(
+        mm.resize_image(big, (16, 16)), mm.resize_image(big, (16, 16))
+    )
+    with pytest.raises(ValueError):
+        mm.resize_image(a, (0, 4))
+    with pytest.raises(ValueError):
+        mm.resize_image(a, (4, 4), method="lanczos")
+
+
+def test_resize_images_stage_and_audit(spark):
+    # decode -> resize -> PNG re-encode -> shuffle -> decode audit, the
+    # x113 shape at unit scale
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, mm.encode_png(
+            rng.integers(0, 256, (4 + i % 5, 5 + i % 3, 3), dtype=np.uint8)
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    resized = mm.resize_images(df, 16, 16)
+    audited = mm.resize_roundtrip_audit(resized.repartition(4)).collect()
+    assert len(audited) == 6
+    for r in audited:
+        assert r.ok and r.width == 16 and r.height == 16
+        assert r.src_height == 4 + r.media_id % 5
+        assert r.src_width == 5 + r.media_id % 3
+    # the resized payloads are REAL 16x16 PNGs
+    payload = resized.limit(1).collect()[0]["content"]
+    assert mm.png_dimensions(bytes(payload)) == (16, 16)
