@@ -341,9 +341,55 @@ def raise_not_implemented(content: bytes) -> np.ndarray:
 # --------------------------------------------------------------------- audio
 
 
+def _g711_table(law: str) -> np.ndarray:
+    """256-entry code → int16 expansion table for ITU-T G.711 (the
+    telephony companding real speech corpora carry; WAVE format tags 7
+    = mu-law, 6 = A-law). Vectorized transliteration of the public
+    CCITT reference expansion (Sun ulaw2linear/alaw2linear)."""
+    codes = np.arange(256, dtype=np.int64)
+    if law == "ulaw":
+        u = ~codes & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    elif law == "alaw":
+        a = codes ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+        out = np.where(a & 0x80, t, -t)
+    else:
+        raise ValueError(f"law must be ulaw|alaw, got {law!r}")
+    return out.astype(np.int16)
+
+
+_G711_TABLES = {"ulaw": _g711_table("ulaw"), "alaw": _g711_table("alaw")}
+
+#: WAVE fmt-chunk audio format tags this module's own decoder speaks.
+_WAVE_FMT_PCM, _WAVE_FMT_ALAW, _WAVE_FMT_ULAW = 0x0001, 0x0006, 0x0007
+
+
+def _wav_fmt_data(content: bytes):
+    """(format_tag, n_channels, sample_rate, bits, data bytes) from a
+    RIFF/WAVE payload via the package's own chunk walk — the fallback
+    for formats stdlib ``wave`` refuses (G.711 companded speech)."""
+    fmt = data = None
+    for fcc, start, size in _riff_chunks(content, 12, len(content)):
+        if fcc == b"fmt " and size >= 16:
+            tag, nch, rate = _struct.unpack("<HHI", content[start : start + 8])
+            (bits,) = _struct.unpack("<H", content[start + 14 : start + 16])
+            fmt = (tag, nch, rate, bits)
+        elif fcc == b"data":
+            data = content[start : start + size]
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    return (*fmt, data)
+
+
 def wav_info(content: bytes) -> tuple[int, int, int] | None:
     """REAL header parse: (sample_rate, n_channels, n_frames) from a
-    RIFF/WAVE payload, None if it isn't one."""
+    RIFF/WAVE payload, None if it isn't one. G.711 companded WAVs
+    (format 6/7), which stdlib ``wave`` refuses, parse through the
+    package's own chunk walk."""
     if content is None or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
     import io
@@ -353,22 +399,50 @@ def wav_info(content: bytes) -> tuple[int, int, int] | None:
         with wave.open(io.BytesIO(content)) as w:
             return w.getframerate(), w.getnchannels(), w.getnframes()
     except (wave.Error, EOFError):
+        try:
+            tag, nch, rate, _bits, data = _wav_fmt_data(content)
+        except (ValueError, _struct.error):
+            return None
+        if tag in (_WAVE_FMT_ALAW, _WAVE_FMT_ULAW) and nch:
+            return rate, nch, len(data) // nch  # 1 byte per sample
         return None
 
 
 def decode_wav(content: bytes) -> np.ndarray:
     """REAL pure-stdlib WAV/PCM decode → float32 (n_frames, n_channels) in
     [-1, 1]. Supports 8-bit unsigned, 16-bit and 32-bit signed PCM — the
-    common training-data cases (24-bit raises, inject a richer decoder)."""
+    common training-data cases — plus ITU-T G.711 mu-law/A-law companded
+    streams (format tags 7/6 — what telephony speech corpora carry;
+    r13; expansion-table parity with stdlib ``audioop`` is pinned in
+    tests). 24-bit PCM and ADPCM raise, inject a richer decoder."""
     import io
     import wave
 
     if content is None or content[:4] != b"RIFF":
         raise ValueError("not a RIFF/WAVE payload")
-    with wave.open(io.BytesIO(content)) as w:
-        width = w.getsampwidth()
-        nch = w.getnchannels()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        # stdlib wave speaks PCM only: G.711 goes through the package's
+        # own RIFF walk + expansion tables
+        tag, nch, _rate, _bits, data = _wav_fmt_data(content)
+        law = {_WAVE_FMT_ULAW: "ulaw", _WAVE_FMT_ALAW: "alaw"}.get(tag)
+        if law is None:
+            raise NotImplementedError(
+                f"WAVE format tag 0x{tag:04x} unsupported (ADPCM etc.); "
+                "inject a richer decoder"
+            ) from None
+        if nch == 0:
+            raise ValueError("WAVE fmt declares zero channels") from None
+        x = (
+            _G711_TABLES[law][np.frombuffer(data, dtype=np.uint8)]
+            .astype(np.float32)
+            / 32768.0
+        )
+        return x.reshape(-1, nch)
     if width == 1:  # unsigned 8-bit, midpoint 128
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif width == 2:

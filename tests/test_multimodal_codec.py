@@ -744,3 +744,74 @@ def test_resize_images_stage_and_audit(spark):
     # the resized payloads are REAL 16x16 PNGs
     payload = resized.limit(1).collect()[0]["content"]
     assert mm.png_dimensions(bytes(payload)) == (16, 16)
+
+
+def _g711_wav(tag: int, data: bytes, rate: int = 8000, nch: int = 1) -> bytes:
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", tag, nch, rate, rate * nch, nch, 8)
+    return (
+        b"RIFF"
+        + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+
+
+def test_g711_expansion_matches_audioop():
+    # r13: mu-law/A-law WAVs (format 7/6 — telephony speech corpora)
+    # expand through package-own tables; stdlib audioop (present
+    # through 3.12) is the independent oracle over ALL 256 codes
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256))
+    for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        ref = np.frombuffer(fn(codes, 2), dtype="<i2")
+        got = mm._G711_TABLES[law][np.frombuffer(codes, dtype=np.uint8)]
+        assert np.array_equal(ref, got), law
+
+
+def test_g711_wav_decode_and_info():
+    audioop = pytest.importorskip("audioop")
+    sig = (np.sin(np.arange(4000) / 20) * 20000).astype("<i2")
+    for law, tag, comp in (
+        ("ulaw", 7, audioop.lin2ulaw),
+        ("alaw", 6, audioop.lin2alaw),
+    ):
+        data = comp(sig.tobytes(), 2)
+        wav = _g711_wav(tag, data)
+        dec = mm.decode_wav(wav)
+        assert dec.shape == (4000, 1) and dec.dtype == np.float32
+        # expansion parity sample-for-sample
+        ref = (
+            np.frombuffer(
+                (audioop.ulaw2lin if law == "ulaw" else audioop.alaw2lin)(
+                    data, 2
+                ),
+                dtype="<i2",
+            ).astype(np.float32)
+            / 32768.0
+        )
+        assert np.array_equal(dec[:, 0], ref), law
+        # companding noise stays in the G.711 envelope (~1.6% of peak)
+        assert np.abs(dec[:, 0] * 32768 - sig).max() < 600
+        # header parse works where stdlib wave refuses
+        assert mm.wav_info(wav) == (8000, 1, 4000)
+        # the audio feature path consumes it end-to-end
+        feats_in = mm.decode_wav(wav).mean(axis=1)
+        assert len(feats_in) == 4000
+
+
+def test_wav_unsupported_format_raises():
+    # ADPCM (0x0011) names the tag and stays a loud boundary
+    wav = _g711_wav(0x11, b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="0x0011"):
+        mm.decode_wav(wav)
+    assert mm.wav_info(wav) is None
+    # stereo G.711 reshapes to (frames, 2)
+    audioop = pytest.importorskip("audioop")
+    sig = (np.sin(np.arange(2000) / 9) * 9000).astype("<i2")
+    data = audioop.lin2ulaw(sig.tobytes(), 2)
+    dec = mm.decode_wav(_g711_wav(7, data, nch=2))
+    assert dec.shape == (1000, 2)
+    assert mm.wav_info(_g711_wav(7, data, nch=2)) == (8000, 2, 1000)
