@@ -366,18 +366,100 @@ _G711_TABLES = {"ulaw": _g711_table("ulaw"), "alaw": _g711_table("alaw")}
 
 #: WAVE fmt-chunk audio format tags this module's own decoder speaks.
 _WAVE_FMT_PCM, _WAVE_FMT_ALAW, _WAVE_FMT_ULAW = 0x0001, 0x0006, 0x0007
+_WAVE_FMT_IMA_ADPCM = 0x0011
+
+#: IMA/DVI ADPCM quantizer tables (public spec; same tables stdlib
+#: audioop uses — the tests pin nibble-for-nibble parity against it).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64
+)  # adj[nibble] = table[nibble & 7]
+
+
+def _ima_adpcm_decode(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM-in-WAV decode (format tag 0x0011) → int16
+    ``(n_frames, nch)``. Block layout per the public IMA spec: each
+    ``block_align``-byte block carries a 4-byte header PER CHANNEL
+    (int16 predictor — which IS the first output sample — uint8 step
+    index, reserved byte), then the channels' nibble data interleaved
+    in 4-byte groups (8 samples per group, LOW nibble first — note
+    stdlib audioop's raw stream is high-nibble-first; the tests swap
+    nibbles to pin parity). The per-sample recurrence is inherently
+    sequential, so the loop runs over samples-in-block while staying
+    VECTORIZED across every (block, channel) pair — a long clip decodes
+    in O(samples_per_block) numpy steps, not O(total_samples) Python."""
+    if nch <= 0 or block_align < 4 * nch + 4:
+        raise ValueError(
+            f"bad IMA ADPCM geometry (channels={nch}, "
+            f"block_align={block_align})"
+        )
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, nch), dtype=np.int16)
+    raw = np.frombuffer(
+        data[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    # headers: channel ch at bytes [4*ch, 4*ch+4)
+    hdr = raw[:, : 4 * nch].reshape(nblocks, nch, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int64)
+        | (hdr[:, :, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16
+    index = np.clip(hdr[:, :, 2].astype(np.int64), 0, 88)
+    # data region: 4-byte groups, group g -> channel g % nch
+    body = raw[:, 4 * nch :]
+    ngroups = body.shape[1] // 4
+    gpc = ngroups // nch  # complete groups per channel
+    if gpc == 0:
+        return pred.astype(np.int16).reshape(nblocks, nch)[:, :nch]
+    groups = body[:, : ngroups * 4].reshape(nblocks, ngroups, 4)
+    # (nblocks, nch, gpc, 4): channel ch takes groups ch, ch+nch, ...
+    per_ch = groups[:, : gpc * nch].reshape(nblocks, gpc, nch, 4)
+    per_ch = per_ch.transpose(0, 2, 1, 3)
+    nib = np.empty((nblocks, nch, gpc, 8), dtype=np.int64)
+    nib[..., 0::2] = per_ch & 0x0F  # low nibble first (WAV layout)
+    nib[..., 1::2] = per_ch >> 4
+    nsamp = gpc * 8
+    nib = nib.reshape(nblocks, nch, nsamp)
+    out = np.empty((nblocks, nch, 1 + nsamp), dtype=np.int16)
+    out[:, :, 0] = pred.astype(np.int16)
+    for t in range(nsamp):
+        d = nib[:, :, t]
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(d & 1, step >> 2, 0)
+        diff += np.where(d & 2, step >> 1, 0)
+        diff += np.where(d & 4, step, 0)
+        pred = np.clip(
+            np.where(d & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        index = np.clip(index + _IMA_INDEX_ADJ[d], 0, 88)
+        out[:, :, t + 1] = pred.astype(np.int16)
+    # (nblocks, nch, frames_per_block) -> (total_frames, nch)
+    return out.transpose(0, 2, 1).reshape(-1, nch)
 
 
 def _wav_fmt_data(content: bytes):
-    """(format_tag, n_channels, sample_rate, bits, data bytes) from a
-    RIFF/WAVE payload via the package's own chunk walk — the fallback
-    for formats stdlib ``wave`` refuses (G.711 companded speech)."""
+    """(format_tag, n_channels, sample_rate, block_align, bits,
+    data bytes) from a RIFF/WAVE payload via the package's own chunk
+    walk — the fallback for formats stdlib ``wave`` refuses (G.711
+    companded speech, IMA ADPCM)."""
     fmt = data = None
     for fcc, start, size in _riff_chunks(content, 12, len(content)):
         if fcc == b"fmt " and size >= 16:
-            tag, nch, rate = _struct.unpack("<HHI", content[start : start + 8])
-            (bits,) = _struct.unpack("<H", content[start + 14 : start + 16])
-            fmt = (tag, nch, rate, bits)
+            tag, nch, rate, _byterate, balign, bits = _struct.unpack(
+                "<HHIIHH", content[start : start + 16]
+            )
+            fmt = (tag, nch, rate, balign, bits)
         elif fcc == b"data":
             data = content[start : start + size]
     if fmt is None or data is None:
@@ -400,11 +482,15 @@ def wav_info(content: bytes) -> tuple[int, int, int] | None:
             return w.getframerate(), w.getnchannels(), w.getnframes()
     except (wave.Error, EOFError):
         try:
-            tag, nch, rate, _bits, data = _wav_fmt_data(content)
+            tag, nch, rate, balign, _bits, data = _wav_fmt_data(content)
         except (ValueError, _struct.error):
             return None
         if tag in (_WAVE_FMT_ALAW, _WAVE_FMT_ULAW) and nch:
             return rate, nch, len(data) // nch  # 1 byte per sample
+        if tag == _WAVE_FMT_IMA_ADPCM and nch and balign >= 4 * nch + 4:
+            nblocks = len(data) // balign
+            per_block = 1 + ((balign - 4 * nch) // (4 * nch)) * 8
+            return rate, nch, nblocks * per_block
         return None
 
 
@@ -426,17 +512,22 @@ def decode_wav(content: bytes) -> np.ndarray:
             nch = w.getnchannels()
             frames = w.readframes(w.getnframes())
     except (wave.Error, EOFError):
-        # stdlib wave speaks PCM only: G.711 goes through the package's
-        # own RIFF walk + expansion tables
-        tag, nch, _rate, _bits, data = _wav_fmt_data(content)
+        # stdlib wave speaks PCM only: G.711 and IMA ADPCM go through
+        # the package's own RIFF walk + decoders
+        tag, nch, _rate, balign, _bits, data = _wav_fmt_data(content)
+        if nch == 0:
+            raise ValueError("WAVE fmt declares zero channels") from None
+        if tag == _WAVE_FMT_IMA_ADPCM:
+            return (
+                _ima_adpcm_decode(data, nch, balign).astype(np.float32)
+                / 32768.0
+            )
         law = {_WAVE_FMT_ULAW: "ulaw", _WAVE_FMT_ALAW: "alaw"}.get(tag)
         if law is None:
             raise NotImplementedError(
-                f"WAVE format tag 0x{tag:04x} unsupported (ADPCM etc.); "
+                f"WAVE format tag 0x{tag:04x} unsupported (MPEG etc.); "
                 "inject a richer decoder"
             ) from None
-        if nch == 0:
-            raise ValueError("WAVE fmt declares zero channels") from None
         x = (
             _G711_TABLES[law][np.frombuffer(data, dtype=np.uint8)]
             .astype(np.float32)

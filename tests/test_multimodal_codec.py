@@ -803,9 +803,9 @@ def test_g711_wav_decode_and_info():
 
 
 def test_wav_unsupported_format_raises():
-    # ADPCM (0x0011) names the tag and stays a loud boundary
-    wav = _g711_wav(0x11, b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="0x0011"):
+    # MPEG-in-WAV (0x0055) names the tag and stays a loud boundary
+    wav = _g711_wav(0x55, b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="0x0055"):
         mm.decode_wav(wav)
     assert mm.wav_info(wav) is None
     # stereo G.711 reshapes to (frames, 2)
@@ -815,3 +815,81 @@ def test_wav_unsupported_format_raises():
     dec = mm.decode_wav(_g711_wav(7, data, nch=2))
     assert dec.shape == (1000, 2)
     assert mm.wav_info(_g711_wav(7, data, nch=2)) == (8000, 2, 1000)
+
+
+def _adpcm_wav(nch, nblocks, gpc, rate=8000, seed=0):
+    """IMA-ADPCM WAV with random per-block headers and nibble data,
+    plus the raw blocks for the audioop oracle."""
+    import struct as _s
+
+    r = np.random.default_rng(seed)
+    balign = 4 * nch + gpc * nch * 4
+    blocks = []
+    for _ in range(nblocks):
+        hdrs = []
+        blk = b""
+        for _ch in range(nch):
+            pred = int(r.integers(-32768, 32768))
+            idx = int(r.integers(0, 89))
+            hdrs.append((pred, idx))
+            blk += _s.pack("<hBB", pred, idx, 0)
+        data = r.integers(0, 256, size=gpc * nch * 4, dtype=np.uint8).tobytes()
+        blocks.append((hdrs, data))
+        blk += data
+    payload = b""
+    for hdrs, data in blocks:
+        for p, i in hdrs:
+            payload += _s.pack("<hBB", p, i, 0)
+        payload += data
+    fmt = _s.pack("<HHIIHHH", 0x11, nch, rate, rate * balign, balign, 4, 0)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(payload)) + payload
+    )
+    return wav, blocks, balign
+
+
+def test_ima_adpcm_matches_audioop():
+    # r13: IMA/DVI ADPCM WAVs (format 0x0011) decode block-structured
+    # (per-block per-channel header state, low-nibble-first, 4-byte
+    # channel-interleaved groups); stdlib audioop implements the same
+    # IMA recurrence stateFULLY on a high-nibble-first raw stream, so
+    # injecting each block header as audioop's state and swapping
+    # nibbles gives an independent bit-exact oracle for every (block,
+    # channel) pair — mono/stereo, multi-block, random headers.
+    audioop = pytest.importorskip("audioop")
+
+    def oracle(blocks, nch, gpc):
+        frames = []
+        for hdrs, data in blocks:
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(gpc * nch, 4)
+            chans = []
+            for ch in range(nch):
+                grp = arr[ch::nch].reshape(-1)
+                swapped = bytes(
+                    int((b & 0xF) << 4 | (b >> 4)) for b in grp
+                )
+                pred, idx = hdrs[ch]
+                lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+                chans.append(
+                    np.concatenate(
+                        [[np.int16(pred)], np.frombuffer(lin, dtype="<i2")]
+                    )
+                )
+            frames.append(np.stack(chans, axis=1))
+        return np.concatenate(frames, axis=0)
+
+    for nch, nblocks, gpc, seed in [
+        (1, 1, 8, 0), (1, 3, 16, 1), (2, 2, 8, 2), (2, 5, 4, 3), (1, 1, 1, 4),
+    ]:
+        wav, blocks, _balign = _adpcm_wav(nch, nblocks, gpc, seed=seed)
+        got = (mm.decode_wav(wav) * 32768.0).astype(np.int16)
+        want = oracle(blocks, nch, gpc)
+        assert got.shape == want.shape, (nch, nblocks, gpc)
+        assert np.array_equal(got, want), (nch, nblocks, gpc)
+        # header parse agrees with the block arithmetic
+        assert mm.wav_info(wav) == (8000, nch, got.shape[0])
+    # malformed geometry is loud
+    with pytest.raises(ValueError, match="geometry"):
+        mm._ima_adpcm_decode(b"\x00" * 64, nch=1, block_align=4)
