@@ -317,8 +317,15 @@ def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     while bits[i] == 0:
         i -= 1
     bits[i] -= 1  # drop the reserved symbol (it holds a longest code)
+    # HUFFVAL keeps the symbols in (pre-adjustment codesize, value)
+    # order over ALL depths 1..32 — the K.3 fold above reassigns the
+    # >16 lengths through the BITS counts + canonical assignment, but
+    # the symbols themselves must stay in the list (r13 review #1: a
+    # range(1, 17) here silently dropped every symbol whose optimal
+    # depth exceeded 16, making BITS and HUFFVAL disagree and crashing
+    # the table build on skewed frequency distributions).
     huffval = [
-        s for ln in range(1, 17) for s in range(256) if codesize[s] == ln
+        s for ln in range(1, 33) for s in range(256) if codesize[s] == ln
     ]
     return bits[1:17], huffval
 
@@ -333,11 +340,15 @@ def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
 
 
 def _own_grid_indices(
-    comps, ci: int, fh: int, fw: int, hmax: int, vmax: int, comp_bw: list[int]
+    factors, ci: int, fh: int, fw: int, hmax: int, vmax: int,
+    comp_bw: list[int],
 ):
     """Raster indices into component ci's STORAGE grid for its own
-    (non-interleaved, T.81 A.2.2) block grid — ceil of its true dims."""
-    _cid, _tq, hi, vi = comps[ci]
+    (non-interleaved, T.81 A.2.2) block grid — ceil of its true dims.
+    ``factors`` is the per-component (hi, vi) list (r13 review #6: the
+    helper only ever needed the sampling factors, not full component
+    tuples)."""
+    hi, vi = factors[ci]
     ch = (fh * vi + vmax - 1) // vmax
     cw = (fw * hi + hmax - 1) // hmax
     nby, nbx = (ch + 7) // 8, (cw + 7) // 8
@@ -538,11 +549,8 @@ def _encode_progressive_scans(
             )
         else:  # AC scan: ONE component, its own non-interleaved grid
             ci = sel[0]
-            fake_comps = [
-                (0, 0, hi_, vi_) for (hi_, vi_) in factors
-            ]  # _own_grid_indices only reads the factors
             indices = _own_grid_indices(
-                fake_comps, ci, fh, fw, hmax, vmax, comp_bw
+                factors, ci, fh, fw, hmax, vmax, comp_bw
             )
             ev = _ac_scan_events(
                 comp_blocks[ci], indices, ss, se, al, ah, restart_interval
@@ -1040,45 +1048,50 @@ def _decode_progressive_scan(
     symbols), AC refinement (newly-nonzero (run<<4)|1 symbols plus
     correction bits for every already-nonzero coefficient passed over,
     including across EOB-run member blocks)."""
+    factors = [(hi, vi) for (_cid, _tq, hi, vi) in comps]
     if ss == 0:
         if se != 0:
             raise ValueError("DC scan with nonzero spectral end")
         prev = [0] * len(comps)
-        if len(scan_order) > 1:
-            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-            mcus = [
-                (m, ci, td,
-                 (divmod(m, mcux)[0] * vi + v) * cgrid[ci][1]
-                 + (divmod(m, mcux)[1] * hi + hh))
-                for m in range(mcuy * mcux)
-                for ci, td, _ta in scan_order
-                for _cid, _tq, hi, vi in (comps[ci],)
-                for v in range(vi)
-                for hh in range(hi)
-            ]
-        else:
-            ci, td, _ta = scan_order[0]
-            idx = _own_grid_indices(comps, ci, fh, fw, hmax, vmax,
-                                    [g[1] for g in cgrid])
-            mcus = [(m, ci, td, bi) for m, bi in enumerate(idx)]
-        last_m = -1
-        for m, ci, td, bi in mcus:
-            if (
-                restart_interval and m != last_m and m
-                and m % restart_interval == 0
-            ):
-                br.sync_rst()
-                prev = [0] * len(comps)
-            last_m = m
+
+        def _dc_unit(ci: int, td: int, bi: int) -> None:
             zz = out_planes[ci][bi]
             if ah == 0:
                 ssss = _read_symbol(br, huff[(0, td)])
                 prev[ci] += _extend(br.read_bits(ssss), ssss)
                 zz[0] = prev[ci] << al
-            else:
-                if br.read_bits(1):
-                    zz[0] = int(zz[0]) | (1 << al)
+            elif br.read_bits(1):
+                zz[0] = int(zz[0]) | (1 << al)
+
+        if len(scan_order) > 1:
+            # interleaved MCU walk — plain nested loops like the
+            # baseline path (r13 review #4: materializing the schedule
+            # as a tuple list cost O(total blocks) transient Python
+            # objects per DC scan — hundreds of MB near max_pixels)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            for m in range(mcuy * mcux):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.sync_rst()
+                    prev = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, td, _ta in scan_order:
+                    hi, vi = factors[ci]
+                    bx = cgrid[ci][1]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            _dc_unit(
+                                ci, td, (my * vi + v) * bx + (mx * hi + hh)
+                            )
+        else:
+            ci, td, _ta = scan_order[0]
+            idx = _own_grid_indices(factors, ci, fh, fw, hmax, vmax,
+                                    [g[1] for g in cgrid])
+            for m, bi in enumerate(idx):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.sync_rst()
+                    prev = [0] * len(comps)
+                _dc_unit(ci, td, bi)
         return
     # AC scan: always non-interleaved, one component
     if len(scan_order) != 1:
@@ -1086,7 +1099,7 @@ def _decode_progressive_scan(
     if not ss <= se <= 63:
         raise ValueError(f"bad spectral band {ss}..{se}")
     ci, _td, ta = scan_order[0]
-    indices = _own_grid_indices(comps, ci, fh, fw, hmax, vmax,
+    indices = _own_grid_indices(factors, ci, fh, fw, hmax, vmax,
                                 [g[1] for g in cgrid])
     tab = huff[(1, ta)]
     plane = out_planes[ci]

@@ -455,13 +455,16 @@ def _wav_fmt_data(content: bytes):
     companded speech, IMA ADPCM)."""
     fmt = data = None
     for fcc, start, size in _riff_chunks(content, 12, len(content)):
-        if fcc == b"fmt " and size >= 16:
+        # a declared size past the payload's actual end is a truncated
+        # crawled file: treating it as "chunk absent" keeps the error
+        # the documented ValueError, not a struct.error (r13 review #2)
+        if fcc == b"fmt " and size >= 16 and start + 16 <= len(content):
             tag, nch, rate, _byterate, balign, bits = _struct.unpack(
                 "<HHIIHH", content[start : start + 16]
             )
             fmt = (tag, nch, rate, balign, bits)
         elif fcc == b"data":
-            data = content[start : start + size]
+            data = content[start : min(start + size, len(content))]
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt/data chunk")
     return (*fmt, data)
@@ -498,9 +501,11 @@ def decode_wav(content: bytes) -> np.ndarray:
     """REAL pure-stdlib WAV/PCM decode → float32 (n_frames, n_channels) in
     [-1, 1]. Supports 8-bit unsigned, 16-bit and 32-bit signed PCM — the
     common training-data cases — plus ITU-T G.711 mu-law/A-law companded
-    streams (format tags 7/6 — what telephony speech corpora carry;
-    r13; expansion-table parity with stdlib ``audioop`` is pinned in
-    tests). 24-bit PCM and ADPCM raise, inject a richer decoder."""
+    streams (format tags 7/6 — what telephony speech corpora carry)
+    and IMA/DVI ADPCM (format 0x0011, block-structured) — both r13,
+    with bit-exact parity against stdlib ``audioop`` pinned in tests.
+    24-bit PCM and the remaining compressed tags (MPEG etc.) raise,
+    inject a richer decoder."""
     import io
     import wave
 

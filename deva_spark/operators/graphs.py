@@ -108,30 +108,51 @@ def _round_stager(spark, checkpoint_dir: str | None, eager: bool = True):
     construction, not the materializing action. Eager staging does hold
     the lock through its job; concurrent eager stagers serialize, which
     is the price of a process-global JVM knob.
+    END-OF-RUN RETENTION: the iterative operators call ``stage.finish()``
+    right before returning — it drops the superseded slot (safe: the
+    final round is materialized by then), so each completed run retains
+    exactly ONE snapshot: the files backing the returned DataFrame.
+    That last snapshot can only be released by the CALLER — delete the
+    ``<checkpoint_dir>/run-*/`` directories (or the whole
+    ``checkpoint_dir``) after writing the result out (r13 review #3:
+    per-run unique names mean repeated runs accumulate one snapshot
+    each until the caller GCs, where the old colliding names were
+    self-limiting — and mid-iteration-corrupting).
     """
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=eager)
+        def stage_local(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
+        stage_local.finish = lambda: None  # block GC is the JVM's job
+        return stage_local
     import uuid
 
     sc = spark.sparkContext
     run_dir = f"{checkpoint_dir.rstrip('/')}/run-{uuid.uuid4().hex}"
     state = {"round": 0}
 
+    def _drop_slot(slot: int) -> None:
+        from deva_spark.sources.fs import delete_path
+
+        try:
+            delete_path(spark, f"{run_dir}/slot-{slot}")
+        except Exception:
+            pass  # GC is best-effort; correctness never depends on it
+
     def stage(df: DataFrame) -> DataFrame:
         slot = state["round"] % 2
-        slot_dir = f"{run_dir}/slot-{slot}"
         if state["round"] >= 2:
-            from deva_spark.sources.fs import delete_path
-
-            try:
-                delete_path(spark, slot_dir)  # round k-2, consumed
-            except Exception:
-                pass  # GC is best-effort; correctness never depends on it
+            _drop_slot(slot)  # round k-2, consumed
         state["round"] += 1
         with _CHECKPOINT_DIR_LOCK:
-            sc.setCheckpointDir(slot_dir)
+            sc.setCheckpointDir(f"{run_dir}/slot-{slot}")
             return df.checkpoint(eager=eager)
 
+    def finish() -> None:
+        if state["round"] >= 2:
+            _drop_slot(state["round"] % 2)  # round n-2: superseded
+
+    stage.finish = finish
     return stage
 
 
@@ -220,6 +241,10 @@ def connected_components(
     try:
         if algorithm == "star":
             labels = _star_components(sym, max_iter, stager)
+            # end-of-run slot GC: labels read the FINAL staged round
+            # only (materialized by the convergence action), so the
+            # superseded slot can drop now — retention is one snapshot
+            stager.finish()
             # Self-loop-only nodes are their own singleton component in
             # BOTH other paths (union-find, propagation) — the star path
             # drops self-loops before resolving, so restore those nodes
@@ -243,7 +268,9 @@ def connected_components(
                 .localCheckpoint(eager=True)
             )
             return labels.unionByName(loop_only)
-        return _propagation_components(sym, max_iter, stager)
+        labels = _propagation_components(sym, max_iter, stager)
+        stager.finish()  # same one-snapshot retention as the star path
+        return labels
     finally:
         sym.unpersist()
 
@@ -796,6 +823,7 @@ def pagerank(
                 cached = ranks
             else:
                 ranks = rank_stager(ranks)
+    rank_stager.finish()  # ranks read the final staged round only
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
@@ -869,6 +897,7 @@ def _pagerank_denorm(
             and i + 1 < n_iter
         ):
             ranks = rank_stager(ranks)
+    rank_stager.finish()  # ranks read the final staged round only
     if not complete_sources:
         # pre-symmetrized staged graphs: the completion below is
         # provably vacuous and its edge-table distinct is the dominant

@@ -419,3 +419,31 @@ def test_concurrent_stagers_share_checkpoint_dir(spark, tmp_path):
     assert last["b"].count() == 100
     run_dirs = [d for d in os.listdir(ckpt) if d.startswith("run-")]
     assert len(run_dirs) == 2, run_dirs
+
+
+def test_finish_retains_single_snapshot(spark, tmp_path):
+    # r13 review #3: per-run unique dirs would otherwise accumulate two
+    # snapshots per completed run forever; finish() drops the
+    # superseded slot so retention is exactly the ONE snapshot backing
+    # the returned DataFrame (released by deleting checkpoint_dir after
+    # the result is written out).
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "src long, dst long"
+    )
+    labels = graphs.connected_components(
+        chain, driver_threshold=0, checkpoint_dir=ckpt
+    )
+    run_dirs = [d for d in os.listdir(ckpt) if d.startswith("run-")]
+    assert len(run_dirs) == 1
+    slots = [
+        d for d in os.listdir(os.path.join(ckpt, run_dirs[0]))
+        if d.startswith("slot-")
+    ]
+    assert len(slots) == 1, slots  # superseded slot dropped at finish
+    # the surviving snapshot still backs the result
+    assert {(r.node, r.comp) for r in labels.collect()} == {
+        (i, 0) for i in range(121)
+    }

@@ -571,3 +571,19 @@ def test_progressive_parity_property():
         assert np.array_equal(base, prog)
 
     prop()
+
+
+def test_optimal_table_depth_fold():
+    # r13 review #1: symbol frequencies whose optimal depth exceeds 16
+    # (super-increasing counts — the case the Annex K.3 fold exists
+    # for) must fold into a valid <=16-bit table that still carries
+    # EVERY symbol; the old huffval comprehension dropped the deep ones
+    # and the table build crashed.
+    freqs = {i: 2**i for i in range(25)}
+    bits, vals = J._optimal_huffman_spec(freqs)
+    assert sum(bits) == len(vals) == 25
+    tab = J._build_huffman((bits, vals))
+    assert set(tab) == set(range(25))
+    assert max(ln for _, ln in tab.values()) <= 16
+    # Kraft: the folded table is still prefix-decodable
+    assert sum(2 ** (16 - ln) for _, ln in tab.values()) <= 2**16

@@ -893,3 +893,16 @@ def test_ima_adpcm_matches_audioop():
     # malformed geometry is loud
     with pytest.raises(ValueError, match="geometry"):
         mm._ima_adpcm_decode(b"\x00" * 64, nch=1, block_align=4)
+
+
+def test_truncated_wav_fmt_raises_valueerror():
+    # r13 review #2: a fmt chunk whose declared size outruns the actual
+    # payload (truncated crawled file) must be the documented
+    # ValueError, not a raw struct.error escaping decode_wav
+    import struct as _s
+
+    fmt_decl = _s.pack("<I", 16)  # declares 16 bytes, delivers 10
+    wav = b"RIFF" + _s.pack("<I", 30) + b"WAVE" + b"fmt " + fmt_decl + b"\x07\x00\x01\x00\x40\x1f\x00\x00\x40\x1f"
+    with pytest.raises(ValueError):
+        mm.decode_wav(wav)
+    assert mm.wav_info(wav) is None
