@@ -1,12 +1,12 @@
 """Chunking, IVF-PQ, CJK, multimodal codecs, chain clusters
-(x100-x113) + the flagship entry.
+(x100-x114) + the flagship entry.
 
 Document chunking (x100), IVF-PQ ADC/rerank/append search (x101-x103),
 CJK bigram analysis (x104), z-order staged scans (x105), CMS join-size
 estimation (x106), PNG/WAV/GIF codec audit (x107), AVI/MJPEG/4:2:0
 video roundtrips (x108-x110), star-contraction chain dedup clusters
 (x111), progressive MJPEG roundtrip (x112), bilinear resize audit
-(x113).
+(x113), WebDataset tar-shard export audit (x114).
 """
 
 from __future__ import annotations
@@ -703,6 +703,52 @@ def x113(spark, sf):
     resized = mmod.resize_images(media, 16, 16, id_col="doc_id")
     return mmod.resize_roundtrip_audit(resized, id_col="doc_id").orderBy(
         "doc_id"
+    )
+
+
+_X114_ORACLE = """SELECT CAST(floor(doc_id / 320) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS text_bytes
+FROM documents WHERE doc_id % 10 = 0
+GROUP BY 1 ORDER BY 1"""
+
+
+@query("x114_webdataset_export_audit", _X114_ORACLE)
+def x114(spark, sf):
+    # TRAINING EXPORT tier (r13): every 10th document ships to
+    # WebDataset tar shards — the sharded-sequential layout GPU
+    # dataloaders stream — via `to_webdataset` (one shuffle keyed on
+    # shard id, one tar per applyInPandas group, atomic rename,
+    # deterministic bytes), then `read_webdataset` streams the tars
+    # back on executors and the per-shard (count, text octet sum)
+    # hash-checks against the same arithmetic DuckDB computes straight
+    # off the source table — so a dropped sample, truncated entry,
+    # mis-assigned shard or encoding drift between what was WRITTEN TO
+    # DISK and the source corpus flips the hash. Shards stage once per
+    # (sf_dir, documents mtime, shard size — it's in the artifact name) under the artifact root with the
+    # _SUCCESS-marker convention; timed passes are read-only.
+    import os as _os
+
+    from deva_spark.queries._infra import _artifact_path
+    from deva_spark.sources import webdataset as wds
+
+    root = _artifact_path(sf, "wds_txt_320")
+    if staged_artifact_path(sf, "wds_txt_320") is None:
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+        _os.makedirs(root, exist_ok=True)
+        # one manifest row per shard — bounded collect, and the write
+        # job's terminal action
+        wds.to_webdataset(docs, root, shard_size=320).collect()
+        with open(_os.path.join(root, "_SUCCESS"), "w"):
+            pass
+    back = wds.read_webdataset(spark, root)
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("data")).alias("text_bytes"),
+        )
+        .orderBy("shard_id")
     )
 
 

@@ -1,0 +1,89 @@
+"""WebDataset tar-shard export/import (r13): write/read roundtrip,
+deterministic bytes, manifest accounting, URI rejection."""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.sources import webdataset as wds
+
+
+def _docs(spark, n=37):
+    rows = [
+        (i, f"doc {i} " + "x" * (i % 11), bytes([i % 256]) * (i % 7))
+        for i in range(n)
+    ]
+    if n > 5:
+        rows[5] = (5, None, None)  # NULLs write empty entries
+    return spark.createDataFrame(rows, "doc_id long, text string, blob binary")
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "wds")
+    df = _docs(spark)
+    man = wds.to_webdataset(
+        df, d, shard_size=10, columns={"text": "txt", "blob": "bin"}
+    ).collect()
+    assert sum(r.n_samples for r in man) == 37
+    assert all(r.n_entries == 2 * r.n_samples for r in man)
+    assert sorted(r.shard_id for r in man) == [0, 1, 2, 3]
+    back = wds.read_webdataset(spark, d)
+    got = {(r.shard_id, r.key, r.ext): bytes(r.data) for r in back.collect()}
+    assert len(got) == 2 * 37
+    for r in df.collect():
+        key = f"{r.doc_id:012d}"
+        sid = r.doc_id // 10
+        assert got[(sid, key, "txt")] == (r.text or "").encode()
+        assert got[(sid, key, "bin")] == bytes(r.blob or b"")
+    # per-shard accounting matches the source
+    agg = {
+        r.shard_id: (r.n, r.b)
+        for r in back.groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.sum(F.octet_length("data")).alias("b"))
+        .collect()
+    }
+    for m in man:
+        assert agg[m.shard_id] == (m.n_entries, m.data_bytes)
+
+
+def test_deterministic_tar_bytes(spark, tmp_path):
+    # same DataFrame -> byte-identical shards (mtime pinned to 0, keys
+    # sorted): re-exports diff clean and digests are reproducible
+    df = _docs(spark, 25)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {r.shard_id: r.entries_digest
+          for r in wds.to_webdataset(df, d1, shard_size=10).collect()}
+    m2 = {r.shard_id: r.entries_digest
+          for r in wds.to_webdataset(df, d2, shard_size=10).collect()}
+    assert m1 == m2
+    for f in sorted(os.listdir(d1)):
+        if f.endswith(".tar"):
+            b1 = open(os.path.join(d1, f), "rb").read()
+            b2 = open(os.path.join(d2, f), "rb").read()
+            assert hashlib.md5(b1).hexdigest() == hashlib.md5(b2).hexdigest()
+
+
+def test_rejects_remote_uri_and_bad_columns(spark, tmp_path):
+    df = _docs(spark, 5)
+    with pytest.raises(ValueError, match="s3"):
+        wds.to_webdataset(df, "s3://bucket/wds")
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        wds.to_webdataset(df, str(tmp_path), columns={"nope": "txt"})
+    with pytest.raises(ValueError, match="no shard"):
+        wds.read_webdataset(spark, str(tmp_path))
+
+
+def test_atomicity_no_tmp_left_and_shard_col(spark, tmp_path):
+    d = str(tmp_path / "wds")
+    df = _docs(spark, 20).withColumn(
+        "bucket", (F.col("doc_id") % 3).cast("long")
+    )
+    man = wds.to_webdataset(df, d, shard_col="bucket").collect()
+    assert sorted(r.shard_id for r in man) == [0, 1, 2]
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    # tar_bytes matches the files on disk
+    for m in man:
+        assert os.path.getsize(m.path) == m.tar_bytes
