@@ -556,11 +556,28 @@ def _stage_ivfpq_app(spark: SparkSession, sf_dir: str, path: str) -> None:
         fh.write("")
 
 
+def _stage_wds_txt_320(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """x114's audited training-export artifact: every 10th document as
+    WebDataset tar shards (`webdataset.to_webdataset`, shard_size=320 —
+    keyed into the artifact NAME since shard geometry changes the
+    bytes). Shards rename-publish atomically per attempt; the _SUCCESS
+    marker lands only after the manifest materializes, so a killed
+    staging job re-runs whole."""
+    from deva_spark.sources.webdataset import to_webdataset
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    _os.makedirs(path, exist_ok=True)
+    to_webdataset(docs, path, shard_size=320, overwrite=True).collect()
+    with open(_os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
 ARTIFACT_STAGERS: dict[str, Callable[[SparkSession, str, str], None]] = {
     "ivf16": _stage_ivf16,
     "li_zorder": _stage_li_zorder,
     "ivfpq16": _stage_ivfpq16,
     "ivfpq_app": _stage_ivfpq_app,
+    "wds_txt_320": _stage_wds_txt_320,
 }
 
 #: Which testdata file(s) key an artifact's cache-invalidation mtime
@@ -580,6 +597,7 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "cms_cust": ("customer.parquet",),
     "kmv_day_users": ("events.parquet",),
     "quant_day_cells": ("events.parquet",),
+    "wds_txt_320": ("documents.parquet",),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written

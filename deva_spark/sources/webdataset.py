@@ -14,8 +14,9 @@ Scale shape:
     executor and emits a one-row manifest. Parallelism = number of
     shards; per-task memory = one shard (bounded by ``shard_size`` —
     pick it so a shard is O(100 MB-1 GB), the layout loaders want
-    anyway). Tars land atomically (``.tmp`` + rename, the repo's
-    snapshot convention) so a killed job never leaves a torn shard.
+    anyway). Each task attempt writes an ATTEMPT-UNIQUE temp file and
+    publishes via rename, so neither a killed job nor a speculative /
+    zombie retry of the same shard group can leave a torn tar.
   * READ — a tiny DataFrame of shard paths fans out via
     ``mapInPandas``; each task streams its tar sequentially. Entry
     bytes never pass through the driver in either direction.
@@ -33,6 +34,7 @@ import os
 import tarfile
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -46,11 +48,23 @@ MANIFEST_SCHEMA = (
 
 
 def _entry_name(key, ext: str) -> str:
-    """WebDataset member name: zero-padded for integer keys (keeps tar
-    listing order == numeric key order), verbatim for string keys."""
-    if isinstance(key, (int,)) and not isinstance(key, bool):
-        return f"{key:012d}.{ext}"
+    """WebDataset member name: zero-padded for integer keys — Python or
+    numpy (``iterrows`` keeps ``np.int64`` on homogeneous numeric
+    frames) — so tar listing order == numeric key order; verbatim for
+    string keys."""
+    if isinstance(key, (int, np.integer)) and not isinstance(key, bool):
+        return f"{int(key):012d}.{ext}"
     return f"{key}.{ext}"
+
+
+def _existing_shards(path: str) -> list[str]:
+    try:
+        return sorted(
+            f for f in os.listdir(path)
+            if f.startswith("shard-") and (f.endswith(".tar") or ".tmp" in f)
+        )
+    except FileNotFoundError:
+        return []
 
 
 def to_webdataset(
@@ -60,6 +74,7 @@ def to_webdataset(
     columns: dict[str, str] | None = None,
     shard_size: int = 1000,
     shard_col: str | None = None,
+    overwrite: bool = False,
 ) -> DataFrame:
     """Write ``df`` as WebDataset tar shards under ``path``; returns the
     per-shard manifest (``MANIFEST_SCHEMA``) — a normal DataFrame, so
@@ -70,17 +85,36 @@ def to_webdataset(
     ``{"text": "txt"}``): string values write UTF-8 bytes, binary
     values write verbatim, NULLs write an empty entry (so every sample
     contributes the same entry set and loaders never desynchronize on
-    sparse columns). Sharding is ``key // shard_size`` (deterministic,
-    no extra scan) unless ``shard_col`` names a precomputed assignment.
+    sparse columns). NULL keys or shard ids raise — a loader key must
+    exist. Sharding is ``key // shard_size`` (deterministic, no extra
+    scan) unless ``shard_col`` names a precomputed assignment.
     ``entries_digest`` is the md5 over the shard's ordered
     ``(name, md5(bytes))`` pairs — the cheap equality check for
     re-export comparisons and the read-back audit.
+
+    A destination already holding ``shard-*.tar`` files raises unless
+    ``overwrite=True``, which deletes them EAGERLY (at call time, not
+    at materialization): a re-export of a SMALLER dataset would
+    otherwise leave stale high-numbered shards that
+    :func:`read_webdataset` silently includes — phantom samples from
+    deleted data, the classic stale-artifact hazard.
     """
-    require_local(path, "to_webdataset")
+    path = require_local(path, "to_webdataset")
     columns = dict(columns or {"text": "txt"})
-    for col in (key_col, *columns):
+    for col in (key_col, *columns, *((shard_col,) if shard_col else ())):
         if col not in df.columns:
             raise ValueError(f"column {col!r} not in DataFrame")
+    stale = _existing_shards(path)
+    if stale:
+        if not overwrite:
+            raise ValueError(
+                f"{path!r} already holds {len(stale)} shard file(s); pass "
+                "overwrite=True to replace them (stale shards would "
+                "otherwise survive a smaller re-export and feed loaders "
+                "phantom samples)"
+            )
+        for f in stale:
+            os.remove(os.path.join(path, f))
     os.makedirs(path, exist_ok=True)
     shard = (
         F.col(shard_col)
@@ -90,33 +124,53 @@ def to_webdataset(
     src = df.select(shard, key_col, *columns)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["_shard"].isna().any() or pdf[key_col].isna().any():
+            raise ValueError(
+                "NULL shard id / key: every sample needs a loader key "
+                f"(key_col={key_col!r}"
+                + (f", shard_col={shard_col!r})" if shard_col else ")")
+            )
         sid = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(key_col, kind="mergesort")
         dst = os.path.join(path, f"shard-{sid:06d}.tar")
-        tmp = dst + ".tmp"
+        # attempt-unique temp name: a speculative or zombie retry of
+        # this group must not interleave writes into one fd — each
+        # attempt builds its own file and the rename publishes exactly
+        # one of them whole
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        tmp = f"{dst}.{attempt}.tmp"
         n_entries = 0
         data_bytes = 0
         digest = hashlib.md5()
-        with tarfile.open(tmp, "w") as tf:
-            for _, row in pdf.iterrows():
-                for col, ext in columns.items():
-                    v = row[col]
-                    if v is None or (isinstance(v, float) and pd.isna(v)):
-                        data = b""
-                    elif isinstance(v, str):
-                        data = v.encode("utf-8")
-                    else:
-                        data = bytes(v)
-                    name = _entry_name(row[key_col], ext)
-                    info = tarfile.TarInfo(name=name)
-                    info.size = len(data)
-                    info.mtime = 0  # deterministic bytes: same df, same tar
-                    tf.addfile(info, io.BytesIO(data))
-                    n_entries += 1
-                    data_bytes += len(data)
-                    digest.update(name.encode())
-                    digest.update(hashlib.md5(data).digest())
-        os.replace(tmp, dst)
+        try:
+            with tarfile.open(tmp, "w") as tf:
+                for _, row in pdf.iterrows():
+                    for col, ext in columns.items():
+                        v = row[col]
+                        if v is None or (
+                            isinstance(v, float) and pd.isna(v)
+                        ):
+                            data = b""
+                        elif isinstance(v, str):
+                            data = v.encode("utf-8")
+                        else:
+                            data = bytes(v)
+                        name = _entry_name(row[key_col], ext)
+                        info = tarfile.TarInfo(name=name)
+                        info.size = len(data)
+                        info.mtime = 0  # deterministic: same df, same tar
+                        tf.addfile(info, io.BytesIO(data))
+                        n_entries += 1
+                        data_bytes += len(data)
+                        digest.update(name.encode())
+                        digest.update(hashlib.md5(data).digest())
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):  # failed attempt: no litter
+                os.remove(tmp)
         return pd.DataFrame(
             [
                 (
@@ -141,8 +195,11 @@ def read_webdataset(
     """Read tar shards written by :func:`to_webdataset` (or any
     WebDataset-convention tars) back as
     ``(shard_id, key, ext, data binary)`` — one row per tar entry,
-    streamed sequentially per shard on executors."""
-    require_local(path, "read_webdataset")
+    streamed sequentially per shard on executors. Entry names split at
+    the FIRST dot of the basename (the WebDataset convention), so
+    multi-part extensions like ``000123.seg.png`` keep the sample key
+    ``000123`` and ext ``seg.png``."""
+    path = require_local(path, "read_webdataset")
     shards = sorted(
         f for f in os.listdir(path)
         if f.startswith("shard-") and f.endswith(".tar")
@@ -162,7 +219,7 @@ def read_webdataset(
                     for m in tf:
                         if not m.isfile():
                             continue
-                        stem, _, ext = m.name.rpartition(".")
+                        stem, _, ext = m.name.partition(".")
                         fh = tf.extractfile(m)
                         rows.append(
                             (sid, stem, ext, fh.read() if fh else b"")

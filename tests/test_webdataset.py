@@ -87,3 +87,67 @@ def test_atomicity_no_tmp_left_and_shard_col(spark, tmp_path):
     # tar_bytes matches the files on disk
     for m in man:
         assert os.path.getsize(m.path) == m.tar_bytes
+
+
+def test_overwrite_semantics_and_stale_shards(spark, tmp_path):
+    # r13 review: a smaller re-export must not leave phantom shards
+    d = str(tmp_path / "wds")
+    big = _docs(spark, 35)
+    wds.to_webdataset(big, d, shard_size=10).collect()
+    assert len([f for f in os.listdir(d) if f.endswith(".tar")]) == 4
+    small = _docs(spark, 12)
+    with pytest.raises(ValueError, match="overwrite=True"):
+        wds.to_webdataset(small, d, shard_size=10)
+    wds.to_webdataset(small, d, shard_size=10, overwrite=True).collect()
+    tars = [f for f in os.listdir(d) if f.endswith(".tar")]
+    assert len(tars) == 2  # shards 2-3 gone: no phantom samples
+    assert wds.read_webdataset(spark, d).count() == 12
+
+
+def test_numpy_int_keys_padded_and_null_keys_raise(spark, tmp_path):
+    # r13 review: iterrows keeps np.int64 on homogeneous numeric frames
+    # — keys must still zero-pad; NULL keys are a loud error
+    import pandas as pd
+
+    from deva_spark.sources.webdataset import _entry_name
+
+    assert _entry_name(np.int64(5), "cls") == "000000000005.cls"
+    assert _entry_name(5, "cls") == "000000000005.cls"
+    assert _entry_name("abc", "cls") == "abc.cls"
+    d = str(tmp_path / "wds")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    man = wds.to_webdataset(df, d, shard_size=10)
+    with pytest.raises(Exception, match="NULL shard id / key"):
+        man.collect()
+
+
+def test_read_splits_at_first_dot(spark, tmp_path):
+    # WebDataset multi-part extensions: 000123.seg.png keys as 000123
+    import io
+    import tarfile
+
+    d = str(tmp_path / "wds")
+    os.makedirs(d)
+    with tarfile.open(os.path.join(d, "shard-000000.tar"), "w") as tf:
+        for name, data in [
+            ("000123.seg.png", b"p"), ("000123.json", b"{}"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    rows = {(r.key, r.ext): bytes(r.data)
+            for r in wds.read_webdataset(spark, d).collect()}
+    assert rows == {
+        ("000123", "seg.png"): b"p", ("000123", "json"): b"{}",
+    }
+
+
+def test_file_uri_accepted(spark, tmp_path):
+    # require_local's stripped return is used (r13 review: file:// URIs
+    # previously created a literal ./file:/ directory)
+    d = str(tmp_path / "wds")
+    wds.to_webdataset(_docs(spark, 8), "file://" + d, shard_size=10).collect()
+    assert os.path.isdir(d) and not os.path.isdir("file:")
+    assert wds.read_webdataset(spark, "file://" + d).count() == 8
