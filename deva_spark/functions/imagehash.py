@@ -1,0 +1,180 @@
+"""Perceptual image hashing + banded hamming near-dup pairs.
+
+The image analog of the text near-dup tier (simhash/minhash): a
+training-image corpus carries the SAME picture re-encoded, recompressed
+and re-exposed many times over — exact byte/pixel dedup misses all of
+it. Three classic 64-bit perceptual hashes (public algorithms:
+aHash/dHash/pHash as popularized by the pHash project and the Python
+``imagehash`` library; reimplemented here on the package's own resize
+and DCT machinery):
+
+  * ``ahash64`` — mean threshold over an 8x8 resize: crudest, fastest.
+  * ``dhash64`` — horizontal gradient signs over a 9x8 resize:
+    brightness/contrast-shift invariant by construction (comparisons,
+    not levels), the workhorse.
+  * ``phash64`` — sign-vs-median of the top-left 8x8 DCT block (DC
+    dropped) of a 32x32 resize: robust to recompression blur.
+
+Near-dup pairs use the SAME banding discipline as
+:mod:`deva_spark.functions.simhash`: hamming distance <= k means at
+least one of k+1 disjoint chunks is EQUAL (pigeonhole), so candidates
+come from k+1 equality self-joins on 16-bit chunks (k=3 default — the
+band width that actually prunes; larger radii need a different index
+family, same as text simhash) and the exact ``bit_count(a XOR b)``
+verify runs JVM-side on the candidates only. Everything after the
+hashing UDF is column algebra — the shuffle is the banded join, keyed
+on (band, chunk), exactly the text-simhash scale shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from deva_spark.functions.multimodal import decode_image, resize_image
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    c[0] = np.sqrt(1.0 / n)
+    return c
+
+
+_C32 = _dct_basis(32)
+
+
+def _gray(arr: np.ndarray) -> np.ndarray:
+    """float64 (H, W) luminance; accepts uint8 or float [0,1], 2-D or
+    (H, W, C>=3) — alpha channels are ignored, gray+alpha keeps gray."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3 and a.shape[2] >= 3:
+        a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    elif a.ndim == 3:
+        a = a[:, :, 0]
+    return a
+
+
+def _bits_to_u64(bits: np.ndarray) -> int:
+    v = 0
+    for b in bits.reshape(-1):
+        v = (v << 1) | int(b)
+    return v
+
+
+def _as_i64(v: int) -> int:
+    """Two's-complement fold into a signed 64-bit value (LongType)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """Average hash: 8x8 bilinear resize, bit = pixel > mean."""
+    g = resize_image(_gray(arr), (8, 8))
+    return _as_i64(_bits_to_u64(g > g.mean()))
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """Difference hash: 8x9 bilinear resize, bit = right > left —
+    invariant to global brightness/contrast shifts by construction."""
+    g = resize_image(_gray(arr), (8, 9))
+    return _as_i64(_bits_to_u64(g[:, 1:] > g[:, :-1]))
+
+
+def phash64(arr: np.ndarray) -> int:
+    """DCT hash: 32x32 bilinear resize, 2-D DCT-II, bit = coefficient >
+    median over the top-left 8x8 block minus DC (63 bits + a 0 pad)."""
+    g = resize_image(_gray(arr), (32, 32))
+    d = _C32 @ g @ _C32.T
+    block = d[:8, :8].reshape(-1)[1:]  # drop DC: brightness immunity
+    return _as_i64(_bits_to_u64(block > np.median(block)))
+
+
+def image_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """One Arrow-batched pass: decode each payload, emit all three
+    64-bit hashes as LongType — ``(id, ahash, dhash, phash)``."""
+    out_schema = f"{id_col} long, ahash long, dhash long, phash long"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                img = decoder(bytes(content))
+                rows.append(
+                    (int(mid), ahash64(img), dhash64(img), phash64(img))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ahash", "dhash", "phash"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """All id pairs whose 64-bit ``hash_col`` values differ by at most
+    ``max_distance`` bits — ``(id_a, id_b, distance)`` with
+    ``id_a < id_b``. Banded exactly like text simhash: ``k+1`` disjoint
+    chunks (pigeonhole guarantees a candidate shares one), equality
+    self-join per band, then the exact JVM-side ``bit_count`` verify.
+    ``max_distance`` is capped at 3 (4 x 16-bit chunks): beyond that
+    the chunks stop pruning and the banded join degenerates toward the
+    cross product — the same honest boundary the text simhash tier
+    documents."""
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            "max_distance must be 0..3 (16-bit bands stop pruning past "
+            f"that), got {max_distance}"
+        )
+    n_chunks = max_distance + 1
+    width = 64 // n_chunks
+    # width == 64 (max_distance=0): the signed all-ones mask — an
+    # unsigned 2^64-1 literal overflows Java's long
+    mask = (1 << width) - 1 if width < 64 else -1
+    h = F.col(hash_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    sides = hashes.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.posexplode(chunks).alias("_band", "_chunk"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._chunk") == F.col("b._chunk"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

@@ -744,6 +744,73 @@ def x114(spark, sf):
     )
 
 
+_X115_ORACLE = """SELECT CAST(doc_id * 10 AS BIGINT) AS id_a,
+       CAST(doc_id * 10 + 1 AS BIGINT) AS id_b
+FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a"""
+
+
+@query("x115_image_neardup_pairs", _X115_ORACLE)
+def x115(spark, sf):
+    # PERCEPTUAL-HASH IMAGE DEDUP (r13): the image analog of the text
+    # near-dup tier. Every 25th document synthesizes a real PNG
+    # (pixels seeded by md5(text) SALTED WITH doc_id, so duplicate
+    # texts can't alias two docs to one image); every 50th doc also
+    # emits a brightness-shifted twin (+5, clipped — the classic
+    # re-exposure near-dup that byte/pixel dedup misses). dhash64 runs
+    # per image in one Arrow pass, then the simhash-discipline banded
+    # hamming join (4 x 16-bit chunks, JVM bit_count verify, <= 3 bits)
+    # must recover EXACTLY the (base, twin) pairs: dhash is
+    # gradient-sign based, so brightness twins land within 0-2 bits
+    # while unrelated random-pixel images sit ~32 bits apart
+    # (P[<=3] ~ 2.4e-15 — no false pair at any bench scale). The
+    # oracle derives the exact pair set from doc arithmetic alone, so
+    # a hash that drifted, a band that missed, or a spurious candidate
+    # that survived the verify all flip the hash.
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from deva_spark.functions import imagehash as ih
+    from deva_spark.functions import multimodal as mmod
+    from deva_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = _hl.md5(
+                    (text or "").encode() + str(int(did)).encode()
+                ).digest()
+                h, w = 8 + seed[0] % 8, 8 + seed[1] % 8
+                img = _np.frombuffer(
+                    mmod._det_bytes(seed, b"ih", h * w * 3), dtype=_np.uint8
+                ).reshape(h, w, 3)
+                rows.append((int(did) * 10, mmod.encode_png(img)))
+                if did % 50 == 0:
+                    twin = _np.clip(
+                        img.astype(_np.int16) + 5, 0, 255
+                    ).astype(_np.uint8)
+                    rows.append((int(did) * 10 + 1, mmod.encode_png(twin)))
+            yield _pd.DataFrame(rows, columns=["image_id", "content"])
+
+    media = docs.mapInPandas(synth, schema="image_id long, content binary")
+    hashes = ih.image_hashes(media, id_col="image_id")
+    return (
+        ih.hamming_neardup_pairs(
+            hashes, "dhash", id_col="image_id", max_distance=3
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
 @query(
     "x111_chain_dedup_clusters",
     """WITH b AS (
