@@ -811,6 +811,95 @@ def x115(spark, sf):
     )
 
 
+_X116_ORACLE = """SELECT CAST(doc_id * 10 AS BIGINT) AS id_a,
+       CAST(doc_id * 10 + 1 AS BIGINT) AS id_b
+FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a"""
+
+
+@query("x116_audio_neardup_pairs", _X116_ORACLE)
+def x116(spark, sf):
+    # AUDIO FINGERPRINT DEDUP (r13): the audio analog of x115 — the
+    # same RECORDING re-encoded / gain-normalized / noise-floored is
+    # invisible to byte dedup. Every 25th document synthesizes a real
+    # 2 s 16-bit WAV (five tones at md5(text)+doc_id-derived bins on
+    # an 8-bin grid — doc-salted like x115 so duplicate texts can't
+    # alias); every 50th doc also emits a twin at 0.45x gain with a
+    # -50 dB seeded noise floor. Spectral-peak fingerprints (numpy
+    # rfft, one Arrow pass) index by COMBINATORIAL PEAK-PAIR hashes
+    # (Wang 2003's selectivity move: twins keeping m of 5 peaks share
+    # C(m,2) pair hashes, unrelated clips share ~none — P[>=3 shared]
+    # ~ 1e-12 at this clip length), and the inverted-index join with
+    # shared>=3 must recover EXACTLY the (base, twin) pairs the oracle
+    # derives from doc arithmetic alone. A drifted FFT peak, a dead
+    # index band or a spurious candidate all flip the hash.
+    import hashlib as _hl
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    from deva_spark.functions import audiofp as afp
+    from deva_spark.session import ensure_parallelism
+
+    n, rate = 16000, 8000
+
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+
+    def _wav(x: "_np.ndarray") -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                _np.clip(_np.round(x * 32000), -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
+        return buf.getvalue()
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            t = _np.arange(n) / rate
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = _hl.md5(
+                    (text or "").encode() + str(int(did)).encode()
+                ).digest()
+                x = _np.zeros(n)
+                for i in range(5):
+                    v = ((seed[2 * i] << 8) | seed[2 * i + 1]) % 992
+                    f = (60 + v * 8) * rate / n  # bin-exact tones
+                    amp = 0.5 + 0.5 * seed[10 + i] / 255
+                    x += amp * _np.sin(
+                        2 * _np.pi * f * t + seed[15] / 40.0
+                    )
+                x /= _np.abs(x).max() + 1e-9
+                rows.append((int(did) * 10, _wav(x)))
+                if did % 50 == 0:
+                    rng = _np.random.default_rng(
+                        int.from_bytes(seed[:4], "big")
+                    )
+                    twin = _np.clip(
+                        0.45 * x + 0.003 * rng.standard_normal(n), -1, 1
+                    )
+                    rows.append((int(did) * 10 + 1, _wav(twin)))
+            yield _pd.DataFrame(rows, columns=["clip_id", "content"])
+
+    media = docs.mapInPandas(synth, schema="clip_id long, content binary")
+    fps = afp.audio_fingerprints(media, id_col="clip_id")
+    return (
+        afp.audio_neardup_pairs(fps, id_col="clip_id", min_shared=3)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
 @query(
     "x111_chain_dedup_clusters",
     """WITH b AS (
