@@ -50,26 +50,41 @@ def spectral_peaks(
     mag = np.abs(np.fft.rfft(x))
     mag[: min(min_bin, mag.size)] = 0.0
     out: list[int] = []
-    m = mag.copy()
     for _ in range(k):
-        b = int(np.argmax(m))
-        if m[b] <= 0.0:
+        b = int(np.argmax(mag))
+        if mag[b] <= 0.0:
             break
         out.append(b)
-        m[max(0, b - min_sep) : b + min_sep] = 0.0
+        # SYMMETRIC inclusive suppression (r13 review #3: the
+        # half-open slice was asymmetric, so whether a rival exactly
+        # min_sep away survived depended on which side it sat and who
+        # was louder — a contract violation that filled fingerprints
+        # with leakage bins)
+        mag[max(0, b - min_sep) : b + min_sep + 1] = 0.0
     return sorted(out)
 
 
 def peak_pair_hashes(peaks: list[int]) -> list[int]:
     """Combinatorial landmark hashes: every ordered pair of distinct
     peak bins packed as ``f1 * 2^20 + f2`` (f1 < f2). This is the Wang
-    2003 move that makes the index SELECTIVE: single bins live in a few
-    thousand distinct values (two unrelated clips collide on one bin
-    easily), bin PAIRS live in ~half a million+ — a shared-count
-    threshold over pair hashes has astronomically fewer chance
-    collisions while a true twin that kept m of k peaks still shares
-    C(m, 2) pairs (4 of 5 peaks -> 6 shared pair hashes)."""
+    2003 move that makes the index SELECTIVE — but do the collision
+    math on BINS, not hashes: pair hashes are combinatorially
+    DEPENDENT (r13 review #1), so a threshold of C(m, 2) shared pair
+    hashes is exactly the demand for m shared bins. A twin that kept m
+    of k peaks still clears it (4 of 5 peaks -> 6 shared pair hashes),
+    while unrelated clips must collide on m whole bins at once —
+    hypergeometric, e.g. P[>=4 of 5 bins shared] ~ 5e-10 in a
+    992-value tone space, vs ~6e-7 for the >=3 the raw-bin index
+    would accept."""
     p = sorted(set(int(b) for b in peaks))
+    if p and p[-1] >= (1 << 20):
+        # bins past 2^20 would bleed into f1's field and ALIAS distinct
+        # pairs (r13 review #2): clips longer than ~2^21 samples should
+        # be windowed/chunked before fingerprinting anyway
+        raise ValueError(
+            f"peak bin {p[-1]} >= 2^20: chunk long clips before "
+            "fingerprinting (pair hashes pack (f1 << 20) | f2)"
+        )
     return [
         (p[i] << 20) | p[j]
         for i in range(len(p))
@@ -127,7 +142,10 @@ def audio_neardup_pairs(
     sides = fingerprints.select(
         F.col(id_col).alias("_id"),
         F.explode(F.col(feature_col)).alias("_bin"),
-    )
+    ).dropDuplicates(["_id", "_bin"])  # duplicate features must not
+    # multiply into the shared count (r13 review #4: explode x explode
+    # counts the cross product — one feature held twice and thrice
+    # would contribute 6)
     a, b = sides.alias("a"), sides.alias("b")
     return (
         a.join(

@@ -821,17 +821,22 @@ def x116(spark, sf):
     # AUDIO FINGERPRINT DEDUP (r13): the audio analog of x115 — the
     # same RECORDING re-encoded / gain-normalized / noise-floored is
     # invisible to byte dedup. Every 25th document synthesizes a real
-    # 2 s 16-bit WAV (five tones at md5(text)+doc_id-derived bins on
-    # an 8-bin grid — doc-salted like x115 so duplicate texts can't
-    # alias); every 50th doc also emits a twin at 0.45x gain with a
-    # -50 dB seeded noise floor. Spectral-peak fingerprints (numpy
-    # rfft, one Arrow pass) index by COMBINATORIAL PEAK-PAIR hashes
-    # (Wang 2003's selectivity move: twins keeping m of 5 peaks share
-    # C(m,2) pair hashes, unrelated clips share ~none — P[>=3 shared]
-    # ~ 1e-12 at this clip length), and the inverted-index join with
-    # shared>=3 must recover EXACTLY the (base, twin) pairs the oracle
-    # derives from doc arithmetic alone. A drifted FFT peak, a dead
-    # index band or a spurious candidate all flip the hash.
+    # 2 s 16-bit WAV (five DISTINCT tones at md5(text)+doc_id-derived
+    # bins on an 8-bin grid — doc-salted like x115 so duplicate texts
+    # can't alias, distinctness enforced so a seed collision can't
+    # shrink a fingerprint below the match threshold); every 50th doc
+    # also emits a twin at 0.45x gain with a -50 dB seeded noise
+    # floor. Spectral-peak fingerprints (numpy rfft, one Arrow pass,
+    # min_sep=7 < the 8-bin grid step so no real tone ever suppresses
+    # a neighbor) index by COMBINATORIAL PEAK-PAIR hashes, and the
+    # inverted-index join with shared>=6 — which by pair-hash
+    # dependence demands >=4 shared BINS: hypergeometric P ~ 5.3e-10
+    # in the 992-value tone space, < 0.01 expected false pairs even
+    # at a 10x-amplified tier, while twins keep all 5 bin-exact peaks
+    # and share all 10 — must recover EXACTLY the (base, twin) pairs
+    # the oracle derives from doc arithmetic alone. A drifted FFT
+    # peak, a dead index band or a spurious candidate all flip the
+    # hash.
     import hashlib as _hl
     import io as _io
     import wave as _wave
@@ -872,8 +877,12 @@ def x116(spark, sf):
                     (text or "").encode() + str(int(did)).encode()
                 ).digest()
                 x = _np.zeros(n)
+                used: set[int] = set()
                 for i in range(5):
                     v = ((seed[2 * i] << 8) | seed[2 * i + 1]) % 992
+                    while v in used:  # enforce 5 distinct tones
+                        v = (v + 1) % 992
+                    used.add(v)
                     f = (60 + v * 8) * rate / n  # bin-exact tones
                     amp = 0.5 + 0.5 * seed[10 + i] / 255
                     x += amp * _np.sin(
@@ -892,9 +901,9 @@ def x116(spark, sf):
             yield _pd.DataFrame(rows, columns=["clip_id", "content"])
 
     media = docs.mapInPandas(synth, schema="clip_id long, content binary")
-    fps = afp.audio_fingerprints(media, id_col="clip_id")
+    fps = afp.audio_fingerprints(media, id_col="clip_id", min_sep=7)
     return (
-        afp.audio_neardup_pairs(fps, id_col="clip_id", min_shared=3)
+        afp.audio_neardup_pairs(fps, id_col="clip_id", min_shared=6)
         .select("id_a", "id_b")
         .orderBy("id_a")
     )

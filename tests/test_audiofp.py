@@ -12,7 +12,7 @@ from deva_spark.functions import audiofp as afp
 
 def _clip(seed: int, n=16000, rate=8000, tones=5):
     r = np.random.default_rng(seed)
-    bins = sorted(r.choice(992, size=tones, replace=False))
+    bins = sorted(int(v) * 5 for v in r.choice(198, size=tones, replace=False))
     t = np.arange(n) / rate
     x = np.zeros(n)
     for i, v in enumerate(bins):
@@ -54,6 +54,20 @@ def test_peak_pair_hashes_combinatorics():
     hs = afp.peak_pair_hashes([5, 3, 9])
     assert hs == [(3 << 20) | 5, (3 << 20) | 9, (5 << 20) | 9]
     assert afp.peak_pair_hashes([7]) == []
+    # aliasing guard: bins past the 20-bit field raise (r13 review)
+    with pytest.raises(ValueError, match="2\\^20"):
+        afp.peak_pair_hashes([2, 2**20 + 5])
+    # symmetric suppression: whichever of two tones exactly min_sep
+    # apart is louder, the survivor set is ONE of them + no leakage
+    import numpy as _np
+    t = _np.arange(16000) / 8000.0
+    for loud_first in (True, False):
+        a1, a2 = (1.0, 0.6) if loud_first else (0.6, 1.0)
+        x = a1 * _np.sin(2 * _np.pi * (100 * 8000 / 16000) * t)
+        x += a2 * _np.sin(2 * _np.pi * (108 * 8000 / 16000) * t)
+        pk = afp.spectral_peaks(x, k=2, min_sep=8)
+        win, lose = (100, 108) if loud_first else (108, 100)
+        assert win in pk and lose not in pk, pk
     # m shared peaks => C(m,2) shared pair hashes
     a = set(afp.peak_pair_hashes([1, 2, 3, 4, 5]))
     b = set(afp.peak_pair_hashes([1, 2, 3, 4, 99]))
@@ -80,6 +94,13 @@ def test_spark_fingerprint_and_pairs(spark):
         for r in afp.audio_neardup_pairs(fps, min_shared=3).collect()
     )
     assert got == sorted(truth)
+    # the x116 threshold (shared >= 6 pair hashes == >= 4 shared bins)
+    # recovers the same twins — they share all 10
+    got6 = sorted(
+        (r.id_a, r.id_b)
+        for r in afp.audio_neardup_pairs(fps, min_shared=6).collect()
+    )
+    assert got6 == sorted(truth)
     # brute-force equivalence over the pair-hash features
     feats = {r.media_id: set(r.pair_hashes) for r in fps.collect()}
     brute = sorted(
