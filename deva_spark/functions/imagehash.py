@@ -118,6 +118,72 @@ def image_hashes(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def hamming_neardup_join(
+    left: DataFrame,
+    right: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Cross-table variant of :func:`hamming_neardup_pairs` — every
+    (left id, right id) pair within ``max_distance`` bits, as
+    ``(id_a, id_b, distance)`` with id_a from ``left``. The
+    INCREMENTAL dedup shape: ``left`` is the staged corpus hash table,
+    ``right`` is today's batch — the banded join probes only
+    batch-vs-corpus (never corpus-vs-corpus again), so the daily cost
+    scales with the batch, the same discipline as the incremental
+    text tiers (x77/x82/x88)."""
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            "max_distance must be 0..3 (16-bit bands stop pruning past "
+            f"that), got {max_distance}"
+        )
+    a = _banded(left, hash_col, id_col, max_distance).alias("a")
+    b = _banded(right, hash_col, id_col, max_distance).alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._chunk") == F.col("b._chunk"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("distance"),
+    ).filter(F.col("distance") <= max_distance)
+
+
+def _banded(
+    hashes: DataFrame, hash_col: str, id_col: str, max_distance: int
+) -> DataFrame:
+    """(id, hash, band, chunk) exploded over the k+1 disjoint chunks."""
+    n_chunks = max_distance + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1 if width < 64 else -1
+    h = F.col(hash_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    return hashes.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.posexplode(chunks).alias("_band", "_chunk"),
+    )
+
+
 def hamming_neardup_pairs(
     hashes: DataFrame,
     hash_col: str = "dhash",
@@ -138,23 +204,7 @@ def hamming_neardup_pairs(
             "max_distance must be 0..3 (16-bit bands stop pruning past "
             f"that), got {max_distance}"
         )
-    n_chunks = max_distance + 1
-    width = 64 // n_chunks
-    # width == 64 (max_distance=0): the signed all-ones mask — an
-    # unsigned 2^64-1 literal overflows Java's long
-    mask = (1 << width) - 1 if width < 64 else -1
-    h = F.col(hash_col)
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
-            for i in range(n_chunks)
-        ]
-    )
-    sides = hashes.select(
-        F.col(id_col).alias("_id"),
-        h.alias("_h"),
-        F.posexplode(chunks).alias("_band", "_chunk"),
-    )
+    sides = _banded(hashes, hash_col, id_col, max_distance)
     a, b = sides.alias("a"), sides.alias("b")
     cand = (
         a.join(

@@ -1581,6 +1581,47 @@ def synthesized_dims(seed: bytes) -> dict[str, tuple[int, ...]]:
     }
 
 
+def synthesize_doc_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    twins: bool = False,
+    twin_every: int = 50,
+    twin_shift: int = 5,
+) -> DataFrame:
+    """Deterministic per-document PNG fixtures for the image-dedup
+    tier (x115/x117 and the ``img_dhash`` staged artifact share this
+    EXACT synthesis, so the staged corpus and the inline corpus are
+    bit-identical): pixels seeded by ``md5(text)`` SALTED WITH the doc
+    id (duplicate texts cannot alias two docs to one image), dims
+    8-15 px per side from the seed. With ``twins`` every
+    ``twin_every``-th doc also emits a brightness(+``twin_shift``,
+    clipped) copy — the classic re-exposure near-dup. Output ids:
+    ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    out_schema = "image_id long, content binary"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                seed = hashlib.md5(
+                    (text or "").encode() + str(int(did)).encode()
+                ).digest()
+                h, w = 8 + seed[0] % 8, 8 + seed[1] % 8
+                img = np.frombuffer(
+                    _det_bytes(seed, b"ih", h * w * 3), dtype=np.uint8
+                ).reshape(h, w, 3)
+                rows.append((int(did) * 10, encode_png(img)))
+                if twins and did % twin_every == 0:
+                    twin = np.clip(
+                        img.astype(np.int16) + twin_shift, 0, 255
+                    ).astype(np.uint8)
+                    rows.append((int(did) * 10 + 1, encode_png(twin)))
+            yield pd.DataFrame(rows, columns=["image_id", "content"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def synthesize_media_from_text(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -447,7 +447,26 @@ def _build_kmv_syn_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.transform(agg.kmv_partials("_s", keys=["source", "_b"], k=64))
 
 
+def _build_img_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x117's staged corpus index: dhash64 of every 25th document's
+    synthesized base image (`multimodal.synthesize_doc_images` — the
+    EXACT synthesis x115 runs inline, so staged and inline corpora are
+    bit-identical). One (image_id, dhash) row per image: the table a
+    100 TB image pipeline keeps warm so each day's crawl batch joins
+    against it instead of rehashing the corpus."""
+    from deva_spark.functions.imagehash import image_hashes
+    from deva_spark.functions.multimodal import synthesize_doc_images
+
+    base = synthesize_doc_images(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    return image_hashes(base, id_col="image_id").select("image_id", "dhash")
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "img_dhash": _build_img_dhash,
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
     "shingle5": _build_shingle5_hashes,
@@ -598,6 +617,7 @@ _ARTIFACT_SOURCE: dict[str, tuple[str, ...]] = {
     "kmv_day_users": ("events.parquet",),
     "quant_day_cells": ("events.parquet",),
     "wds_txt_320": ("documents.parquet",),
+    "img_dhash": ("documents.parquet",),
 }
 
 #: File proving a COMPLETE artifact. ivf16's centers sidecar is written

@@ -766,11 +766,6 @@ def x115(spark, sf):
     # oracle derives the exact pair set from doc arithmetic alone, so
     # a hash that drifted, a band that missed, or a spurious candidate
     # that survived the verify all flip the hash.
-    import hashlib as _hl
-
-    import numpy as _np
-    import pandas as _pd
-
     from deva_spark.functions import imagehash as ih
     from deva_spark.functions import multimodal as mmod
     from deva_spark.session import ensure_parallelism
@@ -780,31 +775,50 @@ def x115(spark, sf):
         .filter(F.col("doc_id") % 25 == 0)
         .select("doc_id", "text")
     )
-
-    def synth(pdfs):
-        for pdf in pdfs:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = _hl.md5(
-                    (text or "").encode() + str(int(did)).encode()
-                ).digest()
-                h, w = 8 + seed[0] % 8, 8 + seed[1] % 8
-                img = _np.frombuffer(
-                    mmod._det_bytes(seed, b"ih", h * w * 3), dtype=_np.uint8
-                ).reshape(h, w, 3)
-                rows.append((int(did) * 10, mmod.encode_png(img)))
-                if did % 50 == 0:
-                    twin = _np.clip(
-                        img.astype(_np.int16) + 5, 0, 255
-                    ).astype(_np.uint8)
-                    rows.append((int(did) * 10 + 1, mmod.encode_png(twin)))
-            yield _pd.DataFrame(rows, columns=["image_id", "content"])
-
-    media = docs.mapInPandas(synth, schema="image_id long, content binary")
+    media = mmod.synthesize_doc_images(docs, twins=True)
     hashes = ih.image_hashes(media, id_col="image_id")
     return (
         ih.hamming_neardup_pairs(
             hashes, "dhash", id_col="image_id", max_distance=3
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+@query("x117_incremental_image_neardup", _X115_ORACLE)
+def x117(spark, sf):
+    # INCREMENTAL image dedup (r13): the daily-crawl shape — the
+    # corpus's dhash table is a STAGED artifact (img_dhash, built once
+    # per (sf_dir, documents mtime) from the exact synthesis x115 runs
+    # inline), and today's batch (the brightness twins) hashes fresh
+    # and banded-joins ONLY against the staged table: batch-vs-corpus,
+    # never corpus-vs-corpus again, so the daily cost scales with the
+    # batch — the same discipline as the incremental text tiers
+    # (x77/x82/x88). Result contract: identical pair set to x115's
+    # full-corpus resolution (the oracle is the same arithmetic), so a
+    # staged table that drifted from the inline synthesis, a dead band
+    # in the cross-table join, or a batch hash regression all flip
+    # the hash.
+    from deva_spark.functions import imagehash as ih
+    from deva_spark.functions import multimodal as mmod
+    from deva_spark.session import ensure_parallelism
+
+    stage_artifacts(spark, sf, ["img_dhash"])
+    staged = _shared_artifact(spark, sf, "img_dhash")
+    batch_docs = ensure_parallelism(
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    batch = mmod.synthesize_doc_images(batch_docs, twins=True).filter(
+        F.col("image_id") % 10 == 1  # the twins ARE the new batch
+    )
+    batch_hashes = ih.image_hashes(batch, id_col="image_id")
+    return (
+        ih.hamming_neardup_join(
+            staged, batch_hashes, "dhash", id_col="image_id",
+            max_distance=3,
         )
         .select("id_a", "id_b")
         .orderBy("id_a")

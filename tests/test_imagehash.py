@@ -96,3 +96,34 @@ def test_banded_pairs_equal_brute_force(spark):
     assert set((i * 10, i * 10 + 1) for i in range(0, 30, 3)) <= set(got3)
     with pytest.raises(ValueError, match="max_distance"):
         ih.hamming_neardup_pairs(hashes, "dhash", max_distance=8)
+
+
+def test_cross_table_join_matches_pairs(spark):
+    # incremental shape (x117): staged corpus vs fresh batch — the
+    # cross-table banded join must find exactly what the full
+    # self-join finds between the two sides
+    rows_a, rows_b = [], []
+    for i in range(20):
+        im = _img(i, 10, 11)
+        rows_a.append((i * 10, encode_png(im)))
+        if i % 4 == 0:
+            tw = np.clip(im.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+            rows_b.append((i * 10 + 1, encode_png(tw)))
+    corpus = ih.image_hashes(
+        spark.createDataFrame(rows_a, "media_id long, content binary")
+    )
+    batch = ih.image_hashes(
+        spark.createDataFrame(rows_b, "media_id long, content binary")
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in ih.hamming_neardup_join(corpus, batch).collect()
+    )
+    assert got == sorted((i * 10, i * 10 + 1) for i in range(0, 20, 4))
+    # brute equivalence across tables
+    ca = {r.media_id: r.dhash for r in corpus.collect()}
+    cb = {r.media_id: r.dhash for r in batch.collect()}
+    brute = sorted(
+        (a, b) for a in ca for b in cb if _ham(ca[a], cb[b]) <= 3
+    )
+    assert got == brute
