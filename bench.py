@@ -43,6 +43,35 @@ from deva_spark.session import get_spark  # noqa: E402
 from deva_spark import queries as Q  # noqa: E402
 
 
+def headline_block(
+    walls: list[float],
+    loads: list[float],
+    total: float,
+    base_walls: list[float],
+    base_loads: list[float],
+    baseline_total: float,
+) -> dict:
+    """The leading keys of the emitted JSON line, in JUDGING order
+    (BASELINE.md §2 live record): ``rmin`` — the quiet-floor ratio, the
+    load-insensitive number rounds are compared on — first, then its
+    inputs, then the median-based value/ratio with both engines' load
+    bands beside them. Factored out so the accounting test pins the
+    order and arithmetic without running the suite."""
+    return {
+        "metric": "suite_total_wall",
+        "rmin": (
+            round(min(walls) / min(base_walls), 3) if min(base_walls) else None
+        ),
+        "min": round(min(walls), 2),
+        "bmin": round(min(base_walls), 2),
+        "ratio": round(total / baseline_total, 3) if baseline_total else None,
+        "value": total,
+        "baseline_value": baseline_total,
+        "load": [int(min(loads)), int(max(loads))],
+        "bload": [int(min(base_loads)), int(max(base_loads))],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -236,24 +265,28 @@ def main() -> None:
     def short_id(name: str) -> str:
         return name.split("_", 1)[0]
 
+    # Key ORDER is the report (VERDICT r13 "wrong" #1): the judged
+    # number is the QUIET-FLOOR ratio ``rmin`` (min Spark wall / min
+    # DuckDB wall across passes — the load-insensitive comparison), so
+    # it leads the parsed block with its inputs ``min``/``bmin`` and
+    # the load bands RIGHT BESIDE the median-based ``value``/``ratio``
+    # they contextualize — no cross-referencing loadavg forensics.
+    # COMPACT keys throughout: the full-suite line runs ~1700 chars and
+    # the driver's tail window caps ~1800 ("load"/"bload" = 1-min
+    # loadavg band across timed passes; per-pass arrays live in
+    # BENCH_DETAIL.json).
     out = {
         "metric": "suite_total_wall",
+        "min": round(min(walls), 2),  # quiet-floor wall, pairs w/ rmin
         "value": total,
         "unit": "sec",
-        "queries": {short_id(n): round(per[n], 2) for n in per},
+        "load": [int(min(loads)), int(max(loads))],
         "sf": sf,
+        "staging_sec": round(sum(staging.values()), 2),
         # self-describing timed set: which registry entries were NOT in
         # the timed suite, and why (streaming bootstrap, not data plane)
         "excluded": sorted(short_id(n) for n in excluded),
-        "staging_sec": round(sum(staging.values()), 2),
-        # attribution (VERDICT r11 #5), COMPACT keys — the full-suite
-        # line with the per-query map runs ~1700 chars and the driver's
-        # tail window caps ~1800, so every extra byte here risks the
-        # length guard dropping the map: "load" = 1-min loadavg band
-        # across timed passes (ints), "min" = quiet-floor wall; the
-        # per-pass arrays live in BENCH_DETAIL.json.
-        "load": [int(min(loads)), int(max(loads))],
-        "min": round(min(walls), 2),
+        "queries": {short_id(n): round(per[n], 2) for n in per},
     }
     detail: dict[str, object] = {
         "suite_total_wall": total,
@@ -268,15 +301,13 @@ def main() -> None:
         "walls_per_pass": walls,
     }
     if baseline_total is not None:
-        out["baseline_value"] = baseline_total
-        out["ratio"] = round(total / baseline_total, 3) if baseline_total else None
-        # "bload"/"bmin"/"rmin": baseline load band, baseline quiet
-        # floor, quiet-floor ratio — compact for the same reason
-        out["bload"] = [int(min(base_loads)), int(max(base_loads))]
-        out["bmin"] = round(min(base_walls), 2)
-        out["rmin"] = (
-            round(min(walls) / min(base_walls), 3) if min(base_walls) else None
+        # rebuild so the HEADLINE quiet-floor ratio leads everything
+        # ("rmin" first, then its inputs, then the load-contextualized
+        # medians) — reading order == judging order
+        head = headline_block(
+            walls, loads, total, base_walls, base_loads, baseline_total
         )
+        out = {**head, **{k: v for k, v in out.items() if k not in head}}
         detail["baseline_total"] = baseline_total
         detail["ratio"] = out["ratio"]
         detail["baseline_load_per_pass"] = base_loads

@@ -103,16 +103,29 @@ def audio_fingerprints(
 ) -> DataFrame:
     """One Arrow pass: decode each audio payload (channels mixed down),
     emit its peak bins AND their combinatorial pair hashes —
-    ``(id, peaks array<int>, pair_hashes array<long>)``."""
+    ``(id, peaks array<int>, pair_hashes array<long>)``.
+
+    Per-row fault isolation (ADVICE r13): a crawled corpus always holds
+    SOME undecodable clip, and one bad payload must not kill the whole
+    Arrow stage — decode/fingerprint failures (truncated RIFF, an
+    unsupported codec tag, a peak bin past the 2^20 pack limit) emit an
+    EMPTY fingerprint for that row instead of propagating, the same
+    route-bad-payloads-aside contract the codec audit tiers use. An
+    empty fingerprint can never match (the inverted index explodes it
+    to zero features), so flagged rows are simply invisible to dedup —
+    filter ``size(peaks) = 0`` to audit them."""
     out_schema = f"{id_col} long, peaks array<int>, pair_hashes array<long>"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                mono = decoder(bytes(content)).mean(axis=1)
-                pk = spectral_peaks(mono, k, min_sep, min_bin)
-                rows.append((int(mid), pk, peak_pair_hashes(pk)))
+                try:
+                    mono = decoder(bytes(content)).mean(axis=1)
+                    pk = spectral_peaks(mono, k, min_sep, min_bin)
+                    rows.append((int(mid), pk, peak_pair_hashes(pk)))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), [], []))
             yield pd.DataFrame(
                 rows, columns=[id_col, "peaks", "pair_hashes"]
             )

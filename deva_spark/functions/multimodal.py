@@ -470,6 +470,19 @@ def _wav_fmt_data(content: bytes):
     return (*fmt, data)
 
 
+def _wav_fact_frames(content: bytes) -> int | None:
+    """Per-channel frame count from the RIFF ``fact`` chunk, None when
+    absent/short. Compressed WAVE formats (ADPCM, G.711) are REQUIRED
+    by the spec to carry it, and it is the only record of the true
+    length when the final ADPCM block is padded: block geometry alone
+    overstates the count by up to one block's worth of frames
+    (ADVICE r13)."""
+    for fcc, start, size in _riff_chunks(content, 12, len(content)):
+        if fcc == b"fact" and size >= 4 and start + 4 <= len(content):
+            return _struct.unpack("<I", content[start : start + 4])[0]
+    return None
+
+
 def wav_info(content: bytes) -> tuple[int, int, int] | None:
     """REAL header parse: (sample_rate, n_channels, n_frames) from a
     RIFF/WAVE payload, None if it isn't one. G.711 companded WAVs
@@ -493,7 +506,13 @@ def wav_info(content: bytes) -> tuple[int, int, int] | None:
         if tag == _WAVE_FMT_IMA_ADPCM and nch and balign >= 4 * nch + 4:
             nblocks = len(data) // balign
             per_block = 1 + ((balign - 4 * nch) // (4 * nch)) * 8
-            return rate, nch, nblocks * per_block
+            frames = nblocks * per_block
+            # real encoders pad the last block and record the true
+            # count in fact — block geometry alone overstates it
+            fact = _wav_fact_frames(content)
+            if fact is not None:
+                frames = min(frames, fact)
+            return rate, nch, frames
         return None
 
 
@@ -523,10 +542,11 @@ def decode_wav(content: bytes) -> np.ndarray:
         if nch == 0:
             raise ValueError("WAVE fmt declares zero channels") from None
         if tag == _WAVE_FMT_IMA_ADPCM:
-            return (
-                _ima_adpcm_decode(data, nch, balign).astype(np.float32)
-                / 32768.0
-            )
+            pcm = _ima_adpcm_decode(data, nch, balign)
+            fact = _wav_fact_frames(content)
+            if fact is not None:  # drop the final block's pad frames
+                pcm = pcm[:fact]
+            return pcm.astype(np.float32) / 32768.0
         law = {_WAVE_FMT_ULAW: "ulaw", _WAVE_FMT_ALAW: "alaw"}.get(tag)
         if law is None:
             raise NotImplementedError(

@@ -133,6 +133,19 @@ def _derive_rotation() -> tuple[tuple[str, ...], tuple[str, ...]]:
     """
     names = list(SPARK_QUERIES)
     green, seen, newest = _correctness_history()
+    if newest == 0:
+        # No CORRECTNESS history on disk (installed wheel / shallow
+        # checkout): every entry counts as never-recorded and the window
+        # silently degrades to the first 50 registration-order entries —
+        # make that visible instead of silent (ADVICE r13)
+        import warnings
+
+        warnings.warn(
+            "no CORRECTNESS_r*.json history found next to the package: "
+            "driver-window rotation falls back to registration order",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     order = {k: i for i, k in enumerate(names)}
     new = [k for k in names if k not in seen]  # first row still owed
     stale = sorted(

@@ -104,6 +104,19 @@ def to_webdataset(
     for col in (key_col, *columns, *((shard_col,) if shard_col else ())):
         if col not in df.columns:
             raise ValueError(f"column {col!r} not in DataFrame")
+    # Entry columns must be string or binary AT VALIDATION TIME: any
+    # other type would fall through to ``bytes(v)`` on the executor,
+    # where an int value serializes as N zero bytes — silent corruption
+    # for the natural "label column -> .cls entry" case (ADVICE r13).
+    # Encode explicitly (CAST to string, or pack to binary) and resubmit.
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = {c: types[c] for c in columns if types[c] not in ("string", "binary")}
+    if bad:
+        raise ValueError(
+            f"entry columns must be string or binary, got {bad}: cast "
+            "explicitly (e.g. CAST(label AS STRING)) — bytes(int) would "
+            "silently write N zero bytes, not the value"
+        )
     stale = _existing_shards(path)
     if stale:
         if not overwrite:
@@ -119,7 +132,10 @@ def to_webdataset(
     shard = (
         F.col(shard_col)
         if shard_col
-        else F.floor(F.col(key_col) / F.lit(int(shard_size)))
+        # ``div`` = JVM integer division: float ``/`` + floor goes
+        # through double and mis-shards int64 keys past 2^53
+        # (ADVICE r13); negative keys are rejected in write_shard.
+        else F.expr(f"{key_col} div {int(shard_size)}")
     ).cast("long").alias("_shard")
     src = df.select(shard, key_col, *columns)
 
@@ -131,6 +147,19 @@ def to_webdataset(
                 + (f", shard_col={shard_col!r})" if shard_col else ")")
             )
         sid = int(pdf["_shard"].iloc[0])
+        keys_neg = (
+            pd.api.types.is_numeric_dtype(pdf[key_col])
+            and bool((pdf[key_col] < 0).any())
+        )
+        if sid < 0 or keys_neg:
+            # a negative shard id would mint 'shard--00001.tar' and
+            # break the read-side basename parse (and `div` truncates
+            # toward zero, so key -5 // 10 still lands in shard 0 with
+            # a '-00000000005.txt' member) — loader keys are >= 0
+            raise ValueError(
+                f"negative key/shard id (shard {sid}): loader keys must "
+                f"be >= 0 (key_col={key_col!r})"
+            )
         pdf = pdf.sort_values(key_col, kind="mergesort")
         dst = os.path.join(path, f"shard-{sid:06d}.tar")
         # attempt-unique temp name: a speculative or zombie retry of

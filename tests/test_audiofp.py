@@ -117,3 +117,22 @@ def test_spark_fingerprint_and_pairs(spark):
     )
     with pytest.raises(ValueError, match="min_shared"):
         afp.audio_neardup_pairs(fps, min_shared=0)
+
+
+def test_undecodable_clip_isolated_per_row(spark):
+    # ADVICE r13: one bad payload must not kill the Arrow stage — it
+    # emits an EMPTY fingerprint (never matches, auditable via
+    # size(peaks)=0) while good rows fingerprint normally
+    x, bins = _clip(11)
+    df = spark.createDataFrame(
+        [
+            (1, _wav(x)),
+            (2, b"not a riff payload"),
+            (3, b"RIFF\x00\x00\x00\x00WAVEjunk"),  # truncated RIFF
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in afp.audio_fingerprints(df).collect()}
+    assert list(rows[1].peaks) == bins
+    assert list(rows[2].peaks) == [] and list(rows[2].pair_hashes) == []
+    assert list(rows[3].peaks) == [] and list(rows[3].pair_hashes) == []

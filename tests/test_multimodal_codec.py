@@ -906,3 +906,37 @@ def test_truncated_wav_fmt_raises_valueerror():
     with pytest.raises(ValueError):
         mm.decode_wav(wav)
     assert mm.wav_info(wav) is None
+
+
+def test_adpcm_fact_chunk_clamps_frames():
+    # ADVICE r13: real encoders pad the final ADPCM block and record
+    # the TRUE per-channel frame count in the fact chunk — block
+    # geometry alone overstates it. wav_info and decode_wav both clamp.
+    import struct as _s
+
+    for nch in (1, 2):
+        wav, _blocks, balign = _adpcm_wav(nch, nblocks=3, gpc=8, seed=7)
+        geom_frames = mm.wav_info(wav)[2]
+        true_frames = geom_frames - 5  # final block padded by 5 frames
+        fact = b"fact" + _s.pack("<I", 4) + _s.pack("<I", true_frames)
+        # splice fact between fmt and data, patch the RIFF size
+        di = wav.index(b"data")
+        patched = wav[:di] + fact + wav[di:]
+        patched = (
+            patched[:4]
+            + _s.pack("<I", len(patched) - 8)
+            + patched[8:]
+        )
+        assert mm.wav_info(patched) == (8000, nch, true_frames)
+        dec = mm.decode_wav(patched)
+        assert dec.shape == (true_frames, nch)
+        # clamped decode is a prefix of the unclamped one
+        assert np.array_equal(dec, mm.decode_wav(wav)[:true_frames])
+        # a fact LARGER than geometry never inflates the count
+        big = b"fact" + _s.pack("<I", 4) + _s.pack("<I", geom_frames + 99)
+        inflated = wav[:di] + big + wav[di:]
+        inflated = (
+            inflated[:4] + _s.pack("<I", len(inflated) - 8) + inflated[8:]
+        )
+        assert mm.wav_info(inflated) == (8000, nch, geom_frames)
+        assert mm.decode_wav(inflated).shape == (geom_frames, nch)

@@ -151,3 +151,40 @@ def test_file_uri_accepted(spark, tmp_path):
     wds.to_webdataset(_docs(spark, 8), "file://" + d, shard_size=10).collect()
     assert os.path.isdir(d) and not os.path.isdir("file:")
     assert wds.read_webdataset(spark, "file://" + d).count() == 8
+
+
+def test_non_string_binary_entry_column_rejected(spark, tmp_path):
+    # ADVICE r13: an int label column would serialize via bytes(v) as N
+    # zero bytes — rejected at validation time, before any task runs
+    d = str(tmp_path / "wds")
+    df = spark.createDataFrame([(1, 7)], "doc_id long, label long")
+    with pytest.raises(ValueError, match="string or binary"):
+        wds.to_webdataset(df, d, columns={"label": "cls"})
+    # explicit cast is the documented route
+    man = wds.to_webdataset(
+        df.withColumn("label", F.col("label").cast("string")),
+        d,
+        columns={"label": "cls"},
+    ).collect()
+    assert man[0].n_entries == 1
+    got = wds.read_webdataset(spark, d).collect()
+    assert bytes(got[0].data) == b"7"
+
+
+def test_integer_shard_division_past_2_53(spark, tmp_path):
+    # ADVICE r13: floor(key / size) goes through double — keys past 2^53
+    # would land in the wrong shard; `div` stays integral
+    d = str(tmp_path / "wds")
+    key = (1 << 60) + 3  # not representable exactly as double
+    df = spark.createDataFrame([(key, "a")], "doc_id long, text string")
+    man = wds.to_webdataset(df, d, shard_size=1000).collect()
+    assert man[0].shard_id == key // 1000
+    assert os.path.basename(man[0].path) == f"shard-{key // 1000:06d}.tar"
+
+
+def test_negative_key_rejected(spark, tmp_path):
+    # 'shard--00001.tar' would break the read-side basename parse
+    d = str(tmp_path / "wds")
+    df = spark.createDataFrame([(-5, "a")], "doc_id long, text string")
+    with pytest.raises(Exception, match="negative key"):
+        wds.to_webdataset(df, d, shard_size=10).collect()
