@@ -1642,6 +1642,94 @@ def synthesize_doc_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _walk_grid(seed: bytes, tag: bytes, rows: int = 8, cols: int = 9) -> "np.ndarray":
+    """Reflected-random-walk luminance grid for video fixtures: each row
+    starts at 125 and steps exactly +/-45 per column (direction bits from
+    the seed stream, REFLECTED at [10, 245] instead of clipped), so every
+    horizontally adjacent pair differs by exactly 45 — dhash64's
+    comparisons all carry a 45-level margin, far above JPEG-q92
+    reconstruction error (~+/-10) and invariant to global brightness
+    shifts (<= 10, no clipping: values stay within [35, 215]). Direction
+    bits are seeded per (doc, frame), so distinct frames' dhashes are
+    ~uniform 64-bit values while a re-encoded/brightness-shifted twin
+    frame reproduces the grid's comparison signs exactly."""
+    bits = _det_bytes(seed, tag, rows * (cols - 1))
+    g = np.empty((rows, cols), dtype=np.float64)
+    g[:, 0] = 125.0
+    for i in range(rows):
+        v = 125.0
+        for j in range(cols - 1):
+            step = 45.0 if bits[i * (cols - 1) + j] & 1 else -45.0
+            if not 10.0 <= v + step <= 245.0:
+                step = -step  # reflect, never clip (keeps |delta| = 45)
+            v += step
+            g[i, j + 1] = v
+    return g
+
+
+def synthesize_doc_videos(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    twins: bool = False,
+    twin_every: int = 50,
+    twin_shift: int = 6,
+    n_frames: int = 6,
+    scale: int = 4,
+) -> DataFrame:
+    """Deterministic per-document AVI clips for the video-dedup tier
+    (x118/x119 and the ``vid_fdhash`` staged artifact share this EXACT
+    synthesis): ``n_frames`` frames, each a :func:`_walk_grid` rendered
+    at ``scale``x block resolution (8*scale x 9*scale gray RGB — the
+    4:1 half-pixel bilinear resize inside dhash64 recovers the grid
+    exactly, so base-frame dhashes are closed-form stable), seeded by
+    ``md5(text)`` SALTED WITH the doc id. The base clip is lossless
+    BI_RGB AVI. With ``twins`` every ``twin_every``-th doc also emits
+    the classic crawl near-dup: the same clip HEAD-TRIMMED by one frame,
+    brightness-shifted ``+twin_shift``, and RE-ENCODED as MJPEG q92 —
+    invisible to byte dedup and to every exact per-frame digest, within
+    a few dhash bits per frame at temporal offset -1 for the frame-hash
+    tier. Output ids: ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    out_schema = "video_id long, content binary"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                seed = hashlib.md5(
+                    (text or "").encode() + str(int(did)).encode()
+                ).digest()
+                frames = np.stack(
+                    [
+                        np.repeat(
+                            np.repeat(
+                                _walk_grid(seed, b"vd%d" % t), scale, axis=0
+                            ),
+                            scale,
+                            axis=1,
+                        )
+                        for t in range(n_frames)
+                    ]
+                )
+                clip = np.repeat(
+                    frames.astype(np.uint8)[:, :, :, None], 3, axis=3
+                )
+                rows.append((int(did) * 10, encode_avi(clip, codec="dib")))
+                if twins and did % twin_every == 0:
+                    twin = np.clip(
+                        clip[1:].astype(np.int16) + twin_shift, 0, 255
+                    ).astype(np.uint8)
+                    rows.append(
+                        (
+                            int(did) * 10 + 1,
+                            encode_avi(twin, codec="mjpg", quality=92),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["video_id", "content"])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def synthesize_media_from_text(
     df: DataFrame,
     id_col: str = "doc_id",

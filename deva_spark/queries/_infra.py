@@ -465,8 +465,27 @@ def _build_img_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_hashes(base, id_col="image_id").select("image_id", "dhash")
 
 
+def _build_vid_fdhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x119's staged corpus index: per-frame dhash64 of every 25th
+    document's synthesized BASE video (`multimodal.synthesize_doc_videos`
+    — the EXACT synthesis x118 runs inline, so staged and inline corpora
+    are bit-identical). One (video_id, frame_idx, dhash) row per sampled
+    frame: the table a 100 TB video pipeline keeps warm so each day's
+    crawl batch joins against it instead of rehashing the corpus."""
+    from deva_spark.functions.multimodal import synthesize_doc_videos
+    from deva_spark.functions.videofp import video_frame_hashes
+
+    base = synthesize_doc_videos(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    return video_frame_hashes(base)
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "img_dhash": _build_img_dhash,
+    "vid_fdhash": _build_vid_fdhash,
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
     "shingle5": _build_shingle5_hashes,
