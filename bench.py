@@ -88,7 +88,13 @@ def main() -> None:
     # at test SFs it measures per-round scheduler latency, not data-plane
     # throughput — at 100 TB the same handful of rounds amortizes over
     # real per-round data. It stays tri-SF oracle-verified and in the
-    # driver window.
+    # driver window. x120 (BPE training, r14) is excluded for the same
+    # reason: 12 SEQUENTIAL merge rounds over the distinct-word
+    # synopsis, each a 1-row-argmax local job (~0.4 s of scheduler
+    # latency apiece at any test SF; at 100 TB the vocabulary is
+    # millions of rows and each round is real aggregation work). Its
+    # consumer x121 — token pricing over the STAGED trained
+    # vocabulary, the data-plane shape — stays in the timed suite.
     excluded = (
         set()
         if os.environ.get("BENCH_INCLUDE_STREAMING") == "1"
@@ -104,6 +110,7 @@ def main() -> None:
             "x71_streaming_retention",
             "x78_streaming_incremental_dedup",
             "x111_chain_dedup_clusters",
+            "x120_bpe_merge_table",
         }
     )
     names = [

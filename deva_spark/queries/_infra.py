@@ -483,9 +483,24 @@ def _build_vid_fdhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_hashes(base)
 
 
+def _build_bpe_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x121's staged vocabulary: the corpus's distinct words with their
+    FINAL segmentation after the 12 x120 merge rounds (`functions.bpe`,
+    same loop x120 runs inline) — the train-once/price-many table a
+    loader pipeline keeps warm so token budgeting is a broadcast join,
+    not a re-train."""
+    from deva_spark.functions import bpe
+    from deva_spark.queries.curation import _BPE_N
+
+    words = bpe.word_counts(_t(spark, sf_dir, "documents"))
+    _, final = bpe.train_bpe(words, _BPE_N)
+    return final
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "img_dhash": _build_img_dhash,
     "vid_fdhash": _build_vid_fdhash,
+    "bpe_seg": _build_bpe_seg,
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
     "shingle5": _build_shingle5_hashes,

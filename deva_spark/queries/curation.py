@@ -18,9 +18,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from deva_spark.queries._infra import (
     _jaccard_pairs,
+    _shared_artifact,
     _shingle5_hashes,
     _t,
     query,
+    stage_artifacts,
     staged_artifact_path,
 )
 from deva_spark.queries.similarity import _staged_events
@@ -986,3 +988,115 @@ def x59(spark, sf):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# x120/x121: corpus-trained BPE (r14, VERDICT r13 "next" #4). The oracle
+# replays the EXACT training loop unrolled: each merge round is one CTE
+# trio (pair counts -> argmax with the (freq DESC, lhs, rhs) tie-break ->
+# merge application via the double-space replace algebra, which makes
+# non-overlapping left-to-right replace equal BPE's greedy scan in BOTH
+# engines — parity pinned in tests/test_bpe.py). w/b CTEs are declared
+# AS MATERIALIZED: each w{k} is referenced twice, and DuckDB's default
+# inlining would otherwise expand the 12-round chain exponentially
+# (the un-hinted query never finishes). 12 rounds keeps the
+# generated SQL ~90 lines and already learns multi-char subwords on the
+# test corpora.
+# ---------------------------------------------------------------------------
+
+_BPE_N = 12
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+  SELECT word, COUNT(*)::BIGINT AS freq,
+         array_to_string(string_split(word, ''), ' ') || ' </w>' AS seg
+  FROM (
+    SELECT u.w AS word FROM documents,
+      UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(w)
+    WHERE u.w <> ''
+  ) GROUP BY word
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS (
+  SELECT lhs, rhs, SUM(freq)::BIGINT AS freq FROM (
+    SELECT w.freq, w.syms[i] AS lhs, w.syms[i + 1] AS rhs
+    FROM (SELECT freq, string_split(seg, ' ') AS syms FROM w{k}) w,
+         UNNEST(generate_series(1, array_length(w.syms) - 1)) AS u(i)
+  ) GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT {k} AS step, lhs, rhs, freq FROM p{k}
+  ORDER BY freq DESC, lhs, rhs LIMIT 1
+), w{k + 1} AS MATERIALIZED (
+  SELECT w{k}.word, w{k}.freq, trim(replace(replace(
+    ' ' || replace(w{k}.seg, ' ', '  ') || ' ',
+    ' ' || b.lhs || '  ' || b.rhs || ' ',
+    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) AS seg
+  FROM w{k}, b{k} b
+)"""
+        )
+    return "".join(parts)
+
+
+_X120_ORACLE = (
+    _bpe_oracle_ctes(_BPE_N)
+    + "\n"
+    + " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(_BPE_N))
+    + " ORDER BY step"
+)
+
+
+@query("x120_bpe_merge_table", _X120_ORACLE)
+def x120(spark, sf):
+    # TRAINED SUBWORD VOCABULARY (r14): the Sennrich-2016 BPE merge
+    # loop as a Spark aggregation over the distinct-word synopsis —
+    # ONE corpus-scale job (word counts), then 12 rounds of
+    # pair-count argmax (1-row collect each, bounded by contract) +
+    # JVM string-algebra merge application. The driver-checked surface
+    # is the merge table itself: 12 (step, lhs, rhs, freq) rows that
+    # the DuckDB oracle re-derives by replaying the identical loop
+    # unrolled — a drifted tie-break, a wrong greedy-overlap
+    # semantics, or a miscounted pair all flip the hash.
+    from deva_spark.functions import bpe
+
+    words = bpe.word_counts(_t(spark, sf, "documents"))
+    merges, _ = bpe.train_bpe(words, _BPE_N)
+    return bpe.merges_df(spark, merges).orderBy("step")
+
+
+_X121_ORACLE = (
+    _bpe_oracle_ctes(_BPE_N)
+    + f""",
+dw AS (
+  SELECT doc_id, u.w AS word FROM documents,
+    UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(w)
+  WHERE u.w <> ''
+)
+SELECT dw.doc_id,
+       SUM(array_length(string_split(f.seg, ' ')))::BIGINT AS n_tokens
+FROM dw JOIN w{_BPE_N} f USING (word)
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+)
+
+
+@query("x121_bpe_token_counts", _X121_ORACLE)
+def x121(spark, sf):
+    # TOKEN BUDGETING IN TRAINED TOKENS (r14): per-document subword
+    # counts under the x120 vocabulary — the number a loader
+    # pipeline's per-source budgets (x54) and sequence packing (x46)
+    # should price, not whitespace words. Spark side: the trained
+    # word -> segmentation table broadcast-joins each document's
+    # words (the vocabulary is the synopsis; no per-token work). The
+    # oracle replays the training chain and the same join. The trained
+    # segmentation is a STAGED artifact (bpe_seg — train once per
+    # (sf_dir, documents mtime), price many: the 100 TB shape, and
+    # honest bench attribution per the staged-index discipline).
+    from deva_spark.functions import bpe
+
+    docs = _t(spark, sf, "documents")
+    stage_artifacts(spark, sf, ["bpe_seg"])
+    final = _shared_artifact(spark, sf, "bpe_seg")
+    return bpe.token_counts(docs, final).orderBy("doc_id")

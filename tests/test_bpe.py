@@ -1,0 +1,100 @@
+"""Corpus-trained BPE (r14): Sennrich reference behavior, greedy-overlap
+merge semantics, deterministic tie-breaks, token counting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deva_spark.functions import bpe
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_sennrich_reference_corpus(spark):
+    # the ACL-2016 paper's worked example family: 'low/lower/newest/
+    # widest' — the first merges must fuse the most frequent adjacent
+    # pair with deterministic tie-breaks
+    docs = _corpus(
+        spark,
+        ["low low low low low", "lower lower", "newest newest newest "
+         "newest newest newest", "widest widest widest"],
+    )
+    words = bpe.word_counts(docs)
+    merges, final = bpe.train_bpe(words, 10)
+    assert [m[:3] for m in merges][:4] == [
+        # est</w> dominates: newest(6)+widest(3) = 9 occurrences
+        (0, "e", "s"),
+        (1, "es", "t"),
+        (2, "est", "</w>"),
+        (3, "l", "o"),
+    ]
+    segs = {r.word: r.seg for r in final.collect()}
+    assert segs["newest"] == "newest</w>"  # fully fused by merge 7
+    assert segs["low"] == "low</w>"
+    assert segs["lower"] == "low e r </w>"
+    assert segs["widest"] == "w i dest</w>"
+
+
+def test_greedy_overlap_semantics(spark):
+    # 'a a a' + merge (a,a) -> 'aa a' (left-to-right greedy), the
+    # semantics the double-space replace algebra must reproduce
+    docs = _corpus(spark, ["aaa aaa"])
+    words = bpe.word_counts(docs)
+    merges, final = bpe.train_bpe(words, 1)
+    assert merges[0][1:3] == ("a", "a")
+    assert {r.seg for r in final.collect()} == {"aa a </w>"}
+
+
+def test_tiebreak_is_freq_then_lexicographic(spark):
+    # 'xy' and 'ab' both appear twice: (a,b) wins on lhs order
+    docs = _corpus(spark, ["xy ab", "ab xy"])
+    words = bpe.word_counts(docs)
+    merges, _ = bpe.train_bpe(words, 1)
+    step, lhs, rhs, freq = merges[0]
+    assert (lhs, rhs) == ("a", "b") and freq == 2
+
+
+def test_word_counts_normalization(spark):
+    docs = _corpus(spark, ["The  quick-BROWN fox! fox", None, "123 fox"])
+    rows = {r.word: (r.freq, r.seg) for r in bpe.word_counts(docs).collect()}
+    assert rows["fox"] == (3, "f o x </w>")
+    assert rows["the"][0] == 1 and "123" not in rows
+    assert rows["quick"][0] == 1 and rows["brown"][0] == 1
+
+
+def test_token_counts_price_trained_tokens(spark):
+    docs = _corpus(spark, ["low low newest", "newest widest", "low"])
+    words = bpe.word_counts(docs)
+    _, final = bpe.train_bpe(words, 6)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe.token_counts(docs, final).collect()
+    }
+    segs = {r.word: len(r.seg.split(" ")) for r in final.collect()}
+    assert got == {
+        0: 2 * segs["low"] + segs["newest"],
+        1: segs["newest"] + segs["widest"],
+        2: segs["low"],
+    }
+
+
+def test_train_validation_and_degenerate_corpus(spark):
+    docs = _corpus(spark, ["a a a"])
+    words = bpe.word_counts(docs)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.train_bpe(words, 0)
+    # 'a </w>' fuses in one merge; later rounds find no pairs and stop
+    merges, final = bpe.train_bpe(words, 5)
+    assert [m[1:3] for m in merges] == [("a", "</w>")]
+    assert final.collect()[0].seg == "a</w>"
+
+
+def test_merges_df_schema(spark):
+    df = bpe.merges_df(spark, [(0, "a", "b", 3)])
+    assert df.schema.simpleString() == (
+        "struct<step:int,lhs:string,rhs:string,freq:bigint>"
+    )
+    assert df.collect()[0].freq == 3
