@@ -1730,6 +1730,39 @@ def synthesize_doc_videos(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def synthesize_group_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Cross-document image near-dups for the joint-dedup tier (x122):
+    every doc in the same ``group_col`` value gets the SAME base
+    picture (pixels seeded by the group id alone — re-posted images
+    across unrelated documents, the multimodal crawl shape), each
+    brightness-shifted by ``(doc_id % 3) * 2`` so payload bytes differ
+    per doc while dhash (gradient-sign) matches within the banded
+    radius. Output ids are the DOC ids — the joint resolution unions
+    these edges with text-pair edges over one id space."""
+    out_schema = "image_id long, content binary"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for did, grp in zip(pdf[id_col], pdf[group_col]):
+                seed = hashlib.md5(str(int(grp)).encode()).digest()
+                h, w = 8 + seed[0] % 8, 8 + seed[1] % 8
+                img = np.frombuffer(
+                    _det_bytes(seed, b"gi", h * w * 3), dtype=np.uint8
+                ).reshape(h, w, 3)
+                shifted = np.clip(
+                    img.astype(np.int16) + (int(did) % 3) * 2, 0, 255
+                ).astype(np.uint8)
+                rows.append((int(did), encode_png(shifted)))
+            yield pd.DataFrame(rows, columns=["image_id", "content"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def synthesize_media_from_text(
     df: DataFrame,
     id_col: str = "doc_id",

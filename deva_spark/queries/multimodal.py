@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from deva_spark.queries._infra import (
     ORACLE_SQL,
+    _jaccard_pairs,
     _shared_artifact,
     _t,
     query,
@@ -1004,6 +1005,135 @@ def x119(spark, sf):
         .select("id_a", "id_b", "aligned", "offset")
         .orderBy("id_a")
     )
+
+
+_X122_ORACLE = r"""WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM words WHERE len(ws) >= 3
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tpairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE common * 100 >= (na.n + nb.n - common) * 30
+), idocs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 25 = 0
+), ipairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idocs a JOIN idocs b
+    ON a.doc_id // 100 = b.doc_id // 100 AND a.doc_id < b.doc_id
+), allpairs AS (
+  SELECT id_a, id_b, 'text' AS modality FROM tpairs
+  UNION ALL
+  SELECT id_a, id_b, 'image' FROM ipairs
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM allpairs
+  UNION
+  SELECT id_b, id_a FROM allpairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), assign AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), members AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM assign GROUP BY 1
+), pstat AS (
+  SELECT a.cluster_id, p.modality
+  FROM allpairs p JOIN assign a ON a.node = p.id_a
+), stats AS (
+  SELECT cluster_id,
+         SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)::BIGINT
+           AS n_text_edges,
+         SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::BIGINT
+           AS n_img_edges
+  FROM pstat GROUP BY 1
+)
+SELECT m.cluster_id, m.n_members,
+       COALESCE(s.n_text_edges, 0) AS n_text_edges,
+       COALESCE(s.n_img_edges, 0) AS n_img_edges
+FROM members m LEFT JOIN stats s USING (cluster_id)
+ORDER BY m.cluster_id"""
+
+
+@query("x122_multimodal_dedup_clusters", _X122_ORACLE)
+def x122(spark, sf):
+    # MULTIMODAL JOINT DEDUP (r14, VERDICT r13 "next" #5): a real
+    # curation pipeline must drop documents whose TEXT differs but
+    # whose IMAGES are re-posts of one picture (and vice versa) — the
+    # building blocks (x41 text clusters, x115 image pairs) resolve
+    # per-modality only. This query unions both pair sets over ONE doc
+    # id space and resolves survivors once: text edges from the
+    # shared staged 3-gram jaccard pair set (x05/x41's), image edges
+    # from REAL synthesized PNGs (every 25th doc; docs in the same
+    # doc_id div 100 group carry the same re-posted picture,
+    # brightness-shifted per doc so bytes differ) hashed and paired by
+    # the x115 banded-hamming tier, then star-contraction connected
+    # components (x41's operator) + per-cluster modality edge counts.
+    # The oracle re-derives text pairs in SQL, image pairs from pure
+    # doc arithmetic, and resolves the union with a recursive CTE —
+    # so a missing image edge, a cross-modality cluster that failed
+    # to fuse, or a miscounted modality stat all flip the hash.
+    from deva_spark.functions import imagehash as ih
+    from deva_spark.functions import multimodal as mmod
+    from deva_spark.operators import graphs
+    from deva_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.expr("doc_id div 100").alias("grp"))
+    )
+    imgs = mmod.synthesize_group_images(docs)
+    ipairs = (
+        ih.hamming_neardup_pairs(
+            ih.image_hashes(imgs, id_col="image_id"),
+            "dhash",
+            id_col="image_id",
+            max_distance=3,
+        )
+        .select("id_a", "id_b")
+        .withColumn("modality", F.lit("image"))
+    )
+    tpairs = (
+        _jaccard_pairs(spark, sf)
+        .select("id_a", "id_b")
+        .withColumn("modality", F.lit("text"))
+    )
+    allp = tpairs.unionByName(ipairs)
+    assign = graphs.canonical_assignments(
+        allp.select("id_a", "id_b").distinct()
+    )
+    members = assign.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    stats = (
+        allp.join(
+            assign.select(F.col("doc_id").alias("id_a"), "cluster_id"),
+            "id_a",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(
+                F.when(F.col("modality") == "text", 1).otherwise(0)
+            ).alias("n_text_edges"),
+            F.sum(
+                F.when(F.col("modality") == "image", 1).otherwise(0)
+            ).alias("n_img_edges"),
+        )
+    )
+    return members.join(stats, "cluster_id").orderBy("cluster_id")
 
 
 @query(

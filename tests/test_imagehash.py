@@ -127,3 +127,32 @@ def test_cross_table_join_matches_pairs(spark):
         (a, b) for a in ca for b in cb if _ham(ca[a], cb[b]) <= 3
     )
     assert got == brute
+
+
+def test_group_images_share_dhash_across_docs(spark):
+    # x122's synthesis contract: same group -> same base picture with
+    # per-doc brightness shifts (bytes differ, dhash within the banded
+    # radius); different groups -> unrelated pictures
+    from deva_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(25 * i, (25 * i) // 100) for i in range(8)],
+        "doc_id long, grp long",
+    )
+    imgs = mm.synthesize_group_images(docs)
+    payloads = {r.image_id: bytes(r.content) for r in imgs.collect()}
+    # different shifts in one group -> different bytes (docs with the
+    # SAME doc_id % 3 legitimately byte-collide — exact dups happen)
+    assert payloads[0] != payloads[25] != payloads[50]
+    assert payloads[0] != payloads[100]  # different groups differ
+    hashes = {
+        r.image_id: r.dhash
+        for r in ih.image_hashes(imgs, id_col="image_id").collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    same = [ham(hashes[0], hashes[25]), ham(hashes[0], hashes[50]),
+            ham(hashes[100], hashes[125])]
+    cross = [ham(hashes[0], hashes[100]), ham(hashes[75], hashes[150])]
+    assert max(same) <= 3, same
+    assert min(cross) > 10, cross
