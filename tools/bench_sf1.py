@@ -95,6 +95,27 @@ HEAVY = [
     "x104_cjk_bigram_token_freq",
     "x105_zorder_staged_box_scan",
     "x106_cms_join_size_estimate",
+    # r14 tier: BPE token pricing over the staged trained vocab and the
+    # joint text+image cluster resolution both ride the amplified
+    # documents. (Training itself — x120 — is excluded like x111:
+    # sequential argmax rounds.) Their oracles do comparable SQL work
+    # (the unrolled merge chain; the recursive-CTE resolution), so they
+    # belong in the like-for-like ratio, unlike the media-codec rows,
+    # which are timed in the separate `media` section below.
+    "x121_bpe_token_counts",
+    "x122_multimodal_dedup_clusters",
+]
+
+#: r14 media rows timed OUTSIDE the ratio: their DuckDB oracles are
+#: pure doc arithmetic (near-zero), so including them would skew the
+#: suite-level like-for-like ratio without measuring anything — the
+#: VERDICT r13 point about x115-x117's per-query ratios. Recorded as
+#: absolute Spark seconds at 10x data: the scale trend is the signal.
+MEDIA = [
+    "x115_image_neardup_pairs",
+    "x117_incremental_image_neardup",
+    "x118_video_neardup_pairs",
+    "x119_incremental_video_neardup",
 ]
 
 
@@ -399,6 +420,56 @@ def incremental_operational(spark) -> dict:
     return res
 
 
+def webdataset_roundtrip(spark) -> dict:
+    """WebDataset export/import at the amplified scale (VERDICT r13
+    "next" #6): ship the full amplified documents table (10x sf0.1,
+    ~50k samples) to tar shards — ``shard_size=320`` puts >100 shards
+    on disk, the x114 geometry at 10x data — then stream the tars back
+    and audit per-export totals against source-table arithmetic. Write
+    is timed once (it is a disk publish, not a repeatable warm pass);
+    read is min of N_RUNS warm passes. Replica doc_id offsets (r*1e6)
+    make shard ids SPARSE — the export must handle that, and does
+    (shard id = key div size; nothing assumes density)."""
+    import shutil
+
+    from deva_spark.sources import webdataset as wds
+
+    docs = spark.read.parquet(
+        os.path.join(OUT, "documents.parquet")
+    ).select("doc_id", "text")
+    root = os.path.join(OUT, "_wds_export")
+    shutil.rmtree(root, ignore_errors=True)
+    res: dict = {}
+    t0 = time.perf_counter()
+    man = wds.to_webdataset(docs, root, shard_size=320, overwrite=True).collect()
+    res["write_sec"] = round(time.perf_counter() - t0, 2)
+    res["n_shards"] = len(man)
+    res["n_samples"] = int(sum(r.n_samples for r in man))
+    res["tar_mb"] = round(sum(r.tar_bytes for r in man) / 1e6, 1)
+    best = got = None
+    for i in range(N_RUNS + 1):  # pass 0 is the untimed warm-up
+        t0 = time.perf_counter()
+        got = (
+            wds.read_webdataset(spark, root)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length("data")).alias("b"),
+            )
+            .collect()[0]
+        )
+        el = time.perf_counter() - t0
+        if i > 0:
+            best = el if best is None else min(best, el)
+    res["read_sec"] = round(best, 2)
+    src = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(F.coalesce("text", F.lit("")))).alias("b"),
+    ).collect()[0]
+    res["audit_ok"] = bool(got.n == src.n == res["n_samples"] and got.b == src.b)
+    print(f"webdataset: {res}", file=sys.stderr)
+    return res
+
+
 def main() -> int:
     spark = get_spark("bench-sf1")
     if "--rebuild" in sys.argv:
@@ -487,6 +558,18 @@ def main() -> int:
     out["duckdb_total"] = round(duck_total, 2)
     out["ratio"] = round(spark_total / duck_total, 3) if duck_total else None
     out["load_end"] = loadavg()
+    out["media"] = {}
+    for name in MEDIA:
+        fn = Q.SPARK_QUERIES[name]
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            nrows = len(fn(spark, OUT).collect())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out["media"][name] = {"sec": round(best, 3), "rows": nrows}
+        print(f"media {name}: {out['media'][name]}", file=sys.stderr)
+    out["webdataset"] = webdataset_roundtrip(spark)
     out["incremental_operational"] = incremental_operational(spark)
     line = json.dumps(out)
     print(line)
