@@ -4,8 +4,8 @@ The public algorithm is Sennrich, Haddow & Birch, "Neural Machine
 Translation of Rare Words with Subword Units" (ACL 2016): start from a
 character segmentation of the corpus's words (with an end-of-word
 marker), then repeatedly merge the most frequent adjacent symbol pair.
-The reference prices text in whitespace/jieba tokens
-(/root/reference/deva/core/nlp.py surface); a real loader pipeline
+The reference prices text in whitespace/jieba tokens (its analyzer
+surface, /root/reference/deva/search.py:13-15); a real loader pipeline
 budgets per-source tokens (x54) and packs sequences (x46) in TRAINED
 subword tokens — this module closes that gap (VERDICT r13 "next" #4).
 
