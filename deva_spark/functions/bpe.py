@@ -154,6 +154,59 @@ def merges_df(spark: SparkSession, merges: list) -> DataFrame:
     )
 
 
+def apply_merges(
+    words: DataFrame, merges: list, word_col: str = "word"
+) -> DataFrame:
+    """Segment (possibly UNSEEN) words with an already-trained merge
+    table — the deployment half of the tokenizer: tomorrow's crawl is
+    tokenized with today's vocabulary, never retrained per batch. The
+    merges apply in training order as chained JVM ``replace`` algebra
+    on the character segmentation (the same double-space encoding as
+    training, so application == what training WOULD have produced for
+    words it saw). ``merges`` rows are ``(step, lhs, rhs, freq)``
+    tuples or Rows; 10-100 merges compose into one codegen projection.
+    Adds a ``seg`` column."""
+    seg: Column = F.concat(
+        F.concat_ws(" ", F.split(F.col(word_col), "")), F.lit(" " + EOW)
+    )
+    for m in sorted(merges, key=lambda m: int(m[0])):
+        seg = _apply_merge(seg, str(m[1]), str(m[2]))
+    return words.withColumn("seg", seg)
+
+
+def batch_token_counts(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Per-document token counts for a FRESH batch under a trained
+    merge table — ``(id, n_tokens)``. The batch's DISTINCT words
+    segment once via :func:`apply_merges` (the per-batch vocabulary is
+    the synopsis), then broadcast-join back to the per-doc word list:
+    the incremental-pricing shape (staged merges + batch-sized work),
+    no corpus access at all."""
+    doc_words = docs.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), word_pattern
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = F.broadcast(
+        apply_merges(doc_words.select("word").distinct(), merges).select(
+            "word", F.size(F.split("seg", " ")).alias("_n_sub")
+        )
+    )
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(F.sum("_n_sub").alias("n_tokens"))
+    )
+
+
 def token_counts(
     docs: DataFrame,
     final_words: DataFrame,

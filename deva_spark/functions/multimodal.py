@@ -1674,6 +1674,7 @@ def synthesize_doc_videos(
     twins: bool = False,
     twin_every: int = 50,
     twin_shift: int = 6,
+    twin_mode: str = "trim",
     n_frames: int = 6,
     scale: int = 4,
 ) -> DataFrame:
@@ -1685,11 +1686,15 @@ def synthesize_doc_videos(
     exactly, so base-frame dhashes are closed-form stable), seeded by
     ``md5(text)`` SALTED WITH the doc id. The base clip is lossless
     BI_RGB AVI. With ``twins`` every ``twin_every``-th doc also emits
-    the classic crawl near-dup: the same clip HEAD-TRIMMED by one frame,
-    brightness-shifted ``+twin_shift``, and RE-ENCODED as MJPEG q92 —
-    invisible to byte dedup and to every exact per-frame digest, within
-    a few dhash bits per frame at temporal offset -1 for the frame-hash
-    tier. Output ids: ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    the classic crawl near-dup: the same clip HEAD-TRIMMED by one frame
+    (``twin_mode="trim"``) or FRAME-RATE-HALVED (``twin_mode=
+    "resample"`` keeps every other frame — the fps-resampled re-upload
+    the offset vote cannot see, x123's planted shape), brightness-
+    shifted ``+twin_shift``, and RE-ENCODED as MJPEG q92 — invisible to
+    byte dedup and to every exact per-frame digest. Output ids:
+    ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    if twin_mode not in ("trim", "resample"):
+        raise ValueError(f"twin_mode must be trim|resample, got {twin_mode!r}")
     out_schema = "video_id long, content binary"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1716,8 +1721,9 @@ def synthesize_doc_videos(
                 )
                 rows.append((int(did) * 10, encode_avi(clip, codec="dib")))
                 if twins and did % twin_every == 0:
+                    src = clip[1:] if twin_mode == "trim" else clip[::2]
                     twin = np.clip(
-                        clip[1:].astype(np.int16) + twin_shift, 0, 255
+                        src.astype(np.int16) + twin_shift, 0, 255
                     ).astype(np.uint8)
                     rows.append(
                         (

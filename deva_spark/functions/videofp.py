@@ -186,6 +186,64 @@ def video_neardup_pairs(
     return _aligned_pairs(cand, max_distance, min_aligned)
 
 
+def video_neardup_unordered(
+    frame_hashes: DataFrame,
+    id_col: str = "video_id",
+    frame_col: str = "frame_idx",
+    max_distance: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Order-FREE variant of :func:`video_neardup_pairs` —
+    ``(id_a, id_b, shared)`` for pairs sharing ``min_shared``+ matched
+    frames regardless of temporal position. This is the tier that
+    catches FRAME-RATE-RESAMPLED twins (the honest boundary of the
+    offset vote: dropping every other frame maps source frame 2j to
+    twin frame j, so pairwise offsets VARY and no single offset
+    accumulates support — but the matched-frame COUNT is untouched).
+    Selectivity trades down accordingly: an unrelated pair needs
+    ``min_shared`` independent <=``max_distance``-bit coincidences in
+    ANY arrangement (P ~ C(na*nb, m) * (2.4e-15)^m — still negligible
+    at corpus scale for m >= 3, but the aligned vote is strictly
+    stronger; prefer it when the corpus's twins are same-rate). Same
+    shuffle shape: banded (band, chunk) keys, one aggregation."""
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            "max_distance must be 0..3 (16-bit bands stop pruning past "
+            f"that), got {max_distance}"
+        )
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
+    a, b = sides.alias("a"), sides.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a._band") == F.col("b._band"),
+            F.col("a._chunk") == F.col("b._chunk"),
+            F.col("a._vid") < F.col("b._vid"),
+        ],
+    ).select(
+        F.col("a._vid").alias("id_a"),
+        F.col("b._vid").alias("id_b"),
+        F.col("a._fid").alias("_fa"),
+        F.col("b._fid").alias("_fb"),
+        F.col("a._h").alias("_ha"),
+        F.col("b._h").alias("_hb"),
+    )
+    matches = (
+        cand.dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
+        .withColumn(
+            "_dist", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("_dist") <= max_distance)
+    )
+    return (
+        matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def video_neardup_join(
     corpus: DataFrame,
     batch: DataFrame,

@@ -497,10 +497,28 @@ def _build_bpe_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def _build_bpe_merges7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x124's staged tokenizer: the merge table trained on the
+    ``doc_id % 7 <> 3`` corpus slice (the ``% 7 = 3`` docs are the
+    held-out "tomorrow's crawl" batch, so their words can be genuinely
+    unseen). 12 rows — the whole artifact is driver-sized by nature;
+    staging it keeps pricing runs train-free like every other staged
+    index."""
+    from deva_spark.functions import bpe
+    from deva_spark.queries.curation import _BPE_N
+
+    words = bpe.word_counts(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 3)
+    )
+    merges, _ = bpe.train_bpe(words, _BPE_N)
+    return bpe.merges_df(spark, merges)
+
+
 ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "img_dhash": _build_img_dhash,
     "vid_fdhash": _build_vid_fdhash,
     "bpe_seg": _build_bpe_seg,
+    "bpe_merges7": _build_bpe_merges7,
     "doc_index": _build_doc_index,
     "doc_sigs": _build_doc_signatures,
     "shingle5": _build_shingle5_hashes,

@@ -1007,15 +1007,15 @@ def x59(spark, sf):
 _BPE_N = 12
 
 
-def _bpe_oracle_ctes(n_merges: int) -> str:
+def _bpe_oracle_ctes(n_merges: int, corpus_where: str = "") -> str:
     parts = [
-        """WITH w0 AS MATERIALIZED (
+        f"""WITH w0 AS MATERIALIZED (
   SELECT word, COUNT(*)::BIGINT AS freq,
          array_to_string(string_split(word, ''), ' ') || ' </w>' AS seg
   FROM (
     SELECT u.w AS word FROM documents,
       UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(w)
-    WHERE u.w <> ''
+    WHERE u.w <> ''{corpus_where}
   ) GROUP BY word
 )"""
     ]
@@ -1100,3 +1100,70 @@ def x121(spark, sf):
     stage_artifacts(spark, sf, ["bpe_seg"])
     final = _shared_artifact(spark, sf, "bpe_seg")
     return bpe.token_counts(docs, final).orderBy("doc_id")
+
+
+def _bpe_apply_ctes(n_merges: int) -> str:
+    """Deployment half of the x124 oracle: segment the BATCH's distinct
+    words by replaying the trained merges (b0..b{n-1} from the training
+    chain) as the same double-space replace algebra, one MATERIALIZED
+    CTE per merge (each s{k} is referenced by s{k+1} — the exponential-
+    inlining hazard again)."""
+    parts = [
+        """, bw AS MATERIALIZED (
+  SELECT doc_id, u.w AS word FROM documents,
+    UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(w)
+  WHERE doc_id % 7 = 3 AND u.w <> ''
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT word,
+         array_to_string(string_split(word, ''), ' ') || ' </w>' AS seg
+  FROM bw
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", s{k + 1} AS MATERIALIZED (
+  SELECT s{k}.word, trim(replace(replace(
+    ' ' || replace(s{k}.seg, ' ', '  ') || ' ',
+    ' ' || b.lhs || '  ' || b.rhs || ' ',
+    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) AS seg
+  FROM s{k}, b{k} b
+)"""
+        )
+    return "".join(parts)
+
+
+_X124_ORACLE = (
+    _bpe_oracle_ctes(_BPE_N, corpus_where=" AND doc_id % 7 <> 3")
+    + _bpe_apply_ctes(_BPE_N)
+    + f"""
+SELECT bw.doc_id,
+       SUM(array_length(string_split(s.seg, ' ')))::BIGINT AS n_tokens
+FROM bw JOIN s{_BPE_N} s USING (word)
+GROUP BY 1 ORDER BY 1"""
+)
+
+
+@query("x124_bpe_unseen_batch_tokens", _X124_ORACLE)
+def x124(spark, sf):
+    # TOKENIZER DEPLOYMENT (r14): tomorrow's crawl is priced with
+    # TODAY's vocabulary, never retrained per batch — the half of BPE
+    # x120/x121 don't exercise (their vocab covers every corpus word
+    # by construction; here the batch is the held-out doc_id % 7 = 3
+    # slice, so its words can be genuinely unseen). The merge table is
+    # a STAGED artifact trained on the % 7 <> 3 corpus (bpe_merges7,
+    # 12 rows — collected as a bounded contract, the merge table IS
+    # driver-sized); the batch's distinct words segment once through
+    # the chained JVM replace algebra and broadcast-join back to the
+    # per-doc word list: staged index + batch-sized work, no corpus
+    # access. The oracle replays training on the filtered corpus AND
+    # application to the batch — a drifted merge, a wrong application
+    # order, or an unseen word mis-segmented all flip the hash.
+    from deva_spark.functions import bpe
+
+    stage_artifacts(spark, sf, ["bpe_merges7"])
+    merges = [
+        (r.step, r.lhs, r.rhs, r.freq)
+        for r in _shared_artifact(spark, sf, "bpe_merges7").collect()
+    ]
+    batch = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 3)
+    return bpe.batch_token_counts(batch, merges).orderBy("doc_id")

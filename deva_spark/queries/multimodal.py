@@ -1007,6 +1007,44 @@ def x119(spark, sf):
     )
 
 
+_X123_ORACLE = """SELECT CAST(doc_id * 10 AS BIGINT) AS id_a,
+       CAST(doc_id * 10 + 1 AS BIGINT) AS id_b,
+       CAST(3 AS BIGINT) AS shared
+FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a"""
+
+
+@query("x123_resampled_video_neardup", _X123_ORACLE)
+def x123(spark, sf):
+    # FPS-RESAMPLED video near-dup (r14): the documented boundary of
+    # x118's offset vote — a re-upload that HALVES the frame rate maps
+    # source frame 2j to twin frame j, so pairwise offsets vary and no
+    # single offset accumulates support. The order-FREE tier counts
+    # matched frames regardless of position: the resampled twin keeps
+    # 3 of 6 frames bit-stable under +6 brightness and MJPEG q92
+    # (dhash margins are 45 levels by construction), so min_shared=3
+    # recovers exactly the planted (base, twin) pairs while an
+    # unrelated pair would need 3 independent <=3-bit coincidences in
+    # any arrangement (P ~ 1e-40 at this corpus). Same shuffle shape
+    # as x118 — banded (band, chunk) keys, one aggregation — with the
+    # selectivity trade documented on the operator.
+    from deva_spark.functions import multimodal as mmod
+    from deva_spark.functions import videofp as vfp
+    from deva_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    media = mmod.synthesize_doc_videos(docs, twins=True, twin_mode="resample")
+    fh = vfp.video_frame_hashes(media)
+    return (
+        vfp.video_neardup_unordered(fh, max_distance=3, min_shared=3)
+        .select("id_a", "id_b", "shared")
+        .orderBy("id_a")
+    )
+
+
 _X122_ORACLE = r"""WITH RECURSIVE words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
 ), sh AS (

@@ -98,3 +98,53 @@ def test_merges_df_schema(spark):
         "struct<step:int,lhs:string,rhs:string,freq:bigint>"
     )
     assert df.collect()[0].freq == 3
+
+
+def test_apply_merges_matches_training_and_handles_unseen(spark):
+    # deployment half: applying the trained table to words the trainer
+    # SAW reproduces the training segmentation exactly; unseen words
+    # segment deterministically (merges apply where pairs exist,
+    # character fallback otherwise)
+    docs = _corpus(spark, ["low low low lower newest newest widest"])
+    words = bpe.word_counts(docs)
+    merges, final = bpe.train_bpe(words, 8)
+    trained = {r.word: r.seg for r in final.collect()}
+    applied = {
+        r.word: r.seg
+        for r in bpe.apply_merges(
+            words.select("word"), merges
+        ).collect()
+    }
+    assert applied == trained
+    unseen = spark.createDataFrame(
+        [("lowest",), ("zq",)], "word string"
+    )
+    got = {r.word: r.seg for r in bpe.apply_merges(unseen, merges).collect()}
+    # 'lowest' reuses the learned 'low' and 'est'-family merges;
+    # 'zq' has no trained pairs and stays characters
+    assert got["zq"] == "z q </w>"
+    assert "low" in got["lowest"].split(" ")[0]
+
+
+def test_batch_token_counts_no_corpus_access(spark):
+    docs = _corpus(spark, ["low newest", "zq zq unknownword"])
+    train = _corpus(spark, ["low low newest newest widest"])
+    merges, _ = bpe.train_bpe(bpe.word_counts(train), 6)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe.batch_token_counts(docs, merges).collect()
+    }
+    seg = {
+        r.word: len(r.seg.split(" "))
+        for r in bpe.apply_merges(
+            spark.createDataFrame(
+                [("low",), ("newest",), ("zq",), ("unknownword",)],
+                "word string",
+            ),
+            merges,
+        ).collect()
+    }
+    assert got == {
+        0: seg["low"] + seg["newest"],
+        1: 2 * seg["zq"] + seg["unknownword"],
+    }

@@ -159,3 +159,50 @@ def test_frame_sampling_stride():
         for r in vfp.video_frame_hashes(media, sample_every=2).collect()
     }
     assert strided == {0: all_rows[0], 1: all_rows[2], 2: all_rows[4]}
+
+
+def test_unordered_catches_resampled_twin_and_equals_bruteforce(spark):
+    # the x123 contract: an fps-halved twin defeats the offset vote
+    # (offsets vary: source 2j -> twin j) but not the order-free count;
+    # and the order-free tier == brute force
+    docs = spark.createDataFrame(
+        [(i * 2, f"resampled doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_doc_videos(
+        docs, twins=True, twin_every=2, twin_mode="resample"
+    )
+    fh = vfp.video_frame_hashes(media)
+    # aligned tier: no pair reaches min_aligned=3 at ONE offset
+    aligned = vfp.video_neardup_pairs(fh, min_aligned=3).collect()
+    assert aligned == []
+    # order-free tier recovers every planted twin with shared == 3
+    got = {
+        (r.id_a, r.id_b, r.shared)
+        for r in vfp.video_neardup_unordered(fh, min_shared=3).collect()
+    }
+    assert got == {(r.doc_id * 10, r.doc_id * 10 + 1, 3) for r in docs.collect()}
+    # brute force parity
+    rows = fh.collect()
+    byvid: dict[int, list[int]] = {}
+    for r in rows:
+        byvid.setdefault(r.video_id, []).append(r.dhash)
+    vids = sorted(byvid)
+    want = set()
+    for i, va in enumerate(vids):
+        for vb in vids[i + 1 :]:
+            n = sum(
+                1
+                for ha in byvid[va]
+                for hb in byvid[vb]
+                if _ham(ha, hb) <= 3
+            )
+            if n >= 3:
+                want.add((va, vb, n))
+    assert got == want
+
+
+def test_twin_mode_validation(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="twin_mode"):
+        mm.synthesize_doc_videos(docs, twins=True, twin_mode="reverse")

@@ -104,6 +104,7 @@ HEAVY = [
     # which are timed in the separate `media` section below.
     "x121_bpe_token_counts",
     "x122_multimodal_dedup_clusters",
+    "x124_bpe_unseen_batch_tokens",
 ]
 
 #: r14 media rows timed OUTSIDE the ratio: their DuckDB oracles are
@@ -116,6 +117,7 @@ MEDIA = [
     "x117_incremental_image_neardup",
     "x118_video_neardup_pairs",
     "x119_incremental_video_neardup",
+    "x123_resampled_video_neardup",
 ]
 
 
