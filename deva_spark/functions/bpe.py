@@ -111,7 +111,7 @@ def _apply_merge(seg: Column, lhs: str, rhs: str) -> Column:
 
 
 def train_bpe(
-    words: DataFrame, n_merges: int
+    words: DataFrame, n_merges: int, keep_cached: bool = False
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE merge rounds over a ``word_counts`` table.
     Returns ``(merge_table, final_words)``: the learned merges as
@@ -121,8 +121,15 @@ def train_bpe(
     Each round collects exactly ONE row (the argmax pair — bounded by
     contract); the synopsis itself is never driver-side. ``words`` is
     persisted for the duration (it is re-scanned once per round) and
-    unpersisted before returning. Training stops early only if no pair
-    remains (every word fused to a single symbol)."""
+    unpersisted before returning — UNLESS ``keep_cached`` is set: the
+    returned final DataFrame is built ON TOP of the cached synopsis, so
+    a caller that materializes it afterwards (the ``bpe_seg`` artifact
+    write) would otherwise re-run the corpus-scale word-count
+    aggregation a second time (review r14); with ``keep_cached`` the
+    caller owns the lifecycle (``final.sparkSession.catalog
+    .clearCache()`` or unpersisting via the input handle). Training
+    stops early only if no pair remains (every word fused to a single
+    symbol)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = words.persist()
@@ -143,7 +150,8 @@ def train_bpe(
             cur = cur.withColumn("seg", _apply_merge(F.col("seg"), lhs, rhs))
         return merges, cur
     finally:
-        words.unpersist()
+        if not keep_cached:
+            words.unpersist()
 
 
 def merges_df(spark: SparkSession, merges: list) -> DataFrame:

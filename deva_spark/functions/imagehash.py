@@ -146,6 +146,11 @@ def hamming_neardup_join(
             on=[
                 F.col("a._band") == F.col("b._band"),
                 F.col("a._chunk") == F.col("b._chunk"),
+                # equal ids never pair: an image present in BOTH tables
+                # (a re-submitted batch after the staged corpus was
+                # rebuilt) is already-known, not its own duplicate
+                # (review r14)
+                F.col("a._id") != F.col("b._id"),
             ],
         )
         .select(

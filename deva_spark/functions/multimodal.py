@@ -1349,7 +1349,18 @@ def _avi_parse(content: bytes) -> dict:
         kind = content[p : p + 4]
         if kind == b"hdrl":
             for f2, p2, s2 in _riff_chunks(content, p + 4, p + size):
+                # length-guard every fixed-size unpack: a crawl-truncated
+                # file whose chunk header DECLARES enough bytes but whose
+                # buffer is cut short must raise the documented
+                # ValueError, not escape as struct.error (the r13
+                # _wav_fmt_data discipline, applied here after the same
+                # bug class surfaced in the videofp fault-isolation
+                # review — struct.error is not a ValueError)
                 if f2 == b"avih" and s2 >= 40:
+                    if p2 + 40 > len(content):
+                        raise ValueError(
+                            "truncated AVI: avih chunk declared past EOF"
+                        )
                     vals = _struct.unpack("<10I", content[p2 : p2 + 40])
                     out["n_frames"] = vals[4]
                     out["width"], out["height"] = vals[8], vals[9]
@@ -1373,6 +1384,11 @@ def _avi_parse(content: bytes) -> dict:
                             # BITMAPINFOHEADER.biCompression (offset 16)
                             # — the authoritative codec field; strh's
                             # handler is advisory and often zeroed
+                            if p3 + 20 > len(content):
+                                raise ValueError(
+                                    "truncated AVI: strf chunk declared "
+                                    "past EOF"
+                                )
                             (out["compression"],) = _struct.unpack(
                                 "<I", content[p3 + 16 : p3 + 20]
                             )
@@ -1608,6 +1624,7 @@ def synthesize_doc_images(
     twins: bool = False,
     twin_every: int = 50,
     twin_shift: int = 5,
+    twins_only: bool = False,
 ) -> DataFrame:
     """Deterministic per-document PNG fixtures for the image-dedup
     tier (x115/x117 and the ``img_dhash`` staged artifact share this
@@ -1617,7 +1634,11 @@ def synthesize_doc_images(
     8-15 px per side from the seed. With ``twins`` every
     ``twin_every``-th doc also emits a brightness(+``twin_shift``,
     clipped) copy — the classic re-exposure near-dup. Output ids:
-    ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    ``doc_id*10`` (base), ``doc_id*10+1`` (twin). ``twins_only`` emits
+    just the twin rows (the x117 arrival-batch shape: base PIXELS are
+    needed to derive the twin, the base PNG encoding is not)."""
+    if twins_only and not twins:
+        raise ValueError("twins_only requires twins=True")
     out_schema = "image_id long, content binary"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1631,7 +1652,8 @@ def synthesize_doc_images(
                 img = np.frombuffer(
                     _det_bytes(seed, b"ih", h * w * 3), dtype=np.uint8
                 ).reshape(h, w, 3)
-                rows.append((int(did) * 10, encode_png(img)))
+                if not twins_only:
+                    rows.append((int(did) * 10, encode_png(img)))
                 if twins and did % twin_every == 0:
                     twin = np.clip(
                         img.astype(np.int16) + twin_shift, 0, 255
@@ -1675,6 +1697,7 @@ def synthesize_doc_videos(
     twin_every: int = 50,
     twin_shift: int = 6,
     twin_mode: str = "trim",
+    twins_only: bool = False,
     n_frames: int = 6,
     scale: int = 4,
 ) -> DataFrame:
@@ -1692,9 +1715,15 @@ def synthesize_doc_videos(
     the offset vote cannot see, x123's planted shape), brightness-
     shifted ``+twin_shift``, and RE-ENCODED as MJPEG q92 — invisible to
     byte dedup and to every exact per-frame digest. Output ids:
-    ``doc_id*10`` (base), ``doc_id*10+1`` (twin)."""
+    ``doc_id*10`` (base), ``doc_id*10+1`` (twin). ``twins_only`` emits
+    just the twin rows — the arrival-batch synthesis (x119) needs the
+    base PIXELS to derive each twin but has no use for the base clip's
+    lossless encoding, which a post-hoc filter would still have paid
+    for (review r14)."""
     if twin_mode not in ("trim", "resample"):
         raise ValueError(f"twin_mode must be trim|resample, got {twin_mode!r}")
+    if twins_only and not twins:
+        raise ValueError("twins_only requires twins=True")
     out_schema = "video_id long, content binary"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1719,7 +1748,10 @@ def synthesize_doc_videos(
                 clip = np.repeat(
                     frames.astype(np.uint8)[:, :, :, None], 3, axis=3
                 )
-                rows.append((int(did) * 10, encode_avi(clip, codec="dib")))
+                if not twins_only:
+                    rows.append(
+                        (int(did) * 10, encode_avi(clip, codec="dib"))
+                    )
                 if twins and did % twin_every == 0:
                     src = clip[1:] if twin_mode == "trim" else clip[::2]
                     twin = np.clip(

@@ -105,6 +105,57 @@ def _frame_banded(
     )
 
 
+def _validate(max_distance: int, threshold: int, threshold_name: str) -> None:
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            "max_distance must be 0..3 (16-bit bands stop pruning past "
+            f"that), got {max_distance}"
+        )
+    if threshold < 1:
+        raise ValueError(
+            f"{threshold_name} must be >= 1, got {threshold}"
+        )
+
+
+def _frame_candidates(
+    a: DataFrame, b: DataFrame, ordered: bool
+) -> DataFrame:
+    """Banded equality join of two (pre-banded) frame-hash sides ->
+    candidate frame pairs ``(id_a, id_b, _fa, _fb, _ha, _hb)``.
+    ``ordered`` adds ``id_a < id_b`` (the self-join form); the
+    cross-table form instead EXCLUDES equal ids — a video whose frame
+    hashes sit in both corpus and batch (a re-submitted batch, a
+    rebuilt staged table) must not report itself as its own duplicate
+    (review r14)."""
+    a, b = a.alias("a"), b.alias("b")
+    on = [
+        F.col("a._band") == F.col("b._band"),
+        F.col("a._chunk") == F.col("b._chunk"),
+        F.col("a._vid") < F.col("b._vid")
+        if ordered
+        else F.col("a._vid") != F.col("b._vid"),
+    ]
+    return a.join(b, on=on).select(
+        F.col("a._vid").alias("id_a"),
+        F.col("b._vid").alias("id_b"),
+        F.col("a._fid").alias("_fa"),
+        F.col("b._fid").alias("_fb"),
+        F.col("a._h").alias("_ha"),
+        F.col("b._h").alias("_hb"),
+    )
+
+
+def _verified_matches(cand: DataFrame, max_distance: int) -> DataFrame:
+    """Exact JVM-side verify on the deduped candidates."""
+    return (
+        cand.dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
+        .withColumn(
+            "_dist", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("_dist") <= max_distance)
+    )
+
+
 def _aligned_pairs(
     cand: DataFrame, max_distance: int, min_aligned: int
 ) -> DataFrame:
@@ -118,13 +169,8 @@ def _aligned_pairs(
     64-bit coincidences AT THE SAME OFFSET (P ~ (2.4e-15)^min_aligned
     per offset) — the alignment is what turns frame-level noise
     tolerance into video-level selectivity."""
-    matches = (
-        cand.dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
-        .withColumn(
-            "_dist", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-        )
-        .filter(F.col("_dist") <= max_distance)
-        .withColumn("offset", F.col("_fb") - F.col("_fa"))
+    matches = _verified_matches(cand, max_distance).withColumn(
+        "offset", F.col("_fb") - F.col("_fa")
     )
     per_offset = matches.groupBy("id_a", "id_b", "offset").agg(
         F.count("*").alias("aligned")
@@ -159,31 +205,13 @@ def video_neardup_pairs(
     consistency (see :func:`_aligned_pairs`). ``max_distance`` caps at
     3 for the same honest reason as imagehash: wider radii stop pruning
     in 16-bit bands."""
-    if not 0 <= max_distance <= 3:
-        raise ValueError(
-            "max_distance must be 0..3 (16-bit bands stop pruning past "
-            f"that), got {max_distance}"
-        )
-    if min_aligned < 1:
-        raise ValueError(f"min_aligned must be >= 1, got {min_aligned}")
+    _validate(max_distance, min_aligned, "min_aligned")
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
-    a, b = sides.alias("a"), sides.alias("b")
-    cand = a.join(
-        b,
-        on=[
-            F.col("a._band") == F.col("b._band"),
-            F.col("a._chunk") == F.col("b._chunk"),
-            F.col("a._vid") < F.col("b._vid"),
-        ],
-    ).select(
-        F.col("a._vid").alias("id_a"),
-        F.col("b._vid").alias("id_b"),
-        F.col("a._fid").alias("_fa"),
-        F.col("b._fid").alias("_fb"),
-        F.col("a._h").alias("_ha"),
-        F.col("b._h").alias("_hb"),
+    return _aligned_pairs(
+        _frame_candidates(sides, sides, ordered=True),
+        max_distance,
+        min_aligned,
     )
-    return _aligned_pairs(cand, max_distance, min_aligned)
 
 
 def video_neardup_unordered(
@@ -206,36 +234,10 @@ def video_neardup_unordered(
     at corpus scale for m >= 3, but the aligned vote is strictly
     stronger; prefer it when the corpus's twins are same-rate). Same
     shuffle shape: banded (band, chunk) keys, one aggregation."""
-    if not 0 <= max_distance <= 3:
-        raise ValueError(
-            "max_distance must be 0..3 (16-bit bands stop pruning past "
-            f"that), got {max_distance}"
-        )
-    if min_shared < 1:
-        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    _validate(max_distance, min_shared, "min_shared")
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
-    a, b = sides.alias("a"), sides.alias("b")
-    cand = a.join(
-        b,
-        on=[
-            F.col("a._band") == F.col("b._band"),
-            F.col("a._chunk") == F.col("b._chunk"),
-            F.col("a._vid") < F.col("b._vid"),
-        ],
-    ).select(
-        F.col("a._vid").alias("id_a"),
-        F.col("b._vid").alias("id_b"),
-        F.col("a._fid").alias("_fa"),
-        F.col("b._fid").alias("_fb"),
-        F.col("a._h").alias("_ha"),
-        F.col("b._h").alias("_hb"),
-    )
-    matches = (
-        cand.dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
-        .withColumn(
-            "_dist", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-        )
-        .filter(F.col("_dist") <= max_distance)
+    matches = _verified_matches(
+        _frame_candidates(sides, sides, ordered=True), max_distance
     )
     return (
         matches.groupBy("id_a", "id_b")
@@ -258,28 +260,12 @@ def video_neardup_join(
     batch-vs-corpus (never corpus-vs-corpus again), so the daily cost
     scales with the batch — the same discipline as the incremental
     image/text tiers (x117, x77/x82/x88). ``id_a`` comes from
-    ``corpus``, ``id_b`` from ``batch``."""
-    if not 0 <= max_distance <= 3:
-        raise ValueError(
-            "max_distance must be 0..3 (16-bit bands stop pruning past "
-            f"that), got {max_distance}"
-        )
-    if min_aligned < 1:
-        raise ValueError(f"min_aligned must be >= 1, got {min_aligned}")
-    a = _frame_banded(corpus, id_col, frame_col, max_distance).alias("a")
-    b = _frame_banded(batch, id_col, frame_col, max_distance).alias("b")
-    cand = a.join(
-        b,
-        on=[
-            F.col("a._band") == F.col("b._band"),
-            F.col("a._chunk") == F.col("b._chunk"),
-        ],
-    ).select(
-        F.col("a._vid").alias("id_a"),
-        F.col("b._vid").alias("id_b"),
-        F.col("a._fid").alias("_fa"),
-        F.col("b._fid").alias("_fb"),
-        F.col("a._h").alias("_ha"),
-        F.col("b._h").alias("_hb"),
+    ``corpus``, ``id_b`` from ``batch``. Equal ids never pair: a video
+    present in both tables (a re-submitted batch after the staged
+    corpus was rebuilt) is already-known, not its own duplicate."""
+    _validate(max_distance, min_aligned, "min_aligned")
+    a = _frame_banded(corpus, id_col, frame_col, max_distance)
+    b = _frame_banded(batch, id_col, frame_col, max_distance)
+    return _aligned_pairs(
+        _frame_candidates(a, b, ordered=False), max_distance, min_aligned
     )
-    return _aligned_pairs(cand, max_distance, min_aligned)

@@ -493,7 +493,11 @@ def _build_bpe_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deva_spark.queries.curation import _BPE_N
 
     words = bpe.word_counts(_t(spark, sf_dir, "documents"))
-    _, final = bpe.train_bpe(words, _BPE_N)
+    # keep_cached: the parquet write that follows materializes `final`
+    # on top of the word synopsis — without it the one corpus-scale
+    # aggregation runs twice (review r14); staging clears nothing
+    # afterwards because the cache is synopsis-sized and session-local
+    _, final = bpe.train_bpe(words, _BPE_N, keep_cached=True)
     return final
 
 

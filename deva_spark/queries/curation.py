@@ -996,7 +996,12 @@ def x59(spark, sf):
 # trio (pair counts -> argmax with the (freq DESC, lhs, rhs) tie-break ->
 # merge application via the double-space replace algebra, which makes
 # non-overlapping left-to-right replace equal BPE's greedy scan in BOTH
-# engines — parity pinned in tests/test_bpe.py). w/b CTEs are declared
+# engines). Merge application uses LEFT JOIN b{k} ON TRUE with a
+# NULL-guard CASE, not a cross join: on a corpus that fuses completely
+# before the last round, b{k} goes empty and a cross join would empty
+# every later w{k} — diverging from train_bpe's early-stop, which keeps
+# the final segmentation (review r14; degenerate-parity and replace-
+# algebra parity both pinned in tests/test_bpe.py). w/b CTEs are declared
 # AS MATERIALIZED: each w{k} is referenced twice, and DuckDB's default
 # inlining would otherwise expand the 12-round chain exponentially
 # (the un-hinted query never finishes). 12 rounds keeps the
@@ -1031,11 +1036,12 @@ def _bpe_oracle_ctes(n_merges: int, corpus_where: str = "") -> str:
   SELECT {k} AS step, lhs, rhs, freq FROM p{k}
   ORDER BY freq DESC, lhs, rhs LIMIT 1
 ), w{k + 1} AS MATERIALIZED (
-  SELECT w{k}.word, w{k}.freq, trim(replace(replace(
+  SELECT w{k}.word, w{k}.freq,
+         CASE WHEN b.lhs IS NULL THEN w{k}.seg ELSE trim(replace(replace(
     ' ' || replace(w{k}.seg, ' ', '  ') || ' ',
     ' ' || b.lhs || '  ' || b.rhs || ' ',
-    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) AS seg
-  FROM w{k}, b{k} b
+    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) END AS seg
+  FROM w{k} LEFT JOIN b{k} b ON TRUE
 )"""
         )
     return "".join(parts)
@@ -1122,11 +1128,12 @@ def _bpe_apply_ctes(n_merges: int) -> str:
     for k in range(n_merges):
         parts.append(
             f""", s{k + 1} AS MATERIALIZED (
-  SELECT s{k}.word, trim(replace(replace(
+  SELECT s{k}.word,
+         CASE WHEN b.lhs IS NULL THEN s{k}.seg ELSE trim(replace(replace(
     ' ' || replace(s{k}.seg, ' ', '  ') || ' ',
     ' ' || b.lhs || '  ' || b.rhs || ' ',
-    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) AS seg
-  FROM s{k}, b{k} b
+    ' ' || b.lhs || b.rhs || ' '), '  ', ' ')) END AS seg
+  FROM s{k} LEFT JOIN b{k} b ON TRUE
 )"""
         )
     return "".join(parts)

@@ -814,8 +814,10 @@ def x117(spark, sf):
         .filter(F.col("doc_id") % 50 == 0)
         .select("doc_id", "text")
     )
-    batch = mmod.synthesize_doc_images(batch_docs, twins=True).filter(
-        F.col("image_id") % 10 == 1  # the twins ARE the new batch
+    # the twins ARE the new batch (twins_only skips the base PNG
+    # encodes a post-hoc filter would still have paid for — review r14)
+    batch = mmod.synthesize_doc_images(
+        batch_docs, twins=True, twins_only=True
     )
     batch_hashes = ih.image_hashes(batch, id_col="image_id")
     return (
@@ -994,8 +996,10 @@ def x119(spark, sf):
         .filter(F.col("doc_id") % 50 == 0)
         .select("doc_id", "text")
     )
-    batch = mmod.synthesize_doc_videos(batch_docs, twins=True).filter(
-        F.col("video_id") % 10 == 1  # the twins ARE the new batch
+    # the twins ARE the new batch (twins_only skips the base lossless
+    # AVI encodes a post-hoc filter would still have paid for — r14)
+    batch = mmod.synthesize_doc_videos(
+        batch_docs, twins=True, twins_only=True
     )
     batch_fh = vfp.video_frame_hashes(batch)
     return (
@@ -1149,7 +1153,11 @@ def x122(spark, sf):
         .select("id_a", "id_b")
         .withColumn("modality", F.lit("text"))
     )
-    allp = tpairs.unionByName(ipairs)
+    # persist: allp feeds BOTH the component resolution and the
+    # modality-stats aggregation — without it the whole image lineage
+    # (PNG synthesis -> hashing -> banded join) re-executes per
+    # consumer (review r14). Synopsis-small: pair rows only.
+    allp = tpairs.unionByName(ipairs).persist()
     assign = graphs.canonical_assignments(
         allp.select("id_a", "id_b").distinct()
     )

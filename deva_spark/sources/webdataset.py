@@ -135,7 +135,9 @@ def to_webdataset(
         # ``div`` = JVM integer division: float ``/`` + floor goes
         # through double and mis-shards int64 keys past 2^53
         # (ADVICE r13); negative keys are rejected in write_shard.
-        else F.expr(f"{key_col} div {int(shard_size)}")
+        # Backticks: a hyphenated or reserved-word key column must
+        # parse as ONE identifier, not an arithmetic expression.
+        else F.expr(f"`{key_col}` div {int(shard_size)}")
     ).cast("long").alias("_shard")
     src = df.select(shard, key_col, *columns)
 

@@ -148,3 +148,41 @@ def test_batch_token_counts_no_corpus_access(spark):
         0: seg["low"] + seg["newest"],
         1: 2 * seg["zq"] + seg["unknownword"],
     }
+
+
+def test_oracle_parity_on_degenerate_early_stop_corpus(spark):
+    # review r14: a corpus that fuses completely before round 12 made
+    # the old cross-join oracle empty every later w{k} while train_bpe
+    # kept the final segmentation. The LEFT JOIN fallback restores
+    # parity — proven here by running the REAL x120/x121 oracle SQL in
+    # DuckDB against a degenerate corpus and comparing to the Spark
+    # pipeline on the same rows.
+    import duckdb
+    import pandas as pd
+
+    from deva_spark.queries.curation import (
+        _BPE_N,
+        _X120_ORACLE,
+        _X121_ORACLE,
+    )
+
+    texts = ["ab ab ab", "ab ab", "ab"]  # fuses in 3 merges
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    docs = _corpus(spark, texts)
+    words = bpe.word_counts(docs)
+    merges, final = bpe.train_bpe(words, _BPE_N)
+    assert len(merges) < _BPE_N  # genuinely degenerate (early stop)
+
+    om = con.execute(_X120_ORACLE).fetchall()
+    assert [(r[0], r[1], r[2], r[3]) for r in om] == merges
+
+    ot = dict(con.execute(_X121_ORACLE).fetchall())
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe.token_counts(docs, final).collect()
+    }
+    assert got == ot and got == {0: 3, 1: 2, 2: 1}  # fully fused: ab</w>

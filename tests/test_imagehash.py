@@ -156,3 +156,41 @@ def test_group_images_share_dhash_across_docs(spark):
     cross = [ham(hashes[0], hashes[100]), ham(hashes[75], hashes[150])]
     assert max(same) <= 3, same
     assert min(cross) > 10, cross
+
+
+def test_image_cross_table_join_never_pairs_equal_ids(spark):
+    # review r14: same guard as the video tier — an image in both the
+    # staged corpus and the batch is already-known, not a pair
+    from deva_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i * 2, f"img doc {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    imgs = mm.synthesize_doc_images(docs, twins=True, twin_every=2)
+    hashes = ih.image_hashes(imgs, id_col="image_id")
+    got = ih.hamming_neardup_join(
+        hashes, hashes, "dhash", id_col="image_id"
+    ).collect()
+    assert got and all(r.id_a != r.id_b for r in got)
+
+
+def test_image_twins_only_matches_filtered_synthesis(spark):
+    from deva_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i * 2, f"img doc {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    full = mm.synthesize_doc_images(docs, twins=True, twin_every=2)
+    only = mm.synthesize_doc_images(
+        docs, twins=True, twin_every=2, twins_only=True
+    )
+    want = {
+        r.image_id: bytes(r.content)
+        for r in full.filter(F.col("image_id") % 10 == 1).collect()
+    }
+    got = {r.image_id: bytes(r.content) for r in only.collect()}
+    assert got == want and len(got) == 4
+    with pytest.raises(ValueError, match="twins_only"):
+        mm.synthesize_doc_images(docs, twins_only=True)

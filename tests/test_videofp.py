@@ -206,3 +206,54 @@ def test_twin_mode_validation(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="twin_mode"):
         mm.synthesize_doc_videos(docs, twins=True, twin_mode="reverse")
+
+
+def test_truncated_avi_isolated_not_struct_error(spark):
+    # review r14 (reproduced): a crawl-truncated AVI whose avih chunk
+    # DECLARES 40 bytes but whose buffer is cut short raised
+    # struct.error — which is not a ValueError — and escaped the
+    # per-row fault isolation, killing the whole Arrow stage. The
+    # unpacks are now length-guarded into the documented ValueError.
+    import struct
+
+    hdr = b"avih" + struct.pack("<I", 40) + b"\x00" * 10  # cut short
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdr)) + b"hdrl" + hdr
+    body = b"AVI " + hdrl
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="truncated AVI"):
+        mm.decode_avi(bad)
+    assert mm.avi_info(bad) is None  # sniffer contract: None, no raise
+    media = spark.createDataFrame(
+        [(7, bad)], "video_id long, content binary"
+    )
+    assert vfp.video_frame_hashes(media).count() == 0  # row isolated
+
+
+def test_cross_table_join_never_pairs_equal_ids(spark):
+    # review r14: a video present in BOTH corpus and batch (re-submitted
+    # batch after the staged table was rebuilt) must not be reported as
+    # its own duplicate (x, x, n_frames, 0)
+    docs = _docs(spark, 3)
+    media, fh = _fh(spark, docs)
+    got = vfp.video_neardup_join(fh, fh, min_aligned=1).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    # the genuine (base, twin) matches survive, in both directions
+    pairs = {(r.id_a, r.id_b) for r in got}
+    for r in docs.collect():
+        assert (r.doc_id * 10, r.doc_id * 10 + 1) in pairs
+
+
+def test_twins_only_matches_filtered_synthesis(spark):
+    docs = _docs(spark, 4)
+    full = mm.synthesize_doc_videos(docs, twins=True, twin_every=2)
+    only = mm.synthesize_doc_videos(
+        docs, twins=True, twin_every=2, twins_only=True
+    )
+    want = {
+        r.video_id: bytes(r.content)
+        for r in full.filter(F.col("video_id") % 10 == 1).collect()
+    }
+    got = {r.video_id: bytes(r.content) for r in only.collect()}
+    assert got == want and len(got) == 4
+    with pytest.raises(ValueError, match="twins_only"):
+        mm.synthesize_doc_videos(docs, twins_only=True)

@@ -188,3 +188,17 @@ def test_negative_key_rejected(spark, tmp_path):
     df = spark.createDataFrame([(-5, "a")], "doc_id long, text string")
     with pytest.raises(Exception, match="negative key"):
         wds.to_webdataset(df, d, shard_size=10).collect()
+
+
+def test_hyphenated_key_column(spark, tmp_path):
+    # review r14: the shard expression must treat the key column as ONE
+    # identifier — 'sample-id' previously parsed as sample - (id div N)
+    d = str(tmp_path / "wds")
+    df = spark.createDataFrame([(1234, "a")], "doc_id long, text string")
+    man = wds.to_webdataset(
+        df.withColumnRenamed("doc_id", "sample-id"),
+        d,
+        key_col="sample-id",
+        shard_size=1000,
+    ).collect()
+    assert man[0].shard_id == 1
