@@ -93,27 +93,45 @@ def phash64(arr: np.ndarray) -> int:
     return _as_i64(_bits_to_u64(block > np.median(block)))
 
 
+_HASH_FNS: dict[str, Callable[[np.ndarray], int]] = {
+    "ahash": ahash64,
+    "dhash": dhash64,
+    "phash": phash64,
+}
+
+
 def image_hashes(
     df: DataFrame,
     id_col: str = "media_id",
     content_col: str = "content",
     decoder: Callable[[bytes], np.ndarray] = decode_image,
+    hashes: tuple[str, ...] = ("ahash", "dhash", "phash"),
 ) -> DataFrame:
-    """One Arrow-batched pass: decode each payload, emit all three
-    64-bit hashes as LongType — ``(id, ahash, dhash, phash)``."""
-    out_schema = f"{id_col} long, ahash long, dhash long, phash long"
+    """One Arrow-batched pass: decode each payload, emit the requested
+    64-bit hashes as LongType — ``(id, <hashes...>)``. ``hashes``
+    defaults to all three; a consumer that only joins on one (every
+    registry dedup tier uses dhash alone) should pass that one —
+    phash's 32x32 resize + DCT is ~2/3 of the per-image hashing cost,
+    and an opaque Python stage computes whatever it is told to, so
+    column pruning can never remove an unused hash after the fact
+    (optimization guide §4: pass only the work the function needs)."""
+    unknown = [h for h in hashes if h not in _HASH_FNS]
+    if unknown or not hashes:
+        raise ValueError(
+            f"hashes must be a non-empty subset of {sorted(_HASH_FNS)}: "
+            f"{hashes!r}"
+        )
+    fns = [_HASH_FNS[h] for h in hashes]
+    out_schema = f"{id_col} long, " + ", ".join(f"{h} long" for h in hashes)
+    cols = [id_col, *hashes]
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 img = decoder(bytes(content))
-                rows.append(
-                    (int(mid), ahash64(img), dhash64(img), phash64(img))
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "ahash", "dhash", "phash"]
-            )
+                rows.append((int(mid), *[fn(img) for fn in fns]))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -140,32 +158,41 @@ def hamming_neardup_join(
         )
     a = _banded(left, hash_col, id_col, max_distance).alias("a")
     b = _banded(right, hash_col, id_col, max_distance).alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a._band") == F.col("b._band"),
-                F.col("a._chunk") == F.col("b._chunk"),
-                # equal ids never pair: an image present in BOTH tables
-                # (a re-submitted batch after the staged corpus was
-                # rebuilt) is already-known, not its own duplicate
-                # (review r14)
-                F.col("a._id") != F.col("b._id"),
-            ],
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(
+        b,
+        on=[
+            F.col("a._band") == F.col("b._band"),
+            F.col("a._chunk") == F.col("b._chunk"),
+            # equal ids never pair: an image present in BOTH tables
+            # (a re-submitted batch after the staged corpus was
+            # rebuilt) is already-known, not its own duplicate
+            # (review r14)
+            F.col("a._id") != F.col("b._id"),
+        ],
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.bit_count(
+            F.col("a._h").bitwiseXOR(F.col("b._h"))
+        ).alias("distance"),
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("distance"),
-    ).filter(F.col("distance") <= max_distance)
+    return _dedup_verified(cand, max_distance)
+
+
+def _dedup_verified(cand: DataFrame, max_distance: int) -> DataFrame:
+    """Exact verify + per-pair dedup of banded candidates, in the order
+    that shuffles least (guide §2.3/§2.4): ``distance`` is computed and
+    filtered BEFORE the exchange (a candidate failing the verify never
+    shuffles — up to k+1 band copies per pair dropped map-side), and the
+    pair dedup is a ``groupBy.agg(min)`` instead of ``dropDuplicates``
+    so the one exchange carries only ``(id_a, id_b, distance)`` — never
+    the two 8-byte hashes. ``min`` is exact: every band copy of a pair
+    carries the identical distance."""
+    return (
+        cand.filter(F.col("distance") <= max_distance)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("distance").alias("distance"))
+    )
 
 
 def _banded(
@@ -211,25 +238,18 @@ def hamming_neardup_pairs(
         )
     sides = _banded(hashes, hash_col, id_col, max_distance)
     a, b = sides.alias("a"), sides.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a._band") == F.col("b._band"),
-                F.col("a._chunk") == F.col("b._chunk"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(
+        b,
+        on=[
+            F.col("a._band") == F.col("b._band"),
+            F.col("a._chunk") == F.col("b._chunk"),
+            F.col("a._id") < F.col("b._id"),
+        ],
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.bit_count(
+            F.col("a._h").bitwiseXOR(F.col("b._h"))
+        ).alias("distance"),
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("distance"),
-    ).filter(F.col("distance") <= max_distance)
+    return _dedup_verified(cand, max_distance)

@@ -592,24 +592,25 @@ def _encode_block_bits(
     bw.write(code, ln)
     if ssss:
         bw.write(bits, ssss)
-    run = 0
+    # iterate ONLY the nonzero coefficients (runs come from index gaps) —
+    # the symbol stream is identical to the walk-every-k loop, but the
+    # quantized high-frequency tail is almost all zeros, so the loop body
+    # runs ~8x less often on typical blocks (r14 optimization pass)
     nz = np.nonzero(zz[1:])[0]
-    last_nz = (nz[-1] + 1) if len(nz) else 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    pos = 0  # index of the previous encoded coefficient (zigzag order)
+    for i in nz:
+        k = int(i) + 1
+        run = k - pos - 1
         while run > 15:
             code, ln = ac_tab[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
-        ssss, bits = _magnitude(v)
+        ssss, bits = _magnitude(int(zz[k]))
         code, ln = ac_tab[(run << 4) | ssss]
         bw.write(code, ln)
         bw.write(bits, ssss)
-        run = 0
-    if last_nz < 63:
+        pos = k
+    if pos < 63:
         code, ln = ac_tab[0x00]  # EOB
         bw.write(code, ln)
     return dc
@@ -953,6 +954,40 @@ class _BitReader:
                 return None
         return (self.acc >> (self.n - k)) & ((1 << k) - 1)
 
+    def read_symbol(self, table: dict) -> int:
+        """Decode one Huffman symbol — the entropy decoder's innermost
+        operation (one call per DC diff and per AC run/size). Fuses the
+        old peek(8) + fast8 lookup + read_bits(len) sequence into one
+        method with direct attribute access: same symbols, same
+        truncation accounting, ~3 fewer Python calls per symbol (r14
+        optimization pass — the bit reader dominated decode profiles).
+        Falls back to the canonical bit-by-bit walk for codes longer
+        than 8 bits or at a restart-marker boundary."""
+        n = self.n
+        if n < 8:
+            self._fill()
+            n = self.n
+        if n >= 8:
+            hit = table["fast8"][(self.acc >> (n - 8)) & 0xFF]
+            if hit is not None:
+                sym, ln = hit
+                total = self.read_bits_total + ln
+                if total > self.real_bits + 7:
+                    raise ValueError("truncated entropy-coded segment")
+                self.read_bits_total = total
+                n -= ln
+                self.n = n
+                self.acc &= (1 << n) - 1
+                return sym
+        slow = table["slow"]
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bits(1)
+            sym = slow.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
     def sync_rst(self) -> None:
         """Skip a restart marker and clear bit state."""
         self.acc = 0
@@ -990,22 +1025,7 @@ def _build_decode_table_cached(bits: bytes, vals: bytes):
 
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
-    p = br.peek(8)
-    if p is not None:
-        hit = table["fast8"][p]
-        if hit is not None:
-            br.read_bits(hit[1])  # consume (with truncation accounting)
-            return hit[0]
-    # codes longer than 8 bits, or a restart-marker boundary: canonical
-    # bit-by-bit walk (peek consumed nothing, so this starts clean)
-    slow = table["slow"]
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = slow.get((code, ln))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+    return br.read_symbol(table)
 
 
 def _extend(bits: int, ssss: int) -> int:
@@ -1057,7 +1077,7 @@ def _decode_progressive_scan(
         def _dc_unit(ci: int, td: int, bi: int) -> None:
             zz = out_planes[ci][bi]
             if ah == 0:
-                ssss = _read_symbol(br, huff[(0, td)])
+                ssss = br.read_symbol(huff[(0, td)])
                 prev[ci] += _extend(br.read_bits(ssss), ssss)
                 zz[0] = prev[ci] << al
             elif br.read_bits(1):
@@ -1116,7 +1136,7 @@ def _decode_progressive_scan(
                 continue
             k = ss
             while k <= se:
-                rs = _read_symbol(br, tab)
+                rs = br.read_symbol(tab)
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:
@@ -1136,7 +1156,7 @@ def _decode_progressive_scan(
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = _read_symbol(br, tab)
+                rs = br.read_symbol(tab)
                 r, s = rs >> 4, rs & 0x0F
                 val = 0
                 if s:
@@ -1435,13 +1455,13 @@ def decode_jpeg(content: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
             prev_dc = [0] * len(comps)
 
             def _decode_block(zz, ci, td, ta):
-                ssss = _read_symbol(br, huff[(0, td)])
+                ssss = br.read_symbol(huff[(0, td)])
                 diff = _extend(br.read_bits(ssss), ssss)
                 prev_dc[ci] += diff
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k <= 63:
-                    rs = _read_symbol(br, huff[(1, ta)])
+                    rs = br.read_symbol(huff[(1, ta)])
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
                         if r == 15:

@@ -146,13 +146,15 @@ def _frame_candidates(
 
 
 def _verified_matches(cand: DataFrame, max_distance: int) -> DataFrame:
-    """Exact JVM-side verify on the deduped candidates."""
-    return (
-        cand.dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
-        .withColumn(
-            "_dist", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-        )
-        .filter(F.col("_dist") <= max_distance)
+    """Exact JVM-side verify, BEFORE any exchange (guide §2.3): the
+    ``bit_count`` filter drops failing candidates map-side — up to k+1
+    band copies per frame pair never shuffle. Band copies of a
+    SURVIVING frame pair are still present (identical rows); the
+    downstream aggregations dedup them with ``count_distinct`` instead
+    of a separate ``dropDuplicates`` exchange that would carry the two
+    8-byte hashes per row."""
+    return cand.filter(
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_distance
     )
 
 
@@ -172,8 +174,10 @@ def _aligned_pairs(
     matches = _verified_matches(cand, max_distance).withColumn(
         "offset", F.col("_fb") - F.col("_fa")
     )
+    # count_distinct: band copies of one frame match collapse here (the
+    # offset fixes _fb given _fa, so distinct _fa == distinct matches)
     per_offset = matches.groupBy("id_a", "id_b", "offset").agg(
-        F.count("*").alias("aligned")
+        F.count_distinct("_fa").alias("aligned")
     )
     return (
         per_offset.groupBy("id_a", "id_b")
@@ -241,7 +245,8 @@ def video_neardup_unordered(
     )
     return (
         matches.groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+        # distinct (_fa, _fb): band copies of one frame match count once
+        .agg(F.count_distinct("_fa", "_fb").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
 

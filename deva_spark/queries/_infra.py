@@ -462,7 +462,7 @@ def _build_img_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 25 == 0)
         .select("doc_id", "text")
     )
-    return image_hashes(base, id_col="image_id").select("image_id", "dhash")
+    return image_hashes(base, id_col="image_id", hashes=("dhash",))
 
 
 def _build_vid_fdhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,7 +779,7 @@ def x115(spark, sf):
         .select("doc_id", "text")
     )
     media = mmod.synthesize_doc_images(docs, twins=True)
-    hashes = ih.image_hashes(media, id_col="image_id")
+    hashes = ih.image_hashes(media, id_col="image_id", hashes=("dhash",))
     return (
         ih.hamming_neardup_pairs(
             hashes, "dhash", id_col="image_id", max_distance=3
@@ -819,7 +819,7 @@ def x117(spark, sf):
     batch = mmod.synthesize_doc_images(
         batch_docs, twins=True, twins_only=True
     )
-    batch_hashes = ih.image_hashes(batch, id_col="image_id")
+    batch_hashes = ih.image_hashes(batch, id_col="image_id", hashes=("dhash",))
     return (
         ih.hamming_neardup_join(
             staged, batch_hashes, "dhash", id_col="image_id",
@@ -1140,7 +1140,7 @@ def x122(spark, sf):
     imgs = mmod.synthesize_group_images(docs)
     ipairs = (
         ih.hamming_neardup_pairs(
-            ih.image_hashes(imgs, id_col="image_id"),
+            ih.image_hashes(imgs, id_col="image_id", hashes=("dhash",)),
             "dhash",
             id_col="image_id",
             max_distance=3,
