@@ -602,7 +602,7 @@ def x109(spark, sf):
     # RIFF walk) hash-check against the same md5(text) arithmetic oracle
     # as x108 (the geometry is codec-independent).
     from deva_spark.functions import multimodal as mmod
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     # spread the sampled docs before the JPEG stages: a single-file
     # corpus arrives as ONE split and the entropy codec is the rare
@@ -611,7 +611,8 @@ def x109(spark, sf):
     # 100 TB scan). x107/x108 skip this — their per-row codec work is
     # cheap numpy and the exchange measured as a net loss there.
     docs = ensure_parallelism(
-        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_avi_from_text(docs, codec="mjpg", quality=90)
     return mmod.avi_roundtrip_audit(media).orderBy("doc_id")
@@ -632,10 +633,11 @@ def x110(spark, sf):
     # a subsampling bug that shifted dims or broke the MCU walk flips
     # the hash).
     from deva_spark.functions import multimodal as mmod
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
-        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_avi_from_text(
         docs, codec="mjpg", quality=90, subsampling="420"
@@ -659,10 +661,11 @@ def x112(spark, sf):
     # header dims (sniffed from the SOF2 frame header) hash-check
     # against the same md5(text) arithmetic oracle as x108-x110.
     from deva_spark.functions import multimodal as mmod
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
-        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_avi_from_text(
         docs, codec="mjpg", quality=90, subsampling="420", progressive=True
@@ -771,12 +774,13 @@ def x115(spark, sf):
     # that survived the verify all flip the hash.
     from deva_spark.functions import imagehash as ih
     from deva_spark.functions import multimodal as mmod
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_doc_images(docs, twins=True)
     hashes = ih.image_hashes(media, id_col="image_id", hashes=("dhash",))
@@ -805,14 +809,15 @@ def x117(spark, sf):
     # the hash.
     from deva_spark.functions import imagehash as ih
     from deva_spark.functions import multimodal as mmod
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     stage_artifacts(spark, sf, ["img_dhash"])
     staged = _shared_artifact(spark, sf, "img_dhash")
     batch_docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 50 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     # the twins ARE the new batch (twins_only skips the base PNG
     # encodes a post-hoc filter would still have paid for — review r14)
@@ -864,14 +869,15 @@ def x116(spark, sf):
     import pandas as _pd
 
     from deva_spark.functions import audiofp as afp
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     n, rate = 16000, 8000
 
     docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
 
     def _wav(x: "_np.ndarray") -> bytes:
@@ -955,12 +961,13 @@ def x118(spark, sf):
     # offset vote or a spurious pair all flip the hash.
     from deva_spark.functions import multimodal as mmod
     from deva_spark.functions import videofp as vfp
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_doc_videos(docs, twins=True)
     fh = vfp.video_frame_hashes(media)
@@ -987,14 +994,15 @@ def x119(spark, sf):
     # cross-table join, or a batch hash regression all flip the hash.
     from deva_spark.functions import multimodal as mmod
     from deva_spark.functions import videofp as vfp
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     stage_artifacts(spark, sf, ["vid_fdhash"])
     staged = _shared_artifact(spark, sf, "vid_fdhash")
     batch_docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 50 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     # the twins ARE the new batch (twins_only skips the base lossless
     # AVI encodes a post-hoc filter would still have paid for — r14)
@@ -1033,12 +1041,13 @@ def x123(spark, sf):
     # selectivity trade documented on the operator.
     from deva_spark.functions import multimodal as mmod
     from deva_spark.functions import videofp as vfp
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     media = mmod.synthesize_doc_videos(docs, twins=True, twin_mode="resample")
     fh = vfp.video_frame_hashes(media)
@@ -1130,12 +1139,13 @@ def x122(spark, sf):
     from deva_spark.functions import imagehash as ih
     from deva_spark.functions import multimodal as mmod
     from deva_spark.operators import graphs
-    from deva_spark.session import ensure_parallelism
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
     docs = ensure_parallelism(
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", F.expr("doc_id div 100").alias("grp"))
+        .select("doc_id", F.expr("doc_id div 100").alias("grp")),
+        nparts=scan_partitions(spark, sf, "documents"),
     )
     imgs = mmod.synthesize_group_images(docs)
     ipairs = (

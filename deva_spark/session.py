@@ -78,16 +78,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def ensure_parallelism(df: DataFrame, floor: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, floor: int | None = None, nparts: int | None = None
+) -> DataFrame:
     """Repartition ``df`` up to the parallelism floor ONLY when it arrives
     with fewer partitions — a single-file corpus yields a handful of
     row-group splits that would starve a CPU-bound UDF stage, but a
     100 TB scan already has thousands of input splits and must NOT pay a
     pointless full shuffle of the corpus text (VERDICT r2 defect #2).
-    Returns the input unchanged when no repartition is needed."""
+    Returns the input unchanged when no repartition is needed.
+
+    ``nparts``: the caller-known partition count of ``df`` (e.g. from
+    :func:`scan_partitions` when ``df`` is a filtered table scan). When
+    given, the ~250 ms ``df.rdd`` physical-planning probe is skipped —
+    the split count of a scan is set by the files and split confs, not
+    by non-pushable filters/projections above it."""
     spark = df.sparkSession
     floor = floor or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < floor:
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < floor:
         return df.repartition(floor)
     return df
 
@@ -121,18 +131,72 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Per-session memo of table-read PLANS (and scan partition counts),
+#: keyed on (abs path, file mtime). ``spark.read.parquet`` launches a
+#: schema-inference job costing 150-300 ms of driver latency per call —
+#: the single largest fixed cost of every registry query (r14
+#: optimization pass: 146 queries x 1-3 reads each). A DataFrame is an
+#: immutable logical plan, so handing the same object back is pure
+#: plan reuse: every action still scans the parquet files (this is NOT
+#: result caching — nothing is persisted), and the mtime in the key
+#: invalidates the memo the moment testdata is regenerated. WeakKey on
+#: the session: entries die with their session (the _infra._SHARED
+#: pattern).
+import weakref as _weakref
+
+_READ_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table, normalizing ns-timestamp columns to
     TimestampType (µs). With ``nanosAsLong`` the ns column arrives as a
     bigint of nanos-since-epoch; ``timestamp_micros(ns div 1000)`` restores
-    the timestamp exactly (generator emits µs-grain values)."""
+    the timestamp exactly (generator emits µs-grain values).
+
+    The returned plan is memoized per (session, path, mtime) — see
+    :data:`_READ_CACHE`."""
     from pyspark.sql import functions as F
 
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    cache = _READ_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(path), mtime)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache[key] = df
     return df
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Partition count of the bare parquet scan of one table, memoized
+    per (session, path, mtime). ``df.rdd.getNumPartitions()`` costs a
+    full physical-planning pass (~250 ms of driver latency); the split
+    count is a function of the FILES and the split confs alone — a
+    non-pushable filter or projection on top never changes it — so
+    every :func:`ensure_parallelism` caller over the same table can
+    share one probe (r14 optimization pass)."""
+    cache = _READ_CACHE.setdefault(spark, {})
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = ("#nparts", os.path.abspath(path), mtime)
+    hit = cache.get(key)
+    if hit is None:
+        hit = read_table(spark, sf_dir, name).rdd.getNumPartitions()
+        cache[key] = hit
+    return hit
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
