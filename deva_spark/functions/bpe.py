@@ -110,8 +110,70 @@ def _apply_merge(seg: Column, lhs: str, rhs: str) -> Column:
     return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
 
 
+#: Vocabulary-size cutover for the driver training path in
+#: :func:`train_bpe` — the graphs.DRIVER_MAX_EDGES pattern: below this
+#: many distinct words the synopsis is collected and the merge loop
+#: runs in plain Python (one job total instead of one aggregation +
+#: 1-row collect PER ROUND), above it the distributed loop runs. A
+#: (word, freq, seg) row is ~100 B of Python objects, so the default
+#: bounds the collect at ~40 MB of driver heap.
+DRIVER_MAX_WORDS_CONF = "spark.deva.bpe.driverMaxWords"
+DRIVER_MAX_WORDS_DEFAULT = 400_000
+
+
+def _driver_train(
+    rows, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, str]]]:
+    """Small-vocabulary path: the identical Sennrich merge loop over the
+    collected synopsis. Same argmax tie-break as the distributed loop —
+    (freq DESC, lhs ASC, rhs ASC); ``word_counts`` emits pure
+    ``[a-z]``+EOW symbols, so Python's code-point string order equals
+    Spark/DuckDB binary UTF8 order. Greedy left-to-right
+    non-overlapping merge application — exactly what the double-space
+    ``replace`` encoding implements distributed (parity pinned in
+    tests). Returns (merge table, final (word, freq, seg) rows)."""
+    segs: dict[str, list[str]] = {}
+    freqs: dict[str, int] = {}
+    for r in rows:
+        segs[r["word"]] = r["seg"].split(" ")
+        freqs[r["word"]] = int(r["freq"])
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break  # degenerate corpus: nothing left to merge
+        (lhs, rhs), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, int(f)))
+        fused = lhs + rhs
+        for w, syms in segs.items():
+            if lhs not in syms:
+                continue
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    final = [(w, freqs[w], " ".join(syms)) for w, syms in segs.items()]
+    return merges, final
+
+
 def train_bpe(
-    words: DataFrame, n_merges: int, keep_cached: bool = False
+    words: DataFrame,
+    n_merges: int,
+    keep_cached: bool = False,
+    driver_threshold: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE merge rounds over a ``word_counts`` table.
     Returns ``(merge_table, final_words)``: the learned merges as
@@ -132,9 +194,37 @@ def train_bpe(
     symbol)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if driver_threshold is None:
+        driver_threshold = int(
+            words.sparkSession.conf.get(
+                DRIVER_MAX_WORDS_CONF, str(DRIVER_MAX_WORDS_DEFAULT)
+            )
+        )
     words = words.persist()
+    n_words = words.count()  # materialize once; adaptive-path probe
+    if n_words <= driver_threshold:
+        # Adaptive small-vocabulary cutover (r14 optimization pass):
+        # each distributed round is a full aggregation job + 1-row
+        # collect over a synopsis that FITS ON THE DRIVER — at test
+        # scale 12 rounds paid ~35 s of per-round job latency for
+        # milliseconds of work. Collect the synopsis once (bounded by
+        # driver_threshold rows of (word, freq, seg) — driver-side by
+        # design, the graphs.DRIVER_MAX_EDGES contract), run the
+        # identical loop in Python, and hand back a driver-built final
+        # table. Result is a pure function of the corpus, identical
+        # across paths (parity-tested).
+        try:
+            rows = words.select("word", "freq", "seg").collect()
+        finally:
+            if not keep_cached:
+                words.unpersist()
+        merges, final_rows = _driver_train(rows, n_merges)
+        final = words.sparkSession.createDataFrame(
+            final_rows, "word string, freq long, seg string"
+        )
+        return merges, final
     try:
-        merges: list[tuple[int, str, str, int]] = []
+        merges = []
         cur = words
         for step in range(n_merges):
             best = (

@@ -237,9 +237,14 @@ def incremental_near_duplicates(
         )
     )
     return (
+        # verify BEFORE the dedup exchange (guide §2.3): failing
+        # candidates drop map-side, and the band-copy dedup is an
+        # aggregation over (id_a, id_b, hd) — hd is identical across a
+        # pair's band copies, so min() is exact
         cross.unionByName(self_pairs)
-        .distinct()
         .filter(F.col("hd") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hd").alias("hd"))
     )
 
 
@@ -281,6 +286,8 @@ def near_duplicates(
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming(F.col("fp_a"), F.col("fp_b")).alias("hd"))
-        .distinct()
+        # verify-before-dedup: see near_duplicates_join above
         .filter(F.col("hd") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hd").alias("hd"))
     )

@@ -186,3 +186,27 @@ def test_oracle_parity_on_degenerate_early_stop_corpus(spark):
         for r in bpe.token_counts(docs, final).collect()
     }
     assert got == ot and got == {0: 3, 1: 2, 2: 1}  # fully fused: ab</w>
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The adaptive small-vocabulary cutover (r14 optimization pass)
+    must be invisible: merge table AND final segmentations identical
+    whether the loop runs driver-side (default at test scale) or
+    distributed (forced via driver_threshold=0) — the
+    connected_components cutover contract."""
+    from deva_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider widest",
+             "low low new wide", None, ""]
+        )],
+        "doc_id long, text string",
+    )
+    words = bpe.word_counts(docs)
+    m_drv, f_drv = bpe.train_bpe(words, 8)
+    m_dist, f_dist = bpe.train_bpe(words, 8, driver_threshold=0)
+    assert m_drv == m_dist
+    assert sorted(map(tuple, f_drv.collect())) == sorted(
+        map(tuple, f_dist.collect())
+    )
