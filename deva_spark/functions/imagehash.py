@@ -236,6 +236,21 @@ def hamming_neardup_pairs(
             "max_distance must be 0..3 (16-bit bands stop pruning past "
             f"that), got {max_distance}"
         )
+    # Materialize the hash synopsis BEFORE the banded self-join (guide
+    # §2.4/§5): both join branches hang off the same opaque Arrow stage
+    # (decode + hash — for the registry tiers, image SYNTHESIS too), and
+    # Spark cannot share an unmaterialized Python stage across branches
+    # (no common-subtree reuse without an identical Exchange), so an
+    # unpersisted lineage runs the decode+hash pass once PER BRANCH —
+    # measured 2x the whole tier at bench scale (plans/r14/x115: 4
+    # MapInPandas + 2 scans -> 2 + 1). The synopsis is (id, hash) rows —
+    # KBs per million images — and the eager count() is what guarantees
+    # the two join stages read cache instead of racing to populate it.
+    # Deliberately persisted for the result's lifetime (the simhash
+    # fingerprint precedent): callers looping many resolutions should
+    # stage the pair table out and clear cache.
+    hashes = hashes.persist()
+    hashes.count()
     sides = _banded(hashes, hash_col, id_col, max_distance)
     a, b = sides.alias("a"), sides.alias("b")
     cand = a.join(

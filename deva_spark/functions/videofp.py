@@ -210,6 +210,15 @@ def video_neardup_pairs(
     3 for the same honest reason as imagehash: wider radii stop pruning
     in 16-bit bands."""
     _validate(max_distance, min_aligned, "min_aligned")
+    # Materialize the frame-hash synopsis BEFORE the banded self-join
+    # (guide §2.4/§5): both branches hang off the same opaque Arrow
+    # stage (AVI decode + per-frame dhash — for the registry tiers,
+    # video SYNTHESIS too), and an unmaterialized lineage runs that
+    # pass once PER BRANCH (plans/r14/x118: 4 MapInPandas + 2 scans
+    # before, 2 + 1 after). (id, frame_idx, dhash) rows — tiny; the
+    # eager count() guarantees both join stages read cache.
+    frame_hashes = frame_hashes.persist()
+    frame_hashes.count()
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
     return _aligned_pairs(
         _frame_candidates(sides, sides, ordered=True),
@@ -239,6 +248,9 @@ def video_neardup_unordered(
     stronger; prefer it when the corpus's twins are same-rate). Same
     shuffle shape: banded (band, chunk) keys, one aggregation."""
     _validate(max_distance, min_shared, "min_shared")
+    # same materialize-before-self-join contract as video_neardup_pairs
+    frame_hashes = frame_hashes.persist()
+    frame_hashes.count()
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
     matches = _verified_matches(
         _frame_candidates(sides, sides, ordered=True), max_distance
