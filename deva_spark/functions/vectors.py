@@ -371,7 +371,15 @@ def _pair_cos_udf():
         mb = np.stack(b.to_numpy()).astype(np.float64)
         return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
-    return pair_cos
+    # every call site projects cos = f(pair_cos(...)) and then filters on
+    # cos; the optimizer pushes that filter below the projection and
+    # duplicates the UDF — one ArrowEvalPython under the filter, a second
+    # above it re-scoring every SURVIVING pair (guide §4.4; x88 plan had
+    # two ArrowEvalPython nodes for one rescore). asNondeterministic
+    # forbids the copy, so each candidate pair pays the dot product once.
+    # The UDF is in fact a pure function — the flag only constrains the
+    # optimizer, results are unchanged.
+    return pair_cos.asNondeterministic()
 
 
 def neardup_base(

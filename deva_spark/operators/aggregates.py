@@ -386,10 +386,16 @@ def kmv_partials(
 
     def _t(df: DataFrame) -> DataFrame:
         key_cols = list(keys)
-        # NULL-skipping, same as kmv_distinct (COUNT DISTINCT semantics)
+        # NULL-skipping, same as kmv_distinct (COUNT DISTINCT semantics).
+        # Filter on the RAW column, not the hash: md5_le64(v) is NULL iff
+        # v is NULL, but `isnotnull(md5_le64(v))` re-evaluates the whole
+        # 8-substring md5/conv tree inside the Filter operator (a second
+        # full hash pass per row) and can never reach the parquet scan —
+        # `v IS NOT NULL` is equivalent, costs nothing, and lands in
+        # PushedFilters (guide §6).
         d = (
-            df.select(*key_cols, md5_le64(F.col(value_col)).alias("_h"))
-            .filter(F.col("_h").isNotNull())
+            df.filter(F.col(value_col).isNotNull())
+            .select(*key_cols, md5_le64(F.col(value_col)).alias("_h"))
             .distinct()
         )
         pw = Window.partitionBy(*key_cols, "_p").orderBy("_h")

@@ -560,6 +560,16 @@ ARTIFACT_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ARTIFACT_WRITE_PARTITIONS: dict[str, int] = {
     "subwin8d": 8,
     "shingle5d": 8,
+    # r14: these two hot indexes (the shared 5-gram index and the x76
+    # positioned window index) staged as ONE ~2 MB file because their
+    # builders are narrow over a single-split documents scan — so every
+    # consumer's scan-rooted stage (mask aggregate, pair join map side)
+    # ran as ONE task. 8 files give consumers 8-way scans at test scale
+    # while staying far from the 32-near-empty-files footer-overhead
+    # regime (ADVICE r10); at corpus scale the staging job writes many
+    # real-sized files and this knob is maxRecordsPerFile.
+    "shingle5": 8,
+    "subpos8": 8,
 }
 
 

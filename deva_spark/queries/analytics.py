@@ -52,9 +52,19 @@ def x60(spark, sf):
     # hash, so the ESTIMATE itself is hash-checkable cross-engine —
     # HLL-based approx_count_distinct can't be (register layout is
     # engine-private). Mergeable sketch = the 100 TB rollup path.
-    return _t(spark, sf, "events").transform(
-        agg.kmv_distinct("user_id", keys=["event_type"], k=64)
+    # ensure_parallelism (r14): the test corpus is one row group, so the
+    # scan is ONE task and the md5 hashing + map-side dedup — the whole
+    # CPU cost — ran single-threaded. The round-robin exchange carries
+    # only (event_type, user_id) raw rows and is a no-op at cluster
+    # scale (nparts >= floor). The estimate is partition-invariant by
+    # construction, so results are unchanged.
+    from deva_spark.session import ensure_parallelism, scan_partitions
+
+    ev = ensure_parallelism(
+        _t(spark, sf, "events").select("event_type", "user_id"),
+        nparts=scan_partitions(spark, sf, "events"),
     )
+    return ev.transform(agg.kmv_distinct("user_id", keys=["event_type"], k=64))
 
 
 @query(

@@ -435,15 +435,27 @@ def x76(spark, sf):
     # pure-JVM array rewrite (filter-by-interval + array_join). Output
     # text is hash-stable: exact words joined by single spaces.
     from deva_spark.functions.substring import remove_duplicate_runs
+    from deva_spark.session import ensure_parallelism, scan_partitions
 
+    # ensure_parallelism (r14): the rewrite side — words() + the
+    # per-word interval HOF filter + array_join over every document —
+    # is the operator's CPU bulk, and the single-split test corpus ran
+    # it as ONE task. Round-robin the raw docs (one narrow exchange of
+    # the text column, no-op at cluster scale where the scan already
+    # has thousands of splits); the rewrite is per-row, so results are
+    # partition-invariant.
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents"),
+        nparts=scan_partitions(spark, sf, "documents"),
+    )
     staged = staged_artifact_path(sf, "subpos8")
     if staged:
         return remove_duplicate_runs(
-            _t(spark, sf, "documents"),
+            docs,
             window=8,
             positions=spark.read.parquet(staged),
         )
-    return remove_duplicate_runs(_t(spark, sf, "documents"), window=8)
+    return remove_duplicate_runs(docs, window=8)
 
 
 @query(

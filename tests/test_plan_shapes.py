@@ -510,3 +510,28 @@ def test_rotation_warns_without_correctness_history(monkeypatch):
         head, deferred = Q._derive_rotation()
     assert any("no CORRECTNESS" in str(x.message) for x in w)
     assert list(head) == list(Q.SPARK_QUERIES)[:50] and not deferred
+
+
+def test_pair_cos_evaluated_once(plans):
+    # The rescore UDF column is projected then filtered on; without the
+    # asNondeterministic guard the optimizer pushes the filter below the
+    # projection and DUPLICATES the UDF (two ArrowEvalPython nodes — every
+    # surviving pair scored twice, guide §4.4). Pin single evaluation on
+    # both the one-shot and the incremental cosine tiers.
+    # (count pair_cos invocation sites, not ArrowEvalPython nodes: the
+    # un-staged fallback path legitimately carries other Arrow UDFs —
+    # embedding parses — in several branches)
+    for name in ("x23_cosine_neardup", "x88_incremental_cosine_neardup"):
+        p = plans(name)
+        assert p.count("pair_cos(") <= 1, name
+
+
+def test_kmv_null_filter_pushes_to_scan(plans):
+    # The COUNT-DISTINCT null skip must be `user_id IS NOT NULL` at the
+    # parquet scan, not `isnotnull(md5-expr)` re-hashing every row inside
+    # the Filter operator.
+    p = plans("x60_kmv_distinct_users")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("user_id" in ln for ln in pushed)
+    cond = [ln for ln in p.splitlines() if "Condition" in ln and "md5" in ln]
+    assert not cond, cond[:1]
