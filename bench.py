@@ -72,6 +72,39 @@ def headline_block(
     }
 
 
+def fit_line(out: dict, per: dict[str, float]) -> str:
+    """Serialize the one-line JSON so it FITS the driver's ~1800-char
+    tail window without losing the per-query map. The 2dp-seconds map
+    with 148 queries always exceeds the window, and the old guard
+    blanked the map entirely — r13/r14's PERF blocks lost per-query
+    visibility, geomean and scaling (VERDICT r14 #1). Fix: integer
+    CENTISECOND values (self-described by ``"queries_unit":"cs"``)
+    shave the line under the window with every query present;
+    full-precision seconds remain in BENCH_DETAIL.json, the auditable
+    record. Truncation (slowest kept, count disclosed via
+    ``queries_truncated``) is the last resort for load-inflated
+    4-digit values — never a silent blank."""
+
+    def short_id(name: str) -> str:
+        return name.split("_", 1)[0]
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= 1800:
+        return line
+    out["queries_unit"] = "cs"
+    out["queries"] = {short_id(n): int(round(per[n] * 100)) for n in per}
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1800 and out["queries"]:
+        q = out["queries"]
+        keep = sorted(q, key=lambda k: -q[k])[: max(len(q) - 8, 0)]
+        out["queries_truncated"] = (
+            out.get("queries_truncated", 0) + len(q) - len(keep)
+        )
+        out["queries"] = {k: q[k] for k in keep}
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -350,12 +383,7 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as exc:  # never let the detail file kill the JSON line
         print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1800:  # hard guard: the line MUST fit the tail window
-        out["queries"] = {}
-        out["queries_note"] = "see BENCH_DETAIL.json (line length guard)"
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(fit_line(out, per))
 
 
 if __name__ == "__main__":

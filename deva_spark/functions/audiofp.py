@@ -149,28 +149,52 @@ def audio_neardup_pairs(
     nearly all peaks, hence quadratically many pair hashes; unrelated
     clips share ~none — the shared-count threshold is the verify step,
     computed in the same aggregation that produced the candidates (no
-    second pass)."""
+    second pass).
+
+    Shape (r15 optimization pass, guide §2.4): the index is grouped —
+    ``groupBy(feature).collect_set(id)`` — and candidate pairs explode
+    in-array from each group row (the substring-tier
+    ``*_from_groups`` idiom), instead of the previous equality
+    SELF-join of the exploded index. Identical rows (``collect_set``
+    is the old ``dropDuplicates``; sorted-array ordered pairs are the
+    old ``id_a < id_b``; the per-pair group count is the number of
+    shared distinct features either way — parity-tested), but the
+    fingerprint pipeline appears ONCE in the plan: the self-join
+    referenced the opaque decode+fingerprint Arrow stage from both
+    branches and re-ran it per branch (x116 measured a persist
+    barrier SLOWER than the duplicated branch at both core counts in
+    r14 — this formulation needs neither), and one groupBy exchange
+    replaces the dedup exchange + two join exchanges. Hot-feature skew
+    is identical: the same feature key concentrates the same pairs
+    under either formulation."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    sides = fingerprints.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.col(feature_col)).alias("_bin"),
-    ).dropDuplicates(["_id", "_bin"])  # duplicate features must not
-    # multiply into the shared count (r13 review #4: explode x explode
-    # counts the cross product — one feature held twice and thrice
-    # would contribute 6)
-    a, b = sides.alias("a"), sides.alias("b")
+    groups = (
+        fingerprints.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.col(feature_col)).alias("_bin"),
+        )
+        .groupBy("_bin")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a._bin") == F.col("b._bin"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .groupBy(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared"))
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )

@@ -216,8 +216,12 @@ def train_bpe(
         try:
             rows = words.select("word", "freq", "seg").collect()
         finally:
-            if not keep_cached:
-                words.unpersist()
+            # unconditional on this path (ADVICE r14): the returned
+            # final DataFrame is DRIVER-BUILT, so keep_cached's
+            # rationale (final is built on the cached synopsis) only
+            # holds for the distributed loop below — leaving the
+            # synopsis persisted here would linger with no consumer
+            words.unpersist()
         merges, final_rows = _driver_train(rows, n_merges)
         final = words.sparkSession.createDataFrame(
             final_rows, "word string, freq long, seg string"

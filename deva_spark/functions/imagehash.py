@@ -36,6 +36,24 @@ from pyspark.sql import DataFrame, functions as F
 
 from deva_spark.functions.multimodal import decode_image, resize_image
 
+#: persisted (id, hash) synopses created by :func:`hamming_neardup_pairs`
+#: (and the videofp pair builders, which share this registry), released
+#: by :func:`release_synopsis_cache` — the vectors._NEARDUP_CACHE
+#: discipline (ADVICE r14: plan-builder persists with no release handle
+#: accumulate cached synopses in a long-lived session until clearCache).
+_SYNOPSIS_CACHE: list[DataFrame] = []
+
+
+def release_synopsis_cache() -> int:
+    """Unpersist every hash synopsis the pair builders cached; returns
+    how many were released. Safe any time after the caller has
+    materialized its result."""
+    n = 0
+    while _SYNOPSIS_CACHE:
+        _SYNOPSIS_CACHE.pop().unpersist()
+        n += 1
+    return n
+
 
 def _dct_basis(n: int) -> np.ndarray:
     k = np.arange(n)[:, None]
@@ -247,10 +265,12 @@ def hamming_neardup_pairs(
     # KBs per million images — and the eager count() is what guarantees
     # the two join stages read cache instead of racing to populate it.
     # Deliberately persisted for the result's lifetime (the simhash
-    # fingerprint precedent): callers looping many resolutions should
-    # stage the pair table out and clear cache.
+    # fingerprint precedent); registered in _SYNOPSIS_CACHE so library
+    # callers looping many resolutions can release_synopsis_cache()
+    # instead of a blanket clearCache (ADVICE r14).
     hashes = hashes.persist()
     hashes.count()
+    _SYNOPSIS_CACHE.append(hashes)
     sides = _banded(hashes, hash_col, id_col, max_distance)
     a, b = sides.alias("a"), sides.alias("b")
     cand = a.join(

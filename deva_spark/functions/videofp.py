@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from deva_spark.functions import imagehash
 from deva_spark.functions.imagehash import dhash64
 from deva_spark.functions.multimodal import decode_avi
 
@@ -216,9 +217,11 @@ def video_neardup_pairs(
     # video SYNTHESIS too), and an unmaterialized lineage runs that
     # pass once PER BRANCH (plans/r14/x118: 4 MapInPandas + 2 scans
     # before, 2 + 1 after). (id, frame_idx, dhash) rows — tiny; the
-    # eager count() guarantees both join stages read cache.
+    # eager count() guarantees both join stages read cache. Registered
+    # in the shared release registry (ADVICE r14).
     frame_hashes = frame_hashes.persist()
     frame_hashes.count()
+    imagehash._SYNOPSIS_CACHE.append(frame_hashes)
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
     return _aligned_pairs(
         _frame_candidates(sides, sides, ordered=True),
@@ -251,6 +254,7 @@ def video_neardup_unordered(
     # same materialize-before-self-join contract as video_neardup_pairs
     frame_hashes = frame_hashes.persist()
     frame_hashes.count()
+    imagehash._SYNOPSIS_CACHE.append(frame_hashes)
     sides = _frame_banded(frame_hashes, id_col, frame_col, max_distance)
     matches = _verified_matches(
         _frame_candidates(sides, sides, ordered=True), max_distance

@@ -131,22 +131,28 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-#: Per-session memo of table-read PLANS (and scan partition counts),
-#: keyed on (abs path, file mtime). ``spark.read.parquet`` launches a
-#: schema-inference job costing 150-300 ms of driver latency per call —
-#: the single largest fixed cost of every registry query (r14
-#: optimization pass: 146 queries x 1-3 reads each). A DataFrame is an
-#: immutable logical plan, so handing the same object back is pure
-#: plan reuse: every action still scans the parquet files (this is NOT
-#: result caching — nothing is persisted), and the mtime in the key
-#: invalidates the memo the moment testdata is regenerated. WeakKey on
-#: the session: entries die with their session (the _infra._SHARED
-#: pattern).
-import weakref as _weakref
+#: Attribute name of the per-session memo of table-read PLANS (and scan
+#: partition counts), keyed on (abs path, file mtime).
+#: ``spark.read.parquet`` launches a schema-inference job costing
+#: 150-300 ms of driver latency per call — the single largest fixed
+#: cost of every registry query (r14 optimization pass: 146 queries x
+#: 1-3 reads each). A DataFrame is an immutable logical plan, so
+#: handing the same object back is pure plan reuse: every action still
+#: scans the parquet files (this is NOT result caching — nothing is
+#: persisted), and the mtime in the key invalidates the memo the moment
+#: testdata is regenerated. The memo lives ON the session object
+#: (ADVICE r14: the previous WeakKeyDictionary's VALUES held DataFrames
+#: that strongly referenced the session, so entries could never be
+#: collected — an attribute dies with its session by construction).
+_READ_CACHE_ATTR = "_deva_read_cache"
 
-_READ_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    _weakref.WeakKeyDictionary()
-)
+
+def _read_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _READ_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _READ_CACHE_ATTR, cache)
+    return cache
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -156,7 +162,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the timestamp exactly (generator emits µs-grain values).
 
     The returned plan is memoized per (session, path, mtime) — see
-    :data:`_READ_CACHE`."""
+    :data:`_READ_CACHE_ATTR`."""
     from pyspark.sql import functions as F
 
     path = table_path(sf_dir, name)
@@ -164,12 +170,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
-    cache = _READ_CACHE.setdefault(spark, {})
+    cache = _read_cache(spark)
     key = (os.path.abspath(path), mtime)
+    # confs re-applied on EVERY return (ADVICE r14: a cache hit skipped
+    # them, fragile if a caller mutates session confs mid-run) — two
+    # spark.conf.set calls are driver-local, no job
+    ensure_session_confs(spark)
     hit = cache.get(key)
     if hit is not None:
         return hit
-    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -185,7 +194,7 @@ def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
     non-pushable filter or projection on top never changes it — so
     every :func:`ensure_parallelism` caller over the same table can
     share one probe (r14 optimization pass)."""
-    cache = _READ_CACHE.setdefault(spark, {})
+    cache = _read_cache(spark)
     path = table_path(sf_dir, name)
     try:
         mtime = os.path.getmtime(path)

@@ -117,6 +117,28 @@ def test_spark_fingerprint_and_pairs(spark):
     )
     with pytest.raises(ValueError, match="min_shared"):
         afp.audio_neardup_pairs(fps, min_shared=0)
+    # r15 optimization: the grouped formulation must (a) keep exact
+    # shared counts (number of distinct shared features — brute force
+    # below), (b) reference the opaque fingerprint Arrow stage ONCE in
+    # the plan (the old self-join ran decode+fingerprint per branch)
+    got_counts = {
+        (r.id_a, r.id_b): r.shared
+        for r in afp.audio_neardup_pairs(fps, min_shared=3).collect()
+    }
+    brute_counts = {
+        (a, b): len(feats[a] & feats[b])
+        for a in feats
+        for b in feats
+        if a < b and len(feats[a] & feats[b]) >= 3
+    }
+    assert got_counts == brute_counts
+    plan = (
+        afp.audio_neardup_pairs(fps, min_shared=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
 
 
 def test_undecodable_clip_isolated_per_row(spark):

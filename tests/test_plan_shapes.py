@@ -498,6 +498,52 @@ def test_bench_headline_leads_with_quiet_floor_ratio():
     assert z["rmin"] is None and z["ratio"] is None
 
 
+def test_bench_line_keeps_per_query_map_under_tail_window():
+    # VERDICT r14 "wrong" #1: the old >1800-char guard blanked the
+    # queries map whenever the full suite ran, so the driver's PERF
+    # block lost per-query visibility, geomean and scaling. Pin the
+    # fix: a 148-query map serializes under 1800 chars as integer
+    # centiseconds with EVERY query present, and forced truncation
+    # discloses itself instead of silently blanking.
+    import json
+
+    import bench
+
+    per = {f"x{i}_some_long_query_name": 1.234 + i / 100 for i in range(148)}
+    out = {
+        "metric": "suite_total_wall",
+        "rmin": 0.757, "min": 19.18, "bmin": 25.35, "ratio": 0.894,
+        "value": 25.601, "baseline_value": 28.632,
+        "load": [23, 40], "bload": [18, 30], "unit": "sec", "sf": 0.1,
+        "staging_sec": 111.15,
+        "excluded": ["x111", "x120", "x33", "x34", "x35", "x36", "x38",
+                     "x49", "x63", "x69", "x71", "x78"],
+        "queries": {n.split("_", 1)[0]: round(v, 2) for n, v in per.items()},
+    }
+    line = bench.fit_line(dict(out), per)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    # every query accounted for: present, or disclosed as truncated
+    assert len(parsed["queries"]) + parsed.get("queries_truncated", 0) == 148
+    assert len(parsed["queries"]) >= 120  # the map is never blanked
+    assert parsed["queries_unit"] == "cs"
+    assert parsed["queries"]["x147"] == int(round(per["x147_some_long_query_name"] * 100))  # slowest kept, cs
+    # a small map unaffected: identical line, no unit switch
+    small_out = {"metric": "m", "queries": {"q01": 0.5}}
+    assert json.loads(bench.fit_line(dict(small_out), {"q01_x": 0.5}))[
+        "queries"
+    ] == {"q01": 0.5}
+    # pathological values force truncation — disclosed, slowest kept
+    big = {f"x{i}_q": 10000.0 + i for i in range(148)}
+    out_big = dict(out)
+    out_big["queries"] = {n.split("_", 1)[0]: round(v, 2) for n, v in big.items()}
+    line_big = bench.fit_line(out_big, big)
+    assert len(line_big) <= 1800
+    p_big = json.loads(line_big)
+    assert p_big.get("queries_truncated", 0) == 148 - len(p_big["queries"])
+    assert "x147" in p_big["queries"]  # slowest survived
+
+
 def test_rotation_warns_without_correctness_history(monkeypatch):
     # ADVICE r13: a deployment without CORRECTNESS_r*.json next to the
     # package silently degrades the window to registration order — the

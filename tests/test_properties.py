@@ -346,6 +346,45 @@ def test_rolling_hash_matches_python_model(spark, texts):
     assert got == [model(t) for t in texts]
 
 
+def test_rolling_hash_cross_engine_non_latin1(spark):
+    # ADVICE r14 (medium): the pandas-UDF rewrite lowers with Python
+    # str.lower(); the property test above restricts itself to latin-1,
+    # so it could not catch a divergence from the ORACLE's DuckDB
+    # lower() on exotic code points. Pin parity on exactly the hostile
+    # classes the advisor named: U+0130 (İ -> 'i'+combining dot),
+    # U+212A (KELVIN SIGN -> 'k', which SURVIVES the [a-z0-9] strip),
+    # ligatures (ﬁ/ﬆ -> multi-char), fullwidth ＡＢＣ１２３ (lower to
+    # fullwidth, STRIPPED in both engines), math-alphanumerics, ʼn, ß.
+    # (The shipped corpus is pure ASCII at every SF — verified — so
+    # this is semantic insurance, not a data-path requirement.)
+    import duckdb
+
+    from deva_spark.functions import text as T
+
+    cases = [
+        "İstanbul İĲKKNO",
+        "ΣΙΣΥΦΟΣ ǅungla ẞharp",
+        "ﬁnancial ﬆreet ŉgram",
+        "ＡＢＣ１２３ fullwidth",
+        "𝐀𝐁𝐂 math bold",
+        "ʼn okina KK kelvin",
+        "ÅÄÖ åäö ß",
+    ]
+    sql = """SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        list_transform(regexp_extract_all(
+            regexp_replace(lower(?), '[^a-z0-9]', '', 'g'), '.'),
+            c -> CAST(ascii(c) AS HUGEINT))),
+        (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)"""
+    con = duckdb.connect()
+    want = [con.execute(sql, [t]).fetchone()[0] for t in cases]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [
+        r.h
+        for r in df.select(T.rolling_hash(F.col("text")).alias("h")).collect()
+    ]
+    assert got == want
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=40),

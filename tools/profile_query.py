@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("--topandas", action="store_true")
+    ap.add_argument("--plans-dir", default="r15", help="plans/<dir> for dumps")
     args = ap.parse_args()
 
     spark = get_spark("profile-query")
@@ -47,7 +48,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        args.plans_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
