@@ -42,6 +42,7 @@ path so the 100 TB pipeline has no per-worker native-codec dependency.
 
 from __future__ import annotations
 
+import collections
 import functools
 import struct
 
@@ -192,6 +193,8 @@ _AC_CHROMA_TAB = _build_huffman(_AC_CHROMA_SPEC)
 
 
 class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
     def __init__(self) -> None:
         self.buf = bytearray()
         self.acc = 0
@@ -251,7 +254,10 @@ def _encode_blocks(
     coeffs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
     qz = np.round(coeffs / qtab).astype(np.int32)
     flat = qz.reshape(-1, 64)[:, _ZIGZAG]
-    return list(flat), qz
+    # plain-int rows: every downstream entropy loop touches coefficients
+    # one at a time, and a list getitem is ~3x cheaper than a numpy
+    # scalar extraction (r15 — the casts were ~10% of a small encode)
+    return flat.tolist(), qz
 
 
 #: Luma sampling factors per subsampling mode (chroma is always 1x1):
@@ -268,28 +274,33 @@ def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     scans NEED custom tables — the Annex K AC tables carry no EOBn
     (r<<4, 2<=2^r) symbols, which is why every real progressive stream
     ships its own DHTs and libjpeg forces optimize_coding for SOF2."""
-    freq = [0] * 257
-    for sym, c in freqs.items():
-        freq[sym] = c
+    # Fully SPARSE K.2 (r15, fuzz-corpus gated): the historical loop
+    # kept 257-slot arrays and rescanned all of them per merge (~n*257
+    # steps), profiling as ~23% of a progressive encode — one call per
+    # AC scan, and real scans carry a handful of distinct symbols.
+    # State lives only for the live symbols; `active` holds them
+    # ascending, so the identical `<` / tie-to-larger-index comparisons
+    # visit candidates in the same order and pick the same (v1, v2)
+    # pair every merge — byte-identical tables.
+    active = sorted(s for s, c in freqs.items() if c > 0)
+    freq = {s: freqs[s] for s in active}
     freq[256] = 1  # reserved: claims the longest all-ones code
-    codesize = [0] * 257
-    others = [-1] * 257
-    while True:
+    active.append(256)
+    codesize = dict.fromkeys(active, 0)
+    others = dict.fromkeys(active, -1)
+    while len(active) > 1:
         v1 = v2 = -1
         c1 = c2 = None
-        for i in range(257):
+        for i in active:
             f = freq[i]
-            if f <= 0:
-                continue
             if c1 is None or f < c1 or (f == c1 and i > v1):
                 v2, c2 = v1, c1
                 v1, c1 = i, f
             elif c2 is None or f < c2 or (f == c2 and i > v2):
                 v2, c2 = i, f
-        if v2 < 0:
-            break
         freq[v1] += freq[v2]
         freq[v2] = 0
+        active.remove(v2)
         codesize[v1] += 1
         while others[v1] >= 0:
             v1 = others[v1]
@@ -300,9 +311,9 @@ def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
             v2 = others[v2]
             codesize[v2] += 1
     bits = [0] * 33
-    for i in range(257):
-        if codesize[i]:
-            bits[codesize[i]] += 1
+    for i, cs in codesize.items():
+        if cs:
+            bits[cs] += 1
     i = 32  # K.3: fold code lengths > 16 back under the limit
     while i > 16:
         while bits[i] > 0:
@@ -331,7 +342,7 @@ def _optimal_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     huffval = [
         s
         for _, s in sorted(
-            (codesize[s], s) for s in range(256) if codesize[s] > 0
+            (cs, s) for s, cs in codesize.items() if s < 256 and cs > 0
         )
     ]
     return bits[1:17], huffval
@@ -385,7 +396,7 @@ def _write_dc_scan(
             for v in range(vi):
                 for hh in range(hi):
                     bi = (my * vi + v) * comp_bw[ci] + (mx * hi + hh)
-                    dc = int(comp_blocks[ci][bi][0])
+                    dc = comp_blocks[ci][bi][0]
                     if ah == 0:
                         d = (dc >> al) - prev[ci]  # arithmetic shift
                         prev[ci] = dc >> al
@@ -434,7 +445,7 @@ def _ac_scan_events(blocks, indices, ss, se, al, ah, restart_interval) -> list:
         if ah == 0:
             r = 0
             for k in range(ss, se + 1):
-                v = int(zz[k])
+                v = zz[k]
                 a = abs(v) >> al  # point transform rounds toward zero
                 if a == 0:
                     r += 1
@@ -453,7 +464,7 @@ def _ac_scan_events(blocks, indices, ss, se, al, ah, restart_interval) -> list:
                 if eobrun == 0x7FFF:
                     flush_eob()
         else:
-            vals = [int(zz[k]) for k in range(ss, se + 1)]
+            vals = zz[ss : se + 1]
             absv = [abs(v) >> al for v in vals]
             eob_idx = max(
                 (i for i, a in enumerate(absv) if a == 1), default=-1
@@ -562,21 +573,40 @@ def _encode_progressive_scans(
             ev = _ac_scan_events(
                 comp_blocks[ci], indices, ss, se, al, ah, restart_interval
             )
-            freqs: dict[int, int] = {}
-            for e in ev:
-                if e[0] == "s":
-                    freqs[e[1]] = freqs.get(e[1], 0) + 1
+            freqs: dict[int, int] = collections.Counter(
+                e[1] for e in ev if e[0] == "s"
+            )
             bits, vals = _optimal_huffman_spec(freqs)
             out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
             tab = _build_huffman((bits, vals))
+            # serialize with a LOCAL bit accumulator (same stream as
+            # per-event bw.write calls, ~3x less call overhead — r15);
+            # restarts byte-align through _BitWriter, so sync around them
+            acc = n = 0
+            buf = bw.buf
             for e in ev:
-                if e[0] == "s":
+                kind = e[0]
+                if kind == "s":
                     code, ln = tab[e[1]]
-                    bw.write(code, ln)
-                elif e[0] == "b":
-                    bw.write(e[1], e[2])
+                    acc = (acc << ln) | code
+                    n += ln
+                elif kind == "b":
+                    ln = e[2]
+                    acc = (acc << ln) | (e[1] & ((1 << ln) - 1))
+                    n += ln
                 else:
+                    bw.acc, bw.n = acc, n
                     bw.restart(e[1])
+                    acc, n = bw.acc, bw.n
+                    continue
+                while n >= 8:
+                    n -= 8
+                    byte = (acc >> n) & 0xFF
+                    buf.append(byte)
+                    if byte == 0xFF:
+                        buf.append(0x00)
+                acc &= (1 << n) - 1
+            bw.acc, bw.n = acc, n
         sos = bytes([len(sel)])
         for ci in sel:
             td = 0 if ss else (0 if ci == 0 else 1)
@@ -589,37 +619,77 @@ def _encode_progressive_scans(
 
 
 def _encode_block_bits(
-    bw: "_BitWriter", zz: np.ndarray, prev: int, dc_tab, ac_tab
+    bw: "_BitWriter", zz: list, prev: int, dc_tab, ac_tab
 ) -> int:
-    """Huffman-encode one quantized zigzag block; returns the new DC
-    predictor."""
-    dc = int(zz[0])
-    ssss, bits = _magnitude(dc - prev)
-    code, ln = dc_tab[ssss]
-    bw.write(code, ln)
-    if ssss:
-        bw.write(bits, ssss)
+    """Huffman-encode one quantized zigzag block (``zz`` is a plain-int
+    list row from :func:`_encode_blocks`); returns the new DC predictor.
+
+    The bit accumulator runs in LOCALS and flushes straight into the
+    writer's buffer — the per-symbol ``bw.write`` method calls were the
+    encoder's hottest remaining line (r15; ~1 us per call of pure
+    attribute/call overhead at ~3 calls per coefficient). State is
+    synced back to ``bw`` on return so scan-level framing (restart
+    markers, final flush) still goes through :class:`_BitWriter`."""
+    acc = bw.acc
+    n = bw.n
+    buf = bw.buf
+    dc = zz[0]
+    # inline _magnitude + write (identical bit stream)
+    d = dc - prev
+    if d == 0:
+        code, ln = dc_tab[0]
+        acc = (acc << ln) | code
+        n += ln
+    else:
+        a = d if d > 0 else -d
+        ssss = a.bit_length()
+        bits = d if d > 0 else d + (1 << ssss) - 1
+        code, ln = dc_tab[ssss]
+        acc = (acc << (ln + ssss)) | (code << ssss) | bits
+        n += ln + ssss
     # iterate ONLY the nonzero coefficients (runs come from index gaps) —
     # the symbol stream is identical to the walk-every-k loop, but the
     # quantized high-frequency tail is almost all zeros, so the loop body
     # runs ~8x less often on typical blocks (r14 optimization pass)
-    nz = np.nonzero(zz[1:])[0]
     pos = 0  # index of the previous encoded coefficient (zigzag order)
-    for i in nz:
-        k = int(i) + 1
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            continue
         run = k - pos - 1
         while run > 15:
             code, ln = ac_tab[0xF0]  # ZRL
-            bw.write(code, ln)
+            acc = (acc << ln) | code
+            n += ln
             run -= 16
-        ssss, bits = _magnitude(int(zz[k]))
+        a = v if v > 0 else -v
+        ssss = a.bit_length()
+        bits = v if v > 0 else v + (1 << ssss) - 1
         code, ln = ac_tab[(run << 4) | ssss]
-        bw.write(code, ln)
-        bw.write(bits, ssss)
+        acc = (acc << (ln + ssss)) | (code << ssss) | bits
+        n += ln + ssss
         pos = k
+        if n >= 8:  # drain whole bytes (with stuffing), keep acc small
+            while n >= 8:
+                n -= 8
+                byte = (acc >> n) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+            acc &= (1 << n) - 1
     if pos < 63:
         code, ln = ac_tab[0x00]  # EOB
-        bw.write(code, ln)
+        acc = (acc << ln) | code
+        n += ln
+    while n >= 8:
+        n -= 8
+        byte = (acc >> n) & 0xFF
+        buf.append(byte)
+        if byte == 0xFF:
+            buf.append(0x00)
+    acc &= (1 << n) - 1
+    bw.acc = acc
+    bw.n = n
     return dc
 
 
@@ -893,6 +963,8 @@ class _BitReader:
     truncated — raise instead of fabricating zero-run MCUs (the
     deterministic-decode contract is correct pixels or a loud error)."""
 
+    __slots__ = ("data", "pos", "acc", "n", "real_bits", "read_bits_total")
+
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
@@ -1018,8 +1090,12 @@ def _build_decode_table(bits, vals):
     return _build_decode_table_cached(bytes(bits), bytes(vals))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=4096)
 def _build_decode_table_cached(bits: bytes, vals: bytes):
+    # maxsize covers per-scan OPTIMAL tables too (r15): a progressive
+    # stream ships a unique DHT per AC scan, and the audit tiers decode
+    # every stream twice (encoder self-digest + post-shuffle check), so
+    # 64 slots thrashed — at ~2 KB/entry, 4096 slots is a few MB bound.
     enc = _build_huffman((list(bits), list(vals)))
     slow = {(code, ln): sym for sym, (code, ln) in enc.items()}
     fast8: list = [None] * 256
@@ -1033,6 +1109,262 @@ def _build_decode_table_cached(bits: bytes, vals: bytes):
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
     return br.read_symbol(table)
+
+
+def _decode_sequential_scan(
+    d: bytes, start: int, out_planes, comps, scan_order, huff, cgrid,
+    restart_interval: int, mcux: int, mcuy: int, interleaved: bool,
+    fh: int, fw: int, hmax: int, vmax: int,
+) -> None:
+    """Entropy-decode one BASELINE scan (interleaved T.81 A.2.3 or
+    single-component non-interleaved A.2.2) into the coefficient
+    planes. Same algorithm, accounting and error messages as the
+    :class:`_BitReader`-driven block loop it replaces — the bit state
+    (accumulator, bit count, byte position, truncation counters) lives
+    in LOCALS and the fill / symbol / field reads are inlined, which
+    removes the ~1-2 us of method-call and attribute overhead every
+    coefficient paid (r15; the bit reader dominated baseline decode
+    profiles; fuzz-corpus + golden-digest gated). The block schedule is
+    a generator, not a materialized list, preserving the max_pixels
+    memory bound (r13 review #4)."""
+    # per-scan-component decode tables, resolved once
+    tabs = {}
+    for ci, td, ta in scan_order:
+        dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+        tabs[ci] = (dc_t["fast8"], dc_t["slow"], ac_t["fast8"], ac_t["slow"])
+
+    if interleaved:
+        def units():
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
+                for ci, _td, _ta in scan_order:
+                    _cid, _tq, hi, vi = comps[ci]
+                    bx = cgrid[ci][1]
+                    plane = out_planes[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield m, ci, plane[
+                                (my * vi + v) * bx + (mx * hi + hh)
+                            ]
+    else:
+        def units():
+            ci, _td, _ta = scan_order[0]
+            _cid, _tq, hi, vi = comps[ci]
+            ch = (fh * vi + vmax - 1) // vmax
+            cw = (fw * hi + hmax - 1) // hmax
+            nby, nbx = (ch + 7) // 8, (cw + 7) // 8
+            sbx = cgrid[ci][1]
+            plane = out_planes[ci]
+            for m in range(nby * nbx):
+                by_, bx_ = divmod(m, nbx)
+                yield m, ci, plane[by_ * sbx + bx_]
+
+    prev_dc = [0] * len(comps)
+    acc = 0
+    n = 0
+    pos = start
+    real = 0  # bits buffered from actual scan bytes
+    total = 0  # bits consumed
+    ln_d = len(d)
+    last_m = 0
+    for m, ci, zz in units():
+        if m != last_m:
+            last_m = m
+            if restart_interval and m % restart_interval == 0:
+                # sync_rst: drop bit state, skip to just past the RSTm
+                acc = 0
+                n = 0
+                while pos + 1 < ln_d:
+                    if d[pos] == 0xFF and 0xD0 <= d[pos + 1] <= 0xD7:
+                        pos += 2
+                        break
+                    pos += 1
+                prev_dc = [0] * len(comps)
+        dcf, dcs, acf, acs = tabs[ci]
+        # ---- decode one block: DC symbol + field, then the AC loop.
+        # Each symbol read: fill to >24 buffered bits, try the fast
+        # 8-bit-prefix table, fall back to the canonical per-bit walk.
+        fast8, slow = dcf, dcs
+        want_dc = True
+        k = 0
+        while True:
+            if n <= 24:
+                while n <= 24:
+                    if pos >= ln_d:
+                        acc <<= 8
+                        n += 8
+                        continue
+                    byte = d[pos]
+                    if byte == 0xFF:
+                        nxt = d[pos + 1] if pos + 1 < ln_d else 0xD9
+                        if nxt == 0x00:
+                            pos += 2
+                        elif 0xD0 <= nxt <= 0xD7:
+                            break  # RST — resync handled at MCU boundary
+                        else:
+                            acc <<= 8
+                            n += 8
+                            continue
+                    else:
+                        pos += 1
+                    acc = (acc << 8) | byte
+                    n += 8
+                    real += 8
+            hit = fast8[(acc >> (n - 8)) & 0xFF] if n >= 8 else None
+            if hit is not None:
+                sym, ln = hit
+                total += ln
+                if total > real + 7:
+                    raise ValueError("truncated entropy-coded segment")
+                n -= ln
+                acc &= (1 << n) - 1
+            else:
+                code = 0
+                for lnn in range(1, 17):
+                    while n < 1:
+                        before = n
+                        while n <= 24:
+                            if pos >= ln_d:
+                                acc <<= 8
+                                n += 8
+                                continue
+                            byte = d[pos]
+                            if byte == 0xFF:
+                                nxt = (
+                                    d[pos + 1] if pos + 1 < ln_d else 0xD9
+                                )
+                                if nxt == 0x00:
+                                    pos += 2
+                                elif 0xD0 <= nxt <= 0xD7:
+                                    break
+                                else:
+                                    acc <<= 8
+                                    n += 8
+                                    continue
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | byte
+                            n += 8
+                            real += 8
+                        if n == before:
+                            raise ValueError(
+                                "scan data ended at a restart marker"
+                            )
+                    total += 1
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= 1
+                    code = (code << 1) | ((acc >> n) & 1)
+                    acc &= (1 << n) - 1
+                    sym = slow.get((code, lnn))
+                    if sym is not None:
+                        break
+                else:
+                    raise ValueError("invalid Huffman code in scan")
+            if want_dc:
+                ssss = sym
+                # DC field: ssss offset bits -> signed diff (_extend)
+                if ssss:
+                    while n < ssss:
+                        before = n
+                        while n <= 24:
+                            if pos >= ln_d:
+                                acc <<= 8
+                                n += 8
+                                continue
+                            byte = d[pos]
+                            if byte == 0xFF:
+                                nxt = (
+                                    d[pos + 1] if pos + 1 < ln_d else 0xD9
+                                )
+                                if nxt == 0x00:
+                                    pos += 2
+                                elif 0xD0 <= nxt <= 0xD7:
+                                    break
+                                else:
+                                    acc <<= 8
+                                    n += 8
+                                    continue
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | byte
+                            n += 8
+                            real += 8
+                        if n == before:
+                            raise ValueError(
+                                "scan data ended at a restart marker"
+                            )
+                    total += ssss
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= ssss
+                    bits = (acc >> n) & ((1 << ssss) - 1)
+                    acc &= (1 << n) - 1
+                    diff = (
+                        bits
+                        if bits >= (1 << (ssss - 1))
+                        else bits - (1 << ssss) + 1
+                    )
+                    prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                want_dc = False
+                fast8, slow = acf, acs
+                k = 1
+                continue
+            # AC symbol
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    if k <= 63:
+                        continue
+                    break
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            if s:
+                while n < s:
+                    before = n
+                    while n <= 24:
+                        if pos >= ln_d:
+                            acc <<= 8
+                            n += 8
+                            continue
+                        byte = d[pos]
+                        if byte == 0xFF:
+                            nxt = d[pos + 1] if pos + 1 < ln_d else 0xD9
+                            if nxt == 0x00:
+                                pos += 2
+                            elif 0xD0 <= nxt <= 0xD7:
+                                break
+                            else:
+                                acc <<= 8
+                                n += 8
+                                continue
+                        else:
+                            pos += 1
+                        acc = (acc << 8) | byte
+                        n += 8
+                        real += 8
+                    if n == before:
+                        raise ValueError(
+                            "scan data ended at a restart marker"
+                        )
+                total += s
+                if total > real + 7:
+                    raise ValueError("truncated entropy-coded segment")
+                n -= s
+                bits = (acc >> n) & ((1 << s) - 1)
+                acc &= (1 << n) - 1
+                zz[k] = (
+                    bits
+                    if bits >= (1 << (s - 1))
+                    else bits - (1 << s) + 1
+                )
+            k += 1
+            if k > 63:
+                break
 
 
 def _extend(bits: int, ssss: int) -> int:
@@ -1075,19 +1407,127 @@ def _decode_progressive_scan(
     symbols), AC refinement (newly-nonzero (run<<4)|1 symbols plus
     correction bits for every already-nonzero coefficient passed over,
     including across EOB-run member blocks)."""
+    # Bit state runs in LOCALS with the fill loop in a closure taken
+    # only on the rare short-buffer path (r15): the per-symbol /
+    # per-bit _BitReader method calls dominated progressive decode
+    # profiles. Same algorithm, accounting and error messages as the
+    # method-based reader (fuzz-corpus + golden-digest gated).
+    d = br.data
+    ln_d = len(d)
+    pos = br.pos
+    acc = br.acc
+    n = br.n
+    real = br.real_bits
+    total = br.read_bits_total
+
+    def _fill() -> None:
+        nonlocal acc, n, pos, real
+        while n <= 24:
+            if pos >= ln_d:
+                acc <<= 8
+                n += 8
+                continue
+            byte = d[pos]
+            if byte == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < ln_d else 0xD9
+                if nxt == 0x00:
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # RST — resync handled at the MCU boundary
+                else:
+                    acc <<= 8
+                    n += 8
+                    continue
+            else:
+                pos += 1
+            acc = (acc << 8) | byte
+            n += 8
+            real += 8
+
+    def _read_bits_slow(k: int) -> int:
+        """Field read for the short-buffer path (fill + stuck check)."""
+        nonlocal acc, n, total
+        while n < k:
+            before = n
+            _fill()
+            if n == before:
+                raise ValueError("scan data ended at a restart marker")
+        total += k
+        if total > real + 7:
+            raise ValueError("truncated entropy-coded segment")
+        n -= k
+        v = (acc >> n) & ((1 << k) - 1)
+        acc &= (1 << n) - 1
+        return v
+
+    def _read_symbol_slow(slow: dict) -> int:
+        """Canonical per-bit walk for codes longer than 8 bits or at a
+        restart boundary — identical to _BitReader.read_symbol's
+        fallback."""
+        code = 0
+        for lnn in range(1, 17):
+            code = (code << 1) | _read_bits_slow(1)
+            sym = slow.get((code, lnn))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def _sync_rst() -> None:
+        nonlocal acc, n, pos
+        acc = 0
+        n = 0
+        while pos + 1 < ln_d:
+            if d[pos] == 0xFF and 0xD0 <= d[pos + 1] <= 0xD7:
+                pos += 2
+                return
+            pos += 1
+
     factors = [(hi, vi) for (_cid, _tq, hi, vi) in comps]
     if ss == 0:
         if se != 0:
             raise ValueError("DC scan with nonzero spectral end")
         prev = [0] * len(comps)
+        dc_tabs = {
+            td: (huff[(0, td)]["fast8"], huff[(0, td)]["slow"])
+            for _ci, td, _ta in scan_order
+        } if ah == 0 else {}
 
         def _dc_unit(ci: int, td: int, bi: int) -> None:
+            nonlocal acc, n, total
             zz = out_planes[ci][bi]
             if ah == 0:
-                ssss = br.read_symbol(huff[(0, td)])
-                prev[ci] += _extend(br.read_bits(ssss), ssss)
+                if n < 25:
+                    _fill()
+                fast8, slow = dc_tabs[td]
+                hit = fast8[(acc >> (n - 8)) & 0xFF] if n >= 8 else None
+                if hit is not None:
+                    ssss, ln = hit
+                    total += ln
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= ln
+                    acc &= (1 << n) - 1
+                else:
+                    ssss = _read_symbol_slow(slow)
+                if ssss:
+                    if n < ssss:
+                        bits = _read_bits_slow(ssss)
+                    else:
+                        total += ssss
+                        if total > real + 7:
+                            raise ValueError(
+                                "truncated entropy-coded segment"
+                            )
+                        n -= ssss
+                        bits = (acc >> n) & ((1 << ssss) - 1)
+                        acc &= (1 << n) - 1
+                    prev[ci] += (
+                        bits
+                        if bits >= (1 << (ssss - 1))
+                        else bits - (1 << ssss) + 1
+                    )
                 zz[0] = prev[ci] << al
-            elif br.read_bits(1):
+            elif _read_bits_slow(1):
                 zz[0] = int(zz[0]) | (1 << al)
 
         if len(scan_order) > 1:
@@ -1099,7 +1539,7 @@ def _decode_progressive_scan(
             mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
             for m in range(mcuy * mcux):
                 if restart_interval and m and m % restart_interval == 0:
-                    br.sync_rst()
+                    _sync_rst()
                     prev = [0] * len(comps)
                 my, mx = divmod(m, mcux)
                 for ci, td, _ta in scan_order:
@@ -1116,7 +1556,7 @@ def _decode_progressive_scan(
                                     [g[1] for g in cgrid])
             for m, bi in enumerate(idx):
                 if restart_interval and m and m % restart_interval == 0:
-                    br.sync_rst()
+                    _sync_rst()
                     prev = [0] * len(comps)
                 _dc_unit(ci, td, bi)
         return
@@ -1129,21 +1569,34 @@ def _decode_progressive_scan(
     indices = _own_grid_indices(factors, ci, fh, fw, hmax, vmax,
                                 [g[1] for g in cgrid])
     tab = huff[(1, ta)]
+    fast8, slow = tab["fast8"], tab["slow"]
     plane = out_planes[ci]
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
     for m, bi in enumerate(indices):
         if restart_interval and m and m % restart_interval == 0:
-            br.sync_rst()
+            _sync_rst()
             eobrun = 0
-        zz = plane[bi]
         if ah == 0:
             if eobrun:
                 eobrun -= 1
                 continue
+            zz = plane[bi]
             k = ss
             while k <= se:
-                rs = br.read_symbol(tab)
+                # inline read_symbol: fill, fast 8-bit prefix, slow walk
+                if n < 25:
+                    _fill()
+                hit = fast8[(acc >> (n - 8)) & 0xFF] if n >= 8 else None
+                if hit is not None:
+                    rs, ln = hit
+                    total += ln
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= ln
+                    acc &= (1 << n) - 1
+                else:
+                    rs = _read_symbol_slow(slow)
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:
@@ -1151,37 +1604,77 @@ def _decode_progressive_scan(
                         continue
                     eobrun = (1 << r) - 1  # current block is a member
                     if r:
-                        eobrun += br.read_bits(r)
+                        eobrun += _read_bits_slow(r)
                     break
                 k += r
                 if k > se:
                     raise ValueError("AC index overflow")
-                zz[k] = _extend(br.read_bits(s), s) << al
+                if n < s:
+                    bits = _read_bits_slow(s)
+                else:
+                    total += s
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= s
+                    bits = (acc >> n) & ((1 << s) - 1)
+                    acc &= (1 << n) - 1
+                zz[k] = (
+                    bits
+                    if bits >= (1 << (s - 1))
+                    else bits - (1 << s) + 1
+                ) << al
                 k += 1
             continue
-        # AC refinement
+        # AC refinement — the block's band is pulled into a plain-int
+        # list once (every coefficient is READ by the advance loop, and
+        # list getitems are ~3x cheaper than numpy scalar reads) and
+        # written back as one row assignment
+        row = plane[bi].tolist()
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = br.read_symbol(tab)
+                if n < 25:
+                    _fill()
+                hit = fast8[(acc >> (n - 8)) & 0xFF] if n >= 8 else None
+                if hit is not None:
+                    rs, ln = hit
+                    total += ln
+                    if total > real + 7:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= ln
+                    acc &= (1 << n) - 1
+                else:
+                    rs = _read_symbol_slow(slow)
                 r, s = rs >> 4, rs & 0x0F
                 val = 0
                 if s:
                     if s != 1:
                         raise ValueError("invalid AC refinement symbol")
-                    val = p1 if br.read_bits(1) else m1
+                    val = p1 if _read_bits_slow(1) else m1
                 elif r != 15:
                     eobrun = 1 << r
                     if r:
-                        eobrun += br.read_bits(r)
+                        eobrun += _read_bits_slow(r)
                     break  # tail handled below, then eobrun -= 1
                 # advance over r zero-HISTORY positions, reading one
                 # correction bit per nonzero-history coefficient passed
                 while k <= se:
-                    c = int(zz[k])
+                    c = row[k]
                     if c != 0:
-                        if br.read_bits(1) and (c & p1) == 0:
-                            zz[k] = c + (p1 if c >= 0 else m1)
+                        # inline 1-bit correction read
+                        if n < 1:
+                            bit = _read_bits_slow(1)
+                        else:
+                            total += 1
+                            if total > real + 7:
+                                raise ValueError(
+                                    "truncated entropy-coded segment"
+                                )
+                            n -= 1
+                            bit = (acc >> n) & 1
+                            acc &= (1 << n) - 1
+                        if bit and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else m1)
                     else:
                         r -= 1
                         if r < 0:
@@ -1190,16 +1683,28 @@ def _decode_progressive_scan(
                 if val:
                     if k > se:
                         raise ValueError("AC refinement overflow")
-                    zz[k] = val
+                    row[k] = val
                 k += 1
         if eobrun > 0:
             while k <= se:  # correction bits through the band's tail
-                c = int(zz[k])
+                c = row[k]
                 if c != 0:
-                    if br.read_bits(1) and (c & p1) == 0:
-                        zz[k] = c + (p1 if c >= 0 else m1)
+                    if n < 1:
+                        bit = _read_bits_slow(1)
+                    else:
+                        total += 1
+                        if total > real + 7:
+                            raise ValueError(
+                                "truncated entropy-coded segment"
+                            )
+                        n -= 1
+                        bit = (acc >> n) & 1
+                        acc &= (1 << n) - 1
+                    if bit and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
                 k += 1
             eobrun -= 1
+        plane[bi] = row
 
 
 def _reconstruct(
@@ -1439,8 +1944,8 @@ def decode_jpeg(content: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
                     set(),
                 )
             out_planes, cgrid, decoded = scan_state
-            br = _BitReader(d, pos + 2 + seglen)
             if progressive:
+                br = _BitReader(d, pos + 2 + seglen)
                 # `decoded` tracks DC-FIRST coverage: reconstruction at
                 # EOI requires every component's DC first scan, and an
                 # AC scan may not precede its component's DC scan
@@ -1459,65 +1964,15 @@ def decode_jpeg(content: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
                 )
                 pos = _entropy_end(d, pos + 2 + seglen)
                 continue
-            prev_dc = [0] * len(comps)
-
-            def _decode_block(zz, ci, td, ta):
-                ssss = br.read_symbol(huff[(0, td)])
-                diff = _extend(br.read_bits(ssss), ssss)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k <= 63:
-                    rs = br.read_symbol(huff[(1, ta)])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read_bits(s), s)
-                    k += 1
-
-            if ns >= 2 or ns == len(comps):
-                # interleaved scan (full or partial-component): MCUs
-                # cover the frame at 8*hmax x 8*vmax tiles; each MCU
-                # carries hi x vi blocks of every SELECTED component in
-                # SOS order (T.81 A.2.3)
-                for m in range(mcuy * mcux):
-                    if restart_interval and m and m % restart_interval == 0:
-                        br.sync_rst()
-                        prev_dc = [0] * len(comps)
-                    my, mx = divmod(m, mcux)
-                    for ci, td, ta in scan_order:
-                        _cid, _tq, hi, vi = comps[ci]
-                        bx = cgrid[ci][1]
-                        for v in range(vi):
-                            for hh in range(hi):
-                                bi = (my * vi + v) * bx + (mx * hi + hh)
-                                _decode_block(out_planes[ci][bi], ci, td, ta)
-            else:
-                # ns == 1 partial scan: NON-interleaved (T.81 A.2.2) —
-                # data units raster over the component's OWN block grid
-                # (ceil of its true dims), which is narrower than its
-                # MCU-padded storage grid; restart interval counts data
-                # units here (one MCU == one block)
-                ci, td, ta = scan_order[0]
-                _cid, _tq, hi, vi = comps[ci]
-                ch = (fh * vi + vmax - 1) // vmax
-                cw = (fw * hi + hmax - 1) // hmax
-                nby, nbx = (ch + 7) // 8, (cw + 7) // 8
-                sbx = cgrid[ci][1]
-                for m in range(nby * nbx):
-                    if restart_interval and m and m % restart_interval == 0:
-                        br.sync_rst()
-                        prev_dc = [0] * len(comps)
-                    by_, bx_ = divmod(m, nbx)
-                    _decode_block(
-                        out_planes[ci][by_ * sbx + bx_], ci, td, ta
-                    )
+            # interleaved (full or partial-component, T.81 A.2.3) when
+            # ns >= 2 or the scan covers every component; ns == 1
+            # partial scans are NON-interleaved over the component's
+            # OWN block grid (A.2.2) with restart counting data units
+            _decode_sequential_scan(
+                d, pos + 2 + seglen, out_planes, comps, scan_order,
+                huff, cgrid, restart_interval, mcux, mcuy,
+                ns >= 2 or ns == len(comps), fh, fw, hmax, vmax,
+            )
             decoded |= {ci for ci, _td, _ta in scan_order}
             if len(decoded) < len(comps):
                 # more scans follow: skip past this scan's entropy data

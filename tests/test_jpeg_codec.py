@@ -587,3 +587,38 @@ def test_optimal_table_depth_fold():
     assert max(ln for _, ln in tab.values()) <= 16
     # Kraft: the folded table is still prefix-decodable
     assert sum(2 ** (16 - ln) for _, ln in tab.values()) <= 2**16
+
+
+def test_entropy_rewrite_byte_parity_golden():
+    # r15 optimization pass: the entropy loops were rewritten with
+    # local-variable bit state (sequential + progressive decode, block
+    # encode, sparse K.2 table build). These digests were produced by
+    # the PRE-rewrite implementation and pin wire bytes AND decoded
+    # pixels across every mode the rewrite touched (baseline / 420 /
+    # 422 / multi-scan / optimize / progressive / restart intervals /
+    # grayscale). tools/fuzz_jpeg_parity.py is the wide version of this
+    # gate (408 encodes, same digests before and after the rewrite).
+    rng = np.random.default_rng(20260818)
+    enc = hashlib.md5()
+    pix = hashlib.md5()
+    for h, w in [(7, 9), (17, 23)]:
+        for ncomp in (1, 3):
+            shape = (h, w) if ncomp == 1 else (h, w, 3)
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            variants = [
+                dict(quality=90),
+                dict(quality=35, progressive=True, restart_interval=3),
+                dict(quality=90, optimize=True),
+            ]
+            if ncomp == 3:
+                variants += [
+                    dict(quality=90, subsampling="420", progressive=True),
+                    dict(quality=75, subsampling="422", restart_interval=1),
+                    dict(quality=90, multi_scan=True),
+                ]
+            for kw in variants:
+                data = J.encode_jpeg(arr, **kw)
+                enc.update(data)
+                pix.update(J.decode_jpeg(data).tobytes())
+    assert enc.hexdigest() == "65a1f81e059915164f1ac5bcbb2593af"
+    assert pix.hexdigest() == "de1dbfdeba2945870fd7829fc233dcf6"
