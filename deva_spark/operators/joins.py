@@ -312,21 +312,26 @@ def bloom_prune(
     resolved by whatever exact operation follows). The bitmap embeds as
     a constant-folded array literal and the membership test is
     scan-stage shift/mask algebra — zero joins, zero shuffles."""
+    return df.filter(bloom_member(F.col(key), bitmap, n_hashes))
+
+
+def bloom_member(col: Column, bitmap: list[int], n_hashes: int = 3) -> Column:
+    """Boolean membership test against a packed-longs bloom ``bitmap``
+    as a single Column expression — same shift/mask algebra the filter
+    always used (``p div 64`` == ``shiftright(p, 6)`` for the
+    non-negative pmod positions), without the scaffolding projections
+    of one ``_bf_p{i}`` column per probe (r15)."""
     n_bits = len(bitmap) << 6
-    pruned = df.withColumn("_bf_map", F.lit(bitmap))
-    probe_cols = []
+    arr = F.lit(bitmap)
+    cond = None
     for i in range(n_hashes):
-        pruned = pruned.withColumn(
-            f"_bf_p{i}", _bloom_pos(F.col(key), i, n_bits)
-        )
-        probe_cols.append(f"_bf_p{i}")
-    return pruned.filter(
-        " AND ".join(
-            f"(shiftright(element_at(_bf_map, cast({p} div 64 as int) + 1),"
-            f" cast({p} % 64 as int)) & 1) = 1"
-            for p in probe_cols
-        )
-    ).drop("_bf_map", *probe_cols)
+        p = _bloom_pos(col, i, n_bits)
+        word = F.element_at(arr, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
+        bit = F.call_function(
+            "shiftright", word, (p % F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1)) == F.lit(1)
+        cond = bit if cond is None else cond & bit
+    return cond
 
 
 def _bloom_pos(col: Column, i: int, n_bits: int) -> Column:
@@ -400,8 +405,17 @@ def bloom_pruned_join(
         probe = small.select(F.col(small_key).alias("_bk")).filter(
             F.col("_bk").isNotNull()
         ).limit(100)
-        n_probe = probe.count()
-        n_pass = bloom_prune(probe, "_bk", bitmap, n_hashes).count()
+        # ONE aggregation job computes sampled and passing counts
+        # together (r15, VERDICT #6 "collapse multi-action probes" —
+        # the old count() + prune().count() pair paid two sequential
+        # plan-build-time jobs for one bounded verification)
+        row = probe.select(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                bloom_member(F.col("_bk"), bitmap, n_hashes).cast("int")
+            ).alias("_p"),
+        ).collect()[0]
+        n_probe, n_pass = row["_n"], row["_p"] or 0
         if n_pass != n_probe:
             raise ValueError(
                 f"staged bloom bitmap rejects {n_probe - n_pass} of "

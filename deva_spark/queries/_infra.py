@@ -25,7 +25,7 @@ from deva_spark.functions import vectors as V
 from deva_spark.operators import aggregates as agg
 from deva_spark.operators import anomaly, dedup, graphs, joins, windows
 from deva_spark.operators.aggregates import money_sum, round_money
-from deva_spark.session import load_tables, read_table
+from deva_spark.session import load_tables, read_parquet, read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -33,11 +33,106 @@ SPARK_QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+#: Attribute name of the per-session memo of CONSTRUCTED QUERY PLANS,
+#: keyed on (query name, sf_dir, corpus fingerprint). Building a
+#: registry DataFrame costs ~0.15 s of driver-side py4j latency per
+#: query (measured r15: 25 s of a ~97 s steady-state sequential pass was
+#: plan construction repeated per pass) — and a DataFrame is an
+#: immutable logical plan, so handing the same object back is pure plan
+#: reuse: every action still computes from the parquet inputs.
+#:
+#: THE MEMO ONLY EVER HOLDS PURE PLANS: a construction that launched
+#: ANY Spark job (eager synopsis persist+count barriers, driver-side
+#: resolution cutovers that embed an ExistingRDD, sampled skew probes,
+#: bloom bitmap builds, …) is NEVER memoized — caching such a plan
+#: would carry computed RESULTS across bench passes, which is result
+#: caching, not plan reuse. The job-count guard makes the distinction
+#: definitional rather than a hand-maintained list. Streaming plans are
+#: never memoized either. The corpus fingerprint (per-table mtimes, the
+#: read-memo's signal) invalidates the memo the moment testdata is
+#: regenerated; stage_artifacts() clears it whenever it builds a new
+#: artifact so a plan captured against the in-session fallback can't
+#: outlive the staging that supersedes it. Lives ON the session object
+#: (dies with it, the r15 session-memo discipline).
+_PLAN_CACHE_ATTR = "_deva_query_plan_cache"
+
+
+def _plan_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _PLAN_CACHE_ATTR, cache)
+    return cache
+
+
+#: Session confs that query CONSTRUCTION branches on (adaptive cutover
+#: thresholds). They are part of the plan-memo key: a test (or caller)
+#: flipping one mid-session must get a freshly constructed plan, not a
+#: memoized plan built under the old threshold. Any new spark.deva.*
+#: construction-time conf must be added here.
+_PLAN_CONF_KEYS = (
+    "spark.deva.positional.smallInputBytes",
+    "spark.deva.graph.driverMaxEdges",
+    "spark.deva.bpe.driverMaxWords",
+)
+
+
+def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> tuple:
+    """(name, mtime) per present table — ~10 stat calls, the same
+    invalidation signal session.read_table keys its read memo on —
+    plus the construction-time cutover confs."""
+    from deva_spark.session import TABLES, table_path
+
+    out = []
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        try:
+            out.append((t, _os.path.getmtime(p)))
+        except OSError:
+            pass
+    for k in _PLAN_CONF_KEYS:
+        out.append((k, spark.conf.get(k, None)))
+    # the artifact root decides whether constructions see staged parquet
+    # or the in-session fallback (tests monkeypatch it per-case)
+    out.append(("DEVA_ARTIFACT_DIR", _os.environ.get("DEVA_ARTIFACT_DIR")))
+    return tuple(out)
+
+
 def query(name: str, oracle: str | None = None):
-    """Register a (spark_fn, oracle_sql) pair."""
+    """Register a (spark_fn, oracle_sql) pair. The registered callable
+    memoizes the constructed plan per (session, sf_dir, corpus
+    fingerprint) — see :data:`_PLAN_CACHE_ATTR`."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        SPARK_QUERIES[name] = fn
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (name, sf_dir, _corpus_fingerprint(spark, sf_dir))
+            cache = _plan_cache(spark)
+            df = cache.get(key)
+            if df is None:
+                tracker = spark.sparkContext.statusTracker()
+                ids = tracker.getJobIdsForGroup()
+                before_hi = max(ids) if ids else -1
+                df = fn(spark, sf_dir)
+                ids = tracker.getJobIdsForGroup()
+                ran_jobs = (max(ids) if ids else -1) != before_hi
+                if ran_jobs or df.isStreaming:
+                    return df
+                cache[key] = df
+            # hand back a FRESH node over the memoized analyzed plan,
+            # never the same DataFrame object: re-executing one object
+            # reuses its physical plan's shuffle outputs (Spark skips
+            # stages whose map output still exists), which would carry
+            # intermediate RESULTS across bench passes. select("*")
+            # forces a new QueryExecution — optimizer, physical
+            # planning, codegen and every stage re-run per action; only
+            # the driver-side CONSTRUCTION of the logical plan is
+            # reused (measured: the select-star wrapper re-executes
+            # with byte-identical results and full stage re-runs).
+            return df.select("*")
+
+        build.__name__ = fn.__name__
+        build.__doc__ = fn.__doc__
+        SPARK_QUERIES[name] = build
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
@@ -773,13 +868,18 @@ def stage_artifacts(
                 _artifact_path(sf_dir, name)
             )
         took[name] = round(_time.perf_counter() - t0, 3)
+    if any(took.values()):
+        # plans memoized BEFORE an artifact existed captured the
+        # in-session fallback lineage — drop them so consumers rebuild
+        # against the staged parquet
+        getattr(spark, _PLAN_CACHE_ATTR, {}).clear()
     return took
 
 
 def _shared_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     staged = staged_artifact_path(sf_dir, name)
     if staged:
-        return spark.read.parquet(staged)
+        return read_parquet(spark, staged)
     cache = _session_cache(spark)
     key = (sf_dir, name)
     if key not in cache:

@@ -15,6 +15,7 @@ from deva_spark.operators import aggregates as agg
 from deva_spark.operators import graphs
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from deva_spark.session import read_parquet
 from deva_spark.queries._infra import (
     ORACLE_SQL,
     _pr_raw_edges,
@@ -124,7 +125,7 @@ def x61(spark, sf):
         # base join/distinct/symmetrize/degree pass all ran at staging,
         # and the degree join disappears from the per-run plan
         ranks = graphs.pagerank(
-            spark.read.parquet(staged),
+            read_parquet(spark, staged),
             n_iter=2,
             symmetrize=False,
             stage=None,

@@ -16,6 +16,7 @@ from deva_spark.operators import windows
 from deva_spark.operators.aggregates import money_sum
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from deva_spark.session import read_parquet
 from deva_spark.queries._infra import (
     _jaccard_pairs,
     _shared_artifact,
@@ -793,7 +794,7 @@ def x55(spark, sf):
     if staged_src:
         # staged index is already per-shingle sorted source arrays —
         # the timed query is scan → pair-explode → pair aggregate
-        srcs = spark.read.parquet(staged_src)
+        srcs = read_parquet(spark, staged_src)
     else:
         sh = _shingle5_hashes(spark, sf).select("source", "_sh").distinct()
         srcs = sh.groupBy("_sh").agg(

@@ -21,6 +21,7 @@ from deva_spark.operators import joins
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 import os as _os
+from deva_spark.session import read_parquet
 from deva_spark.queries._infra import (
     ORACLE_SQL,
     _build_dup_assign,
@@ -133,7 +134,7 @@ def x74(spark, sf):
         # one aggregate (the shingle5_src move; 2x the flat-index join
         # route at sf1, parity-tested)
         return substring_dup_pairs_from_groups(
-            spark.read.parquet(staged), min_common=1
+            read_parquet(spark, staged), min_common=1
         )
     return substring_dup_pairs(
         _t(spark, sf, "documents"), window=8, min_common=1
@@ -189,7 +190,7 @@ def x75(spark, sf):
         # explode → island aggregate, no join shuffle (the subwin8g
         # move; parity-tested)
         return longest_common_run_from_groups(
-            spark.read.parquet(grouped), window=8
+            read_parquet(spark, grouped), window=8
         )
     staged = staged_artifact_path(sf, "subpos8")
     if staged:
@@ -199,7 +200,7 @@ def x75(spark, sf):
         return longest_common_run(
             _t(spark, sf, "documents"),
             window=8,
-            positions=spark.read.parquet(staged),
+            positions=read_parquet(spark, staged),
         )
     return longest_common_run(_t(spark, sf, "documents"), window=8)
 
@@ -249,10 +250,10 @@ def x77(spark, sf):
     pruned = staged_artifact_path(sf, "subwin8d")
     staged = staged_artifact_path(sf, "subpos8")
     if pruned:
-        idx = spark.read.parquet(pruned)  # already distinct + pruned
+        idx = read_parquet(spark, pruned)  # already distinct + pruned
     elif staged:
         idx = (
-            spark.read.parquet(staged).select("doc_id", "wh").distinct()
+            read_parquet(spark, staged).select("doc_id", "wh").distinct()
         )
     else:
         idx = _cached_win8_index(spark, sf)
@@ -307,10 +308,10 @@ def x78(spark, sf):
         # corpus-wide >= 2-doc prune is sound for the stream-static join
         # too: an (old, new) pair's shared wh has corpus count >= 2, so
         # the old row survives the prune
-        old = spark.read.parquet(pruned).filter(~batch_pred)
+        old = read_parquet(spark, pruned).filter(~batch_pred)
     elif staged:
         old = (
-            spark.read.parquet(staged)
+            read_parquet(spark, staged)
             .filter(~batch_pred)
             .select("doc_id", "wh")
             .distinct()
@@ -453,7 +454,7 @@ def x76(spark, sf):
         return remove_duplicate_runs(
             docs,
             window=8,
-            positions=spark.read.parquet(staged),
+            positions=read_parquet(spark, staged),
         )
     return remove_duplicate_runs(docs, window=8)
 
@@ -573,7 +574,7 @@ def x81(spark, sf):
     pairs = _jaccard_pairs(spark, sf)
     staged = staged_artifact_path(sf, "dup_assign_old")
     if staged:
-        old_assign = spark.read.parquet(staged)
+        old_assign = read_parquet(spark, staged)
     else:
         old_assign = graphs.canonical_assignments(
             pairs.filter(~batch_a & ~batch_b).select("id_a", "id_b")
@@ -628,7 +629,7 @@ def x82(spark, sf):
     batch_pred = F.col("doc_id") % 10 == 0
     staged = staged_artifact_path(sf, "simhash_fps")
     fps = (
-        spark.read.parquet(staged)
+        read_parquet(spark, staged)
         if staged
         else sh.fingerprints(_t(spark, sf, "documents"))
     )
@@ -675,7 +676,7 @@ def x83(spark, sf):
         # the staged digest table IS the index: the batch's digests are
         # slices of it (a re-crawl carries the same trimmed text, hence
         # the same digest, under its new id) — no text re-hash at all
-        dg = spark.read.parquet(staged)
+        dg = read_parquet(spark, staged)
         recrawl_dg = dg.filter(F.col("doc_id") % 97 == 3).withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000_000).cast("long")
         )
@@ -830,7 +831,7 @@ def x86(spark, sf):
         # the >= 2-doc pruned projection: |A∩B| identical by
         # construction; BOTH sides' sizes then come from the full-index
         # synopsis (the new_sizes contract)
-        idx = spark.read.parquet(pruned)
+        idx = read_parquet(spark, pruned)
         return mh.incremental_shingle_overlap(
             idx.filter(batch_pred),
             idx.filter(~batch_pred),
@@ -1013,7 +1014,7 @@ def x89(spark, sf):
     pairs = _jaccard_pairs(spark, sf).select("id_a", "id_b")
     staged = staged_artifact_path(sf, "dup_assign")
     assign = (
-        spark.read.parquet(staged)
+        read_parquet(spark, staged)
         if staged
         else graphs.canonical_assignments(pairs)
     )
@@ -1059,7 +1060,7 @@ def x90(spark, sf):
     # exchange, AQE-reused).
     staged = staged_artifact_path(sf, "dup_assign")
     assign = (
-        spark.read.parquet(staged)
+        read_parquet(spark, staged)
         if staged
         else _build_dup_assign(spark, sf)
     )
@@ -1158,7 +1159,7 @@ def x91(spark, sf):
     return curation_audit(
         stats,
         sigs=None if staged_pairs else _doc_signatures(spark, sf),
-        pairs=spark.read.parquet(staged_pairs) if staged_pairs else None,
+        pairs=read_parquet(spark, staged_pairs) if staged_pairs else None,
     )
 
 

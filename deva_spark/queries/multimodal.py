@@ -16,7 +16,7 @@ from __future__ import annotations
 from deva_spark.functions import text as T
 from deva_spark.functions import vectors as V
 from deva_spark.operators import aggregates as agg
-from deva_spark.session import load_tables
+from deva_spark.session import read_parquet, load_tables
 from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -433,7 +433,7 @@ def x105(spark, sf):
     # it; the pyarrow footer audit proves the multiplicative 2-D
     # pruning), so the oracle is the plain SQL over the raw table.
     stage_artifacts(spark, sf, ["li_zorder"])
-    src = spark.read.parquet(staged_artifact_path(sf, "li_zorder"))
+    src = read_parquet(spark, staged_artifact_path(sf, "li_zorder"))
     return src.filter(
         F.col("l_quantity").between(30, 35)
         & F.col("l_extendedprice").between(30_000, 50_000)

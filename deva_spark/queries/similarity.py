@@ -25,6 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 import os as _os
+from deva_spark.session import read_parquet
 from deva_spark.queries._infra import (
     ORACLE_SQL,
     _doc_index,
@@ -170,7 +171,7 @@ def x06(spark, sf):
     # shared signature table.
     staged = staged_artifact_path(sf, "neardup_pairs")
     if staged:
-        return spark.read.parquet(staged).select("id_a", "id_b", "est_sim")
+        return read_parquet(spark, staged).select("id_a", "id_b", "est_sim")
     docs = _t(spark, sf, "documents").filter(F.size(T.words(F.col("text"))) >= 3)
     return mh.near_duplicates(docs, min_matches=6, sigs=_doc_signatures(spark, sf))
 
@@ -209,7 +210,7 @@ def x07(spark, sf):
     # staged simhash_fps artifact feeds the banding/verify joins (the
     # doc_sigs pattern); unstaged computes + persists fingerprints here.
     staged = staged_artifact_path(sf, "simhash_fps")
-    fps = spark.read.parquet(staged) if staged else None
+    fps = read_parquet(spark, staged) if staged else None
     return sh.near_duplicates(
         _t(spark, sf, "documents"), max_hamming=3, fps=fps
     ).select("id_a", "id_b", F.col("hd").cast("bigint").alias("hd"))
@@ -496,11 +497,11 @@ def x15(spark, sf):
 
         staged_pairs = staged_artifact_path(sf, "neardup_pairs")
         return curate_from_stats(
-            spark.read.parquet(staged_stats),
+            read_parquet(spark, staged_stats),
             sigs=None if staged_pairs else _doc_signatures(spark, sf),
             min_quality=40.0,
             lang="en",
-            pairs=spark.read.parquet(staged_pairs) if staged_pairs else None,
+            pairs=read_parquet(spark, staged_pairs) if staged_pairs else None,
         ).select("doc_id", "n_tokens")
     from deva_spark.plans.corpus import curate
 

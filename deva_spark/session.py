@@ -186,6 +186,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet`` for STAGED ARTIFACT paths — the
+    read-plan memo (:func:`read_table`) extended beyond the corpus
+    tables (r15): every staged-artifact read was still paying the
+    150-300 ms schema-inference job per query construction, and that
+    job also disqualified otherwise pure plan constructions from the
+    per-session query-plan memo. Keyed on (abs path, dir mtime): a
+    re-staged artifact directory gets a fresh mtime, invalidating the
+    entry."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    cache = _read_cache(spark)
+    key = (os.path.abspath(path), mtime)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(path)
+    cache[key] = df
+    return df
+
+
 def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Partition count of the bare parquet scan of one table, memoized
     per (session, path, mtime). ``df.rdd.getNumPartitions()`` costs a
